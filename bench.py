@@ -1,0 +1,81 @@
+"""Headline-query benchmark.
+
+Runs the representative query set at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": N}.
+
+Execution is measured to a noop sink (full computation + exchange, no
+driver-side collect), which is the number that scales with the plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_pipeline_with_alpha_vantage_spark import registry
+from etl_pipeline_with_alpha_vantage_spark.session import get_spark
+
+# Representative slice of SURVEY.md §2: reference chain, joins, aggs,
+# windows, asof, dedup tiers, similarity, text, streaming-batch windows.
+HEADLINE = [
+    "flagship_daily_change",
+    "q1_pricing_summary",
+    "filter_predicates",
+    "join_customer_orders",
+    "join_broadcast_dims",
+    "agg_rollup",
+    "window_ranking",
+    "window_analytics",
+    "asof_join",
+    "topk_orders",
+    "dedup_exact",
+    "dedup_normhash",
+    "dedup_minhash_lsh",
+    "similarity_topk_brute",
+    "text_tokens_top",
+    "text_quality",
+    "stream_session",
+    "multimodal_decode",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry.load_all()
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM + parquet footers with one cheap action so per-query
+    # numbers measure the plan, not session startup.
+    registry.QUERIES["topk_orders"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Table loading for the driver-generated synthetic warehouse.
+
+``/root/testdata/sf*/`` holds one parquet file per table (TESTDATA.md).
+Loading goes through ``spark.read.parquet`` so Catalyst gets column
+pruning + predicate pushdown into the scan for free; nothing is cached
+eagerly — at 100 TB the tables don't fit in memory and every query should
+prune its own scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one warehouse table as a DataFrame (lazy scan)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS): read as long nanos (see
+    # session.py conf) and truncate to a micros timestamp. Integer DIV —
+    # ns-since-epoch (~1.7e18) exceeds double's exact-integer range.
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every warehouse table; keyed by table name."""
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so ``spark.sql`` queries work."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,139 @@
+"""Temporal / non-equi joins: as-of and range joins (SURVEY.md X4-X5).
+
+Spark has no ASOF JOIN operator. The scalable formulation used here is the
+union-and-carry-forward trick: union the two event streams, window once per
+key ordered by time, and carry the last left-side attributes forward with
+``last(..., ignorenulls=True)``. Cost: ONE shuffle on the key and a
+per-key sort — no row multiplication, no range cross-product. A naive
+range-join + row_number would materialize O(clicks × purchases) per key
+before pruning; at 100 TB the union-window plan is the difference between
+a join that finishes and one that doesn't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+_ASOF_ORACLE = """
+SELECT
+    p.event_id AS purchase_id,
+    p.user_id  AS user_id,
+    p.ts       AS purchase_ts,
+    p.value    AS purchase_value,
+    c.event_id AS click_id,
+    c.value    AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@query("asof_join", oracle=_ASOF_ORACLE)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: for each purchase, the latest click by the same user at or
+    before the purchase timestamp (left as-of join).
+
+    Implementation: tag clicks kind=0 / purchases kind=1, union, one
+    window per user ordered by (ts, kind, event_id), carry click attrs
+    forward with last(ignorenulls), keep purchase rows. kind orders a
+    same-timestamp click *before* the purchase, implementing the
+    inclusive ``>=`` bound; event_id breaks any remaining tie
+    deterministically. The DuckDB oracle uses its native ASOF LEFT JOIN.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", F.coalesce("click_id", "purchase_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "user_id",
+        "ts",
+        "kind",
+        "purchase_id",
+        "purchase_value",
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last("click_value", ignorenulls=True).over(w).alias("click_value"),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        F.col("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "purchase_value",
+        "click_id",
+        "click_value",
+    )
+
+
+_RANGE_ORACLE = """
+SELECT
+    b.band_id,
+    CAST(b.band_id * 50.0 AS DOUBLE)       AS band_lo,
+    CAST((b.band_id + 1) * 50.0 AS DOUBLE) AS band_hi,
+    CAST(COUNT(e.event_id) AS BIGINT)      AS n_events,
+    CAST(COALESCE(SUM(CAST(round(e.value * 100) AS BIGINT)), 0) / 100.0
+         AS DOUBLE)                        AS band_value
+FROM range(8) b(band_id)
+LEFT JOIN events e
+    ON e.value >= b.band_id * 50.0 AND e.value < (b.band_id + 1) * 50.0
+GROUP BY b.band_id
+"""
+
+
+@query("range_join_bands", oracle=_RANGE_ORACLE)
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: non-equi (range) join of the event stream against a band
+    dimension.
+
+    The band side is tiny and explicitly broadcast, so Spark plans a
+    BroadcastNestedLoopJoin — the correct physical strategy for a
+    non-equi join with a bounded build side; the fact side streams through
+    without a shuffle. (For big×big range joins, bucketize both sides on
+    floor(value/width) first to recover an equi-join — see
+    operators.similarity for that pattern applied to LSH buckets.)
+    """
+    ev = table(spark, sf_dir, "events")
+    bands = spark.range(8).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 50.0).alias("band_lo"),
+        ((F.col("id") + 1) * 50.0).alias("band_hi"),
+    )
+    joined = F.broadcast(bands).join(
+        ev,
+        (ev.value >= bands.band_lo) & (ev.value < bands.band_hi),
+        "left",
+    )
+    return joined.groupBy("band_id", "band_lo", "band_hi").agg(
+        F.count("event_id").alias("n_events"),
+        (
+            F.coalesce(
+                F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0)
+            )
+            / 100.0
+        )
+        .cast("double")
+        .alias("band_value"),
+    )

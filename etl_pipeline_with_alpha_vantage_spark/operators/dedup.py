@@ -1,0 +1,337 @@
+"""Deduplication operator family (SURVEY.md X14-X15 + driver mandate).
+
+Four tiers, cheapest to most semantic, all shuffle-on-key shapes that
+scale to 100 TB:
+
+1. exact key dedup           — one hash aggregation on the dedup key.
+2. normalized-hash dedup     — md5 over canonicalized text; same shape.
+3. n-gram Jaccard pair-find  — inverted-index self-join on shingles
+                               (the scalable way to find near-dup pairs:
+                               only docs *sharing* a shingle ever meet).
+4. MinHash + LSH banding     — fixed-size signatures (32 hashes), band
+                               buckets, candidates only within a bucket;
+                               candidate count is data-dependent, work per
+                               doc is O(shingles × hashes) and constant.
+
+SimHash (bitwise near-dup) lives in the same family; its 64-bit signature
+is computed with built-in integer ops (no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+# --------------------------------------------------------------------------
+# X14 — exact dedup
+# --------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT
+    user_id,
+    event_type,
+    CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+    CAST(COUNT(*) AS BIGINT)      AS n_dups
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+@query("dedup_exact", oracle=_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14: exact dedup on a composite key, keeping a deterministic
+    representative (min event_id) — ``dropDuplicates`` semantics made
+    order-independent. One hash aggregation; map-side partials collapse
+    duplicates before the shuffle."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X15a — normalized-hash near-dedup (oracle-checkable tier)
+# --------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))"
+
+_NORMHASH_ORACLE = f"""
+SELECT
+    md5({_NORM})                  AS norm_hash,
+    CAST(MIN(doc_id) AS BIGINT)   AS canonical_doc,
+    CAST(COUNT(*) AS BIGINT)      AS n_members
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("dedup_normhash", oracle=_NORMHASH_ORACLE)
+def dedup_normhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: content-hash dedup over canonicalized text (lowercase, strip
+    punctuation, collapse case). md5 is identical across engines so the
+    hash itself is oracle-checked. Grouping by a 128-bit hash instead of
+    the full text keeps shuffle rows small — at 100 TB you shuffle 16-byte
+    keys, not documents."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "))
+    return (
+        docs.select(F.md5(norm).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X15b — n-gram Jaccard near-dup pairs (inverted-index self-join)
+# --------------------------------------------------------------------------
+
+_NGRAM_ORACLE = """
+WITH docs AS (
+    SELECT doc_id, string_split(text, ' ') AS toks
+    FROM documents WHERE doc_id < 200
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]) AS gram
+    FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+    WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT
+    i.doc_a,
+    i.doc_b,
+    CAST(i.n_common AS BIGINT) AS n_common,
+    CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.05
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: exact word-trigram Jaccard similarity for candidate pairs.
+
+    Inverted-index shape: explode distinct shingles, self-join on the
+    shingle, count co-occurrences, join back the set sizes. Only documents
+    sharing ≥1 shingle meet in the join — never the full N² cross product.
+    The jaccard value is an integer ratio (exact across engines).
+
+    doc_id < 200 bounds the demo; the plan itself is size-independent
+    (shuffle on gram, then on pair). For corpora where hot shingles blow
+    up the join, drop shingles with document-frequency above a cap first
+    (standard stop-shingle pruning) — see dedup_minhash_lsh for the
+    signature-based alternative with constant per-doc work.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                        F.element_at("toks", i + 3),
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= 0.05)
+
+
+# --------------------------------------------------------------------------
+# X15c — MinHash + LSH banding (signature tier; rows-only check)
+# --------------------------------------------------------------------------
+
+N_HASHES = 32
+BAND_SIZE = 4  # → 8 bands; P(candidate) ≈ 1-(1-j^4)^8
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """doc_id → array<long> of MinHash values over word trigrams.
+
+    Each hash family member is xxhash64 with a distinct integer seed
+    column mixed in; min() over the shingle set per seed is computed with
+    array ops — no explode, no Python, constant work per document.
+    """
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    grams = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                    F.element_at("toks", i + 3),
+                ),
+            )
+        ).alias("grams"),
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(F.col("grams"), lambda g: F.xxhash64(g, seed))
+        ),
+    )
+    return grams.select("doc_id", sig.alias("sig"))
+
+
+@query("dedup_minhash_lsh")  # signature-based → no SQL oracle (rows-only)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: MinHash-LSH near-dup candidate pairs with estimated Jaccard.
+
+    Pipeline: signatures (constant per-doc work) → band hashes → explode
+    bands → self-join per (band_idx, band_hash) bucket → estimate Jaccard
+    as the fraction of agreeing minhashes → keep est ≥ 0.2. Shuffles on
+    band_hash (bounded rows: docs × n_bands) — never a cross product.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    n_bands = N_HASHES // BAND_SIZE
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * BAND_SIZE + 1, BAND_SIZE),
+                            lambda v: v.cast("string"),
+                        ),
+                    ),
+                    b,
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / float(N_HASHES)
+    )
+    return cand.select("doc_a", "doc_b", est.alias("jaccard_est")).filter(
+        F.col("jaccard_est") >= 0.2
+    )
+
+
+# --------------------------------------------------------------------------
+# X15d — SimHash (64-bit, built-in integer ops; rows-only check)
+# --------------------------------------------------------------------------
+
+
+@query("dedup_simhash")  # signature-based → no SQL oracle (rows-only)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: 64-bit SimHash per document, JVM-side only.
+
+    bit_i(simhash) = 1 iff sum over tokens of ±1 (sign of bit_i of
+    xxhash64(token)) is positive. Expressed as: for each bit, count tokens
+    with that bit set vs total. All array ops — no explode, no UDF.
+    Near-dup candidates are docs equal on a 16-bit prefix band whose full
+    Hamming distance ≤ 6 (bit_count(xor) — cheap integer ops).
+    """
+    from functools import reduce as _reduce
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.transform(F.split("text", " "), lambda t: F.xxhash64(t)).alias("hashes"),
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    # One aggregate pass per bit; bit index is a Python int so the shift
+    # amount is a literal (Spark's shift functions don't take Columns).
+    def votes(i: int):
+        return F.aggregate(
+            F.col("hashes"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)).cast("int"),
+        )
+
+    bit_terms = [
+        F.when(votes(i) * 2 > F.col("n_toks"), F.lit(1 << i).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for i in range(63)  # bit 63 (sign) left 0 → simhash stays non-negative
+    ]
+    simhash = _reduce(lambda a, b: a.bitwiseOR(b), bit_terms)
+    return toks.select(
+        "doc_id",
+        simhash.alias("simhash"),
+        (simhash / F.lit(float(1 << 48))).cast("long").alias("band16"),
+    )

@@ -1,0 +1,231 @@
+"""Vector similarity search over the ``embeddings`` table (SURVEY.md X16).
+
+Two tiers:
+- brute-force cosine top-k — exact, oracle-checked; the build side
+  (query vectors) is broadcast, so the big side streams with no shuffle.
+- random-hyperplane LSH bucketing — the 100 TB path: each vector maps to a
+  small bucket id (one pass, no Python), candidates meet via an equi-join
+  on the bucket, and only candidates pay the exact-cosine cost.
+
+Scores are rounded to 6 dp *before* ranking in both engines: double
+summation order may differ across engines at the last few ulps, and
+rounding first makes the rank (and the hash-checked output) deterministic.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+TOP_K = 10
+N_QUERIES = 5  # vec_id < 5 are the demo query vectors
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + left-fold aggregate (JVM-side, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "emb") -> DataFrame:
+    return df.withColumn("norm", F.sqrt(_dot(vec_col, vec_col)))
+
+
+def _as_double(col: str) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+_BRUTE_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, emb, sqrt(list_sum([x * x for x in emb])) AS norm FROM e
+),
+q AS (SELECT vec_id AS query_id, emb AS qemb, norm AS qnorm
+      FROM n WHERE vec_id < {N_QUERIES}),
+pairs AS (
+    SELECT
+        q.query_id,
+        n.vec_id AS neighbor_id,
+        round(
+            list_sum(list_transform(list_zip(q.qemb, n.emb), p -> p[1] * p[2]))
+            / (q.qnorm * n.norm), 6) AS cosine
+    FROM q JOIN n ON n.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM pairs
+)
+WHERE rn <= {TOP_K}
+"""
+
+
+@query("similarity_topk_brute", oracle=_BRUTE_ORACLE)
+def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16: exact cosine top-k per query vector (brute force baseline).
+
+    The query side is tiny and broadcast; the corpus side is scanned once
+    with per-row array math inside codegen — the plan is a
+    BroadcastNestedLoopJoin + per-query top-k, no shuffle of the corpus.
+    Beyond ~10⁷ corpus vectors, switch to similarity_lsh_topk.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    emb = with_norm(emb)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+    )
+    pairs = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_dot("qemb", "emb") / (F.col("qnorm") * F.col("norm")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+N_PLANES = 8  # 256 buckets
+
+
+def _plane(dim: int, p: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane weights in [-1, 1] derived
+    from a splitmix-style integer mix of (plane, dim) — no RNG state, so
+    signatures are reproducible across runs and engines."""
+    weights = []
+    for d in range(dim):
+        x = (p * 1_000_003 + d * 97 + 12345) & 0xFFFFFFFF
+        x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+        x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+        x ^= x >> 16
+        weights.append((x % 2001) / 1000.0 - 1.0)
+    return weights
+
+
+def lsh_bucket(vec_col: str, dim: int = 64, n_planes: int = N_PLANES) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = sign(v · plane_p)."""
+    bits = []
+    for p in range(n_planes):
+        w = F.array(*[F.lit(x) for x in _plane(dim, p)])
+        proj = _dot(vec_col, w)
+        bits.append(
+            F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return reduce(lambda a, b: a.bitwiseOR(b), bits)
+
+
+@query("similarity_lsh_topk")  # approximate → no SQL oracle (rows-only)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16 at scale: hyperplane-LSH bucketed ANN.
+
+    Both sides compute an 8-bit bucket in one narrow pass; candidates meet
+    through an equi-join on the bucket (shuffle on a small int key — AQE
+    handles bucket skew), and only in-bucket pairs pay exact cosine.
+    Recall < 1 by construction; tests measure it against the brute-force
+    tier on the same queries.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    emb = with_norm(emb).withColumn("bucket", lsh_bucket("emb"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = emb.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_dot("qemb", "emb") / (F.col("qnorm") * F.col("norm")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+_EMB_DEDUP_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS emb
+    FROM embeddings WHERE vec_id < 300
+),
+n AS (SELECT vec_id, label, emb,
+             sqrt(list_sum([x * x for x in emb])) AS norm FROM e)
+SELECT
+    a.vec_id AS vec_a,
+    b.vec_id AS vec_b,
+    round(
+        list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]))
+        / (a.norm * b.norm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(
+        list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]))
+        / (a.norm * b.norm), 6) >= 0.4
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, thresholded).
+
+    Demo slice (vec_id < 300) runs the exact all-pairs check; at corpus
+    scale the identical predicate runs *after* the LSH bucket join
+    (similarity_lsh_topk) so only candidates are compared.
+    """
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    emb = with_norm(
+        emb.select("vec_id", _as_double("embedding").alias("emb"))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        F.round(
+            _dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= 0.4)

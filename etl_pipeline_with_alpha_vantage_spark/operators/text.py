@@ -1,0 +1,248 @@
+"""Text-analysis operator family (SURVEY.md X17 + driver mandate):
+corpus statistics, token frequency, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+Everything row-level stays in built-in expressions (one WholeStageCodegen
+span per query); the corpus is never collected to the driver. The only
+shuffles are the final aggregations on low-cardinality keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+# --------------------------------------------------------------------------
+# X17a — corpus statistics per (lang, source)
+# --------------------------------------------------------------------------
+
+_STATS_ORACLE = """
+SELECT
+    lang,
+    source,
+    CAST(COUNT(*) AS BIGINT)        AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT)    AS total_chars,
+    CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+        AS total_tokens,
+    CAST(MIN(n_chars) AS BIGINT)    AS min_chars,
+    CAST(MAX(n_chars) AS BIGINT)    AS max_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@query("text_stats", oracle=_STATS_ORACLE)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: per-(lang, source) corpus statistics — integer aggregates,
+    exact across engines. Token count via the separator-counting identity
+    (tokens = spaces + 1; the corpus is single-space normalized)."""
+    docs = table(spark, sf_dir, "documents")
+    tokens = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    ).cast("long")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum(tokens).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X17b — token frequency (top-k words)
+# --------------------------------------------------------------------------
+
+_TOKENS_ORACLE = """
+SELECT
+    tok                       AS token,
+    CAST(COUNT(*) AS BIGINT)  AS n_occurrences,
+    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n_occurrences DESC, tok
+LIMIT 25
+"""
+
+
+@query("text_tokens_top", oracle=_TOKENS_ORACLE)
+def text_tokens_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: global token frequency, top-25. explode → two-level aggregate;
+    partial aggregation collapses each partition's counts before the
+    shuffle, so the exchange carries vocabulary-sized data, not corpus-
+    sized. Tie-broken by token for a deterministic cross-engine top-k."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# X17c — per-document quality scoring
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
+    FROM documents
+)
+SELECT
+    doc_id,
+    lang,
+    CAST(len(toks) AS BIGINT)                       AS n_tokens,
+    CAST(len(list_distinct(toks)) AS BIGINT)        AS n_unique_tokens,
+    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+    CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS BIGINT)
+                                                    AS n_stopwords,
+    CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE) / len(toks)
+                                                    AS stopword_ratio,
+    CAST(n_chars - len(toks) + 1 AS DOUBLE) / len(toks) AS avg_token_len
+FROM t
+"""
+
+
+@query("text_quality", oracle=_QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: per-document quality signals (type-token ratio, stopword
+    ratio, mean token length) — the standard cheap filters in a training-
+    data pipeline. Pure array expressions, fully parallel, no shuffle at
+    all (narrow transformation)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tokens).alias(
+            "type_token_ratio"
+        ),
+        n_stop.cast("long").alias("n_stopwords"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (
+            (F.col("n_chars") - n_tokens + 1).cast("double") / n_tokens
+        ).alias("avg_token_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X17d — language-ID heuristic (marker-word voting)
+# --------------------------------------------------------------------------
+
+_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "la", "de", "es", "los"),
+    "fr": ("le", "la", "et", "est", "les"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
+
+
+_LANGID_ORACLE = f"""
+SELECT
+    doc_id,
+    lang AS lang_actual,
+    CAST({_marker_sql('en')} AS BIGINT) AS hits_en,
+    CAST({_marker_sql('de')} AS BIGINT) AS hits_de,
+    CAST({_marker_sql('es')} AS BIGINT) AS hits_es,
+    CAST({_marker_sql('fr')} AS BIGINT) AS hits_fr,
+    CASE
+        WHEN {_marker_sql('en')} >= {_marker_sql('de')}
+         AND {_marker_sql('en')} >= {_marker_sql('es')}
+         AND {_marker_sql('en')} >= {_marker_sql('fr')} THEN 'en'
+        WHEN {_marker_sql('de')} >= {_marker_sql('es')}
+         AND {_marker_sql('de')} >= {_marker_sql('fr')} THEN 'de'
+        WHEN {_marker_sql('es')} >= {_marker_sql('fr')} THEN 'es'
+        ELSE 'fr'
+    END AS lang_predicted
+FROM documents
+"""
+
+
+@query("text_langid", oracle=_LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: marker-word language-ID heuristic with a deterministic
+    argmax tie order (en > de > es > fr). Narrow transformation — each
+    document scores independently; a real model swaps in as a pandas UDF
+    with the identical surrounding plan."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def hits(lang: str) -> Column:
+        arr = F.array(*[F.lit(w) for w in _MARKERS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    h = {lang: hits(lang) for lang in _MARKERS}
+    predicted = (
+        F.when(
+            (h["en"] >= h["de"]) & (h["en"] >= h["es"]) & (h["en"] >= h["fr"]),
+            F.lit("en"),
+        )
+        .when((h["de"] >= h["es"]) & (h["de"] >= h["fr"]), F.lit("de"))
+        .when(h["es"] >= h["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        h["en"].cast("long").alias("hits_en"),
+        h["de"].cast("long").alias("hits_de"),
+        h["es"].cast("long").alias("hits_es"),
+        h["fr"].cast("long").alias("hits_fr"),
+        predicted.alias("lang_predicted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X17e — document fingerprint (rolling polynomial hash)
+# --------------------------------------------------------------------------
+
+_FP_MOD = 2147483647  # 2^31 - 1
+
+_FP_ORACLE = f"""
+SELECT
+    doc_id,
+    CAST(list_reduce(
+        [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
+        (acc, x) -> (acc * 31 + x) % {_FP_MOD}
+    ) AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+
+@query("text_fingerprint", oracle=_FP_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: order-sensitive rolling hash (base-31 polynomial mod 2³¹-1)
+    over the character stream — a classic content fingerprint that, unlike
+    md5, supports incremental/windowed computation. Pure integer folds:
+    bit-identical across engines."""
+    docs = table(spark, sf_dir, "documents")
+    chars = F.split("text", "")
+    fp = F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % F.lit(_FP_MOD),
+    )
+    return docs.select("doc_id", fp.cast("long").alias("fingerprint"))

@@ -1,0 +1,64 @@
+"""Query/oracle registry backing the driver contract (``__spark_entry__.py``).
+
+Every operator module registers its named queries here with an optional
+DuckDB oracle SQL string. ``__spark_entry__.queries()`` / ``oracle_sql()``
+just re-export these dicts, so the Spark program and its differential
+oracle always land together.
+
+Registration happens at import time; ``load_all()`` imports every operator
+module exactly once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+_LOADED = False
+
+
+def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``.
+
+    ``oracle`` is the equivalent ANSI SQL for DuckDB over the pre-registered
+    views. Omit it only for genuinely non-SQL-expressible ops (LSH,
+    streaming state) — the driver then records a weaker rows-only check.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Imports are for their registration side effects.
+    from .operators import (  # noqa: F401
+        asof,
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+        windows,
+    )
+    from .pipeline import alpha_vantage  # noqa: F401
+    from .streaming import windows as stream_windows  # noqa: F401
+
+    _LOADED = True

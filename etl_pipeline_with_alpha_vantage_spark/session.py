@@ -1,0 +1,73 @@
+"""SparkSession factory.
+
+Defaults are chosen for the 100 TB design point (AQE on, skew-join
+handling, partition coalescing, Arrow for the few pandas-UDF paths) while
+remaining correct on ``local[*]`` test runs. Shuffle partitions default to
+the local core count; on a real cluster set ``spark.sql.shuffle.partitions``
+to ~2-3× total executor cores (AQE coalesces the excess).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # Adaptive execution: runtime re-planning, skew-join splitting, and
+    # post-shuffle partition coalescing are the main levers that keep a
+    # static plan viable at 100-1000x the tested data volume.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batches for the pandas-UDF paths (similarity / multimodal).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dim tables (region/nation/supplier/part at TPC-H ratios) stay well
+    # under this; Catalyst auto-broadcasts without explicit hints.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Read-side split sizing: 128 MiB keeps one task per parquet rowgroup
+    # at warehouse file sizes.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    # The synthetic events table stores timestamp[ns]; Spark has no nanos
+    # timestamp type, so read as long and convert in catalog.table()
+    # (truncation to micros matches DuckDB's own ns→µs cast).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet scans stay vectorized + predicate-pushdown stays on (defaults,
+    # pinned here so a misconfigured environment can't silently regress).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+}
+
+
+def get_spark(
+    app_name: str = "etl-pipeline-alpha-vantage-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-oriented defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    when no cluster master is configured — tests and bench run single-JVM,
+    but nothing here assumes local mode.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is None:
+        # local[N]: match shuffle width to cores; AQE coalesces small stages.
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+        conf["spark.sql.shuffle.partitions"] = cpus if cpus.isdigit() else "32"
+    else:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

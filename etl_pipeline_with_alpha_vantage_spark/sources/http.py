@@ -1,0 +1,114 @@
+"""Rate-limited HTTP source with local replay (SURVEY.md §2.A S1-S3).
+
+The reference fetches one symbol per request from the Alpha Vantage REST
+API with a 15 s post-fetch sleep (etl.py:48-63) and skips the network
+entirely when the day's raw file already exists (etl.py:39-45) or when
+``fetch_from_api=False`` (etl.py:64-70). Same behaviors here:
+
+- ``fetch_payloads(..., fetch_from_api=False)`` replays the raw zone —
+  the only mode tests use (no network in CI).
+- The live path is a driver-side loop for small symbol lists (the
+  reference's regime: 3 symbols), honoring the free-tier rate limit.
+- ``fetch_distributed`` is the scale path: a DataFrame of symbols fanned
+  out via ``mapInPandas`` so each executor runs its own token-bucket —
+  only worth it when symbols ≫ cores and the API tier allows it.
+
+``requests`` is imported lazily: the live path raises cleanly if the
+library (or network) is unavailable, and nothing else in the engine
+depends on it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Iterator, Sequence
+
+API_URL = "https://www.alphavantage.co/query"
+RATE_LIMIT_SLEEP_SEC = 15.0  # free tier: 5 req/min (etl.py:62-63, README.md:81)
+
+
+def _raw_path(lake_dir: str, symbol: str, day: str) -> str:
+    # Filename contract {symbol}_{date}.json matches the reference lake
+    # (etl.py:39) so existing raw zones replay unchanged.
+    return os.path.join(lake_dir, f"{symbol}_{day}.json")
+
+
+def fetch_payloads(
+    symbols: Sequence[str],
+    lake_dir: str,
+    day: str,
+    api_key: str | None = None,
+    fetch_from_api: bool = False,
+    sleep_sec: float = RATE_LIMIT_SLEEP_SEC,
+) -> list[str]:
+    """Ensure each symbol's raw payload exists in the lake; return paths.
+
+    Cache-first (idempotent re-runs are file-cache hits — etl.py:42-45);
+    on a live fetch the payload is persisted verbatim before any parsing,
+    so the raw zone is always a byte-faithful replay source.
+    """
+    paths: list[str] = []
+    for symbol in symbols:
+        path = _raw_path(lake_dir, symbol, day)
+        if not os.path.exists(path):
+            if not fetch_from_api:
+                continue  # replay-only mode: missing file → skip symbol
+            payload = _fetch_one(symbol, api_key)
+            os.makedirs(lake_dir, exist_ok=True)
+            with open(path, "w") as f:
+                json.dump(payload, f, indent=4)
+            time.sleep(sleep_sec)
+        paths.append(path)
+    return paths
+
+
+def _fetch_one(symbol: str, api_key: str | None) -> dict:
+    try:
+        import requests  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover
+        raise RuntimeError(
+            "live fetch requires the 'requests' library; "
+            "use fetch_from_api=False to replay the raw zone"
+        ) from exc
+    if not api_key:
+        raise ValueError("api_key required for live fetches")
+    resp = requests.get(
+        API_URL,
+        params={
+            "function": "TIME_SERIES_DAILY",
+            "symbol": symbol,
+            "apikey": api_key,
+        },
+        timeout=30,
+    )
+    resp.raise_for_status()
+    return resp.json()
+
+
+def fetch_distributed(symbols_df, api_key: str, sleep_sec: float = RATE_LIMIT_SLEEP_SEC):
+    """Executor-side fetching for symbol counts ≫ cores.
+
+    Input: DataFrame with a ``symbol`` column. Output: (symbol, payload
+    json string). Each task runs a local token bucket, so aggregate request
+    rate ≈ executors / sleep_sec — size the partition count to the API
+    tier, not the cluster.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.types import StringType, StructField, StructType  # noqa: PLC0415
+
+    schema = StructType(
+        [StructField("symbol", StringType()), StructField("payload", StringType())]
+    )
+
+    def fetch_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for symbol in pdf["symbol"]:
+                rows.append((symbol, json.dumps(_fetch_one(symbol, api_key))))
+                time.sleep(sleep_sec)
+            yield pd.DataFrame(rows, columns=["symbol", "payload"])
+
+    return symbols_df.mapInPandas(fetch_batch, schema)

@@ -1,0 +1,192 @@
+"""Event-time windowing (SURVEY.md X18-X19).
+
+The window operators (tumbling / sliding / session) are *identical
+expressions* in batch and streaming mode — ``F.window`` /
+``F.session_window`` over the same DataFrame API. They're registered here
+as batch queries so the driver can oracle-check the window semantics
+against SQL; ``runner.py`` executes the same expressions as a true
+Structured Streaming job (file source → watermark → availableNow) and the
+tests assert stream-equals-batch.
+
+Sums use scaled integers (functions.exact) for cross-engine hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+_TUMBLING_ORACLE = """
+SELECT
+    event_type,
+    time_bucket(INTERVAL '10 minutes', ts)                        AS window_start,
+    time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("stream_tumbling", oracle=_TUMBLING_ORACLE)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18: 10-minute tumbling windows per event type. In streaming mode
+    the same expression is incremental with watermark-bounded state; in
+    batch it's a plain hash aggregation on (type, bucket)."""
+    ev = table(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes")
+    return (
+        ev.groupBy("event_type", win.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SLIDING_ORACLE = """
+WITH assigned AS (
+    SELECT event_type, value,
+           time_bucket(INTERVAL '5 minutes', ts) AS window_start
+    FROM events
+    UNION ALL
+    SELECT event_type, value,
+           time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+    FROM events
+)
+SELECT
+    event_type,
+    window_start,
+    window_start + INTERVAL '10 minutes' AS window_end,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total_value
+FROM assigned
+GROUP BY 1, 2, 3
+"""
+
+
+@query("stream_sliding", oracle=_SLIDING_ORACLE)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18: 10-minute windows sliding every 5 — each event lands in two
+    windows (Spark expands via its window generator; the oracle spells the
+    two bucket assignments out with a UNION ALL)."""
+    ev = table(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy("event_type", win.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+    SELECT
+        user_id, ts, value,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  > INTERVAL '30 minutes'
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT *,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT
+    user_id,
+    MIN(ts)                          AS session_start,
+    MAX(ts) + INTERVAL '30 minutes'  AS session_end,
+    CAST(COUNT(*) AS BIGINT)         AS n_events,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE)
+                                     AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@query("stream_session", oracle=_SESSION_ORACLE)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18: session windows with a 30-minute inactivity gap per user.
+
+    Spark's native session_window merges adjacent events server-side with
+    bounded per-key state (streaming-safe); the oracle derives identical
+    sessions via gaps-and-islands SQL. Session end = last event + gap
+    (Spark's definition; the oracle mirrors it).
+    """
+    ev = table(spark, sf_dir, "events")
+    win = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", win.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_DEDUP_WINDOW_ORACLE = """
+WITH deduped AS (
+    SELECT DISTINCT ON (event_id) event_id, ts, event_type, value
+    FROM events
+)
+SELECT
+    event_type,
+    time_bucket(INTERVAL '1 hour', ts) AS window_start,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+FROM deduped
+GROUP BY 1, 2
+"""
+
+
+@query("stream_dedup_window", oracle=_DEDUP_WINDOW_ORACLE)
+def stream_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19 batch twin: dropDuplicates on event_id then hourly counts —
+    the exact transformation runner.py executes as a watermarked stream
+    (``withWatermark('ts','1 hour').dropDuplicates(['event_id'])``);
+    tests assert the streamed result equals this batch result."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.dropDuplicates(["event_id"])
+        .groupBy("event_type", F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            F.col("win.start").alias("window_start"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,92 @@
+"""Differential test: every registered query vs its DuckDB oracle.
+
+Local replica of the driver's correctness gate: row count, column names,
+and order-insensitive value comparison. Values are compared EXACTLY
+(stringified, full precision) — the engine's queries are designed to be
+bit-reproducible across engines (see functions/exact.py), so any drift is
+a real bug, not noise.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+import pytest
+
+from etl_pipeline_with_alpha_vantage_spark import registry
+
+registry.load_all()
+
+ORACLE_CASES = sorted(registry.ORACLES)
+ROWS_ONLY_CASES = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+
+
+def canon(v):
+    """Canonicalize a scalar for order-insensitive cross-engine compare."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr round-trips doubles exactly; -0.0 folded to 0.0
+        return repr(v + 0.0)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def rows_to_multiset(rows, col_order):
+    return sorted(tuple(canon(r[i]) for i in col_order) for r in rows)
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    sdf = registry.QUERIES[name](spark, sf_dir)
+    spark_cols = [c.lower() for c in sdf.columns]
+    srows = sdf.collect()
+
+    rel = duck.sql(registry.ORACLES[name])
+    duck_cols = [c.lower() for c in rel.columns]
+    drows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(srows) == len(drows), (
+        f"{name}: row count spark={len(srows)} duck={len(drows)}"
+    )
+
+    s_order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    d_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    s_set = rows_to_multiset([tuple(r) for r in srows], s_order)
+    d_set = rows_to_multiset(drows, d_order)
+    if s_set != d_set:
+        diffs = [
+            (a, b) for a, b in zip(s_set, d_set) if a != b
+        ][:5]
+        raise AssertionError(f"{name}: value mismatch; first diffs {diffs}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = registry.QUERIES[name](spark, sf_dir)
+    assert df.columns  # stable schema
+    df.collect()  # executes without error
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
