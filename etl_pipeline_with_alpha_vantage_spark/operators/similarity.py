@@ -109,7 +109,9 @@ def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_PLANES = 8  # 256 buckets
+N_PLANES = 8  # 256 buckets (single-table bucketing, used by lsh_bucket)
+N_TABLES = 12  # multi-table LSH: candidate if ANY table's bucket matches
+BITS_PER_TABLE = 6
 
 
 def _plane(dim: int, p: int) -> list[float]:
@@ -138,36 +140,73 @@ def lsh_bucket(vec_col: str, dim: int = 64, n_planes: int = N_PLANES) -> Column:
     return reduce(lambda a, b: a.bitwiseOR(b), bits)
 
 
+def lsh_tables(
+    vec_col: str,
+    dim: int = 64,
+    n_tables: int = N_TABLES,
+    bits: int = BITS_PER_TABLE,
+) -> Column:
+    """array<long> of per-table bucket ids (multi-table hyperplane LSH).
+
+    Table t uses planes [t·bits, (t+1)·bits). A pair is a candidate if any
+    table agrees — the standard L-tables OR-construction that trades a
+    factor-L signature cost for recall 1-(1-p^bits)^L.
+    """
+    buckets = []
+    for t in range(n_tables):
+        bits_cols = []
+        for j in range(bits):
+            w = F.array(*[F.lit(x) for x in _plane(dim, t * bits + j)])
+            bits_cols.append(
+                F.when(_dot(vec_col, w) > 0, F.lit(1 << j).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        buckets.append(reduce(lambda a, b: a.bitwiseOR(b), bits_cols))
+    return F.array(*buckets)
+
+
 @query("similarity_lsh_topk")  # approximate → no SQL oracle (rows-only)
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X16 at scale: hyperplane-LSH bucketed ANN.
+    """X16 at scale: multi-table hyperplane-LSH ANN (12 tables × 6 bits).
 
-    Both sides compute an 8-bit bucket in one narrow pass; candidates meet
-    through an equi-join on the bucket (shuffle on a small int key — AQE
-    handles bucket skew), and only in-bucket pairs pay exact cosine.
-    Recall < 1 by construction; tests measure it against the brute-force
-    tier on the same queries.
+    Signatures are one narrow pass per side; candidates meet through an
+    equi-join on (table_idx, bucket) — a shuffle on small int keys, never
+    a cross product — then only candidates pay exact cosine. For this
+    corpus's top-neighbor regime (cos ≈ 0.3 on random vectors) expected
+    recall ≈ 0.4 at ~5× less dot-product work than brute force; tests
+    measure realized recall against similarity_topk_brute.
     """
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("emb")
     )
-    emb = with_norm(emb).withColumn("bucket", lsh_bucket("emb"))
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    emb = with_norm(emb).withColumn("tables", lsh_tables("emb"))
+    exploded = emb.select(
+        "vec_id", "emb", "norm", F.posexplode("tables").alias("t", "bucket")
+    )
+    q = exploded.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
         F.col("norm").alias("qnorm"),
+        F.col("t").alias("qt"),
         F.col("bucket").alias("qbucket"),
     )
-    cand = emb.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket"))
-        & (F.col("vec_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(_dot("qemb", "emb") / (F.col("qnorm") * F.col("norm")), 6).alias(
-            "cosine"
-        ),
+    cand = (
+        exploded.join(
+            F.broadcast(q),
+            (F.col("t") == F.col("qt"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qemb", "qnorm", "emb", "norm")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot("qemb", "emb") / (F.col("qnorm") * F.col("norm")), 6
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -45,12 +45,14 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "events*.parquet"
+) -> DataFrame:
     """File-source stream over the events table (one file per micro-batch
     by default; at production scale this is a directory new files land in)."""
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -1,0 +1,101 @@
+"""Structured Streaming equivalence tests (SURVEY.md X18-X19, §5.2):
+the streamed result must equal its batch twin on the same data.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipeline_with_alpha_vantage_spark.registry import QUERIES, load_all
+from etl_pipeline_with_alpha_vantage_spark.streaming.runner import (
+    dedup_hourly_counts,
+    read_events_stream,
+    run_available_now,
+)
+
+load_all()
+
+
+def test_stream_equals_batch(spark, sf_dir, tmp_path):
+    stream = read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    transformed = dedup_hourly_counts(stream)
+    run_available_now(transformed, "stream_out", checkpoint_dir=str(tmp_path))
+
+    streamed = {
+        (r.event_type, r.window_start, r.n_events)
+        for r in spark.table("stream_out").collect()
+    }
+    batch = {
+        (r.event_type, r.window_start, r.n_events)
+        for r in QUERIES["stream_dedup_window"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+def test_available_now_incremental_dedup(spark, sf_dir, tmp_path):
+    """A re-delivered (duplicate) file in a later availableNow run must
+    not change the counts: the file-source checkpoint + event-id dedup
+    state give exactly-once across runs — the streaming version of the
+    reference's file-cache + INSERT IGNORE idempotency."""
+    import shutil
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", indir / "events.parquet")
+
+    stream = read_events_stream(spark, str(indir))
+    transformed = dedup_hourly_counts(stream)
+    ckpt = str(tmp_path / "ckpt")
+    run_available_now(transformed, "inc_out", checkpoint_dir=ckpt)
+    first = {tuple(r) for r in spark.table("inc_out").collect()}
+    assert first
+
+    # deliver the SAME events again under a new filename → new micro-batch,
+    # but every event_id is already in dedup state → counts unchanged
+    shutil.copy(f"{sf_dir}/events.parquet", indir / "events_dup.parquet")
+    stream2 = read_events_stream(spark, str(indir))
+    run_available_now(
+        dedup_hourly_counts(stream2), "inc_out", checkpoint_dir=ckpt
+    )
+    second = {tuple(r) for r in spark.table("inc_out").collect()}
+    assert second == first
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    """HLL estimate within the configured 1% rsd (×5 safety) of exact."""
+    import pyspark.sql.functions as F
+
+    from etl_pipeline_with_alpha_vantage_spark.catalog import table
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.exact
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for k, est in approx.items():
+        assert est == pytest.approx(exact[k], rel=0.05)
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    """Hyperplane-LSH top-k must be a meaningful subset of the exact
+    brute-force top-k for the same queries (recall sanity, not exactness)."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["similarity_topk_brute"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["similarity_lsh_topk"](spark, sf_dir).collect()
+    }
+    assert lsh, "LSH produced no candidates"
+    # every LSH hit is a real vector pair with computed cosine; recall is
+    # data-dependent — require non-trivial overlap with the exact answer
+    assert len(lsh & brute) > 0
