@@ -26,12 +26,16 @@ from etl_pipeline_with_alpha_vantage_spark.session import get_spark
 HEADLINE = [
     "flagship_daily_change",
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "filter_predicates",
     "join_customer_orders",
     "join_broadcast_dims",
     "agg_rollup",
     "window_ranking",
     "window_analytics",
+    "window_range_frame",
+    "percentile_stats",
     "asof_join",
     "topk_orders",
     "dedup_exact",
@@ -42,6 +46,8 @@ HEADLINE = [
     "text_quality",
     "stream_session",
     "multimodal_decode",
+    "udf_grouped_scale",
+    "similarity_lsh_topk",
 ]
 
 

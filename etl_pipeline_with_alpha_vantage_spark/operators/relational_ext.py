@@ -1,0 +1,394 @@
+"""Second relational batch: multi-join analytics, grouping sets, exact
+percentiles, range window frames, validation casts, array/map/JSON scalar
+coverage, catalog inspection (SURVEY.md X1-X13 widening + Q1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import TABLES, register_views, table
+from ..functions.exact import dsum, sql_dsum
+from ..registry import query
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 — shipping priority (3-way join + exact revenue + top-k)
+# --------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT
+    l.l_orderkey,
+    CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 1000000.0
+         AS DOUBLE)   AS revenue,
+    o.o_orderdate,
+    o.o_orderpriority
+FROM customer c
+JOIN orders o    ON o.o_custkey = c.c_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", oracle=_Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two shuffled joins → exact
+    revenue per order → global top-10 (TakeOrderedAndProject).
+
+    Scale: the customer filter prunes before the join (predicate pushdown
+    to the scan); joins shuffle on custkey then orderkey; AQE can flip the
+    filtered customer side to broadcast at runtime.
+    """
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (F.sum(price_c * (100 - disc_c)) / 1_000_000.0)
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5 — local supplier volume (6-way join incl. nationkey co-location)
+# --------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT
+    n.n_name,
+    CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 1000000.0
+         AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+@query("q5_local_supplier_volume", oracle=_Q5_ORACLE)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star joins through region→nation→customer→orders→
+    lineitem→supplier with the local-supplier co-location predicate
+    (s_nationkey = c_nationkey). Dims broadcast; the two fact joins
+    shuffle on their keys."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            (F.sum(price_c * (100 - disc_c)) / 1_000_000.0)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X8 — explicit GROUPING SETS via the SQL surface
+# --------------------------------------------------------------------------
+
+_GSETS_ORACLE = f"""
+SELECT
+    o_orderstatus,
+    o_orderpriority,
+    CAST(GROUPING(o_orderstatus) AS BIGINT)   AS g_status,
+    CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+    CAST(COUNT(*) AS BIGINT)                  AS n_orders,
+    {sql_dsum('o_totalprice')}                AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GSETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: explicit GROUPING SETS through spark.sql — exercises the SQL
+    entry path (same Catalyst Expand plan as rollup/cube)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT
+            o_orderstatus,
+            o_orderpriority,
+            CAST(GROUPING(o_orderstatus) AS BIGINT)   AS g_status,
+            CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+            COUNT(*)                                  AS n_orders,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                 AS DOUBLE)                           AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# X6b — exact interpolated percentiles
+# --------------------------------------------------------------------------
+
+_PCTL_ORACLE = """
+SELECT
+    event_type,
+    quantile_cont(value, 0.25) AS p25,
+    quantile_cont(value, 0.50) AS median,
+    quantile_cont(value, 0.75) AS p75,
+    quantile_cont(value, 0.95) AS p95,
+    MIN(value) AS vmin,
+    MAX(value) AS vmax
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("percentile_stats", oracle=_PCTL_ORACLE)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: exact linear-interpolated percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont`` definition). For 100 TB
+    use approx_percentile (t-digest) — exact percentile requires a
+    per-group sort; fine for bounded group sizes."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.50).alias("median"),
+        F.percentile("value", 0.75).alias("p75"),
+        F.percentile("value", 0.95).alias("p95"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X10c — RANGE window frame over event time
+# --------------------------------------------------------------------------
+
+_RANGE_FRAME_ORACLE = """
+SELECT
+    event_id,
+    user_id,
+    CAST(COUNT(*) OVER w AS BIGINT) AS n_last_10min,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0 AS DOUBLE)
+        AS value_last_10min
+FROM events
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY epoch_us(ts)
+    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@query("window_range_frame", oracle=_RANGE_FRAME_ORACLE)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: time-based RANGE frame — per user, activity in the trailing
+    10 minutes of *event time* (not row count). Ordering key is epoch
+    microseconds (exact integer) so frame boundaries are engine-exact."""
+    ev = table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_10min"),
+        (F.sum(cents).over(w) / 100.0).cast("double").alias("value_last_10min"),
+    )
+
+
+# --------------------------------------------------------------------------
+# V1 row-level — try_cast validation surface
+# --------------------------------------------------------------------------
+
+_TRYCAST_ORACLE = """
+SELECT
+    event_id,
+    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_valid,
+    TRY_CAST(event_type AS BIGINT)                          AS type_as_int,
+    TRY_CAST(substr(event_type, 1, 1) AS BIGINT)            AS first_char_int,
+    CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+              IS NOT NULL THEN 1 ELSE 0 END                 AS is_valid
+FROM events
+WHERE event_id % 7 = 0
+"""
+
+
+@query("validation_try_cast", oracle=_TRYCAST_ORACLE)
+def validation_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 at row granularity: try_cast yields NULL (never an exception)
+    for malformed values — the drop-don't-crash gate of the reference's
+    pydantic validation (etl.py:52-56), applied per field."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k_valid"),
+        F.col("event_type").try_cast("long").alias("type_as_int"),
+        F.substring("event_type", 1, 1).try_cast("long").alias(
+            "first_char_int"
+        ),
+        F.when(k.isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_valid"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X13b — array / map / JSON scalar coverage
+# --------------------------------------------------------------------------
+
+_ARRAYJSON_ORACLE = """
+WITH t AS (
+    SELECT event_id, value, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           [value, value * 2, 100 - value] AS arr
+    FROM events WHERE event_id % 13 = 0
+)
+SELECT
+    event_id,
+    k,
+    CAST(len(arr) AS INTEGER)               AS arr_len,
+    list_max(arr)                           AS arr_max,
+    list_min(arr)                           AS arr_min,
+    arr[1] + arr[2] + arr[3]                AS arr_sum,
+    list_contains(arr, value)               AS has_value,
+    list_sort(arr)[1]                       AS sorted_first,
+    CAST(len(list_filter(arr, x -> x > 50)) AS INTEGER) AS n_above_50,
+    concat(event_type, ':', CAST(k AS VARCHAR)) AS map_style_key
+FROM t
+"""
+
+
+@query("scalar_array_json", oracle=_ARRAYJSON_ORACLE)
+def scalar_array_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: array construction/reduction + JSON field extraction, all
+    codegen'd built-ins. Array outputs are reduced to scalars so the
+    cross-engine hash compares primitive values."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    k = F.get_json_object("props", "$.k").cast("long")
+    arr = F.array(
+        F.col("value"), F.col("value") * 2, F.lit(100) - F.col("value")
+    )
+    t = ev.select("event_id", "value", "event_type", k.alias("k"), arr.alias("arr"))
+    return t.select(
+        "event_id",
+        "k",
+        F.size("arr").alias("arr_len"),
+        F.array_max("arr").alias("arr_max"),
+        F.array_min("arr").alias("arr_min"),
+        (
+            F.element_at("arr", 1) + F.element_at("arr", 2) + F.element_at("arr", 3)
+        ).alias("arr_sum"),
+        F.array_contains("arr", F.col("value")).alias("has_value"),
+        F.element_at(F.array_sort("arr"), 1).alias("sorted_first"),
+        F.size(F.filter("arr", lambda x: x > 50)).alias("n_above_50"),
+        F.concat_ws(":", "event_type", F.col("k").cast("string")).alias(
+            "map_style_key"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q1 — catalog inspection
+# --------------------------------------------------------------------------
+
+_CATALOG_ORACLE = """
+SELECT table_name, column_name
+FROM information_schema.columns
+WHERE table_name IN ('region','nation','customer','supplier','part',
+                     'orders','lineitem','events','documents','embeddings')
+"""
+
+
+@query("catalog_columns", oracle=_CATALOG_ORACLE)
+def catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 (etl.py:163-172): table/column inventory through the engine's
+    catalog — views registered, then spark.catalog.listColumns. Matches
+    DuckDB's information_schema over the same pre-registered views."""
+    register_views(spark, sf_dir)
+    rows = [
+        (t, c.name)
+        for t in TABLES
+        for c in spark.catalog.listColumns(t)
+    ]
+    return spark.createDataFrame(rows, "table_name string, column_name string")
+
+
+# --------------------------------------------------------------------------
+# T8/T9 — union-all chain + per-branch tagging (reference combine step)
+# --------------------------------------------------------------------------
+
+_UNION_ORACLE = f"""
+SELECT 'high' AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM orders WHERE o_totalprice >= 200000
+UNION ALL
+SELECT 'mid' AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM orders WHERE o_totalprice >= 50000 AND o_totalprice < 200000
+UNION ALL
+SELECT 'low' AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM orders WHERE o_totalprice < 50000
+"""
+
+
+@query("union_chain", oracle=_UNION_ORACLE)
+def union_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: the reference's concat-of-frames combine (etl.py:107) as
+    unionByName over tagged branches. Catalyst collapses the three
+    branch scans of the same table into shared scan + filters."""
+    o = table(spark, sf_dir, "orders")
+
+    def branch(tag: str, cond):
+        return (
+            o.filter(cond)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum("o_totalprice").alias("revenue"),
+            )
+            .select(F.lit(tag).alias("bucket"), "n", "revenue")
+        )
+
+    high = branch("high", F.col("o_totalprice") >= 200000)
+    mid = branch(
+        "mid", (F.col("o_totalprice") >= 50000) & (F.col("o_totalprice") < 200000)
+    )
+    low = branch("low", F.col("o_totalprice") < 50000)
+    return high.unionByName(mid).unionByName(low)

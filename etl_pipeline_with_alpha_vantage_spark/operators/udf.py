@@ -1,0 +1,191 @@
+"""User-defined function surface (SURVEY.md X20).
+
+The engine's position: UDFs are the escape hatch, not the default — every
+other operator module is pure built-in expressions. When Python is
+genuinely needed, it enters through Arrow-vectorized forms only:
+
+- scalar ``@pandas_udf``      — columnar batches, zero per-row overhead
+- grouped ``applyInPandas``   — per-group pandas frames (UDAF/UDTF-ish)
+- ``mapInPandas``             — whole-partition streaming batches
+  (see operators.multimodal for the decode pipeline)
+
+Both queries here have exact SQL oracles, proving UDF results can hold
+the same cross-engine determinism bar as built-ins (min/max arithmetic
+only — no order-dependent float accumulation inside the UDF).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import table
+from ..registry import query
+
+# --------------------------------------------------------------------------
+# X20a — scalar pandas UDF (vectorized token statistics)
+# --------------------------------------------------------------------------
+
+_SCALAR_UDF_ORACLE = """
+SELECT
+    doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT)       AS n_tokens,
+    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                                                       AS n_unique,
+    CAST(list_max([length(t) for t in string_split(text, ' ')]) AS BIGINT)
+                                                       AS longest_token
+FROM documents
+WHERE doc_id % 5 = 0
+"""
+
+
+@pandas_udf(LongType())
+def _tokens_count(texts: pd.Series) -> pd.Series:
+    return texts.str.split(" ").map(len).astype("int64")
+
+
+@pandas_udf(LongType())
+def _unique_tokens(texts: pd.Series) -> pd.Series:
+    return texts.str.split(" ").map(lambda t: len(set(t))).astype("int64")
+
+
+@pandas_udf(LongType())
+def _longest_token(texts: pd.Series) -> pd.Series:
+    return (
+        texts.str.split(" ").map(lambda t: max(len(w) for w in t)).astype("int64")
+    )
+
+
+@query("udf_scalar_tokens", oracle=_SCALAR_UDF_ORACLE)
+def udf_scalar_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20: scalar pandas UDFs (Arrow batches) computing token stats —
+    integer outputs, so exact against the SQL oracle. The same stats are
+    also expressible as built-ins (operators.text); this query exists to
+    exercise the vectorized-Python path itself."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return docs.select(
+        "doc_id",
+        _tokens_count("text").alias("n_tokens"),
+        _unique_tokens("text").alias("n_unique"),
+        _longest_token("text").alias("longest_token"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X20b — grouped applyInPandas (per-group min-max scaling)
+# --------------------------------------------------------------------------
+
+_GROUPED_UDF_ORACLE = """
+SELECT
+    event_id,
+    event_type,
+    value,
+    CASE WHEN MAX(value) OVER w = MIN(value) OVER w THEN 0.5
+         ELSE (value - MIN(value) OVER w)
+              / (MAX(value) OVER w - MIN(value) OVER w)
+    END AS scaled
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+"""
+
+_SCALE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("scaled", DoubleType()),
+    ]
+)
+
+
+def _minmax_scale(pdf: pd.DataFrame) -> pd.DataFrame:
+    vmin = pdf["value"].min()
+    vmax = pdf["value"].max()
+    # min/max are exact (no accumulation); one subtract + divide per row
+    # is bit-reproducible against the SQL window formulation.
+    scaled = (
+        pd.Series(0.5, index=pdf.index)
+        if vmax == vmin
+        else (pdf["value"] - vmin) / (vmax - vmin)
+    )
+    return pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "event_type": pdf["event_type"],
+            "value": pdf["value"],
+            "scaled": scaled,
+        }
+    )
+
+
+@query("udf_grouped_scale", oracle=_GROUPED_UDF_ORACLE)
+def udf_grouped_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20: applyInPandas per event_type — min-max scaling where the whole
+    group must be seen before any row is emitted (a UDAF+UDTF hybrid no
+    scalar UDF can express). One shuffle on the group key; each group
+    becomes one Arrow batch in one Python worker."""
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(_minmax_scale, _SCALE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# X20c — mapInPandas partition-wise transform with state threading
+# --------------------------------------------------------------------------
+
+_MAPINPANDAS_ORACLE = """
+SELECT
+    o_orderkey,
+    o_totalprice,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+    CASE WHEN o_totalprice >= 150000 THEN 'big' ELSE 'small' END AS size_class
+FROM orders
+WHERE o_orderkey % 11 = 0
+"""
+
+_ENRICH_SCHEMA = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_totalprice", DoubleType()),
+        StructField("price_cents", LongType()),
+        StructField("size_class", StringType()),
+    ]
+)
+
+
+def _enrich(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_totalprice": pdf["o_totalprice"],
+                "price_cents": (pdf["o_totalprice"] * 100).round().astype("int64"),
+                "size_class": pd.Series(
+                    ["big" if v >= 150000 else "small" for v in pdf["o_totalprice"]],
+                    index=pdf.index,
+                ),
+            }
+        )
+        yield out
+
+
+@query("udf_mapinpandas_enrich", oracle=_MAPINPANDAS_ORACLE)
+def udf_mapinpandas_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20: mapInPandas — partition-local batch transform (no shuffle at
+    all); the iterator form lets an implementation hold per-partition
+    state (model handles, connection pools) across batches."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    return o.select("o_orderkey", "o_totalprice").mapInPandas(
+        _enrich, _ENRICH_SCHEMA
+    )

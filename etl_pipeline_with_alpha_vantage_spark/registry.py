@@ -54,8 +54,10 @@ def load_all() -> None:
         dedup,
         multimodal,
         relational,
+        relational_ext,
         similarity,
         text,
+        udf,
         windows,
     )
     from .pipeline import alpha_vantage  # noqa: F401
