@@ -1,0 +1,92 @@
+"""Physical-plan quality gates (the 100 TB design checks, SURVEY.md §4.3).
+
+Correct results are necessary, not sufficient: these tests pin the plan
+properties that keep queries viable at 1000× the test data —
+filter pushdown into the parquet scan, column pruning, broadcast joins
+for bounded dims, and no cross products where an equi-join is intended.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from etl_pipeline_with_alpha_vantage_spark import registry
+
+registry.load_all()
+
+
+def plan_of(spark, name, sf_dir, mode="formatted"):
+    df = registry.QUERIES[name](spark, sf_dir)
+    jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jvm_mode)
+
+
+def read_widths(plan: str) -> list[int]:
+    return [s.count(":") for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)]
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, "filter_predicates", sf_dir)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert pushed and any("l_shipdate" in p for p in pushed), plan
+    assert any("l_quantity" in p or "GreaterThan" in p for p in pushed)
+    # 5 columns used of 11 in lineitem — scan must not read the rest
+    assert max(read_widths(plan)) <= 5, plan
+
+
+def test_column_pruning_on_joins(spark, sf_dir):
+    plan = plan_of(spark, "join_customer_orders", sf_dir)
+    # customer: (c_custkey, c_mktsegment); orders: (o_custkey, o_totalprice)
+    assert read_widths(plan) and max(read_widths(plan)) <= 3, plan
+
+
+def test_dims_broadcast_in_star_join(spark, sf_dir):
+    plan = plan_of(spark, "join_broadcast_dims", sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_no_cartesian_in_equi_joins(spark, sf_dir):
+    for name in (
+        "join_customer_orders",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "dedup_minhash_lsh",
+    ):
+        plan = plan_of(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, "topk_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_brute_force_broadcasts_query_side(spark, sf_dir):
+    # corpus side must stream; only the 5 query vectors are broadcast
+    plan = plan_of(spark, "similarity_topk_brute", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_asof_join_single_shuffle_no_blowup(spark, sf_dir):
+    """The union-window as-of formulation must not contain any join at
+    all — one shuffle on user_id, then a window."""
+    plan = plan_of(spark, "asof_join", sf_dir)
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "flagship_daily_change", "text_stats"]
+)
+def test_aggs_have_partial_stage(spark, sf_dir, name):
+    """Aggregations must plan partial (map-side) + final HashAggregate —
+    the shape that keeps shuffle volume O(groups), not O(rows)."""
+    plan = plan_of(spark, name, sf_dir, mode="simple")
+    assert plan.count("HashAggregate") >= 2, plan
