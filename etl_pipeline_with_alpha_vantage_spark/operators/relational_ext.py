@@ -392,3 +392,180 @@ def union_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     low = branch("low", F.col("o_totalprice") < 50000)
     return high.unionByName(mid).unionByName(low)
+
+
+# --------------------------------------------------------------------------
+# X6c — HAVING over grouped aggregates (TPC-H Q18 shape)
+# --------------------------------------------------------------------------
+
+_HAVING_ORACLE = """
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 15000
+)
+SELECT
+    o.o_orderkey,
+    o.o_custkey,
+    o.o_orderdate,
+    o.o_totalprice,
+    b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+"""
+
+
+@query("agg_having_large_orders", oracle=_HAVING_ORACLE)
+def agg_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 (TPC-H Q18 shape): aggregate → HAVING filter → join back to the
+    parent. The HAVING prunes before the join, so the orders join probes
+    with only the surviving keys — at scale that filtered side broadcast-
+    joins under AQE."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(qty_c).alias("qty_c"),
+        )
+        .filter(F.col("qty_c") > 15000)
+        .select(
+            "l_orderkey", (F.col("qty_c") / 100.0).cast("double").alias("total_qty")
+        )
+    )
+    return big.join(o, o.o_orderkey == F.col("l_orderkey")).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty"
+    )
+
+
+# --------------------------------------------------------------------------
+# X6d — per-group average joined back (TPC-H Q17 correlated-subquery shape)
+# --------------------------------------------------------------------------
+
+_BELOWAVG_ORACLE = """
+WITH avg_qty AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 100.0 AS part_avg
+    FROM lineitem
+    GROUP BY l_partkey
+)
+SELECT
+    l.l_orderkey,
+    l.l_partkey,
+    l.l_linenumber,
+    l.l_quantity,
+    a.part_avg
+FROM lineitem l
+JOIN avg_qty a ON a.l_partkey = l.l_partkey
+WHERE l.l_quantity < 0.5 * a.part_avg
+"""
+
+
+@query("subquery_below_avg", oracle=_BELOWAVG_ORACLE)
+def subquery_below_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 (TPC-H Q17 shape): the correlated subquery
+    ``qty < 0.5 * (SELECT avg WHERE same part)`` decorrelated into an
+    aggregate + equi-join — the only scalable form (a true correlated
+    execution would re-aggregate per probe row). Exact-cents average keeps
+    the 0.5·avg threshold engine-exact."""
+    li = table(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.sum(qty_c).cast("double") / F.count(F.lit(1)) / 100.0).alias("part_avg")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("part_avg"))
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "part_avg")
+    )
+
+
+# --------------------------------------------------------------------------
+# X13c — date/interval function coverage
+# --------------------------------------------------------------------------
+
+_DATE_ORACLE = """
+SELECT
+    o_orderkey,
+    CAST(o_orderdate AS DATE)                        AS order_date,
+    CAST(year(o_orderdate) AS BIGINT)                AS y,
+    CAST(quarter(o_orderdate) AS BIGINT)             AS q,
+    CAST(month(o_orderdate) AS BIGINT)               AS m,
+    CAST(dayofyear(o_orderdate) AS BIGINT)           AS doy,
+    last_day(CAST(o_orderdate AS DATE))              AS month_end,
+    CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+    date_diff('day', DATE '1995-01-01',
+              CAST(o_orderdate AS DATE))             AS days_since_1995,
+    CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+FROM orders
+WHERE o_orderkey % 17 = 0
+"""
+
+
+@query("scalar_date_funcs", oracle=_DATE_ORACLE)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: date extraction/arithmetic coverage (year/quarter/dayofyear/
+    last_day/date_add/datediff/date_trunc), all codegen built-ins."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 17 == 0)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias(
+            "days_since_1995"
+        ),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X13d — map-typed expression coverage (scalar outputs)
+# --------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+WITH t AS (
+    SELECT event_id, event_type, value,
+           MAP(['type', 'bucket'],
+               [event_type, CASE WHEN value >= 100 THEN 'high' ELSE 'low' END])
+           AS props_map
+    FROM events WHERE event_id % 19 = 0
+)
+SELECT
+    event_id,
+    CAST(cardinality(props_map) AS INTEGER)  AS map_size,
+    props_map['type'][1]                     AS type_val,
+    props_map['bucket'][1]                   AS bucket_val,
+    list_contains(map_keys(props_map), 'type') AS has_type_key
+FROM t
+"""
+
+
+@query("scalar_map_funcs", oracle=_MAP_ORACLE)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: map construction/lookup/keys — outputs reduced to scalars so
+    the cross-engine hash compares primitives (map iteration order is not
+    portable)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 19 == 0)
+    bucket = F.when(F.col("value") >= 100, F.lit("high")).otherwise(F.lit("low"))
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("bucket"), bucket
+    )
+    t = ev.select("event_id", m.alias("props_map"))
+    return t.select(
+        "event_id",
+        F.size("props_map").alias("map_size"),
+        F.col("props_map")["type"].alias("type_val"),
+        F.col("props_map")["bucket"].alias("bucket_val"),
+        F.array_contains(F.map_keys("props_map"), "type").alias("has_type_key"),
+    )

@@ -56,6 +56,7 @@ def load_all() -> None:
         relational,
         relational_ext,
         similarity,
+        skew,
         text,
         udf,
         windows,

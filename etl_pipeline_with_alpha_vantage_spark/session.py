@@ -29,6 +29,8 @@ _DEFAULTS: dict[str, str] = {
     # at warehouse file sizes.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
+    # Catalog tables (bucketed layouts) land outside the repo tree.
+    "spark.sql.warehouse.dir": "/tmp/spark-warehouse",
     # The synthetic events table stores timestamp[ns]; Spark has no nanos
     # timestamp type, so read as long and convert in catalog.table()
     # (truncation to micros matches DuckDB's own ns→µs cast).

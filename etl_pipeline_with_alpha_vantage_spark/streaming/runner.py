@@ -83,6 +83,7 @@ def run_available_now(
     table_name: str,
     checkpoint_dir: str | None = None,
     timeout_sec: int = 120,
+    output_mode: str = "complete",
 ) -> None:
     """Execute a streaming DataFrame to a memory sink with
     Trigger.AvailableNow (process-everything-pending, then stop) —
@@ -91,7 +92,7 @@ def run_available_now(
     q = (
         transformed.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", os.path.join(checkpoint, table_name))
         .trigger(availableNow=True)
         .start()
