@@ -135,3 +135,33 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("blob")
     )
     return decode_features(docs)
+
+
+_FRAME_ORACLE = """
+SELECT
+    doc_id,
+    CAST(octet_length(encode(text)) % 24 + 1 AS INTEGER) AS n_frames,
+    CAST(f.frame_idx AS INTEGER) AS frame_idx
+FROM documents,
+     unnest(generate_series(0, octet_length(encode(text)) % 24, 4))
+         AS f(frame_idx)
+WHERE doc_id % 3 = 0
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAME_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing: derive the frame count from the
+    blob ("decoded" metadata), emit every 4th frame index via
+    sequence+explode — the row-multiplying shape a real frame extractor
+    plugs into (the per-frame decode itself would be the mapInPandas stub
+    of decode_features)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    n_frames = (F.length(F.encode("text", "UTF-8")) % 24 + 1).cast("int")
+    return docs.select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(4))).alias("idx"),
+    ).select(
+        "doc_id", "n_frames", F.col("idx").cast("int").alias("frame_idx")
+    )

@@ -569,3 +569,54 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props_map")["bucket"].alias("bucket_val"),
         F.array_contains(F.map_keys("props_map"), "type").alias("has_type_key"),
     )
+
+
+# --------------------------------------------------------------------------
+# X13e — string function coverage
+# --------------------------------------------------------------------------
+
+_STRING_ORACLE = """
+SELECT
+    doc_id,
+    lpad(lang, 5, '*')                        AS lang_padded,
+    rpad(source, 8, '.')                      AS source_padded,
+    translate(lang, 'aeiou', 'AEIOU')         AS lang_vowels_upper,
+    replace(source, 'src', 'origin_')         AS source_renamed,
+    split_part(source, 'c', 2)                AS source_num,
+    repeat(lang, 2)                           AS lang_twice,
+    reverse(lang)                             AS lang_rev,
+    CAST(strpos(text, 'the') AS BIGINT)       AS first_the,
+    left(text, 10)                            AS head10,
+    right(text, 10)                           AS tail10,
+    starts_with(text, 'the')                  AS starts_the,
+    ends_with(source, '1')                    AS ends_one,
+    CAST(levenshtein(lang, 'en') AS BIGINT)   AS lang_dist_en
+FROM documents
+WHERE doc_id % 9 = 0
+"""
+
+
+@query("scalar_string_funcs", oracle=_STRING_ORACLE)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: string scalar coverage (pad/translate/replace/split_part/
+    repeat/reverse/locate/left/right/prefix/suffix/levenshtein) — all
+    JVM built-ins, one codegen span."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
+    return d.select(
+        "doc_id",
+        F.lpad("lang", 5, "*").alias("lang_padded"),
+        F.rpad("source", 8, ".").alias("source_padded"),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_vowels_upper"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("origin_")).alias(
+            "source_renamed"
+        ),
+        F.split_part(F.col("source"), F.lit("c"), F.lit(2)).alias("source_num"),
+        F.repeat("lang", 2).alias("lang_twice"),
+        F.reverse("lang").alias("lang_rev"),
+        F.instr("text", "the").cast("long").alias("first_the"),
+        F.substring("text", 1, 10).alias("head10"),
+        F.substring(F.col("text"), -10, 10).alias("tail10"),
+        F.startswith(F.col("text"), F.lit("the")).alias("starts_the"),
+        F.endswith(F.col("source"), F.lit("1")).alias("ends_one"),
+        F.levenshtein("lang", F.lit("en")).cast("long").alias("lang_dist_en"),
+    )
