@@ -55,6 +55,7 @@ def load_all() -> None:
         multimodal,
         relational,
         relational_ext,
+        reshape,
         similarity,
         skew,
         text,
