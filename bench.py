@@ -48,6 +48,9 @@ HEADLINE = [
     "multimodal_decode",
     "udf_grouped_scale",
     "similarity_lsh_topk",
+    "sessionize_batch",
+    "sample_stratified",
+    "similarity_ivf_topk",
 ]
 
 

@@ -226,6 +226,114 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 16
+NPROBE = 4
+
+
+def _assign_udf(centroids):
+    """cluster id = argmax cosine against the broadcast centroid matrix —
+    one BLAS matmul per Arrow batch (centroids are L2-normalized so dot
+    ≡ cosine up to the row norm, which doesn't change the argmax)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    cent_t = centroids.T  # dim × K
+
+    @pandas_udf(LongType())
+    def assign(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        return pd.Series((mat @ cent_t).argmax(axis=1).astype(np.int64))
+
+    return assign
+
+
+@query("similarity_ivf_topk")  # approximate → no SQL oracle (rows-only)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16 at scale, IVF variant: coarse-quantize the corpus into
+    N_CENTROIDS cells, probe the NPROBE nearest cells per query, exact
+    cosine only within probed cells.
+
+    Training follows the real IVF recipe at its honest scale shape:
+    seed centroids from the first K vectors, one Lloyd refinement over a
+    DETERMINISTIC SAMPLE (vec_id % 7 — codebooks are always trained on a
+    sample, never the full corpus), computed distributed (posexplode →
+    per-(cluster, dim) mean) — only the K×dim centroid matrix is ever
+    collected to the driver, which is exactly what a 1000-executor IVF
+    build does before broadcasting the codebook. The full corpus is then
+    scanned ONCE for assignment, and the probe join is an equi-join on
+    the cell id, so candidate generation never shuffles the corpus more
+    than once.
+    """
+    import numpy as np
+
+    def units(df):
+        df = with_norm(df.select("vec_id", _as_double("embedding").alias("emb")))
+        return df.select(
+            "vec_id", F.transform("emb", lambda x: x / F.col("norm")).alias("unit")
+        )
+
+    raw = table(spark, sf_dir, "embeddings")
+    # Both training collects ride parquet-pushdown filters on vec_id —
+    # neither touches the full corpus.
+    seeds = np.stack(
+        [
+            np.array(r["unit"], dtype=np.float64)
+            for r in units(raw.filter(F.col("vec_id") < N_CENTROIDS)).collect()
+        ]
+    )
+    sample = units(raw.filter(F.col("vec_id") % 7 == 0))
+    dim_means = (
+        sample.withColumn("cell", _assign_udf(seeds)("unit"))
+        .select("cell", F.posexplode("unit").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    cents = np.array(seeds)
+    for r in dim_means:
+        cents[r["cell"], r["pos"]] = r["m"]
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    corpus = units(raw).withColumn("cell", _assign_udf(cents)("unit"))
+    # Queries probe their NPROBE nearest refined centroids (tiny,
+    # driver-side: N_QUERIES × K dot products on the collected matrix).
+    qrows = units(raw.filter(F.col("vec_id") < N_QUERIES)).collect()
+    probes = [
+        (int(r["vec_id"]), int(c))
+        for r in qrows
+        for c in np.argsort(
+            -(np.array(r["unit"], dtype=np.float64) @ cents.T)
+        )[:NPROBE]
+    ]
+    probe_df = spark.createDataFrame(probes, "query_id long, cell long")
+    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("unit").alias("qunit"),
+    )
+    cand = (
+        corpus.join(
+            F.broadcast(probe_df.join(q, "query_id")),
+            on=["cell"],
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot("qunit", "unit"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 _EMB_DEDUP_ORACLE = f"""
 WITH e AS (
     SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS emb

@@ -1,0 +1,251 @@
+"""Time-series operators over ``events``: batch sessionization, date-spine
+gap-fill with LOCF, deterministic stratified sampling, full-outer alignment
+(SURVEY.md X2/X9/X10/X18 widening; the gap-fill is the batch analog of the
+reference's per-symbol daily series, ``/root/reference/etl.py:96-98``).
+
+Scale notes: every operator here is a single shuffle on its natural key
+(``user_id`` / ``(user_id, day)`` / ``event_type``) followed by
+window/aggregate work that stays partition-local, so the plans hold at
+100 TB — sessionization in particular is the canonical "shuffle once,
+then linear scan per key" pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, microseconds
+
+_SESSIONIZE_ORACLE = f"""
+WITH o AS (
+    SELECT user_id, ts, event_id, value,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_US}
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_no
+    FROM o
+)
+SELECT
+    user_id,
+    CAST(session_no AS BIGINT)  AS session_no,
+    CAST(COUNT(*) AS BIGINT)    AS n_events,
+    MIN(ts)                     AS session_start,
+    MAX(ts)                     AS session_end,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE)
+                                AS session_value
+FROM s
+GROUP BY user_id, session_no
+"""
+
+
+@query("sessionize_batch", oracle=_SESSIONIZE_ORACLE)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch (30-min inactivity boundary).
+
+    The classic two-window construction: lag() finds the gap, a running
+    sum of boundary flags numbers the sessions, then one groupBy rolls
+    them up. Both windows and the aggregate share the user_id hash
+    partitioning, so the whole plan is ONE shuffle. This is the batch
+    twin of the streaming session_window query (stream_session) — at
+    100 TB the batch form backfills history while the stream handles the
+    live tail.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents = F.round(F.col("value") * 100).cast("long")
+    sessions = ev.withColumn(
+        "session_no", F.sum(is_new).over(run).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.sum(cents) / 100.0).cast("double").alias("session_value"),
+    )
+
+
+_GAPFILL_ORACLE = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS day_cents
+    FROM events WHERE user_id % 29 = 0
+    GROUP BY user_id, CAST(ts AS DATE)
+),
+bounds AS (
+    SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+),
+spine AS (
+    SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+),
+j AS (
+    SELECT s.user_id, s.day, d.day_cents
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+)
+SELECT
+    user_id,
+    day,
+    CAST(last_value(day_cents IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS DOUBLE)
+        AS value_filled,
+    (day_cents IS NULL) AS is_gap
+FROM j
+"""
+
+
+@query("gapfill_locf", oracle=_GAPFILL_ORACLE)
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap-fill with last-observation-carried-forward.
+
+    Resamples a sparse per-user event stream to a dense daily series:
+    sequence() builds each user's date spine (no driver loop, no
+    cartesian), a left join marks the holes, and last(ignorenulls) over
+    an unbounded-preceding frame carries the prior value forward — the
+    time-series resample the reference's daily OHLCV table implies but
+    never materializes (etl.py:96-98). Spine generation is per-key and
+    the join/window reuse the user_id partitioning: one shuffle.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") % 29 == 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(cents).alias("day_cents"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        (F.last("day_cents", ignorenulls=True).over(w) / 100.0)
+        .cast("double")
+        .alias("value_filled"),
+        F.col("day_cents").isNull().alias("is_gap"),
+    )
+
+
+# Data-mixing rates for training-set assembly: keep every Nth event per
+# stratum (systematic sampling — deterministic, reproducible, and unlike
+# Bernoulli sampling it is exactly reproducible across engines).
+SAMPLE_EVERY = {"view": 20, "click": 10, "error": 2, "purchase": 1, "signup": 1}
+
+_STRATIFIED_ORACLE = f"""
+WITH r AS (
+    SELECT event_id, event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+    FROM events
+)
+SELECT event_id, event_type, value
+FROM r
+WHERE (rn - 1) % (CASE event_type
+                  {" ".join(f"WHEN '{t}' THEN {m}" for t, m in sorted(SAMPLE_EVERY.items()))}
+                  ELSE 1 END) = 0
+"""
+
+
+@query("sample_stratified", oracle=_STRATIFIED_ORACLE)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (systematic) sampling — training-data
+    mixing: downsample the dominant strata (view 1/20, click 1/10),
+    keep the rare ones whole. row_number within each stratum + a modulus
+    gives an exactly reproducible sample, unlike rand()-based sampleBy.
+    One shuffle on the (low-cardinality) stratum key; at skew, salt the
+    row-numbering by a secondary key range.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    every = F.coalesce(
+        *[
+            F.when(F.col("event_type") == t, F.lit(m))
+            for t, m in sorted(SAMPLE_EVERY.items())
+        ],
+        F.lit(1),
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") - 1) % every == 0)
+        .select("event_id", "event_type", "value")
+    )
+
+
+_FULL_OUTER_ORACLE = """
+WITH err AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_errors
+    FROM events WHERE event_type = 'error'
+    GROUP BY user_id, CAST(ts AS DATE)
+),
+pur AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_purchases,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT
+    COALESCE(e.user_id, p.user_id)      AS user_id,
+    COALESCE(e.day, p.day)              AS day,
+    CAST(COALESCE(e.n_errors, 0) AS BIGINT)    AS n_errors,
+    CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+    CAST(COALESCE(p.cents, 0) / 100.0 AS DOUBLE) AS purchase_value
+FROM err e FULL JOIN pur p ON e.user_id = p.user_id AND e.day = p.day
+"""
+
+
+@query("join_full_outer", oracle=_FULL_OUTER_ORACLE)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: full-outer alignment of two sparse per-(user, day) series —
+    user-days with errors but no purchases and vice versa both survive.
+    Spark's list-of-keys join form coalesces the key columns exactly like
+    the oracle's COALESCE pair. Both inputs hash-partition on the same
+    composite key, so the outer join is a single co-partitioned
+    sort-merge at any scale.
+    """
+    ev = table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    cents = F.round(F.col("value") * 100).cast("long")
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", day)
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", day)
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(cents).alias("cents"),
+        )
+    )
+    return err.join(pur, ["user_id", "day"], "full").select(
+        "user_id",
+        "day",
+        F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        (F.coalesce("cents", F.lit(0)) / 100.0)
+        .cast("double")
+        .alias("purchase_value"),
+    )

@@ -59,6 +59,7 @@ def load_all() -> None:
         similarity,
         skew,
         text,
+        timeseries,
         udf,
         windows,
     )

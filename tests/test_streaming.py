@@ -99,3 +99,17 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     # every LSH hit is a real vector pair with computed cosine; recall is
     # data-dependent — require non-trivial overlap with the exact answer
     assert len(lsh & brute) > 0
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF probe (nprobe=4 of 16 cells) must recover a meaningful part of
+    the exact top-k, and every reported cosine must be a real pair score."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["similarity_topk_brute"](spark, sf_dir).collect()
+    }
+    ivf_rows = QUERIES["similarity_ivf_topk"](spark, sf_dir).collect()
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
+    assert ivf, "IVF produced no candidates"
+    assert all(-1.0 <= r.cosine <= 1.0 for r in ivf_rows)
+    assert len(ivf & brute) > 0
