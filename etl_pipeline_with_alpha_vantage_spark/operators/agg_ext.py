@@ -1,0 +1,191 @@
+"""Extended aggregation surface: arg-max/min, sorted array aggregation,
+conditional/boolean aggregates, statistical moments, and correlated
+EXISTS subqueries through the spark.sql surface (SURVEY.md X6/X7/X13
+widening).
+
+Cross-engine exactness notes (the whole point of this module):
+- arg_max keys are collapsed to one exact BIGINT so Spark ``max_by`` and
+  DuckDB ``arg_max`` agree even under acctbal ties.
+- Spark's skewness/kurtosis are *population* moments (g1, excess g2);
+  DuckDB's are *sample* moments (G1, G2). The queries convert g→G with
+  the standard bias-correction identities so both engines report the
+  same statistic by definition, not by luck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+# acctbal cents ≤ ~10^8, custkey < 10^7 at demo scales → key < 2^63.
+_ARGMAX_ORACLE = """
+SELECT
+    c_nationkey,
+    arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+        AS richest_customer,
+    arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+        AS poorest_customer,
+    CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS DOUBLE)
+        AS max_acctbal
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@query("agg_argmax", oracle=_ARGMAX_ORACLE)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: arg-max/arg-min aggregation (max_by/min_by) — "who holds the
+    extreme value per group" without a join-back or window. The ordering
+    key folds (acctbal_cents, custkey) into one exact BIGINT so ties
+    break identically in both engines. One partial+final hash agg, no
+    second pass over the fact table."""
+    c = table(spark, sf_dir, "customer")
+    key = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * 10_000_000
+        + F.col("c_custkey")
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", key).alias("richest_customer"),
+        F.min_by("c_name", key).alias("poorest_customer"),
+        (F.max(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0)
+        .cast("double")
+        .alias("max_acctbal"),
+    )
+
+
+_COLLECT_ORACLE = """
+SELECT
+    event_type,
+    list_sort(list(DISTINCT user_id))       AS users,
+    CAST(len(list(DISTINCT user_id)) AS INT) AS n_users,
+    list_sort(list(event_id))               AS sampled_events
+FROM events
+WHERE event_id % 13 = 0
+GROUP BY event_type
+"""
+
+
+@query("agg_collect_arrays", oracle=_COLLECT_ORACLE)
+def agg_collect_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7/X13: array aggregation — collect_set/collect_list are
+    unordered across partitions, so every collected array is array_sort'd
+    before leaving the operator (the only way collection is deterministic
+    on a cluster). Bounded by the sampling filter: collecting an
+    unbounded group into one array is an anti-pattern at 100 TB."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    return ev.groupBy("event_type").agg(
+        F.array_sort(F.collect_set("user_id")).alias("users"),
+        F.size(F.collect_set("user_id")).alias("n_users"),
+        F.array_sort(F.collect_list("event_id")).alias("sampled_events"),
+    )
+
+
+_CONDITIONAL_ORACLE = """
+SELECT
+    user_id % 10                                   AS cohort,
+    CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT)  AS n_high_value,
+    CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                                                   AS n_purchases,
+    bool_and(value >= 0)                           AS all_nonneg,
+    bool_or(event_type = 'error')                  AS any_error,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT))
+         FILTER (WHERE event_type = 'purchase') / 100.0 AS DOUBLE)
+                                                   AS purchase_value
+FROM events
+GROUP BY user_id % 10
+"""
+
+
+@query("agg_conditional", oracle=_CONDITIONAL_ORACLE)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: conditional and boolean aggregates (count_if / bool_and /
+    bool_or / filtered sum) — one pass, one shuffle on the derived
+    cohort key; every FILTER clause folds into the same hash-agg."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    is_purchase = F.col("event_type") == "purchase"
+    return ev.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        F.count_if(F.col("value") > 50).alias("n_high_value"),
+        F.count_if(is_purchase).alias("n_purchases"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("event_type") == "error").alias("any_error"),
+        (F.sum(F.when(is_purchase, cents)) / 100.0)
+        .cast("double")
+        .alias("purchase_value"),
+    )
+
+
+_MOMENTS_ORACLE = """
+SELECT
+    event_type,
+    CAST(COUNT(*) AS BIGINT)            AS n,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 / COUNT(*) AS DOUBLE)
+                                        AS mean_value,
+    round(stddev_samp(value), 6)        AS sd,
+    round(var_samp(value), 6)           AS variance,
+    round(skewness(value), 6)           AS skew,
+    round(kurtosis(value), 6)           AS kurt,
+    round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_user
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("agg_moments", oracle=_MOMENTS_ORACLE)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: statistical moments. Spark's skewness/kurtosis are population
+    moments; the query applies the textbook bias corrections
+    (G1 = g1·√(n(n−1))/(n−2),
+    G2 = (n−1)/((n−2)(n−3))·((n+1)·g2 + 6)) so the output matches the
+    sample-moment definition DuckDB uses. Results rounded to 6 dp: the
+    one-pass M2/M4 merge is summation-order sensitive in the last ulps
+    on any parallel engine."""
+    ev = table(spark, sf_dir, "events")
+    n = F.count(F.lit(1)).cast("double")
+    g1 = F.skewness("value")
+    g2 = F.kurtosis("value")
+    sample_skew = g1 * F.sqrt(n * (n - 1)) / (n - 2)
+    sample_kurt = (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents) / 100.0 / F.count(F.lit(1))).cast("double").alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 6).alias("variance"),
+        F.round(sample_skew, 6).alias("skew"),
+        F.round(sample_kurt, 6).alias("kurt"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias(
+            "corr_user"
+        ),
+    )
+
+
+_EXISTS_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o2
+        WHERE o2.o_custkey = c.c_custkey
+          AND o2.o_orderstatus = 'F'
+      )
+"""
+
+
+@query("subquery_exists", oracle=_EXISTS_SQL)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 via the SQL surface: correlated EXISTS / NOT EXISTS, run as-is
+    through spark.sql — Catalyst decorrelates both predicates into a
+    left-semi and a left-anti hash join on o_custkey (asserted in
+    tests/test_plan_quality.py); the identical ANSI text is the oracle.
+    """
+    for name in ("customer", "orders"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_EXISTS_SQL)

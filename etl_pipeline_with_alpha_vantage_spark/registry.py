@@ -50,6 +50,7 @@ def load_all() -> None:
         return
     # Imports are for their registration side effects.
     from .operators import (  # noqa: F401
+        agg_ext,
         asof,
         dedup,
         multimodal,

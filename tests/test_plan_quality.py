@@ -90,3 +90,20 @@ def test_aggs_have_partial_stage(spark, sf_dir, name):
     the shape that keeps shuffle volume O(groups), not O(rows)."""
     plan = plan_of(spark, name, sf_dir, mode="simple")
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_exists_decorrelates_to_semi_and_anti(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS must decorrelate into hash
+    semi/anti joins — never a per-row subquery or cartesian."""
+    plan = plan_of(spark, "subquery_exists", sf_dir, mode="simple")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Both windows and the rollup of sessionize_batch share the user_id
+    partitioning: exactly one exchange in the whole plan."""
+    plan = plan_of(spark, "sessionize_batch", sf_dir, mode="simple")
+    n_exchanges = plan.count("Exchange") - plan.count("AQEShuffleRead")
+    assert n_exchanges <= 1, plan
