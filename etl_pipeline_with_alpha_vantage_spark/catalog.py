@@ -45,6 +45,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Re-split an under-partitioned input before compute-heavy per-row
+    work (hashing, shingling, vectorized UDFs).
+
+    A small single-row-group parquet file scans as ONE partition, which
+    serializes CPU-bound operators no matter how many cores exist. When
+    the input has fewer partitions than the session's parallelism, pay
+    one narrow shuffle to spread it; when the scan is already well-split
+    (the 100 TB case — thousands of row groups), this is a no-op, so the
+    helper never adds a shuffle at scale.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every warehouse table; keyed by table name."""
     return {name: table(spark, sf_dir, name) for name in TABLES}

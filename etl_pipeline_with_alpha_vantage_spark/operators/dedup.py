@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..registry import query
 
 # --------------------------------------------------------------------------
@@ -247,7 +247,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the fraction of agreeing minhashes → keep est ≥ 0.2. Shuffles on
     band_hash (bounded rows: docs × n_bands) — never a cross product.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs)
     n_bands = N_HASHES // BAND_SIZE
     band_hashes = F.array(
@@ -269,7 +269,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / float(N_HASHES)
+    )
+    # Estimate + threshold INSIDE the join projection, dedup after: the
+    # signature arrays never leave the join stage, so the multi-band
+    # duplicate elimination is a narrow 3-column HashAggregate instead of
+    # a SortAggregate dragging two 32-long arrays per pair through the
+    # shuffle (est is deterministic per pair, so filter-then-dedup ≡
+    # dedup-then-filter).
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -279,22 +294,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            est.alias("jaccard_est"),
         )
+        .filter(F.col("jaccard_est") >= 0.2)
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / float(N_HASHES)
-    )
-    return cand.select("doc_a", "doc_b", est.alias("jaccard_est")).filter(
-        F.col("jaccard_est") >= 0.2
     )
 
 
@@ -315,7 +318,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from functools import reduce as _reduce
 
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         F.transform(F.split("text", " "), lambda t: F.xxhash64(t)).alias("hashes"),

@@ -131,6 +131,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     text, extract features in Arrow batches. The corpus is ASCII, so the
     DuckDB oracle can recompute the fake decoder's outputs exactly
     (integer byte-sum → one double division)."""
+    # No spread(): the fake decode is microseconds per row, so the Arrow
+    # transfer dominates and re-sharding tiny blobs costs more than the
+    # parallelism returns. A real image/video decoder (ms per row) would
+    # want spread() here.
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("blob")
     )

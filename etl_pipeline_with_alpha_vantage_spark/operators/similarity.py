@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..registry import query
 
 TOP_K = 10
@@ -185,7 +185,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall ≈ 0.4 at ~5× less dot-product work than brute force; tests
     measure realized recall against similarity_topk_brute.
     """
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double("embedding").alias("emb")
     )
     emb = with_norm(emb).withColumn("tables", lsh_tables_udf()("emb"))
@@ -230,6 +230,30 @@ N_CENTROIDS = 16
 NPROBE = 4
 
 
+def _unit_udf():
+    """L2-normalize embeddings in one Arrow-batched numpy pass.
+
+    MATERIALIZING the unit vector matters beyond BLAS speed: as a JVM
+    higher-order-function expression, downstream operators that need a
+    null/size check on it (e.g. posexplode's implicit filter) inline and
+    re-evaluate the whole interpreted fold per row — measured 25× slower
+    on the IVF Lloyd step. A pandas-UDF output is a real column and can
+    only be referenced, never inlined.
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def unit(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(list(mat))
+
+    return unit
+
+
 def _assign_udf(centroids):
     """cluster id = argmax cosine against the broadcast centroid matrix —
     one BLAS matmul per Arrow batch (centroids are L2-normalized so dot
@@ -269,20 +293,18 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     def units(df):
-        df = with_norm(df.select("vec_id", _as_double("embedding").alias("emb")))
-        return df.select(
-            "vec_id", F.transform("emb", lambda x: x / F.col("norm")).alias("unit")
-        )
+        return df.select("vec_id", _unit_udf()("embedding").alias("unit"))
 
     raw = table(spark, sf_dir, "embeddings")
-    # Both training collects ride parquet-pushdown filters on vec_id —
-    # neither touches the full corpus.
-    seeds = np.stack(
-        [
-            np.array(r["unit"], dtype=np.float64)
-            for r in units(raw.filter(F.col("vec_id") < N_CENTROIDS)).collect()
-        ]
-    )
+    # Seeds and query vectors come from ONE collect riding a
+    # parquet-pushdown filter on vec_id — it never touches the corpus.
+    head = {
+        int(r["vec_id"]): np.array(r["unit"], dtype=np.float64)
+        for r in units(
+            raw.filter(F.col("vec_id") < max(N_CENTROIDS, N_QUERIES))
+        ).collect()
+    }
+    seeds = np.stack([head[i] for i in range(N_CENTROIDS)])
     sample = units(raw.filter(F.col("vec_id") % 7 == 0))
     dim_means = (
         sample.withColumn("cell", _assign_udf(seeds)("unit"))
@@ -299,13 +321,10 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = units(raw).withColumn("cell", _assign_udf(cents)("unit"))
     # Queries probe their NPROBE nearest refined centroids (tiny,
     # driver-side: N_QUERIES × K dot products on the collected matrix).
-    qrows = units(raw.filter(F.col("vec_id") < N_QUERIES)).collect()
     probes = [
-        (int(r["vec_id"]), int(c))
-        for r in qrows
-        for c in np.argsort(
-            -(np.array(r["unit"], dtype=np.float64) @ cents.T)
-        )[:NPROBE]
+        (q, int(c))
+        for q in range(N_QUERIES)
+        for c in np.argsort(-(head[q] @ cents.T))[:NPROBE]
     ]
     probe_df = spark.createDataFrame(probes, "query_id long, cell long")
     q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
