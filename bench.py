@@ -51,6 +51,7 @@ HEADLINE = [
     "sessionize_batch",
     "sample_stratified",
     "similarity_ivf_topk",
+    "pipeline_corpus_clean",
 ]
 
 

@@ -246,3 +246,81 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % F.lit(_FP_MOD),
     )
     return docs.select("doc_id", fp.cast("long").alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# X14+X17 composed — end-to-end corpus cleaning pipeline
+# --------------------------------------------------------------------------
+
+_CLEAN_ORACLE = f"""
+WITH scored AS (
+    SELECT
+        doc_id, source, lang, text,
+        len(string_split(text, ' ')) AS n_tokens,
+        CAST(len(list_filter(string_split(text, ' '),
+                             t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS stop_ratio,
+        md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')))
+            AS norm_hash
+    FROM documents
+),
+kept AS (SELECT * FROM scored WHERE n_tokens >= 20 AND stop_ratio >= 0.01),
+canon AS (
+    SELECT norm_hash,
+           MIN(doc_id)  AS canonical_doc,
+           COUNT(*)     AS n_members
+    FROM kept GROUP BY norm_hash
+)
+SELECT
+    k.source,
+    k.lang,
+    CAST(COUNT(*) AS BIGINT)                 AS n_docs_kept,
+    CAST(SUM(c.n_members - 1) AS BIGINT)     AS n_dups_removed,
+    CAST(SUM(k.n_tokens) AS BIGINT)          AS total_tokens
+FROM canon c JOIN kept k ON k.doc_id = c.canonical_doc
+GROUP BY k.source, k.lang
+"""
+
+
+@query("pipeline_corpus_clean", oracle=_CLEAN_ORACLE)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-training-data flagship composition: quality gate → exact
+    near-dup removal (normalized content hash, keep the lowest doc_id) →
+    per-(source, lang) corpus accounting. One narrow scoring pass, one
+    shuffle on the 16-byte hash, one shuffle on the (source, lang) rollup
+    — the whole cleaning pass is three stages regardless of corpus size.
+    The same skeleton swaps the normhash stage for minhash banding
+    (dedup_minhash_lsh) when fuzzy dedup is wanted.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / n_tokens
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "))
+    kept = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        F.md5(norm).alias("norm_hash"),
+    ).filter((F.col("n_tokens") >= 20) & (F.col("stop_ratio") >= 0.01))
+    canon = kept.groupBy("norm_hash").agg(
+        F.min("doc_id").alias("canonical_doc"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return (
+        canon.join(kept, canon.canonical_doc == kept.doc_id)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum(F.col("n_members") - 1).alias("n_dups_removed"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
