@@ -61,9 +61,14 @@ def main() -> None:
     registry.load_all()
     spark = get_spark(app_name="bench")
 
-    # Warm the JVM + parquet footers with one cheap action so per-query
-    # numbers measure the plan, not session startup.
+    # Warm the JVM, parquet footers, and file indexes of every table with
+    # one cheap action each so per-query numbers measure the plan, not
+    # session startup or first-scan setup.
+    from etl_pipeline_with_alpha_vantage_spark.catalog import TABLES, table
+
     registry.QUERIES["topk_orders"](spark, sf_dir).collect()
+    for t in TABLES:
+        table(spark, sf_dir, t).limit(1).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
