@@ -54,6 +54,7 @@ def load_all() -> None:
         asof,
         dedup,
         multimodal,
+        paging_joins,
         relational,
         relational_ext,
         reshape,
