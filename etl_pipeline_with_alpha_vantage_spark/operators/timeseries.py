@@ -48,28 +48,34 @@ GROUP BY user_id, session_no
 """
 
 
+def assign_sessions(
+    ev: DataFrame, gap_us: int = SESSION_GAP_US
+) -> DataFrame:
+    """Tag each event with its per-user session number (gap-based).
+
+    lag() finds the inactivity gap, a running sum of boundary flags
+    numbers the sessions; both windows share the user_id partitioning.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.withColumn("session_no", F.sum(is_new).over(run).cast("long"))
+
+
 @query("sessionize_batch", oracle=_SESSIONIZE_ORACLE)
 def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization in batch (30-min inactivity boundary).
 
-    The classic two-window construction: lag() finds the gap, a running
-    sum of boundary flags numbers the sessions, then one groupBy rolls
-    them up. Both windows and the aggregate share the user_id hash
-    partitioning, so the whole plan is ONE shuffle. This is the batch
-    twin of the streaming session_window query (stream_session) — at
-    100 TB the batch form backfills history while the stream handles the
-    live tail.
+    assign_sessions + one groupBy roll-up; the windows and the aggregate
+    share the user_id hash partitioning, so the whole plan is ONE
+    shuffle. This is the batch twin of the streaming session_window
+    query (stream_session) — at 100 TB the batch form backfills history
+    while the stream handles the live tail.
     """
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cents = F.round(F.col("value") * 100).cast("long")
-    sessions = ev.withColumn(
-        "session_no", F.sum(is_new).over(run).cast("long")
-    )
-    return sessions.groupBy("user_id", "session_no").agg(
+    return assign_sessions(ev).groupBy("user_id", "session_no").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),

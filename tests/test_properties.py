@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) for the stateful-ish operators whose
+correctness depends on invariants, not one fixture: gap sessionization
+and the idempotent upsert-ignore sink.
+
+Each example pays a full Spark round-trip, so example counts are small
+and the generators compact; the invariants themselves are exact.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_pipeline_with_alpha_vantage_spark.operators.timeseries import (
+    assign_sessions,
+)
+from etl_pipeline_with_alpha_vantage_spark.sinks.idempotent import (
+    dedup_in_batch,
+    upsert_ignore,
+)
+
+GAP_US = 1_000_000 * 60  # 1 minute for compact examples
+
+BASE = datetime(2024, 1, 1)
+
+# Per-user lists of inter-event gaps in seconds (mix below/above the
+# 60 s session boundary).
+gaps_strategy = st.lists(
+    st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=12),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(per_user_gaps=gaps_strategy)
+def test_sessionize_invariants(spark, per_user_gaps):
+    rows = []
+    eid = 0
+    for user, gaps in enumerate(per_user_gaps):
+        t = BASE
+        for g in gaps:
+            t = t + timedelta(seconds=g)
+            rows.append((eid, t, user, 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = assign_sessions(df, gap_us=GAP_US).collect()
+
+    by_user: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+
+    assert sum(len(v) for v in by_user.values()) == len(rows)  # no loss
+    for user, evs in by_user.items():
+        # session numbers start at 1 and only ever step by 0 or 1
+        assert evs[0].session_no == 1
+        for prev, cur in zip(evs, evs[1:]):
+            gap_us = int((cur.ts - prev.ts).total_seconds() * 1e6)
+            step = cur.session_no - prev.session_no
+            assert step in (0, 1)
+            # boundary iff gap exceeds threshold
+            assert (step == 1) == (gap_us > GAP_US)
+
+
+batches_strategy = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # symbol id
+            st.integers(min_value=0, max_value=5),  # day id
+            st.integers(min_value=0, max_value=100),  # payload
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=batches_strategy)
+def test_upsert_ignore_converges_to_distinct_keys(
+    spark, tmp_path_factory, batches
+):
+    """Whatever the batch contents/overlap, after loading all batches the
+    warehouse holds exactly one row per distinct (symbol, day) key, the
+    payload is the deterministic first-writer per key, and replaying
+    every batch appends nothing."""
+    path = str(tmp_path_factory.mktemp("wh") / "t")
+
+    def to_df(batch):
+        rows = [(f"s{s}", f"2024-01-{d+1:02d}", p) for s, d, p in batch]
+        return spark.createDataFrame(rows, "symbol string, date string, payload long")
+
+    all_keys = set()
+    winner: dict[tuple, int] = {}
+    for batch in batches:
+        df = dedup_in_batch(to_df(batch), ["symbol", "date"], "payload")
+        upsert_ignore(spark, df, path, ["symbol", "date"])
+        for s, d, p in sorted(batch, key=lambda t: t[2]):
+            key = (f"s{s}", f"2024-01-{d+1:02d}")
+            all_keys.add(key)
+            winner.setdefault(key, p)
+
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == len(all_keys)
+    assert {(r.symbol, r.date): r.payload for r in rows} == winner
+
+    # replay: nothing appends
+    for batch in batches:
+        df = dedup_in_batch(to_df(batch), ["symbol", "date"], "payload")
+        assert upsert_ignore(spark, df, path, ["symbol", "date"]) == 0
+    assert spark.read.parquet(path).count() == len(all_keys)
