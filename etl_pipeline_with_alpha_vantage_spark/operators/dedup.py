@@ -351,3 +351,82 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select(
         "doc_id", _simhash_udf()("hashes").alias("simhash")
     ).withColumn("band16", F.shiftrightunsigned("simhash", 48))
+
+
+# --------------------------------------------------------------------------
+# X14/X15 composed — near-dup clusters via connected components
+# --------------------------------------------------------------------------
+
+_CC_MAX_ITER = 12  # ≥ diameter of any near-dup cluster we accept
+
+_CC_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+{_NGRAM_ORACLE.strip()}
+),
+nodes AS (
+    SELECT doc_id FROM documents WHERE doc_id < 200
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(a, b) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+)
+SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
+@query("dedup_cc_clusters", oracle=_CC_ORACLE)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from near-dup PAIRS: connected components by
+    iterative min-label propagation (cluster id = smallest doc_id in the
+    component) — the step every dedup pipeline needs between "these two
+    match" and "keep one per group".
+
+    Each iteration is one shuffle (edges ⋈ labels → min per node) and the
+    loop stops as soon as a sweep changes nothing; iterations needed =
+    graph diameter, which for near-dup similarity graphs is tiny. Lineage
+    is truncated per sweep (localCheckpoint) so plans don't grow with the
+    iteration count — the standard Spark iterative-algorithm shape. The
+    oracle recomputes the same components with a recursive CTE.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(_CC_MAX_ITER):
+        neighbor = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
