@@ -189,3 +189,82 @@ def udf_mapinpandas_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", "o_totalprice").mapInPandas(
         _enrich, _ENRICH_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# X20d — cogrouped applyInPandas (per-key as-of alignment)
+# --------------------------------------------------------------------------
+
+_COGROUP_SCHEMA = (
+    "user_id long, purchase_id long, purchase_ts timestamp, "
+    "asof_click_id long, asof_click_ts timestamp"
+)
+
+
+def _asof_per_user(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+    """merge_asof within one user's cogroup: latest click ≤ purchase."""
+    p = purchases.sort_values("purchase_ts")
+    if clicks.empty:
+        out = p.copy()
+        out["asof_click_id"] = pd.array([None] * len(p), dtype="Int64")
+        out["asof_click_ts"] = pd.NaT
+        return out[
+            ["user_id", "purchase_id", "purchase_ts", "asof_click_id", "asof_click_ts"]
+        ]
+    c = clicks.sort_values("click_ts")
+    merged = pd.merge_asof(
+        p,
+        c[["click_ts", "click_id"]],
+        left_on="purchase_ts",
+        right_on="click_ts",
+        direction="backward",
+    )
+    merged = merged.rename(
+        columns={"click_id": "asof_click_id", "click_ts": "asof_click_ts"}
+    )
+    merged["asof_click_id"] = merged["asof_click_id"].astype("Int64")
+    return merged[
+        ["user_id", "purchase_id", "purchase_ts", "asof_click_id", "asof_click_ts"]
+    ]
+
+
+_COGROUP_ORACLE = """
+SELECT
+    p.user_id,
+    p.event_id  AS purchase_id,
+    p.ts        AS purchase_ts,
+    c.event_id  AS asof_click_id,
+    c.ts        AS asof_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+@query("udf_cogrouped_asof", oracle=_COGROUP_ORACLE)
+def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20/X5: cogrouped applyInPandas — both sides shuffle once on
+    user_id, then each user's (purchases, clicks) pair lands in ONE
+    pandas callback, here running merge_asof (latest click ≤ each
+    purchase). This is the escape hatch for per-key logic Spark can't
+    express relationally (model scoring over aligned series, custom
+    imputation, …); for the plain as-of itself the pure-DataFrame form
+    in operators/asof.py is preferred (no Python boundary). Oracle:
+    DuckDB's native ASOF LEFT JOIN.
+    """
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        p.groupBy("user_id")
+        .cogroup(c.groupBy("c_user_id"))
+        .applyInPandas(_asof_per_user, _COGROUP_SCHEMA)
+    )

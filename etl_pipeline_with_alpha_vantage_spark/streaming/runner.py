@@ -100,3 +100,57 @@ def run_available_now(
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+
+
+def attribution_join_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """X18: watermarked stream-stream interval join — clicks attributed
+    to a same-user purchase they precede by ≤ 6 h (the streaming form of
+    the batch query ``stream_join_attribution``; tests assert equality).
+
+    Both sides carry watermarks and the join condition bounds event time,
+    so Spark can expire click state older than 6 h + watermark and
+    purchase state older than the watermark — constant state per user on
+    an unbounded stream, which is the property that makes the operator
+    deployable. Inner joins emit exactly once per matching pair.
+    """
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS")
+        ),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "purchase_ts",
+        "click_ts",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "lag_us"
+        ),
+    )

@@ -190,3 +190,64 @@ def stream_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_JOIN_ORACLE = """
+SELECT
+    p.event_id                        AS purchase_id,
+    c.event_id                        AS click_id,
+    p.user_id                         AS user_id,
+    p.ts                              AS purchase_ts,
+    c.ts                              AS click_ts,
+    CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 6 HOUR AND p.ts
+"""
+
+
+@query("stream_join_attribution", oracle=_JOIN_ORACLE)
+def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18: purchase↔click attribution — the batch twin of a watermarked
+    stream-stream interval join (clicks attributed to a purchase they
+    precede by ≤ 6 h, per user). Batch plans one shuffle on user_id with
+    the time band as a join residual; the streaming form
+    (runner.run_stream_stream_join) keeps only 6 h + watermark of click
+    state per user, which is what makes it viable on an unbounded stream.
+    Tests assert stream output ≡ this query.
+    """
+    from ..catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS")
+        ),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "purchase_ts",
+        "click_ts",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).alias("lag_us"),
+    )

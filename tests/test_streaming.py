@@ -113,3 +113,28 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert ivf, "IVF produced no candidates"
     assert all(-1.0 <= r.cosine <= 1.0 for r in ivf_rows)
     assert len(ivf & brute) > 0
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch join's pairs (inner join ⇒ no watermark-dropped emissions on
+    this bounded replay)."""
+    from etl_pipeline_with_alpha_vantage_spark.streaming.runner import (
+        attribution_join_stream,
+    )
+
+    joined = attribution_join_stream(spark, sf_dir)
+    assert joined.isStreaming
+    run_available_now(
+        joined, "join_out", checkpoint_dir=str(tmp_path), output_mode="append"
+    )
+    streamed = {
+        (r.purchase_id, r.click_id, r.lag_us)
+        for r in spark.table("join_out").collect()
+    }
+    batch = {
+        (r.purchase_id, r.click_id, r.lag_us)
+        for r in QUERIES["stream_join_attribution"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
