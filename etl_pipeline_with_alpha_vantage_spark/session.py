@@ -29,6 +29,13 @@ _DEFAULTS: dict[str, str] = {
     # at warehouse file sizes.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
+    # Engine-wide error semantics (SURVEY.md §2.D.2): x/0 and invalid
+    # casts yield NULL, never an exception — the drop-don't-crash policy
+    # of the reference's validation gate, and exactly DuckDB's behavior,
+    # so oracle parity holds on edge data too. Spark 4 defaults ANSI on
+    # (raise); pin it off. Strict per-field validation stays available
+    # explicitly via try_cast/raise_error where a query wants it.
+    "spark.sql.ansi.enabled": "false",
     # Catalog tables (bucketed layouts) land outside the repo tree.
     "spark.sql.warehouse.dir": "/tmp/spark-warehouse",
     # The synthetic events table stores timestamp[ns]; Spark has no nanos

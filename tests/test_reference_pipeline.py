@@ -166,3 +166,21 @@ def test_validation_gate_permissive_read(spark):
     assert raw.count() == 3
     std = unnest_and_standardize(raw)
     assert std.filter(F.col("open").isNull()).count() == 0
+
+
+def test_zero_division_yields_null_policy(spark):
+    """SURVEY §2.D.2: the engine's declared semantics are NULL on x/0 and
+    NULL on invalid cast (drop-don't-crash), matching the DuckDB oracle —
+    never pandas inf, never an ANSI exception."""
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(
+            (F.lit(1.0) / F.lit(0.0)).alias("fdiv"),
+            (F.lit(5) / F.lit(0)).alias("idiv"),
+            F.lit("not_a_number").cast("long").alias("badcast"),
+        )
+        .collect()[0]
+    )
+    assert row.fdiv is None and row.idiv is None and row.badcast is None
