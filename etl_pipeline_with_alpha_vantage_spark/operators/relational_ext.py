@@ -620,3 +620,99 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.endswith(F.col("source"), F.lit("1")).alias("ends_one"),
         F.levenshtein("lang", F.lit("en")).cast("long").alias("lang_dist_en"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 — forecasting revenue change (pure scan-side filter + agg)
+# --------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT
+    CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+         / 10000.0 AS DOUBLE) AS revenue,
+    CAST(COUNT(*) AS BIGINT)  AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", oracle=_Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the canonical scan-bound query — every predicate reaches
+    the parquet scan (PushedFilters on shipdate/discount/quantity), the
+    read schema is 4 columns of 11, and the whole plan is scan → partial
+    agg → single-row final agg. No shuffle beyond the 1-row exchange;
+    at 100 TB this is I/O-bound and prunes both columns and row groups.
+    The product is scaled by 10^4 (two 2-dp factors) for exact
+    cross-engine summation."""
+    li = table(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    cents4 = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000
+    ).cast("long")
+    return sel.agg(
+        (F.sum(cents4) / 10000.0).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10 — returned-item reporting (4-way join + group + top-k)
+# --------------------------------------------------------------------------
+
+_Q10_ORACLE = """
+SELECT
+    c.c_custkey,
+    c.c_name,
+    CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT)) / 10000.0 AS DOUBLE) AS revenue,
+    n.n_name
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_items", oracle=_Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned the most — lineitem filtered on
+    returnflag at the scan, orders pruned on the quarter, the nation dim
+    broadcast; then one aggregation and a top-20 TakeOrderedAndProject.
+    Ties broken by custkey so the limit is deterministic."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    cents4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(cents4) / 10000.0).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
