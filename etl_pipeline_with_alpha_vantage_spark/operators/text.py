@@ -324,3 +324,46 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X17f — BPE-style subword token estimate (regex pre-tokenizer)
+# --------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer classes, restricted to RE2-compatible syntax
+# (no lookahead) so the same pattern runs in Spark (Java regex) and the
+# DuckDB oracle (RE2): letter runs | digit runs | punctuation runs.
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+
+_BPE_ORACLE = f"""
+SELECT
+    doc_id,
+    CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_pieces,
+    CAST(n_chars AS DOUBLE)
+        / len(regexp_extract_all(text, '{_BPE_RE}'))           AS chars_per_piece,
+    CAST(len(list_filter(regexp_extract_all(text, '{_BPE_RE}'),
+                         p -> p ~ '^[0-9]+$')) AS BIGINT)      AS n_digit_pieces
+FROM documents
+WHERE doc_id % 11 = 0
+"""
+
+
+@query("text_bpe_token_estimate", oracle=_BPE_ORACLE)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: BPE-ish token-count estimate — the budget metric every
+    LLM-corpus pipeline tracks. A GPT-2-style pre-tokenizer regex splits
+    letter/digit/punctuation runs (the stage BPE merges start from);
+    piece count ≈ token count upper bound, chars/piece ≈ compression
+    ratio. One regexp_extract_all per document inside the scan stage —
+    narrow, no shuffle."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    pieces = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    n_pieces = F.size(pieces)
+    return docs.select(
+        "doc_id",
+        n_pieces.cast("long").alias("n_pieces"),
+        (F.col("n_chars").cast("double") / n_pieces).alias("chars_per_piece"),
+        F.size(
+            F.filter(pieces, lambda p: p.rlike("^[0-9]+$"))
+        ).cast("long").alias("n_digit_pieces"),
+    )

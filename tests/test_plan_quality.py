@@ -92,6 +92,15 @@ def test_aggs_have_partial_stage(spark, sf_dir, name):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_q6_is_scan_bound(spark, sf_dir):
+    """TPC-H Q6 must push every predicate to the scan and read only the
+    4 referenced columns of lineitem's 11."""
+    plan = plan_of(spark, "q6_forecast_revenue", sf_dir)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert pushed and any("l_shipdate" in p and "l_discount" in p for p in pushed), plan
+    assert max(read_widths(plan)) <= 4, plan
+
+
 def test_exists_decorrelates_to_semi_and_anti(spark, sf_dir):
     """Correlated EXISTS / NOT EXISTS must decorrelate into hash
     semi/anti joins — never a per-row subquery or cartesian."""
