@@ -169,3 +169,78 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "n_frames", F.col("idx").cast("int").alias("frame_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Resize plumbing (aspect-preserving fit into 224×224)
+# --------------------------------------------------------------------------
+
+_TARGET = 224
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("dst_w", IntegerType()),
+        StructField("dst_h", IntegerType()),
+        StructField("scale_pct", DoubleType()),
+    ]
+)
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Aspect-preserving fit: scale = TARGET / max(w, h), floor dims, min 1.
+    A real implementation calls PIL.Image.resize on the decoded pixels in
+    this same loop; the geometry (and the Spark plumbing) is identical."""
+    for pdf in batches:
+        w = pdf["src_w"]
+        h = pdf["src_h"]
+        long_side = w.where(w >= h, h)
+        dst_w = (w * _TARGET // long_side).clip(lower=1).astype("int32")
+        dst_h = (h * _TARGET // long_side).clip(lower=1).astype("int32")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "src_w": w,
+                "src_h": h,
+                "dst_w": dst_w,
+                "dst_h": dst_h,
+                "scale_pct": (dst_w * dst_h * 100.0) / (w * h),
+            }
+        )
+
+
+_RESIZE_ORACLE = f"""
+WITH dims AS (
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS src_w,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS src_h
+    FROM documents WHERE doc_id % 7 = 0
+)
+SELECT
+    doc_id, src_w, src_h,
+    CAST(greatest(src_w * {_TARGET} // greatest(src_w, src_h), 1) AS INTEGER) AS dst_w,
+    CAST(greatest(src_h * {_TARGET} // greatest(src_w, src_h), 1) AS INTEGER) AS dst_h,
+    CAST(greatest(src_w * {_TARGET} // greatest(src_w, src_h), 1)
+       * greatest(src_h * {_TARGET} // greatest(src_w, src_h), 1) * 100.0
+       / (src_w * src_h) AS DOUBLE) AS scale_pct
+FROM dims
+"""
+
+
+@query("multimodal_resize", oracle=_RESIZE_ORACLE)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: synthetic source dims from the blob (same
+    derivation as multimodal_metadata), aspect-preserving fit into
+    224×224 computed per Arrow batch in mapInPandas — the exact batch
+    shape a PIL/torchvision resize drops into. Integer geometry, so the
+    oracle reproduces it exactly."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    blob_len = F.length(F.encode("text", "UTF-8"))
+    dims = docs.select(
+        "doc_id",
+        (blob_len % 640 + 1).cast("int").alias("src_w"),
+        (blob_len % 480 + 1).cast("int").alias("src_h"),
+    )
+    return dims.mapInPandas(_resize_batch, _RESIZE_SCHEMA)
