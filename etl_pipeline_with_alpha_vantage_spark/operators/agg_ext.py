@@ -189,3 +189,35 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "orders"):
         table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_EXISTS_SQL)
+
+
+_REGR_ORACLE = """
+SELECT
+    event_type,
+    CAST(regr_count(value, CAST(user_id AS DOUBLE)) AS BIGINT)  AS n,
+    round(regr_slope(value, CAST(user_id AS DOUBLE)), 6)        AS slope,
+    round(regr_intercept(value, CAST(user_id AS DOUBLE)), 6)    AS intercept,
+    round(regr_r2(value, CAST(user_id AS DOUBLE)), 6)           AS r2,
+    round(regr_avgx(value, CAST(user_id AS DOUBLE)), 6)         AS avg_x,
+    round(regr_avgy(value, CAST(user_id AS DOUBLE)), 6)         AS avg_y
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("agg_regression", oracle=_REGR_ORACLE)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: SQL-standard linear-regression aggregates (slope / intercept /
+    R² / means) per group — one pass, same partial+final hash-agg shape
+    as sum/avg. Rounded to 6 dp: the co-moment merges are summation-order
+    sensitive in the last ulps on any parallel engine."""
+    ev = table(spark, sf_dir, "events")
+    y, x = "value", F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
+    )
