@@ -401,6 +401,15 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 200)
         .select("doc_id")
     )
+    return connected_components(nodes, pairs)
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = _CC_MAX_ITER
+) -> DataFrame:
+    """Min-label propagation: (doc_id) × (doc_a, doc_b) → (doc_id,
+    cluster_id) with cluster_id = smallest doc_id in the component.
+    One shuffle per sweep; stops at the first unchanged sweep."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(
@@ -410,7 +419,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(_CC_MAX_ITER):
+    for _ in range(max_iter):
         neighbor = (
             edges.join(labels, edges.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "cluster_id")

@@ -716,3 +716,83 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Part/brand revenue — per-group top-k over a 2-table join (uses `part`)
+# --------------------------------------------------------------------------
+
+_BRAND_ORACLE = """
+WITH rev AS (
+    SELECT
+        p.p_brand,
+        p.p_partkey,
+        SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                 AS BIGINT)) AS rev4
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand, p.p_partkey
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY p_brand ORDER BY rev4 DESC, p_partkey) AS rn
+    FROM rev
+)
+SELECT p_brand, p_partkey,
+       CAST(rev4 / 10000.0 AS DOUBLE) AS revenue,
+       CAST(rn AS BIGINT)             AS brand_rank
+FROM ranked WHERE rn <= 3
+"""
+
+
+@query("part_brand_top_revenue", oracle=_BRAND_ORACLE)
+def part_brand_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue parts per brand: fact→dim equi-join (part broadcast
+    at dim scale), one aggregation on (brand, partkey), then a per-group
+    window filter — ranking work is proportional to groups, not lineitem
+    rows. Revenue ranked on the exact scaled integer so ties and order
+    match the oracle bit-for-bit."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(rev4).alias("rev4"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("rev4").desc(), "p_partkey"
+    )
+    return (
+        rev.withColumn("brand_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("brand_rank") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            (F.col("rev4") / 10000.0).cast("double").alias("revenue"),
+            "brand_rank",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X7b — approximate percentiles (t-digest; rows-only + tolerance test)
+# --------------------------------------------------------------------------
+
+
+@query("percentile_approx_stats")  # approximate → no SQL oracle (rows-only)
+def percentile_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: approx_percentile with accuracy 10⁴ — the 100 TB replacement
+    for exact percentiles (percentile_stats): constant-size sketch per
+    group, mergeable map-side, no per-group sort. Tests bound its error
+    against the exact quantiles."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -124,3 +124,64 @@ def test_upsert_ignore_converges_to_distinct_keys(
         df = dedup_in_batch(to_df(batch), ["symbol", "date"], "payload")
         assert upsert_ignore(spark, df, path, ["symbol", "date"]) == 0
     assert spark.read.parquet(path).count() == len(all_keys)
+
+
+edge_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=19),
+        st.integers(min_value=0, max_value=19),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw_edges=edge_strategy)
+def test_connected_components_matches_union_find(spark, raw_edges):
+    """The distributed min-label propagation must agree with a plain
+    union-find referee on arbitrary random graphs over 20 nodes."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n_nodes = 20
+    edges = [(min(a, b), max(a, b)) for a, b in raw_edges]
+    nodes_df = spark.createDataFrame(
+        [(i,) for i in range(n_nodes)], "doc_id long"
+    )
+    pairs_df = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        pairs_df = pairs_df.filter("doc_a <> doc_b")  # empty edge set
+
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes_df, pairs_df, max_iter=25).collect()
+    }
+
+    # referee: union-find with path compression
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for i in range(n_nodes):
+        root = find(i)
+        comp_min = min(j for j in range(n_nodes) if find(j) == root)
+        want[i] = comp_min
+
+    assert got == want

@@ -138,3 +138,22 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_approx_percentile_rank_accuracy(spark, sf_dir):
+    """approx_percentile returns an actual data point, so the right
+    accuracy measure is RANK error, not value error: the empirical
+    quantile of the returned point must be within 2 points of the target
+    for every event_type."""
+    from etl_pipeline_with_alpha_vantage_spark.catalog import table
+
+    values: dict[str, list] = {}
+    for r in table(spark, sf_dir, "events").select("event_type", "value").collect():
+        values.setdefault(r.event_type, []).append(r.value)
+    for r in QUERIES["percentile_approx_stats"](spark, sf_dir).collect():
+        vs = sorted(values[r.event_type])
+        n = len(vs)
+        for approx, q in ((r.p50_approx, 0.50), (r.p95_approx, 0.95)):
+            assert approx in values[r.event_type]  # a real data point
+            rank = sum(1 for v in vs if v <= approx) / n
+            assert abs(rank - q) <= 0.02, (r.event_type, q, rank)
