@@ -199,6 +199,11 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("qt"),
         F.col("bucket").alias("qbucket"),
     )
+    # Cosine is computed INSIDE the join projection so the multi-table
+    # duplicate elimination is a narrow 3-scalar HashAggregate — carrying
+    # the embedding arrays through dropDuplicates would force a
+    # SortAggregate (arrays aren't hash-agg buffer types). The duplicate
+    # score computation per (table hit) is cheaper than sorting pairs.
     cand = (
         exploded.join(
             F.broadcast(q),
@@ -206,15 +211,14 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qemb", "qnorm", "emb", "norm")
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
-            "neighbor_id",
+            F.col("vec_id").alias("neighbor_id"),
             F.round(
                 _dot("qemb", "emb") / (F.col("qnorm") * F.col("norm")), 6
             ).alias("cosine"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -77,6 +77,29 @@ def test_asof_join_single_shuffle_no_blowup(spark, sf_dir):
     assert "Window" in plan
 
 
+# Queries where a nested-loop join is the INTENDED plan: bounded cross
+# join, brute-force scoring against a broadcast query set, band range join.
+_NESTED_LOOP_OK = {
+    "cross_join_grid",
+    "similarity_topk_brute",
+    "dedup_embedding_cosine",
+    "range_join_bands",
+}
+
+
+def test_no_cartesian_anywhere_no_unintended_nested_loops(spark, sf_dir):
+    """Global plan lint: no query may plan a CartesianProduct, and only
+    the whitelisted (bounded) queries may plan a nested-loop join."""
+    offenders = []
+    for name in sorted(registry.QUERIES):
+        plan = plan_of(spark, name, sf_dir, mode="simple")
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in _NESTED_LOOP_OK:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
