@@ -199,26 +199,50 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("qt"),
         F.col("bucket").alias("qbucket"),
     )
-    # Cosine is computed INSIDE the join projection so the multi-table
-    # duplicate elimination is a narrow 3-scalar HashAggregate — carrying
-    # the embedding arrays through dropDuplicates would force a
-    # SortAggregate (arrays aren't hash-agg buffer types). The duplicate
-    # score computation per (table hit) is cheaper than sorting pairs.
-    cand = (
-        exploded.join(
-            F.broadcast(q),
+    # Stage 1 — candidate IDs only: the bucket join emits bare
+    # (query_id, neighbor_id) pairs and dedups them in a narrow
+    # HashAggregate (arrays through dropDuplicates would force a
+    # SortAggregate; scoring before dedup would pay the cosine once per
+    # band hit, up to n_tables× per pair).
+    cand_ids = (
+        exploded.select("vec_id", "t", "bucket")
+        .join(
+            F.broadcast(
+                q.select("query_id", "qt", "qbucket")
+            ),
             (F.col("t") == F.col("qt"))
             & (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    # Stage 2 — gather vectors for the surviving candidates and score
+    # each unique pair exactly once (plain corpus scan, no LSH UDF).
+    corpus_vecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb"),
+        F.col("norm"),
+    )
+    qvecs = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    cand = (
+        F.broadcast(cand_ids)
+        .join(corpus_vecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
         .select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
+            "neighbor_id",
             F.round(
                 _dot("qemb", "emb") / (F.col("qnorm") * F.col("norm")), 6
             ).alias("cosine"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
