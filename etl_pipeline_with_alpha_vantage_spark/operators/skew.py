@@ -67,3 +67,62 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct groupBy funnels everything into 5 reducers. The oracle is the
     plain GROUP BY: salting must be invisible in the result."""
     return salted_agg(table(spark, sf_dir, "events"), "event_type")
+
+
+# --------------------------------------------------------------------------
+# Salted JOIN (the join-side complement; AQE covers this adaptively, the
+# explicit form is for engines/pipelines that must not rely on runtime
+# re-planning, and for skew known ahead of time)
+# --------------------------------------------------------------------------
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_col: Column,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Skew-proof equi-join: the dim side is replicated n_salts× (explode),
+    the fact side gets a deterministic salt from ``salt_col``, and the join
+    runs on (key, salt) — a hot key's rows spread over n_salts reducers
+    instead of one. Result ≡ fact ⋈ dim on key. Cost: dim × n_salts rows
+    (fine for dim tables; never salt two fact tables this way)."""
+    dim_salted = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    fact_salted = fact.withColumn("__salt", F.pmod(salt_col, F.lit(n_salts)))
+    return fact_salted.join(dim_salted, [key, "__salt"]).drop("__salt")
+
+
+_SALTED_JOIN_ORACLE = """
+WITH profile AS (
+    SELECT user_id,
+           COUNT(*) AS user_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE)
+               AS user_value
+    FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, p.user_events, p.user_value
+FROM events e JOIN profile p ON p.user_id = e.user_id
+WHERE e.event_id % 17 = 0
+"""
+
+
+@query("join_salted_skew", oracle=_SALTED_JOIN_ORACLE)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4.3: explicit salted fact⋈dim join — per-user profile joined back
+    to the event stream with the fact side salted on event_id. The oracle
+    is the unsalted join: salting must be result-invisible. (AQE's
+    skew-join split handles this adaptively; the explicit form documents
+    the technique and survives with AQE off.)"""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    profile = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events"),
+        (F.sum(cents) / 100.0).cast("double").alias("user_value"),
+    )
+    fact = ev.filter(F.col("event_id") % 17 == 0).select("event_id", "user_id")
+    return salted_join(
+        fact, profile, "user_id", F.col("event_id")
+    ).select("event_id", "user_id", "user_events", "user_value")

@@ -1,0 +1,72 @@
+"""Warehouse layout maintenance (SURVEY.md §4.3).
+
+Two layout levers a 100 TB warehouse lives or dies by:
+
+- ``write_partitioned``: hive-style partition directories so date/key
+  predicates prune entire directories at planning time (PartitionFilters
+  in the scan — zero I/O for untouched partitions).
+- ``compact``: small-file compaction. Streaming/incremental ingest leaves
+  many ~KB files; scans then pay per-file open cost and lose row-group
+  statistics. Rewriting a partition into ~target-size files restores scan
+  efficiency. Idempotent per run (rewrite-then-swap within one call).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-layout parquet write; partition columns become directories."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Rewrite a parquet directory into ⌈size/target⌉ files.
+
+    Returns (files_before, files_after). The rewrite goes through a temp
+    directory then swaps, so a crash mid-compaction leaves the original
+    data intact. At real scale this runs per-partition (compact only the
+    partitions whose small-file count crossed a threshold), driven by the
+    same directory listing used here.
+    """
+
+    def parquet_files(p: str) -> list[str]:
+        return [
+            os.path.join(root, f)
+            for root, _d, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet") or f.startswith("part-")
+        ]
+
+    before = parquet_files(path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, -(-total_bytes // target_file_bytes))
+
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    try:
+        (
+            spark.read.parquet(path)
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        swap = path.rstrip("/") + ".old"
+        os.rename(path, swap)
+        os.rename(tmp, path)
+        shutil.rmtree(swap)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return len(before), len(parquet_files(path))
