@@ -255,3 +255,56 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("purchase_value"),
     )
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS vts FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS cts
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.vts
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS pts
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.cts
+    GROUP BY e.user_id
+)
+SELECT
+    CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT) AS n_users,
+    CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+    CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
+    CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click
+"""
+
+
+@query("funnel_conversion", oracle=_FUNNEL_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): each stage keeps users
+    whose first qualifying event happens strictly AFTER their previous
+    stage's first event. Three filtered aggregations chained by equi-joins
+    on user_id — every stage reuses the same hash partitioning, and each
+    stage's input shrinks, so the funnel costs barely more than one
+    aggregation at any scale.
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def stage(evt: str, prev: DataFrame | None, prev_ts: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == evt)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"{evt[0]}ts"))
+
+    v = stage("view", None, "")
+    c = stage("click", v, "vts")
+    p = stage("purchase", c, "cts")
+    return (
+        ev.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_viewed")))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
