@@ -84,6 +84,7 @@ _NESTED_LOOP_OK = {
     "similarity_topk_brute",
     "dedup_embedding_cosine",
     "range_join_bands",
+    "funnel_conversion",  # assembles four single-row aggregates
 }
 
 
