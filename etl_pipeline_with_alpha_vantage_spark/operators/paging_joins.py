@@ -85,3 +85,37 @@ def explode_outer_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.explode_outer(longs).alias("long_token")
     )
+
+
+_BITWISE_ORACLE = """
+SELECT
+    event_id,
+    CAST(event_id & user_id AS BIGINT)        AS b_and,
+    CAST(event_id | user_id AS BIGINT)        AS b_or,
+    CAST(xor(event_id, user_id) AS BIGINT)    AS b_xor,
+    CAST(user_id << 3 AS BIGINT)              AS b_shl,
+    CAST(event_id >> 2 AS BIGINT)             AS b_shr,
+    CAST(bit_count(event_id) AS INTEGER)      AS b_pop,
+    hex(user_id)                              AS u_hex
+FROM events
+WHERE event_id % 31 = 0
+"""
+
+
+@query("scalar_bitwise_funcs", oracle=_BITWISE_ORACLE)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: bitwise scalar surface (&, |, xor, shifts, popcount, hex) —
+    the primitives the engine's own signature operators (simhash bands,
+    LSH buckets) are built from, exposed as query-level functions."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 31 == 0)
+    e, u = F.col("event_id"), F.col("user_id")
+    return ev.select(
+        "event_id",
+        e.bitwiseAND(u).alias("b_and"),
+        e.bitwiseOR(u).alias("b_or"),
+        e.bitwiseXOR(u).alias("b_xor"),
+        F.shiftleft(u, 3).cast("long").alias("b_shl"),
+        F.shiftright(e, 2).cast("long").alias("b_shr"),
+        F.bit_count(e).alias("b_pop"),
+        F.hex(u).alias("u_hex"),
+    )
