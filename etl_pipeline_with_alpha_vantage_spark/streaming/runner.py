@@ -154,3 +154,40 @@ def attribution_join_stream(
             "lag_us"
         ),
     )
+
+
+def run_stream_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse_path: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+    timeout_sec: int = 120,
+) -> None:
+    """O1+L2 composed as a stream: file-source events → foreachBatch →
+    idempotent upsert-ignore warehouse load.
+
+    This is the reference's scheduled fetch→INSERT IGNORE loop
+    (etl.py:139-156, 227-235) in its Spark-native form: the file-source
+    checkpoint gives exactly-once per input file, and the anti-join
+    inside upsert_ignore makes every micro-batch idempotent on the
+    natural key — so re-delivered data changes nothing, even across
+    restarts with a fresh checkpoint.
+    """
+    from ..sinks.idempotent import upsert_ignore
+
+    key_cols = list(keys or ["event_id"])
+    stream = read_events_stream(spark, sf_dir)
+
+    def load_batch(batch_df, batch_id: int) -> None:
+        upsert_ignore(spark, batch_df, warehouse_path, key_cols)
+
+    q = (
+        stream.writeStream.foreachBatch(load_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()

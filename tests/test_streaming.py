@@ -157,3 +157,35 @@ def test_approx_percentile_rank_accuracy(spark, sf_dir):
             assert approx in values[r.event_type]  # a real data point
             rank = sum(1 for v in vs if v <= approx) / n
             assert abs(rank - q) <= 0.02, (r.event_type, q, rank)
+
+
+def test_stream_foreachbatch_upsert_idempotent(spark, sf_dir, tmp_path):
+    """Streaming ingest through the INSERT IGNORE sink: the warehouse
+    ends with exactly one row per event_id, and replaying the same data
+    (duplicate file, fresh checkpoint — so the file-source dedup can't
+    help) still changes nothing because the sink itself is idempotent."""
+    import shutil
+
+    from etl_pipeline_with_alpha_vantage_spark.catalog import table
+    from etl_pipeline_with_alpha_vantage_spark.streaming.runner import (
+        run_stream_upsert,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", indir / "events.parquet")
+    wh = str(tmp_path / "wh")
+
+    run_stream_upsert(spark, str(indir), wh, str(tmp_path / "ckpt1"))
+    n_expected = table(spark, sf_dir, "events").count()
+    assert spark.read.parquet(wh).count() == n_expected
+
+    # same data re-delivered under a NEW checkpoint: only the sink's
+    # anti-join stands between us and duplicates
+    shutil.copy(f"{sf_dir}/events.parquet", indir / "events_dup.parquet")
+    run_stream_upsert(spark, str(indir), wh, str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(wh).count() == n_expected
+    assert (
+        spark.read.parquet(wh).select("event_id").distinct().count()
+        == n_expected
+    )
