@@ -796,3 +796,47 @@ def percentile_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# X13 — schema'd JSON parse → transform → re-serialize roundtrip
+# --------------------------------------------------------------------------
+
+_JSON_RT_ORACLE = """
+SELECT
+    event_id,
+    CAST(json_extract(props, '$.k') AS BIGINT)          AS k,
+    (CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL) AS parsed_ok,
+    CAST(json_object(
+        'k', CAST(json_extract(props, '$.k') AS BIGINT) * 2,
+        't', event_type
+    ) AS VARCHAR)                                       AS enriched_json
+FROM events
+WHERE event_id % 19 = 0
+"""
+
+
+@query("scalar_json_roundtrip", oracle=_JSON_RT_ORACLE)
+def scalar_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: the full JSON lifecycle — from_json with a declared schema
+    (the typed path, unlike get_json_object's string extraction),
+    validity flag, transform, and to_json re-serialization. Spark and
+    DuckDB emit byte-identical compact JSON for integer/string fields,
+    so even the serialized string is oracle-checked."""
+    from pyspark.sql.types import LongType, StructField as SF_, StructType as ST_
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 19 == 0)
+    parsed = ev.withColumn(
+        "p", F.from_json("props", ST_([SF_("k", LongType())]))
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.col("p.k").isNotNull().alias("parsed_ok"),
+        F.to_json(
+            F.struct(
+                (F.col("p.k") * 2).alias("k"),
+                F.col("event_type").alias("t"),
+            )
+        ).alias("enriched_json"),
+    )
