@@ -14,8 +14,6 @@ rounding first makes the rank (and the hash-checked output) deterministic.
 
 from __future__ import annotations
 
-from functools import reduce
-
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -111,7 +109,6 @@ def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_PLANES = 8  # 256 buckets (single-table bucketing, used by lsh_bucket)
 N_TABLES = 12  # multi-table LSH: candidate if ANY table's bucket matches
 BITS_PER_TABLE = 6
 
@@ -128,18 +125,6 @@ def _plane(dim: int, p: int) -> list[float]:
         x ^= x >> 16
         weights.append((x % 2001) / 1000.0 - 1.0)
     return weights
-
-
-def lsh_bucket(vec_col: str, dim: int = 64, n_planes: int = N_PLANES) -> Column:
-    """Random-hyperplane LSH bucket id: bit p = sign(v · plane_p)."""
-    bits = []
-    for p in range(n_planes):
-        w = F.array(*[F.lit(x) for x in _plane(dim, p)])
-        proj = _dot(vec_col, w)
-        bits.append(
-            F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    return reduce(lambda a, b: a.bitwiseOR(b), bits)
 
 
 def _plane_matrix(dim: int, n_planes: int):
