@@ -96,9 +96,10 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
         for r in QUERIES["similarity_lsh_topk"](spark, sf_dir).collect()
     }
     assert lsh, "LSH produced no candidates"
-    # every LSH hit is a real vector pair with computed cosine; recall is
-    # data-dependent — require non-trivial overlap with the exact answer
-    assert len(lsh & brute) > 0
+    # deterministic pipeline → recall is a fixed number per sf
+    # (measured: 0.52 @ sf0.001, 0.34 @ sf0.01); floor with margin
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.25, f"LSH recall {recall:.3f} below floor"
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
@@ -112,7 +113,9 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
     assert ivf, "IVF produced no candidates"
     assert all(-1.0 <= r.cosine <= 1.0 for r in ivf_rows)
-    assert len(ivf & brute) > 0
+    # measured: 0.68 @ sf0.001, 0.56 @ sf0.01; floor with margin
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.40, f"IVF recall {recall:.3f} below floor"
 
 
 def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
