@@ -137,3 +137,65 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("band_value"),
     )
+
+
+_ASOF_FWD_ORACLE = """
+SELECT
+    p.event_id AS purchase_id,
+    p.user_id  AS user_id,
+    p.ts       AS purchase_ts,
+    c.event_id AS next_click_id,
+    c.ts       AS next_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts <= c.ts
+"""
+
+
+@query("asof_join_forward", oracle=_ASOF_FWD_ORACLE)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: forward as-of — for each purchase, the EARLIEST click at or
+    after it (did the user come back?). Same union-window shape as the
+    backward asof_join but mirrored: first(ignorenulls) over a
+    current-row→unbounded-following frame, with kind ordering a
+    same-timestamp click *after* the purchase so the inclusive ``<=``
+    bound matches DuckDB's forward ASOF. Still one shuffle, no row
+    multiplication."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", F.coalesce("click_id", "purchase_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = merged.select(
+        "user_id",
+        "ts",
+        "kind",
+        "purchase_id",
+        F.first("click_id", ignorenulls=True).over(w).alias("next_click_id"),
+        F.first(
+            F.when(F.col("click_id").isNotNull(), F.col("ts")), ignorenulls=True
+        ).over(w).alias("next_click_ts"),
+    )
+    return carried.filter(F.col("kind") == 0).select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "next_click_id",
+        "next_click_ts",
+    )
