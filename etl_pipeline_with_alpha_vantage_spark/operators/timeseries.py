@@ -308,3 +308,44 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
     )
+
+
+_SPLIT_ORACLE = """
+WITH b AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket
+    FROM documents
+)
+SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@query("sample_hash_split", oracle=_SPLIT_ORACLE)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment — the split every
+    training pipeline needs to be REPRODUCIBLE and engine-independent:
+    bucket = md5(key) mod 100, so the same document lands in the same
+    split on any engine, any run, any shard count (rand()-based splits
+    guarantee none of that). Narrow projection, no shuffle; at 100 TB the
+    split is a free column, not a materialization."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
