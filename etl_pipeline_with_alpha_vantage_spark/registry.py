@@ -62,6 +62,7 @@ def load_all() -> None:
         skew,
         text,
         timeseries,
+        tpch_suite,
         udf,
         windows,
     )

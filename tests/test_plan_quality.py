@@ -85,6 +85,7 @@ _NESTED_LOOP_OK = {
     "dedup_embedding_cosine",
     "range_join_bands",
     "funnel_conversion",  # assembles four single-row aggregates
+    "q22_dormant_value",  # 1-row scalar-subquery (global avg) broadcast
 }
 
 
