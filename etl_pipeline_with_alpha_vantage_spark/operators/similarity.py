@@ -416,3 +416,57 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= 0.4)
+
+
+# --------------------------------------------------------------------------
+# Per-label centroids — the vector *aggregate* the ANN/IVF path builds on
+# --------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+WITH ex AS (
+    SELECT label,
+           generate_subscripts(embedding, 1) AS pos,
+           unnest(embedding)                 AS x
+    FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(pos AS BIGINT)   AS pos,
+       CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1000000.0 AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM ex
+GROUP BY 1, 2
+"""
+
+
+@query("embedding_centroids", oracle=_CENTROID_ORACLE)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-label, per-dimension centroid of the embedding column —
+    the building block of every distributed k-means / IVF codebook step
+    (similarity_ivf_topk trains on exactly this shape).
+
+    Cross-row double addition is order-dependent, so the mean is computed
+    in scaled integers (×10⁶, exact for float32 inputs) and divided once —
+    both engines produce the identical double. Output is long-form
+    (label, pos, centroid): hashing arrays would depend on engine-side
+    array rendering; rows don't.
+
+    Scale: posexplode multiplies rows ×64 but the partial aggregation
+    collapses them map-side to (labels × dims) rows before the single
+    shuffle — state is bounded by the codebook size, not the corpus.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos0", "x"),
+    )
+    xc = F.round(F.col("x").cast("double") * 1_000_000).cast("long")
+    return (
+        ex.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            (F.sum(xc).cast("double") / F.count(F.lit(1)) / 1_000_000.0).alias(
+                "centroid"
+            ),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

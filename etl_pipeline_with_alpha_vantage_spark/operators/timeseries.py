@@ -349,3 +349,61 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+_MIX_ORACLE = """
+WITH b AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS bucket,
+           CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+                THEN 100
+                WHEN source IN ('src5', 'src6', 'src7', 'src8', 'src9')
+                THEN 50
+                ELSE 25 END AS keep_pct
+    FROM documents
+)
+SELECT doc_id, source, CAST(keep_pct AS BIGINT) AS keep_pct
+FROM b
+WHERE bucket < keep_pct
+"""
+
+
+@query("data_mix_weighted", oracle=_MIX_ORACLE)
+def data_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing — the training-data recipe step: keep 100%
+    of high-quality sources, 50% of mid-tier, 25% of the rest, chosen by
+    a salted deterministic hash (md5('mix:'||doc_id) mod 100) so the mix
+    is reproducible on any engine and *independent* of the
+    sample_hash_split bucketing (different salt → uncorrelated buckets —
+    sampling with the same hash would make the mix and the split
+    interact).
+
+    Scale: pure narrow projection+filter — no shuffle, no state; at
+    100 TB the mix is applied inline during the scan, and the keep_pct
+    column doubles as the row's sampling weight for loss reweighting.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    keep_pct = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 100)
+        .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 50)
+        .otherwise(25)
+        .cast("long")
+    )
+    return (
+        docs.select(
+            "doc_id", "source", bucket.alias("bucket"), keep_pct.alias("keep_pct")
+        )
+        .filter(F.col("bucket") < F.col("keep_pct"))
+        .select("doc_id", "source", "keep_pct")
+    )

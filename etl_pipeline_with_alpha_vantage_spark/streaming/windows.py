@@ -251,3 +251,59 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
         ).alias("lag_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-static enrichment join (dimension broadcast into a stream)
+# --------------------------------------------------------------------------
+
+
+def enrich_events_with_segment(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: attach the customer's market segment to each
+    event. Works identically on a batch or streaming `events` DataFrame —
+    a stream-static equi-join is stateless (each micro-batch probes the
+    static side), so no watermark is needed and append mode is legal.
+
+    The dim side is explicitly broadcast: at 100 TB of events the static
+    table is re-read per micro-batch, and shipping it to executors once
+    per batch beats shuffling the stream every time.
+    """
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return events.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "event_type", "value", "c_mktsegment"
+    )
+
+
+_ENRICH_ORACLE = """
+SELECT
+    c.c_mktsegment,
+    e.event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS DOUBLE)
+        AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
+@query("stream_static_enrich", oracle=_ENRICH_ORACLE)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18: batch twin of the stream-static enrichment — the same
+    `enrich_events_with_segment` join, rolled up per (segment, type).
+    `test_stream_static_join_equals_batch` runs the identical join as a
+    true file-source stream and asserts the aggregated sink matches."""
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        enrich_events_with_segment(ev, cust)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

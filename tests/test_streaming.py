@@ -192,3 +192,40 @@ def test_stream_foreachbatch_upsert_idempotent(spark, sf_dir, tmp_path):
         spark.read.parquet(wh).select("event_id").distinct().count()
         == n_expected
     )
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-static enrichment: the broadcast dim join applied to a real
+    file-source stream (append mode — the join is stateless) must produce
+    exactly the rows the batch twin aggregates over."""
+    from etl_pipeline_with_alpha_vantage_spark.catalog import table
+    from etl_pipeline_with_alpha_vantage_spark.streaming.windows import (
+        enrich_events_with_segment,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    enriched = enrich_events_with_segment(stream, table(spark, sf_dir, "customer"))
+    assert enriched.isStreaming
+    run_available_now(
+        enriched, "enrich_out", checkpoint_dir=str(tmp_path), output_mode="append"
+    )
+
+    from pyspark.sql import functions as F
+
+    streamed = {
+        tuple(r)
+        for r in spark.table("enrich_out")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    batch = {
+        tuple(r) for r in QUERIES["stream_static_enrich"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
