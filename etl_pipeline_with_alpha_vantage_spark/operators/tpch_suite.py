@@ -694,3 +694,104 @@ def q22_dormant_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS self-joins)
+# --------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+SELECT
+    s.s_name,
+    CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+JOIN nation n    ON n.n_nationkey = s.s_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND n.n_name IN ('NATION_7', 'NATION_12', 'NATION_21')
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+"""
+
+
+@query("q21_waiting_suppliers", oracle=_Q21_ORACLE)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: for finished orders, count late lineitems of
+    suppliers who were the *only* late supplier on a multi-supplier
+    order. Adapted: no l_commitdate/l_receiptdate, so "late" is
+    l_shipdate > o_orderdate + 60 days (Q4's convention); single-nation
+    filter widened to a 3-nation IN-list for result mass at small SF.
+
+    The oracle keeps the classic correlated EXISTS + NOT EXISTS
+    self-join form. The Spark plan rewrites both subqueries into ONE
+    per-(order, supplier) aggregation plus a per-order window:
+
+        lineitem ⋈ orders('F')           — orders side broadcasts under
+                                           AQE at bench SF
+        repartition(orderkey)            — ONE narrow-row exchange that
+                                           serves both stages below:
+        groupBy(orderkey, suppkey)       — shuffle-free: hash(orderkey)
+                                           clusters (ok, sk); groups are
+                                           ~1-2 rows, so skipping the
+                                           map-side combine costs nothing
+        Window over orderkey             — count suppliers / late
+                                           suppliers per order, again
+                                           shuffle-free
+        filter supp_late ∧ n_supps ≥ 2 ∧ n_late_supps = 1
+        ⋈ broadcast(supplier ⋈ nation)   — tiny dim
+        groupBy(s_name)                  — final agg on ~100 keys
+
+    Three self-join passes over the fact table become one pass + one
+    exchange — at 100 TB the classic form shuffles lineitem three times,
+    this plan once.
+    """
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.cast("int").alias("is_late"))
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum("is_late").alias("n_late_items"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "n_late_items",
+        F.count(F.lit(1)).over(w).alias("n_supps"),
+        F.sum((F.col("n_late_items") > 0).cast("int")).over(w).alias(
+            "n_late_supps"
+        ),
+    ).filter(
+        (F.col("n_late_items") > 0)
+        & (F.col("n_supps") >= 2)
+        & (F.col("n_late_supps") == 1)
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_7", "NATION_12", "NATION_21")
+    )
+    dim = s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
+    return (
+        flagged.join(F.broadcast(dim), flagged.l_suppkey == dim.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_items").cast("long").alias("numwait"))
+    )
