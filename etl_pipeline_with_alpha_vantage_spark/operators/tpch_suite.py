@@ -795,3 +795,101 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.sum("n_late_items").cast("long").alias("numwait"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important parts by revenue share (agg vs global scalar threshold)
+# --------------------------------------------------------------------------
+
+_Q11_ORACLE = f"""
+WITH per_part AS (
+    SELECT l_partkey, SUM({_SQL_REV_C}) AS rev_c
+    FROM lineitem
+    GROUP BY l_partkey
+),
+total AS (SELECT SUM(rev_c) AS tot_c FROM per_part)
+SELECT p.l_partkey                        AS partkey,
+       CAST(p.rev_c / 1000000.0 AS DOUBLE) AS revenue
+FROM per_part p, total t
+WHERE p.rev_c * 1500 > t.tot_c
+"""
+
+
+@query("q11_important_parts", oracle=_Q11_ORACLE)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value compared against a fraction of
+    the GLOBAL total (HAVING sum > scalar subquery). Adapted: no
+    partsupp, so "value" is lineitem revenue per part and the fraction
+    is 1/1500 (integer threshold ⇒ the comparison is exact bigint
+    arithmetic on both engines).
+
+    The global total is derived FROM the per-part aggregate, not a
+    second scan: both plan branches share the identical
+    groupBy(l_partkey) exchange, which Spark dedupes via ReusedExchange
+    — lineitem is read and shuffled once, and the 1-row total broadcasts
+    back. At 100 TB that halves the dominant cost vs the naive
+    two-scan formulation.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum(_rev_c()).alias("rev_c"))
+    total = per_part.agg(F.sum("rev_c").alias("tot_c"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("rev_c") * 1500 > F.col("tot_c"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("rev_c") / 1_000_000.0).cast("double").alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier relation count (distinct-agg with dim filter + anti-join)
+# --------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p.p_brand,
+       p.p_type,
+       CAST(p.p_size AS BIGINT)                 AS p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 36, 45)
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+  )
+GROUP BY 1, 2, 3
+"""
+
+
+@query("q16_supplier_relation", oracle=_Q16_ORACLE)
+def q16_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can serve each
+    (brand, type, size) bucket, excluding a supplier denylist. Adapted:
+    no partsupp — the part↔supplier relation is the distinct
+    (l_partkey, l_suppkey) pairs observed in lineitem; no s_comment —
+    the "complaints" denylist is s_name LIKE '%7'.
+
+    Plan: the part filter broadcasts INTO the fact scan (semi-reduces
+    lineitem before anything shuffles), the denylist is a broadcast
+    anti-join, and the distinct-pair step is subsumed by
+    count_distinct's own partial-distinct — one exchange total, keyed
+    on the output groups, never a standalone pairs materialization.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 36, 45)
+    )
+    bad = table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").endswith("7")
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -307,3 +307,38 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState) — batch twin
+# --------------------------------------------------------------------------
+
+_STATEFUL_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE)
+           AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("stream_stateful_totals", oracle=_STATEFUL_ORACLE)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19/X20: batch twin of `streaming.stateful.running_user_totals`,
+    the applyInPandasWithState custom operator (exact running
+    (count, cents-sum) state per user, updated each micro-batch).
+    `test_stateful_running_totals_equals_batch` drains the true stream
+    and asserts its final state equals exactly this aggregation.
+
+    Scale note: the streaming operator's state is two bigints per user —
+    bounded by the user population, not event volume — and this batch
+    twin is a single partial+final hash aggregate on user_id.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
+        .cast("double")
+        .alias("total_value"),
+    )
