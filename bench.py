@@ -70,13 +70,14 @@ def main() -> None:
     for t in TABLES:
         table(spark, sf_dir, t).limit(1).collect()
 
-    # Best of 2 runs per query: machine-load noise on shared hardware is
-    # ±20% run-to-run; min-of-2 reports the plan's cost, not the noise.
+    # Best of 3 runs per query: machine-load noise on shared hardware is
+    # ±20% run-to-run and whole-bench load spikes of >2× have been
+    # observed; min-of-3 reports the plan's cost, not the noise.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
