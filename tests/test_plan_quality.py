@@ -86,6 +86,7 @@ _NESTED_LOOP_OK = {
     "range_join_bands",
     "funnel_conversion",  # assembles four single-row aggregates
     "q22_dormant_value",  # 1-row scalar-subquery (global avg) broadcast
+    "q11_important_parts",  # 1-row global-total broadcast (non-equi filter)
 }
 
 
@@ -141,3 +142,35 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, "sessionize_batch", sf_dir, mode="simple")
     n_exchanges = plan.count("Exchange") - plan.count("AQEShuffleRead")
     assert n_exchanges <= 1, plan
+
+
+def test_q21_single_fact_exchange(spark, sf_dir):
+    """Q21's agg+window rewrite must keep ONE hash exchange on the fact
+    path (the explicit orderkey repartition) plus the trivial final agg
+    on s_name — the classic 3-self-join form would shuffle lineitem
+    three times."""
+    plan = plan_of(spark, "q21_waiting_suppliers", sf_dir)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_reuses_partkey_exchange(spark, sf_dir):
+    """Q11 derives the global total FROM the per-part aggregate; the two
+    branches share the groupBy(l_partkey) exchange via ReusedExchange in
+    the final adaptive plan, so lineitem is scanned+shuffled once."""
+    df = registry.QUERIES["q11_important_parts"](spark, sf_dir)
+    # collect() drives df's OWN QueryExecution to its final adaptive plan
+    # (a .write would plan a separate QueryExecution and leave this one
+    # unexecuted)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan
+
+
+def test_q16_broadcasts_dim_and_denylist(spark, sf_dir):
+    """Q16's part filter and supplier denylist must both broadcast —
+    the fact table shuffles only for the distinct-count aggregation."""
+    plan = plan_of(spark, "q16_supplier_relation", sf_dir)
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
