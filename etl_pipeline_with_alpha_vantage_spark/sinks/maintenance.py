@@ -70,3 +70,27 @@ def compact(
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     return len(before), len(parquet_files(path))
+
+
+def export_sorted_shards(
+    df: DataFrame, path: str, sort_col: str, n_shards: int
+) -> None:
+    """Training-data export: ``n_shards`` parquet files, globally range-
+    partitioned and sorted on ``sort_col`` — shard i holds a contiguous,
+    internally-sorted key range strictly below shard i+1's.
+
+    ``repartitionByRange`` samples the key distribution (RangePartitioning
+    exchange) so shards are balanced even under key skew, unlike a
+    hash-modulo split; ``sortWithinPartitions`` then sorts each shard
+    without any global merge. At 100 TB this is the layout that lets a
+    training loader stream shards independently in key order and lets
+    min/max row-group statistics prune point lookups — and it's exactly
+    the plan shape of Spark's own global ``orderBy``, minus the
+    final single-reader merge.
+    """
+    (
+        df.repartitionByRange(n_shards, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

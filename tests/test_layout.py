@@ -59,3 +59,38 @@ def test_compaction_preserves_data(spark, sf_dir, tmp_path):
         F.sum("event_id").alias("s"), F.count("*").alias("n")
     ).collect()[0]
     assert s.n == before_rows
+
+
+def test_sorted_shard_export_is_range_partitioned(spark, sf_dir, tmp_path):
+    """export_sorted_shards must produce the requested shard count, each
+    file internally sorted on the key, with disjoint key ranges across
+    files (range partitioning, not hash)."""
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_with_alpha_vantage_spark.sinks.maintenance import (
+        export_sorted_shards,
+    )
+
+    path = str(tmp_path / "shards")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    export_sorted_shards(docs, path, "doc_id", n_shards=4)
+
+    import os
+
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+    ranges = []
+    total = 0
+    for f in files:
+        ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        assert ids == sorted(ids), f"{f} not sorted"
+        ranges.append((min(ids), max(ids)))
+        total += len(ids)
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b, "shard key ranges overlap"
+    assert total == docs.count()
