@@ -221,3 +221,53 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
         F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
     )
+
+
+# --------------------------------------------------------------------------
+# Single-pass column profiler (data-quality summary)
+# --------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+SELECT
+    CAST(COUNT(*) AS BIGINT)                       AS n_rows,
+    CAST(COUNT(DISTINCT o_custkey) AS BIGINT)      AS n_customers,
+    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)  AS n_statuses,
+    CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT)    AS null_custkey,
+    min(o_orderdate)                               AS min_orderdate,
+    max(o_orderdate)                               AS max_orderdate,
+    CAST(min(o_totalprice) AS DOUBLE)              AS min_price,
+    CAST(max(o_totalprice) AS DOUBLE)              AS max_price,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS DOUBLE)
+                                                   AS sum_price
+FROM orders
+"""
+
+
+@query("profile_orders", oracle=_PROFILE_ORACLE)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiler: one pass over the table computes row count,
+    per-column distinct counts, null counts, min/max ranges, and an exact
+    sum — the summary every ingest job should emit before data is
+    trusted downstream.
+
+    Plan shape: two COUNT(DISTINCT)s over different columns force an
+    Expand (one row replicated per distinct-group), but the pass over
+    the table is still single-scan, partial-aggregated map-side, and the
+    final state is O(distinct values), not O(rows). min/max of doubles
+    and timestamps are order-insensitive, so only the sum needs the
+    scaled-integer treatment for cross-engine exactness.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
+        F.min("o_orderdate").alias("min_orderdate"),
+        F.max("o_orderdate").alias("max_orderdate"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0)
+        .cast("double")
+        .alias("sum_price"),
+    )
