@@ -82,3 +82,64 @@ def test_exact_dedup_at_volume(big_events):
     # duplicate the whole input, dedup on event_id → original count
     doubled = big_events.unionAll(big_events)
     assert doubled.dropDuplicates(["event_id"]).count() == N
+
+
+def test_q21_rewrite_equals_selfjoins_at_volume(spark):
+    """The Q21 agg+window rewrite (one fact exchange) must produce
+    exactly the classic EXISTS + NOT-EXISTS double-self-join result on
+    2M synthetic lineitems — the rewrite's equivalence argument checked
+    at volume, independent of the parquet fixtures."""
+    M = 2_000_000
+    li = spark.range(M).select(
+        (F.col("id") / 4).cast("long").alias("ok"),
+        F.pmod(F.xxhash64("id"), F.lit(500)).alias("sk"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(10)) < 2).alias("late"),
+    )
+
+    # rewrite path: per-(order,supplier) agg + per-order window
+    per = (
+        li.repartition("ok")
+        .groupBy("ok", "sk")
+        .agg(F.sum(F.col("late").cast("int")).alias("nl"))
+    )
+    w = Window.partitionBy("ok")
+    got = (
+        per.select(
+            "ok",
+            "sk",
+            "nl",
+            F.count(F.lit(1)).over(w).alias("ns"),
+            F.sum((F.col("nl") > 0).cast("int")).over(w).alias("nls"),
+        )
+        .filter((F.col("nl") > 0) & (F.col("ns") >= 2) & (F.col("nls") == 1))
+        .groupBy("sk")
+        .agg(F.sum("nl").cast("long").alias("numwait"))
+    )
+
+    # classic form: late items, EXISTS another supplier, NOT EXISTS other
+    # late supplier
+    late_items = li.filter("late")
+    pairs = li.select("ok", "sk").distinct()
+    late_pairs = late_items.select("ok", "sk").distinct()
+    l1, l2, l3 = late_items.alias("l1"), pairs.alias("l2"), late_pairs.alias("l3")
+    surviving = (
+        l1.join(
+            l2,
+            (F.col("l1.ok") == F.col("l2.ok"))
+            & (F.col("l1.sk") != F.col("l2.sk")),
+            "left_semi",
+        )
+        .alias("l1")
+        .join(
+            l3,
+            (F.col("l1.ok") == F.col("l3.ok"))
+            & (F.col("l1.sk") != F.col("l3.sk")),
+            "left_anti",
+        )
+    )
+    want = surviving.groupBy("sk").agg(F.count(F.lit(1)).alias("numwait"))
+
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows
+    assert len(got_rows) == 500  # every supplier appears at this density
