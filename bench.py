@@ -52,6 +52,9 @@ HEADLINE = [
     "sample_stratified",
     "similarity_ivf_topk",
     "pipeline_corpus_clean",
+    "q8_market_share",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
 ]
 
 
