@@ -439,3 +439,92 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+# --------------------------------------------------------------------------
+# X14/X15 composition — train/test decontamination across the hash split
+# --------------------------------------------------------------------------
+
+_DECON_ORACLE = """
+WITH docs AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket,
+           string_split(text, ' ') AS toks
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id, bucket,
+           concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]) AS gram
+    FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+    WHERE len(toks) >= 3
+),
+pairs AS (
+    SELECT tr.doc_id AS train_doc,
+           te.doc_id AS test_doc,
+           COUNT(*)  AS n_shared_grams
+    FROM grams tr
+    JOIN grams te ON te.gram = tr.gram
+    WHERE tr.bucket < 80 AND te.bucket >= 90
+    GROUP BY 1, 2
+)
+SELECT train_doc, test_doc, CAST(n_shared_grams AS BIGINT) AS n_shared_grams
+FROM pairs
+WHERE n_shared_grams >= 2
+"""
+
+
+@query("decontaminate_splits", oracle=_DECON_ORACLE)
+def decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level train/test decontamination: flag train documents
+    sharing >= 2 distinct word-trigrams with any test document — the
+    eval-leakage sweep run before a training set ships (document-level
+    hash equality catches nothing here: the corpus has no exact dups,
+    leakage hides in shared passages). Composes `sample_hash_split`\'s
+    deterministic md5 bucketing with `dedup_ngram_jaccard`\'s
+    inverted-index shingle join.
+
+    Plan: one scan computes bucket + distinct shingles per doc; the
+    split branches meet ONLY on equal shingles (never a cross product),
+    and the test side is ~10% of the corpus, so the probe stays small.
+    At 100 TB, cap hot-shingle document frequency first (stop-shingle
+    pruning) exactly as for the Jaccard pair-finder.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    toks = docs.select(
+        "doc_id", bucket.alias("bucket"), F.split("text", " ").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    grams = toks.select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                        F.element_at("toks", i + 3),
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    train = grams.filter(F.col("bucket") < 80).select(
+        F.col("doc_id").alias("train_doc"), "gram"
+    )
+    test = grams.filter(F.col("bucket") >= 90).select(
+        F.col("doc_id").alias("test_doc"), "gram"
+    )
+    return (
+        train.join(test, "gram")
+        .groupBy("train_doc", "test_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= 2)
+    )
