@@ -191,3 +191,82 @@ def run_stream_upsert(
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+
+
+# --------------------------------------------------------------------------
+# O2 — run-log sink via StreamingQueryListener
+# --------------------------------------------------------------------------
+
+
+class RunLogListener:
+    """O2 parity: the reference appends ``"ETL run at {now}"`` to
+    ``etl_log.txt`` after every scheduled run (``etl.py:222-223``,
+    ``etl_log.txt:1``). The Spark-native equivalent is a
+    ``StreamingQueryListener``: one audit line per query start, per
+    completed micro-batch (with row counts — strictly more informative
+    than the reference's bare timestamp), and per termination.
+
+    Listener callbacks run on a driver-side event thread, so the log
+    write never blocks the stream; at production scale the same hook
+    posts to a metrics system instead of a local file.
+    """
+
+    def __new__(cls, path: str):
+        from pyspark.sql.streaming import listener as L
+
+        class _Impl(L.StreamingQueryListener):
+            def __init__(self, p: str) -> None:
+                self.path = p
+
+            def _append(self, msg: str) -> None:
+                with open(self.path, "a") as fh:
+                    fh.write(msg + "\n")
+
+            def onQueryStarted(self, event) -> None:
+                self._append(
+                    f"ETL run {event.id} started at {event.timestamp}"
+                )
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                self._append(
+                    f"ETL run {p.id} batch {p.batchId}: "
+                    f"{p.numInputRows} rows at {p.timestamp}"
+                )
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                self._append(f"ETL run {event.id} terminated")
+
+        return _Impl(path)
+
+
+def run_with_log(
+    spark: SparkSession,
+    transformed: DataFrame,
+    table_name: str,
+    log_path: str,
+    checkpoint_dir: str | None = None,
+    output_mode: str = "complete",
+) -> None:
+    """O1+O2 composed: AvailableNow catch-up run with the audit log
+    attached for its duration (reference: job() = main() + log append)."""
+    from datetime import datetime, timezone
+
+    listener = RunLogListener(log_path)
+    spark.streams.addListener(listener)
+    try:
+        run_available_now(
+            transformed, table_name, checkpoint_dir, output_mode=output_mode
+        )
+        # The completion line is written synchronously after the run, like
+        # the reference's job() appending after main() returns — the
+        # async onQueryTerminated event may still be queued when the
+        # listener detaches below, so it can't be the completion record.
+        now = datetime.now(timezone.utc).isoformat()
+        with open(log_path, "a") as fh:
+            fh.write(f"ETL run {table_name} completed at {now}\n")
+    finally:
+        spark.streams.removeListener(listener)

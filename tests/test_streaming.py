@@ -229,3 +229,38 @@ def test_stream_static_join_equals_batch(spark, sf_dir, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_run_log_listener_appends_audit_lines(spark, sf_dir, tmp_path):
+    """O2 parity: an AvailableNow run with the listener attached must
+    leave start + per-batch + termination lines in the run log
+    (reference: one 'ETL run at {now}' line per scheduled job)."""
+    import time
+
+    from etl_pipeline_with_alpha_vantage_spark.streaming.runner import (
+        dedup_hourly_counts,
+        run_with_log,
+    )
+
+    log = tmp_path / "etl_log.txt"
+    stream = read_events_stream(spark, sf_dir)
+    run_with_log(
+        spark,
+        dedup_hourly_counts(stream),
+        "runlog_out",
+        str(log),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # the completion line is synchronous; listener lines (start/batch)
+    # are delivered on a background thread — poll briefly for them
+    deadline = time.time() + 30
+    content = ""
+    while time.time() < deadline:
+        content = log.read_text() if log.exists() else ""
+        if "started at" in content and "rows at" in content:
+            break
+        time.sleep(0.5)
+    assert "started at" in content, content
+    assert "rows at" in content, content
+    assert "completed at" in content, content
+    assert spark.table("runlog_out").count() > 0
