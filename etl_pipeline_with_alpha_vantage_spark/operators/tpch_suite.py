@@ -893,3 +893,70 @@ def q16_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q20 — dominant-share suppliers (two-level agg + share join-back)
+# --------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+    FROM lineitem
+    GROUP BY 1, 2
+),
+sh AS (
+    SELECT l_partkey, l_suppkey, qty_c,
+           SUM(qty_c) OVER (PARTITION BY l_partkey) AS tot_c
+    FROM ps
+)
+SELECT s.s_suppkey,
+       s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+FROM sh
+JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+WHERE sh.qty_c * 8 > sh.tot_c
+GROUP BY 1, 2
+"""
+
+
+@query("q20_excess_share_suppliers", oracle=_Q20_ORACLE)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: select suppliers by comparing their per-part
+    aggregate against a correlated per-part total ("supplier ships an
+    outsized share of a part's volume"). Adapted: no
+    partsupp/ps_availqty, so excess stock becomes shipped-quantity share
+    above 12.5% (integer-exact: qty_c * 8 > tot_c — strictly above at
+    this data's supplier fan-out; >50% never occurs).
+
+    Plan, same technique as Q21: one explicit repartition(partkey) feeds
+    the (partkey, suppkey) aggregate AND the per-part total, which is a
+    window over that aggregate rather than a rollup + join-back — the
+    window rides the same hash(partkey) clustering, so the fact table
+    crosses the wire exactly once; supplier broadcasts; the final count
+    shuffles ~|suppliers| rows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    ps = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+        )
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qc").alias("qty_c"))
+    )
+    from pyspark.sql import Window
+
+    sh = ps.withColumn(
+        "tot_c", F.sum("qty_c").over(Window.partitionBy("l_partkey"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        sh.filter(F.col("qty_c") * 8 > F.col("tot_c"))
+        .join(F.broadcast(s), sh.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+    )

@@ -174,3 +174,12 @@ def test_q16_broadcasts_dim_and_denylist(spark, sf_dir):
     plan = plan_of(spark, "q16_supplier_relation", sf_dir)
     assert plan.count("BroadcastExchange") >= 2, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
+
+
+def test_q20_window_total_adds_no_exchange(spark, sf_dir):
+    """Q20's per-part total is a window over the per-(part,supplier)
+    aggregate riding the same hash(partkey) clustering — the plan must
+    show only the partkey repartition and the final supplier agg."""
+    plan = plan_of(spark, "q20_excess_share_suppliers", sf_dir)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
+    assert "CartesianProduct" not in plan
