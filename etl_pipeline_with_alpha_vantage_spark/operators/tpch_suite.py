@@ -3,10 +3,10 @@
 The reference has no query workload at all (SURVEY §2.B — zero joins, zero
 aggregations in `etl.py:1-238`), so the relational surface is defined by the
 driver's TPC-H-ish warehouse. `relational.py`/`relational_ext.py` cover
-Q1/Q3/Q5/Q6/Q10; this module lands the remaining classic TPC-H plan shapes,
-adapted to the pruned synthetic schema (no partsupp table, no
-l_commitdate/l_receiptdate/l_shipmode, no c_phone — each docstring notes the
-adaptation). What matters is that every *optimizer pattern* of the classic
+Q1/Q3/Q5/Q6/Q10; this module lands every remaining classic TPC-H plan shape
+— all 22 queries are represented — adapted to the pruned synthetic schema
+(no partsupp table, no l_commitdate/l_receiptdate/l_shipmode, no c_phone —
+each docstring notes the adaptation). What matters is that every *optimizer pattern* of the classic
 suite is exercised: correlated EXISTS semi-joins, nation-pair self-joins,
 conditional market-share ratios, two-level aggregation distributions,
 group-filter join-back (HAVING on a fact rollup), correlated scalar
@@ -959,4 +959,97 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), sh.l_suppkey == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier per part (argmin join-back over a region)
+# --------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH eu AS (
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+),
+cost AS (
+    SELECT l.l_partkey, p.p_name,
+           eu.s_name, eu.n_name, eu.s_acctbal,
+           MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size = 15
+    JOIN eu   ON eu.s_suppkey = l.l_suppkey
+    GROUP BY 1, 2, 3, 4, 5
+),
+ranked AS (
+    SELECT *, MIN(unit_cost) OVER (PARTITION BY l_partkey) AS best_cost
+    FROM cost
+)
+SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+       s_name,
+       n_name,
+       l_partkey AS p_partkey,
+       p_name,
+       CAST(unit_cost AS DOUBLE) AS unit_cost
+FROM ranked
+WHERE unit_cost = best_cost
+"""
+
+
+@query("q2_min_cost_supplier", oracle=_Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part in a size class, the cheapest
+    supplier(s) within one region — the correlated-MIN subquery of the
+    classic query as a per-part window over an aggregate. Adapted: no
+    partsupp/ps_supplycost, so cost is the minimum observed unit price
+    (l_extendedprice / l_quantity: one IEEE division, deterministic and
+    oracle-exact; MIN is order-insensitive).
+
+    Plan: both dim filters broadcast INTO the fact scan first (size-15
+    parts keep ~2% of rows, the EUROPE supplier set ~20%), so the single
+    explicit repartition(partkey) exchanges only the surviving sliver;
+    the (part, supplier, attrs) aggregate and the per-part min window
+    both ride that clustering, and ties at the minimum all surface,
+    exactly as in the reference query.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_name")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    from pyspark.sql import Window
+
+    cost = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(eu), F.col("l_suppkey") == eu.s_suppkey)
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "p_name", "s_name", "n_name", "s_acctbal")
+        .agg(F.min("unit").alias("unit_cost"))
+    )
+    best = cost.withColumn(
+        "best_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    )
+    return best.filter(F.col("unit_cost") == F.col("best_cost")).select(
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        "s_name",
+        "n_name",
+        F.col("l_partkey").alias("p_partkey"),
+        "p_name",
+        F.col("unit_cost").cast("double").alias("unit_cost"),
     )

@@ -183,3 +183,12 @@ def test_q20_window_total_adds_no_exchange(spark, sf_dir):
     plan = plan_of(spark, "q20_excess_share_suppliers", sf_dir)
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_q2_dims_filter_before_single_fact_exchange(spark, sf_dir):
+    """Q2's part/region filters broadcast into the fact scan BEFORE the
+    one partkey repartition — the agg and min-window then ride that
+    clustering with no further exchange."""
+    plan = plan_of(spark, "q2_min_cost_supplier", sf_dir)
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1, plan
