@@ -367,3 +367,50 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(pieces, lambda p: p.rlike("^[0-9]+$"))
         ).cast("long").alias("n_digit_pieces"),
     )
+
+
+# --------------------------------------------------------------------------
+# Categorical vocabulary encoding (feature-engineering join-back)
+# --------------------------------------------------------------------------
+
+_ENCODE_ORACLE = """
+WITH vocab AS (
+    SELECT source,
+           dense_rank() OVER (ORDER BY source) - 1 AS source_id
+    FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT d.doc_id,
+       d.source,
+       CAST(v.source_id AS BIGINT) AS source_id
+FROM documents d
+JOIN vocab v ON v.source = d.source
+"""
+
+
+@query("encode_categoricals", oracle=_ENCODE_ORACLE)
+def encode_categoricals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic categorical encoding: build a vocabulary (distinct
+    values, dense ids assigned in sort order so the mapping is
+    reproducible run-to-run and engine-to-engine) and join it back — the
+    label-encoding step every training pipeline runs on string features.
+
+    Scale: the distinct-aggregate shuffles |categories| rows (map-side
+    partials collapse duplicates first); the id-assignment window runs
+    on the vocabulary only — categorical cardinality, not corpus size —
+    and the join-back broadcasts the vocab into the scan. A 100 TB corpus
+    with a 10^5-entry vocabulary never shuffles the fact table at all.
+    """
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "source_id",
+            (F.dense_rank().over(Window.orderBy("source")) - 1).cast("long"),
+        )
+    )
+    return docs.select("doc_id", "source").join(F.broadcast(vocab), "source").select(
+        "doc_id", "source", "source_id"
+    )
