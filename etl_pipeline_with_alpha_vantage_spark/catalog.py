@@ -34,9 +34,40 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one warehouse table as a DataFrame (lazy scan)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS): read as long nanos (see
-    # session.py conf) and truncate to a micros timestamp. Integer DIV —
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot represent
+    # natively — without the legacy conf the scan throws PARQUET_TYPE_ILLEGAL.
+    # The conf is runtime-settable, and callers may hand us a SparkSession we
+    # did not build (the driver's verify harness does), so set it HERE, not
+    # only in session.py defaults. Fallback: an explicit schema mapping ts to
+    # LongType also bypasses the type check if the conf ever goes static.
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        except Exception:
+            from pyspark.sql.types import (
+                DoubleType,
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            schema = StructType(
+                [
+                    StructField("event_id", LongType()),
+                    StructField("ts", LongType()),
+                    StructField("user_id", LongType()),
+                    StructField("event_type", StringType()),
+                    StructField("value", DoubleType()),
+                    StructField("props", StringType()),
+                ]
+            )
+            df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    # Truncate long nanos to a micros timestamp. Integer DIV —
     # ns-since-epoch (~1.7e18) exceeds double's exact-integer range.
     from pyspark.sql.types import LongType
 

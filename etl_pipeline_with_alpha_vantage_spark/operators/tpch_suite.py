@@ -857,8 +857,11 @@ JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand <> 'Brand#13'
   AND p.p_type <> 'PROMO'
   AND p.p_size IN (1, 4, 9, 14, 19, 24, 36, 45)
-  AND l.l_suppkey NOT IN (
-      SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+  AND NOT EXISTS (
+      -- NOT EXISTS, not NOT IN: matches anti-join semantics if the
+      -- subquery ever yields a NULL key (NOT IN would return no rows).
+      SELECT 1 FROM supplier s
+      WHERE s.s_suppkey = l.l_suppkey AND s.s_name LIKE '%7'
   )
 GROUP BY 1, 2, 3
 """

@@ -54,7 +54,12 @@ def compact(
     total_bytes = sum(os.path.getsize(f) for f in before)
     n_files = max(1, -(-total_bytes // target_file_bytes))
 
-    tmp = tempfile.mkdtemp(prefix="compact_")
+    # Temp dir ADJACENT to the target (same parent → same filesystem), so
+    # the final os.rename is atomic and can't raise EXDEV the way a /tmp
+    # staging dir would when the warehouse lives on another mount.
+    parent = os.path.dirname(os.path.abspath(path.rstrip("/"))) or "."
+    tmp = tempfile.mkdtemp(prefix="compact_", dir=parent)
+    swap = path.rstrip("/") + ".old"
     try:
         (
             spark.read.parquet(path)
@@ -62,9 +67,13 @@ def compact(
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        swap = path.rstrip("/") + ".old"
         os.rename(path, swap)
-        os.rename(tmp, path)
+        try:
+            os.rename(tmp, path)
+        except BaseException:
+            # Restore the original so the data path is never left missing.
+            os.rename(swap, path)
+            raise
         shutil.rmtree(swap)
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -35,6 +35,20 @@ def _raw_path(lake_dir: str, symbol: str, day: str) -> str:
     return os.path.join(lake_dir, f"{symbol}_{day}.json")
 
 
+def is_valid_payload(payload: dict) -> bool:
+    """True iff the payload is a real TIME_SERIES_DAILY response.
+
+    Alpha Vantage reports throttling/errors as 200-OK bodies like
+    ``{"Note": ...}`` or ``{"Error Message": ...}``; the reference rejects
+    those via pydantic validation before the file write (etl.py:52-56).
+    Caching one would permanently poison the cache-first check, so a
+    payload must carry a non-empty 'Time Series (Daily)' dict to be
+    persisted.
+    """
+    series = payload.get("Time Series (Daily)") if isinstance(payload, dict) else None
+    return isinstance(series, dict) and len(series) > 0
+
+
 def fetch_payloads(
     symbols: Sequence[str],
     lake_dir: str,
@@ -56,6 +70,11 @@ def fetch_payloads(
             if not fetch_from_api:
                 continue  # replay-only mode: missing file → skip symbol
             payload = _fetch_one(symbol, api_key)
+            if not is_valid_payload(payload):
+                # Rate-limit note / error body: leave it UNCACHED so the
+                # next run retries, and don't report a path for it.
+                time.sleep(sleep_sec)
+                continue
             os.makedirs(lake_dir, exist_ok=True)
             with open(path, "w") as f:
                 json.dump(payload, f, indent=4)
