@@ -29,21 +29,42 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runtime-settable SQL confs the QUERY SEMANTICS depend on. Callers may hand
+# us a SparkSession we did not build (the driver's verify harness does), so
+# session.py defaults alone are not enough — every query entry point
+# (table/register_views) re-asserts these on whatever session it receives.
+#   - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS); without this the
+#     scan throws PARQUET_TYPE_ILLEGAL.
+#   - ansi off: x/0 and invalid casts yield NULL (DuckDB-parity drop-don't-
+#     crash semantics); Spark 4 defaults ANSI on.
+#   - UTC: timestamp→date/string rendering must not depend on host timezone.
+_QUERY_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_query_confs(spark: SparkSession) -> None:
+    """Assert parity-critical runtime confs on a possibly-foreign session."""
+    for k, v in _QUERY_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # conf unknown/static in this Spark build; fallbacks below
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one warehouse table as a DataFrame (lazy scan)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_query_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot represent
-    # natively — without the legacy conf the scan throws PARQUET_TYPE_ILLEGAL.
-    # The conf is runtime-settable, and callers may hand us a SparkSession we
-    # did not build (the driver's verify harness does), so set it HERE, not
-    # only in session.py defaults. Fallback: an explicit schema mapping ts to
-    # LongType also bypasses the type check if the conf ever goes static.
+    # Fallback if nanosAsLong ever goes static: an explicit schema mapping
+    # ts to LongType also bypasses the TIMESTAMP(NANOS) type check.
     if name == "events":
         try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
         except Exception:
             from pyspark.sql.types import (
@@ -98,5 +119,6 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views so ``spark.sql`` queries work."""
+    ensure_query_confs(spark)
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -35,7 +35,20 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver's harness supplies its OWN SparkSession; re-assert
+            # the runtime confs the query semantics depend on (ANSI off,
+            # UTC, nanos-as-long) before any plan is built.
+            from .catalog import ensure_query_confs  # noqa: PLC0415
+
+            ensure_query_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = getattr(fn, "__name__", name)
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

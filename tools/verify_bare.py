@@ -1,0 +1,123 @@
+"""Local replica of the driver's correctness gate, on a BARE SparkSession.
+
+The driver's verify harness builds its own SparkSession (no get_spark()
+defaults: ANSI on, 200 shuffle partitions, host timezone, no legacy parquet
+confs). Round-1 lost 16/50 sampled queries to exactly that gap, so this
+tool re-runs EVERY registered query on such a session at sf0.01 and
+compares against its DuckDB oracle: row count, column names, and
+order-insensitive full-precision values — the same checks
+CORRECTNESS_r{N}.json records.
+
+Usage:
+    python tools/verify_bare.py [sf_dir]            # default /root/testdata/sf0.01
+    python tools/verify_bare.py sf_dir name1 name2  # subset of queries
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import traceback
+from datetime import date, datetime
+from decimal import Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v + 0.0)
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    # Deliberately NOT get_spark(): mimic the driver's own session.
+    spark = (
+        SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
+        .appName("verify-bare")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import duckdb
+
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM '{os.path.join(sf_dir, name + '.parquet')}'"
+        )
+
+    import __spark_entry__ as e
+
+    queries, oracles = e.queries(), e.oracle_sql()
+    names = sorted(only or queries)
+    n_pass = n_rows_only = 0
+    failures: list[tuple[str, str]] = []
+
+    for name in names:
+        try:
+            sdf = queries[name](spark, sf_dir)
+            spark_cols = [c.lower() for c in sdf.columns]
+            srows = [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                n_rows_only += 1
+                print(f"  rows-only  {name}: {len(srows)} rows")
+                continue
+            rel = con.sql(oracles[name])
+            duck_cols = [c.lower() for c in rel.columns]
+            drows = rel.fetchall()
+            if sorted(spark_cols) != sorted(duck_cols):
+                failures.append(
+                    (name, f"columns spark={spark_cols} duck={duck_cols}")
+                )
+                continue
+            if len(srows) != len(drows):
+                failures.append(
+                    (name, f"rowcount spark={len(srows)} duck={len(drows)}")
+                )
+                continue
+            s_ord = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+            d_ord = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+            s_set = sorted(tuple(canon(r[i]) for i in s_ord) for r in srows)
+            d_set = sorted(tuple(canon(r[i]) for i in d_ord) for r in drows)
+            if s_set != d_set:
+                diff = next((a, b) for a, b in zip(s_set, d_set) if a != b)
+                failures.append((name, f"values first-diff {diff}"))
+                continue
+            n_pass += 1
+        except Exception:
+            failures.append((name, traceback.format_exc(limit=3)))
+
+    print(
+        f"\n{n_pass} hash-match, {n_rows_only} rows-only, "
+        f"{len(failures)} FAILED of {len(names)}"
+    )
+    for name, why in failures:
+        print(f"FAIL {name}: {why}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
