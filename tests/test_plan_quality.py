@@ -103,6 +103,19 @@ def test_no_cartesian_anywhere_no_unintended_nested_loops(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_no_row_at_a_time_python_udfs(spark, sf_dir):
+    """Global plan lint: Python must only enter a plan through Arrow
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas / cogrouped).
+    A BatchEvalPython node is a row-at-a-time pickle loop — 10-100×
+    slower on the 100 TB hot path — so no registered query may plan one."""
+    offenders = []
+    for name in sorted(registry.QUERIES):
+        plan = plan_of(spark, name, sf_dir, mode="simple")
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
