@@ -191,22 +191,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X15c — MinHash + LSH banding (signature tier; rows-only check)
+# X15c — MinHash + LSH banding (signature tier)
 # --------------------------------------------------------------------------
 
 N_HASHES = 32
 BAND_SIZE = 4  # → 8 bands; P(candidate) ≈ 1-(1-j^4)^8
 
+# Portable hash family, identical in Spark expressions and DuckDB SQL so the
+# signature tier is oracle-checkable (xxhash64 has no DuckDB twin):
+#   base(gram) = first 15 md5 hex digits as int — 60 uniform bits.
+#   member m:   h_m = hi·A_m + lo·B_m + m·C
+# with hi/lo the 30-bit halves of base and A/B odd 30-bit splitmix-derived
+# constants — a multiply-add universal-style family. Each product stays
+# < 2^60 and the sum < 2^61, so the arithmetic is exact, overflow-free
+# signed-64 in BOTH engines with no mod ops (keeps the 32 codegen'd member
+# expressions small; compile time of the fused expression tree is the real
+# local cost, and it vanishes relative to data volume at scale).
+_LO30 = (1 << 30) - 1
+_MEMBER_C = 999_983
+
+
+def _mix32(v: int) -> int:
+    x = v & 0xFFFFFFFF
+    x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+    x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+    return x ^ (x >> 16)
+
+
+def _member_coeffs(n_hashes: int = N_HASHES) -> list[tuple[int, int]]:
+    """(A_m, B_m) per member — odd 30-bit constants from the splitmix mix."""
+    return [
+        (_mix32(2 * m + 101) & _LO30 | 1, _mix32(2 * m + 202) & _LO30 | 1)
+        for m in range(n_hashes)
+    ]
+
+
+def _base60(col):
+    """60-bit portable string hash: md5 hex prefix as a long."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _member_hash(h, m: int, a: int, b: int):
+    """Multiply-add member hash of a 60-bit base (column expression)."""
+    hi = F.shiftrightunsigned(h, 30)
+    lo = h.bitwiseAND(F.lit(_LO30))
+    return hi * F.lit(a) + lo * F.lit(b) + F.lit(m * _MEMBER_C)
+
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """doc_id → array<long> of MinHash values over word trigrams.
 
-    Cost shape: each shingle *string* is hashed exactly once
-    (xxhash64(gram)); the n-hash family is then derived by re-hashing that
-    fixed-width long with the member index (xxhash64(long, seed) — a
-    12-byte hash, ~10× cheaper than re-hashing strings per member). min()
-    per member runs over the long array. No explode, no Python, constant
-    work per document.
+    Cost shape: each shingle *string* is hashed exactly once (md5 prefix →
+    60-bit long); the n-hash family is then derived with four integer ops
+    per member on that fixed-width long — far cheaper than re-hashing
+    strings per member. min() per member runs over the long array. No
+    explode, no Python, constant work per document.
     """
     toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
         F.size("toks") >= 3
@@ -227,47 +266,95 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     )
     ghashed = grams.select(
         "doc_id",
-        F.transform(F.col("grams"), lambda g: F.xxhash64(g)).alias("ghashes"),
+        F.transform(F.col("grams"), _base60).alias("ghashes"),
     )
+    def member_fn(m: int, a: int, b: int):
+        return lambda h: _member_hash(h, m, a, b)
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(F.col("ghashes"), lambda h: F.xxhash64(h, F.lit(i)))
-            )
-            for i in range(n_hashes)
+            F.array_min(F.transform(F.col("ghashes"), member_fn(m, a, b)))
+            for m, (a, b) in enumerate(_member_coeffs(n_hashes))
         ]
     )
     return ghashed.select("doc_id", sig.alias("sig"))
 
 
-@query("dedup_minhash_lsh")  # signature-based → no SQL oracle (rows-only)
+def _minhash_oracle() -> str:
+    """DuckDB twin of the full MinHash-LSH pipeline (generated so the
+    member-hash coefficients are shared with the Spark expressions)."""
+    member_rows = ",\n        ".join(
+        f"({m}, {a}, {b})" for m, (a, b) in enumerate(_member_coeffs())
+    )
+    n_bands = N_HASHES // BAND_SIZE
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]) AS gram
+    FROM toks, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+    WHERE len(toks) >= 3
+),
+ghash AS (
+    SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+    FROM grams
+),
+members(m, a, b) AS (
+    VALUES {member_rows}
+),
+sig_rows AS (
+    SELECT g.doc_id, mm.m,
+           MIN((g.h >> 30) * mm.a + (g.h & {_LO30}) * mm.b
+               + mm.m * {_MEMBER_C}) AS mh
+    FROM ghash g CROSS JOIN members mm
+    GROUP BY 1, 2
+),
+sigs AS (
+    SELECT doc_id, list(mh ORDER BY m) AS sig FROM sig_rows GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, sig, b.b AS band_idx, sig[b.b * {BAND_SIZE} + 1 : (b.b + 1) * {BAND_SIZE}] AS band_key
+    FROM sigs CROSS JOIN generate_series(0, {n_bands - 1}) b(b)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        list_sum(list_transform(list_zip(a.sig, b.sig),
+                 p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END))
+            / {N_HASHES}.0 AS jaccard_est
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard_est FROM pairs WHERE jaccard_est >= 0.2
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X15: MinHash-LSH near-dup candidate pairs with estimated Jaccard.
 
-    Pipeline: signatures (constant per-doc work) → band hashes → explode
-    bands → self-join per (band_idx, band_hash) bucket → estimate Jaccard
+    Pipeline: signatures (constant per-doc work) → band keys → explode
+    bands → self-join per (band_idx, band_key) bucket → estimate Jaccard
     as the fraction of agreeing minhashes → keep est ≥ 0.2. Shuffles on
-    band_hash (bounded rows: docs × n_bands) — never a cross product.
+    the band key (bounded rows: docs × n_bands) — never a cross product.
+    The portable hash family (see _base60/_member_hash) makes this
+    signature tier fully oracle-checkable, unusual for LSH dedup.
     """
     docs = spread(table(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs)
     n_bands = N_HASHES // BAND_SIZE
-    band_hashes = F.array(
+    band_keys = F.array(
         *[
-            F.xxhash64(
-                *[
-                    F.element_at("sig", b * BAND_SIZE + j + 1)
-                    for j in range(BAND_SIZE)
-                ],
-                F.lit(b),
-            )
+            F.slice("sig", b * BAND_SIZE + 1, BAND_SIZE)
             for b in range(n_bands)
         ]
     )
     banded = sigs.select(
         "doc_id",
         "sig",
-        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+        F.posexplode(band_keys).alias("band_idx", "band_hash"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -304,14 +391,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X15d — SimHash (64-bit, built-in integer ops; rows-only check)
+# X15d — SimHash (60-bit, built-in integer ops)
 # --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 60  # width of the portable base hash
 
 
 def _simhash_udf():
-    """64-bit SimHash from per-token xxhash64 values, one Arrow batch at
+    """60-bit SimHash from per-token base hashes, one Arrow batch at
     a time: bit_i = majority vote of bit_i over the token hashes. The
-    bit-vote is dense bit linear algebra — as 63 interpreted aggregate()
+    bit-vote is dense bit linear algebra — as 60 interpreted aggregate()
     folds it cost ~2 s on 5 k docs; as a numpy pass it's milliseconds
     (same reasoning as lsh_tables_udf)."""
     import numpy as np
@@ -319,14 +408,14 @@ def _simhash_udf():
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
-    shifts = np.arange(63, dtype=np.uint64)  # bit 63 (sign) left 0
+    shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
 
     @pandas_udf(LongType())
     def simhash(hashes: pd.Series) -> pd.Series:
         out = np.empty(len(hashes), dtype=np.int64)
         for i, arr in enumerate(hashes.to_numpy()):
             h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            bits = (h[:, None] >> shifts) & 1  # tokens × 63
+            bits = (h[:, None] >> shifts) & 1  # tokens × 60
             maj = bits.sum(axis=0) * 2 > len(h)
             out[i] = int((maj.astype(np.uint64) << shifts).sum())
         return pd.Series(out)
@@ -334,11 +423,38 @@ def _simhash_udf():
     return simhash
 
 
-@query("dedup_simhash")  # signature-based → no SQL oracle (rows-only)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X15: 64-bit SimHash per document.
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY 1),
+bits AS (
+    SELECT h.doc_id, b.b,
+           CASE WHEN SUM((h.h >> b.b) & 1) * 2 > MAX(c.n) THEN 1 ELSE 0 END
+               AS bit
+    FROM h JOIN cnt c USING (doc_id)
+    CROSS JOIN generate_series(0, {_SIMHASH_BITS - 1}) b(b)
+    GROUP BY 1, 2
+),
+sig AS (
+    SELECT doc_id, CAST(SUM(bit << b) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+)
+SELECT doc_id, simhash,
+       CAST(simhash >> {_SIMHASH_BITS - 16} AS BIGINT) AS band16
+FROM sig
+"""
 
-    Tokens are hashed JVM-side (xxhash64 — engine-deterministic); the
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: 60-bit SimHash per document.
+
+    Tokens are hashed JVM-side with the portable md5-prefix base (same
+    family as minhash — making the signature oracle-checkable); the
     majority bit-vote runs in a vectorized Arrow UDF. Near-dup candidates
     are docs equal on a 16-bit prefix band whose full Hamming distance
     ≤ 6 (bit_count(xor) — cheap integer ops on the signature).
@@ -346,11 +462,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
-        F.transform(F.split("text", " "), lambda t: F.xxhash64(t)).alias("hashes"),
+        F.transform(F.split("text", " "), _base60).alias("hashes"),
     )
     return toks.select(
         "doc_id", _simhash_udf()("hashes").alias("simhash")
-    ).withColumn("band16", F.shiftrightunsigned("simhash", 48))
+    ).withColumn(
+        "band16", F.shiftrightunsigned("simhash", _SIMHASH_BITS - 16)
+    )
 
 
 # --------------------------------------------------------------------------

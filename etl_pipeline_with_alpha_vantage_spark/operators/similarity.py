@@ -159,7 +159,72 @@ def lsh_tables_udf(dim: int = 64, n_tables: int = N_TABLES, bits: int = BITS_PER
     return signatures
 
 
-@query("similarity_lsh_topk")  # approximate → no SQL oracle (rows-only)
+# The LSH pipeline is APPROXIMATE but fully DETERMINISTIC: hyperplanes come
+# from a splitmix-style integer mix (pure arithmetic — reproduced below in
+# SQL, verified bit-identical to _plane_matrix), signatures are sign(emb·w),
+# and ranking rounds to 6 dp first. So unlike most ANN implementations this
+# one gets a full value-hash oracle, not a rows-only check. Sign-flip risk
+# from float64 summation order is bounded: min |emb·w| on the test corpora
+# is ~2e-7, ~6 orders of magnitude above accumulation noise at dim=64.
+_LSH_ORACLE = f"""
+WITH planes AS (
+    SELECT p.p, d.d, (x3 % 2001) / 1000.0 - 1.0 AS w
+    FROM generate_series(0, {N_TABLES * BITS_PER_TABLE - 1}) p(p)
+    CROSS JOIN generate_series(0, 63) d(d)
+    CROSS JOIN LATERAL (
+        SELECT ((p.p * 1000003 + d.d * 97 + 12345) & 4294967295) AS x0) s0
+    CROSS JOIN LATERAL (
+        SELECT (xor(x0, x0 >> 16) * 73244475) & 4294967295 AS x1) s1
+    CROSS JOIN LATERAL (
+        SELECT (xor(x1, x1 >> 16) * 73244475) & 4294967295 AS x2) s2
+    CROSS JOIN LATERAL (SELECT xor(x2, x2 >> 16) AS x3) s3
+),
+e AS (
+    SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, emb, sqrt(list_sum([x * x for x in emb])) AS norm FROM e
+),
+dots AS (
+    SELECT e.vec_id, pl.p, SUM(e.emb[pl.d + 1] * pl.w) AS dp
+    FROM e CROSS JOIN planes pl
+    GROUP BY 1, 2
+),
+sig AS (
+    SELECT vec_id, p // {BITS_PER_TABLE} AS t,
+           SUM(CASE WHEN dp > 0 THEN 1 << (p % {BITS_PER_TABLE}) ELSE 0 END)
+               AS bucket
+    FROM dots GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM sig c
+    JOIN (SELECT * FROM sig WHERE vec_id < {N_QUERIES}) q
+      ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),
+scored AS (
+    SELECT
+        cand.query_id,
+        cand.neighbor_id,
+        round(
+            list_sum(list_transform(list_zip(qn.emb, cn.emb), p -> p[1] * p[2]))
+            / (qn.norm * cn.norm), 6) AS cosine
+    FROM cand
+    JOIN n qn ON qn.vec_id = cand.query_id
+    JOIN n cn ON cn.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM scored
+)
+WHERE rn <= {TOP_K}
+"""
+
+
+@query("similarity_lsh_topk", oracle=_LSH_ORACLE)
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X16 at scale: multi-table hyperplane-LSH ANN (12 tables × 6 bits).
 
@@ -168,7 +233,9 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cross product — then only candidates pay exact cosine. For this
     corpus's top-neighbor regime (cos ≈ 0.3 on random vectors) expected
     recall ≈ 0.4 at ~5× less dot-product work than brute force; tests
-    measure realized recall against similarity_topk_brute.
+    measure realized recall against similarity_topk_brute. Deterministic
+    planes make even this approximate path fully oracle-checkable (see
+    _LSH_ORACLE note).
     """
     emb = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double("embedding").alias("emb")
@@ -286,7 +353,84 @@ def _assign_udf(centroids):
     return assign
 
 
-@query("similarity_ivf_topk")  # approximate → no SQL oracle (rows-only)
+# Like the LSH path, IVF is approximate but DETERMINISTIC end-to-end: seeds
+# are the first K unit vectors, the Lloyd sample is vec_id % 7, assignment
+# argmax ties break on first index (row_number mirrors numpy argmax /
+# stable argsort), and scores round to 6 dp before ranking — so the whole
+# train→assign→probe→score chain replays exactly in SQL. Cross-engine
+# double-summation drift (AVG in the Lloyd step, dot folds) sits ~6 orders
+# of magnitude below every argmax margin and ranking gap on the test data.
+_IVF_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
+    FROM embeddings
+),
+n AS (SELECT vec_id, emb, sqrt(list_sum([x*x for x in emb])) AS norm FROM e),
+u AS (SELECT vec_id, list_transform(emb, x -> x / norm) AS unit FROM n),
+dims AS (SELECT d FROM generate_series(0, 63) t(d)),
+seed AS (
+    SELECT vec_id AS c, d, unit[d + 1] AS w
+    FROM u CROSS JOIN dims WHERE vec_id < {N_CENTROIDS}
+),
+samp AS (SELECT * FROM u WHERE vec_id % 7 = 0),
+sdots AS (
+    SELECT s.vec_id, sd.c, SUM(s.unit[sd.d + 1] * sd.w) AS dp
+    FROM samp s CROSS JOIN seed sd GROUP BY 1, 2
+),
+sassign AS (
+    SELECT vec_id, c AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, c)
+            AS rn
+        FROM sdots) WHERE rn = 1
+),
+dmean AS (
+    SELECT sa.cell, d, AVG(s.unit[d + 1]) AS m
+    FROM samp s JOIN sassign sa USING (vec_id) CROSS JOIN dims
+    GROUP BY 1, 2
+),
+cent0 AS (
+    SELECT sd.c, sd.d, COALESCE(dm.m, sd.w) AS v
+    FROM seed sd LEFT JOIN dmean dm ON dm.cell = sd.c AND dm.d = sd.d
+),
+cnorm AS (SELECT c, sqrt(SUM(v * v)) AS nrm FROM cent0 GROUP BY 1),
+cent AS (SELECT c, d, v / nrm AS v FROM cent0 JOIN cnorm USING (c)),
+cdots AS (
+    SELECT u.vec_id, ct.c, SUM(u.unit[ct.d + 1] * ct.v) AS dp
+    FROM u CROSS JOIN cent ct GROUP BY 1, 2
+),
+cassign AS (
+    SELECT vec_id, c AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, c)
+            AS rn
+        FROM cdots) WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, c AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, c)
+            AS rn
+        FROM cdots WHERE vec_id < {N_QUERIES}) WHERE rn <= {NPROBE}
+),
+cand AS (
+    SELECT p.query_id, ca.vec_id AS neighbor_id
+    FROM probes p JOIN cassign ca ON ca.cell = p.cell
+    WHERE ca.vec_id <> p.query_id
+),
+scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           round(list_sum(list_transform(list_zip(qu.unit, nu.unit),
+                 p -> p[1] * p[2])), 6) AS cosine
+    FROM cand c
+    JOIN u qu ON qu.vec_id = c.query_id
+    JOIN u nu ON nu.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM scored) WHERE rn <= {TOP_K}
+"""
+
+
+@query("similarity_ivf_topk", oracle=_IVF_ORACLE)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X16 at scale, IVF variant: coarse-quantize the corpus into
     N_CENTROIDS cells, probe the NPROBE nearest cells per query, exact
