@@ -414,3 +414,64 @@ def encode_categoricals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "source").join(F.broadcast(vocab), "source").select(
         "doc_id", "source", "source_id"
     )
+
+
+# --------------------------------------------------------------------------
+# X17f — repetition ratio (Gopher-style top-bigram fraction)
+# --------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+bigrams AS (
+    SELECT doc_id, concat(toks[i], ' ', toks[i+1]) AS bg
+    FROM t, unnest(generate_series(1, len(toks) - 1)) AS s(i)
+    WHERE len(toks) >= 2
+),
+counts AS (
+    SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+       CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+FROM counts
+GROUP BY doc_id
+"""
+
+
+@query("text_repetition", oracle=_REPETITION_ORACLE)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: repetition scoring — the fraction of a document occupied by
+    its single most frequent word bigram (the Gopher/C4 family's most
+    selective boilerplate filter; high fraction = TOC/spam/template).
+
+    Shape: bigrams explode from the token array, collapse map-side in the
+    (doc_id, bigram) partial aggregate, then a second partial aggregate
+    reduces to one row per doc — both shuffles are keyed on doc_id(+gram)
+    so the corpus text itself crosses the wire once as fixed-width
+    hashes-of-strings, and per-doc state is bounded by the distinct-
+    bigram count of one document, never the corpus vocabulary.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)
+                ),
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"),
+    )

@@ -407,3 +407,52 @@ def data_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < F.col("keep_pct"))
         .select("doc_id", "source", "keep_pct")
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention — first-seen cohort × day-offset activity matrix
+# --------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+cohorts AS (
+    SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT
+    c.cohort_day,
+    CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+    CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query("cohort_retention", oracle=_RETENTION_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention analytics: bucket users by first-active day
+    (their cohort) and count distinct users active at each day offset —
+    the matrix behind every retention curve.
+
+    Shape: the raw events collapse to distinct (user, day) pairs in one
+    partial-aggregating shuffle on user_id; the cohort (a per-user min)
+    is a window over that SAME user_id clustering, so deriving it adds
+    no exchange; the final (cohort_day, offset) rollup is a second
+    shuffle of the already-small distinct-day rows. The 100 TB fact
+    stream is touched once.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    activity = (
+        ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    )
+    w = Window.partitionBy("user_id")
+    with_cohort = activity.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        with_cohort.groupBy(
+            "cohort_day", F.datediff("day", "cohort_day").cast("long").alias("day_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

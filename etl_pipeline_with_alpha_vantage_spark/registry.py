@@ -67,6 +67,7 @@ def load_all() -> None:
         asof,
         dedup,
         multimodal,
+        packing,
         paging_joins,
         relational,
         relational_ext,
