@@ -475,3 +475,73 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("top_bigram_count"),
         (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# X17g — TF-IDF top terms per document
+# --------------------------------------------------------------------------
+
+_TFIDF_TOP_K = 5
+
+_TFIDF_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+           CAST(df.df AS BIGINT) AS df,
+           round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+    FROM scored
+)
+WHERE rn <= {_TFIDF_TOP_K}
+"""
+
+
+@query("text_tfidf", oracle=_TFIDF_ORACLE)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: top-{_TFIDF_TOP_K} TF-IDF terms per document — the classic
+    keyword extraction / relevance-weighting step.
+
+    Shape: one explode → (doc, term) partial-agg shuffle for tf; the
+    document frequency is a second aggregate over the SAME (term-keyed)
+    rows; the corpus size broadcasts as a 1-row literal join. Scores are
+    rounded to 6 dp BEFORE the per-doc ranking (same determinism pattern
+    as the cosine rankings: ln() may differ in the last ulp across
+    engines, the rounded rank key cannot).
+    """
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # Corpus size as an IN-PLAN 1-row broadcast, not a driver-side
+    # .count() action: declaring it keeps query construction lazy and
+    # lets Catalyst serve the count from parquet row-group metadata.
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(df, "term").join(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf")
+            * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
