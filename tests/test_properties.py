@@ -185,3 +185,57 @@ def test_connected_components_matches_union_find(spark, raw_edges):
         want[i] = comp_min
 
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Greedy sequence packing (operators/packing.py)
+# --------------------------------------------------------------------------
+
+from etl_pipeline_with_alpha_vantage_spark.operators.packing import pack_greedy
+
+PACK_BUDGET = 100
+
+pack_strategy = st.lists(
+    st.lists(st.integers(min_value=1, max_value=150), min_size=1, max_size=20),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(per_group_tokens=pack_strategy)
+def test_pack_greedy_invariants(spark, per_group_tokens):
+    rows = []
+    rid = 0
+    for g, tokens in enumerate(per_group_tokens):
+        for toks in tokens:
+            rows.append((rid, f"g{g}", toks))
+            rid += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, est_tokens long")
+    out = pack_greedy(df, ["source"], "doc_id", "est_tokens", budget=PACK_BUDGET)
+    got = sorted(out.collect(), key=lambda r: (r.source, r.doc_id))
+
+    by_group: dict[str, list] = {}
+    for r in got:
+        by_group.setdefault(r.source, []).append(r)
+    for rs in by_group.values():
+        # bin ids start at 0 and are non-decreasing, stepping by at most 1,
+        # in doc order (bins are contiguous runs)
+        assert rs[0].bin_id == 0
+        for a, b in zip(rs, rs[1:]):
+            assert b.bin_id in (a.bin_id, a.bin_id + 1)
+        # no bin exceeds the budget unless it holds a single oversized doc
+        fills: dict[int, list[int]] = {}
+        for r in rs:
+            fills.setdefault(r.bin_id, []).append(r.est_tokens)
+        for docs_in_bin in fills.values():
+            assert sum(docs_in_bin) <= PACK_BUDGET or len(docs_in_bin) == 1
+        # greedy tightness: the first doc of bin k+1 would NOT have fit
+        # into bin k
+        for a, b in zip(rs, rs[1:]):
+            if b.bin_id == a.bin_id + 1:
+                assert sum(fills[a.bin_id]) + b.est_tokens > PACK_BUDGET
