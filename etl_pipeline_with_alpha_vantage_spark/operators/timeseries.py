@@ -435,12 +435,14 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (their cohort) and count distinct users active at each day offset —
     the matrix behind every retention curve.
 
-    Shape: the raw events collapse to distinct (user, day) pairs in one
-    partial-aggregating shuffle on user_id; the cohort (a per-user min)
-    is a window over that SAME user_id clustering, so deriving it adds
-    no exchange; the final (cohort_day, offset) rollup is a second
-    shuffle of the already-small distinct-day rows. The 100 TB fact
-    stream is touched once.
+    Shape: the raw events collapse map-side (partial distinct) before the
+    first shuffle, so the 100 TB fact stream crosses the wire only as its
+    distinct (user, day) pairs; the cohort-min window re-exchanges those
+    already-collapsed rows on user_id, and the final (cohort_day, offset)
+    rollup shuffles only cohort-sized rows. Three exchanges, but the fact
+    volume is paid once and everything downstream is distinct-day-sized —
+    deliberately NOT the repartition-first single-clustering form, which
+    would shuffle the raw events unaggregated.
     """
     from pyspark.sql import Window
 

@@ -104,6 +104,30 @@ def test_no_cartesian_anywhere_no_unintended_nested_loops(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_pack_sequences_one_shuffle_grouped_pandas(spark, sf_dir):
+    """Packing is one shuffle on the group key into a single grouped
+    Arrow UDF — the sequential recurrence never touches the driver."""
+    plan = plan_of(spark, "pack_sequences", sf_dir, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_cohort_retention_partial_distinct_before_shuffle(spark, sf_dir):
+    """The fact scan is read once and collapses map-side (partial
+    HashAggregate below the first exchange) before anything shuffles."""
+    plan = plan_of(spark, "cohort_retention", sf_dir, mode="simple")
+    assert plan.count("Scan parquet") == 1, plan
+    # partial agg appears under the exchange: HashAggregate → Exchange →
+    # HashAggregate sandwich for the distinct
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_text_repetition_two_keyed_shuffles(spark, sf_dir):
+    plan = plan_of(spark, "text_repetition", sf_dir, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_no_row_at_a_time_python_udfs(spark, sf_dir):
     """Global plan lint: Python must only enter a plan through Arrow
     (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas / cogrouped).
