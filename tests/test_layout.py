@@ -94,3 +94,52 @@ def test_sorted_shard_export_is_range_partitioned(spark, sf_dir, tmp_path):
     for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
         assert hi_a < lo_b, "shard key ranges overlap"
     assert total == docs.count()
+
+
+def test_zorder_export_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout: per-file bounding boxes must be tight in BOTH
+    columns — quantified as the mean per-file fraction of each column's
+    global range. A single-column sort leaves the other column's
+    per-file span ≈ the full range (fraction ~1); the Morton layout
+    must land well below that in both dimensions simultaneously."""
+    from etl_pipeline_with_alpha_vantage_spark.sinks.maintenance import (
+        export_zorder,
+    )
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    n_files = 16
+    path = str(tmp_path / "zorder")
+    export_zorder(orders, path, "o_custkey", "o_totalprice", n_files, bits=8)
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) >= n_files // 2  # range partitioner may merge a few
+
+    spans_x, spans_y = [], []
+    gx_min = gx_max = gy_min = gy_max = None
+    per_file = []
+    for f in files:
+        t = pq.read_table(f, columns=["o_custkey", "o_totalprice"])
+        xs, ys = t.column(0).to_pylist(), t.column(1).to_pylist()
+        per_file.append((min(xs), max(xs), min(ys), max(ys)))
+    gx_min = min(b[0] for b in per_file)
+    gx_max = max(b[1] for b in per_file)
+    gy_min = min(b[2] for b in per_file)
+    gy_max = max(b[3] for b in per_file)
+    for bx0, bx1, by0, by1 in per_file:
+        spans_x.append((bx1 - bx0) / max(1, gx_max - gx_min))
+        spans_y.append((by1 - by0) / max(1.0, gy_max - gy_min))
+
+    mean_x = sum(spans_x) / len(spans_x)
+    mean_y = sum(spans_y) / len(spans_y)
+    # both dimensions clustered: each file covers a minority of each
+    # column's range (a 1-D sort would give ~1.0 on the unsorted column)
+    assert mean_x < 0.6, (mean_x, mean_y)
+    assert mean_y < 0.6, (mean_x, mean_y)
+    # round-trip integrity
+    assert (
+        spark.read.parquet(path).count() == orders.count()
+    )
