@@ -286,27 +286,50 @@ SELECT
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view → click → purchase): each stage keeps users
     whose first qualifying event happens strictly AFTER their previous
-    stage's first event. Three filtered aggregations chained by equi-joins
-    on user_id — every stage reuses the same hash partitioning, and each
-    stage's input shrinks, so the funnel costs barely more than one
-    aggregation at any scale.
+    stage's first event.
+
+    Single-clustering form: three layered windows over ONE user_id
+    partitioning compute each user's first view, first click-after-view,
+    and first purchase-after-click per row (each window may reference the
+    previous stage's per-user constant), then a per-user rollup rides the
+    same clustering and a final single-row aggregate counts the stages.
+    The fact stream shuffles exactly once — the join-chained formulation
+    paid an exchange per stage.
     """
-    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
 
-    def stage(evt: str, prev: DataFrame | None, prev_ts: str) -> DataFrame:
-        e = ev.filter(F.col("event_type") == evt)
-        if prev is not None:
-            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
-        return e.groupBy("user_id").agg(F.min("ts").alias(f"{evt[0]}ts"))
-
-    v = stage("view", None, "")
-    c = stage("click", v, "vts")
-    p = stage("purchase", c, "cts")
-    return (
-        ev.agg(F.countDistinct("user_id").alias("n_users"))
-        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_viewed")))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    typ = F.col("event_type")
+    staged = (
+        ev.withColumn(
+            "vts", F.min(F.when(typ == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "cts",
+            F.min(
+                F.when((typ == "click") & (F.col("ts") > F.col("vts")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "pts",
+            F.min(
+                F.when(
+                    (typ == "purchase") & (F.col("ts") > F.col("cts")), F.col("ts")
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("vts").alias("vts"),
+        F.max("cts").alias("cts"),
+        F.max("pts").alias("pts"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("vts").alias("n_viewed"),
+        F.count("cts").alias("n_clicked_after_view"),
+        F.count("pts").alias("n_purchased_after_click"),
     )
 
 

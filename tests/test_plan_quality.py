@@ -84,7 +84,6 @@ _NESTED_LOOP_OK = {
     "similarity_topk_brute",
     "dedup_embedding_cosine",
     "range_join_bands",
-    "funnel_conversion",  # assembles four single-row aggregates
     "q22_dormant_value",  # 1-row scalar-subquery (global avg) broadcast
     "q11_important_parts",  # 1-row global-total broadcast (non-equi filter)
     "text_tfidf",  # 1-row corpus-size broadcast
