@@ -55,6 +55,12 @@ HEADLINE = [
     "q8_market_share",
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
+    # round-2 additions: training-data ops + analytics
+    "pack_sequences",
+    "text_repetition",
+    "text_tfidf",
+    "cohort_retention",
+    "funnel_conversion",
 ]
 
 
