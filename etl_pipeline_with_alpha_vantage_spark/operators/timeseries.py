@@ -481,3 +481,94 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# Peak concurrency — segmented distributed prefix-sum (sweep line at scale)
+# --------------------------------------------------------------------------
+
+_CONCURRENCY_ORACLE = """
+WITH iv AS (
+    SELECT event_type, ts AS s,
+           ts + INTERVAL (CAST(value AS INT)) SECOND AS e
+    FROM events
+),
+deltas AS (
+    SELECT event_type, s AS t, 1 AS delta FROM iv
+    UNION ALL
+    SELECT event_type, e AS t, -1 AS delta FROM iv
+),
+cum AS (
+    SELECT event_type,
+           SUM(delta) OVER (
+               PARTITION BY event_type ORDER BY t, delta) AS running
+    FROM deltas
+)
+SELECT event_type, CAST(MAX(running) AS BIGINT) AS peak_concurrency
+FROM cum GROUP BY event_type
+"""
+
+
+@query("concurrency_peak", oracle=_CONCURRENCY_ORACLE)
+def concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent open intervals per event type (interval = [ts,
+    ts + value seconds)), the classic sweep-line — implemented as a
+    SEGMENTED prefix sum so no timeline ever serializes through one
+    partition:
+
+    1. ±1 deltas bucket by hour; the intra-bucket running sum is a
+       window over (type, bucket) — many small independent partitions.
+    2. Per-bucket totals (net delta, max local prefix) collapse to one
+       row per bucket ON THE SAME clustering (no second fact exchange).
+    3. The cross-bucket offset is a prefix sum over the tiny per-bucket
+       rows; peak = max(offset + local max). A monolithic
+       ``Window.partitionBy(event_type).orderBy(t)`` — the oracle's
+       formulation — funnels each type's entire 100 TB timeline through
+       one task; the segmented form's fact-sized work is all
+       bucket-parallel.
+
+    Tie semantics: ordering by (t, delta) ends intervals before starting
+    new ones at the same instant, and the RANGE default frame makes tied
+    rows see their full peer group, so the running sum is deterministic.
+    """
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        F.timestamp_micros(
+            F.unix_micros("ts") + F.col("value").cast("int") * 1_000_000
+        ).alias("e"),
+    )
+    # One fact scan: emit both sweep deltas per interval with a 2-element
+    # explode instead of a self-union (which would scan events twice).
+    deltas = iv.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("d"),
+    ).select("event_type", F.col("d.t").alias("t"), F.col("d.delta").alias("delta"))
+    bucketed = deltas.withColumn(
+        "bucket", F.date_trunc("hour", F.col("t"))
+    ).withColumn("t_us", F.unix_micros("t"))
+    w_local = Window.partitionBy("event_type", "bucket").orderBy("t_us", "delta")
+    local = bucketed.withColumn("running", F.sum("delta").over(w_local))
+    per_bucket = local.groupBy("event_type", "bucket").agg(
+        F.sum("delta").alias("net"),
+        F.max("running").alias("local_max"),
+    )
+    w_offset = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_offset = per_bucket.withColumn(
+        "offset", F.coalesce(F.sum("net").over(w_offset), F.lit(0))
+    )
+    return with_offset.groupBy("event_type").agg(
+        F.max(F.col("offset") + F.col("local_max")).alias("peak_concurrency")
+    )

@@ -127,6 +127,16 @@ def test_text_repetition_two_keyed_shuffles(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
 
 
+def test_concurrency_peak_segmented_sweep(spark, sf_dir):
+    """Sweep-line via segmented prefix sum: ONE fact scan (explode, not a
+    self-union), the intra-bucket window and per-bucket rollup share one
+    exchange, and only the tiny per-bucket rows re-shuffle for the
+    cross-bucket offset."""
+    plan = plan_of(spark, "concurrency_peak", sf_dir, mode="simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
 def test_no_row_at_a_time_python_udfs(spark, sf_dir):
     """Global plan lint: Python must only enter a plan through Arrow
     (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas / cogrouped).
