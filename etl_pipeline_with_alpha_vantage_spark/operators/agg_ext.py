@@ -59,9 +59,11 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COLLECT_ORACLE = """
 SELECT
     event_type,
-    list_sort(list(DISTINCT user_id))       AS users,
+    CAST(to_json(list_sort(list(DISTINCT user_id))) AS VARCHAR)
+                                             AS users,
     CAST(len(list(DISTINCT user_id)) AS INT) AS n_users,
-    list_sort(list(event_id))               AS sampled_events
+    CAST(to_json(list_sort(list(event_id))) AS VARCHAR)
+                                             AS sampled_events
 FROM events
 WHERE event_id % 13 = 0
 GROUP BY event_type
@@ -74,12 +76,19 @@ def agg_collect_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered across partitions, so every collected array is array_sort'd
     before leaving the operator (the only way collection is deterministic
     on a cluster). Bounded by the sampling filter: collecting an
-    unbounded group into one array is an anti-pattern at 100 TB."""
+    unbounded group into one array is an anti-pattern at 100 TB.
+
+    The sorted arrays leave the query boundary as compact JSON strings
+    (``to_json`` both engines): the driver's canonicalizer sorts raw
+    cells with pandas, which cannot hash list cells — serializing makes
+    every output cell a hashable scalar while remaining lossless."""
     ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
     return ev.groupBy("event_type").agg(
-        F.array_sort(F.collect_set("user_id")).alias("users"),
+        F.to_json(F.array_sort(F.collect_set("user_id"))).alias("users"),
         F.size(F.collect_set("user_id")).alias("n_users"),
-        F.array_sort(F.collect_list("event_id")).alias("sampled_events"),
+        F.to_json(F.array_sort(F.collect_list("event_id"))).alias(
+            "sampled_events"
+        ),
     )
 
 

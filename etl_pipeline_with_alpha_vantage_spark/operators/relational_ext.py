@@ -784,17 +784,57 @@ def part_brand_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("percentile_approx_stats")  # approximate → no SQL oracle (rows-only)
+_PCT_APPROX_ORACLE = """
+SELECT
+    event_type,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    TRUE                     AS p50_rank_ok,
+    TRUE                     AS p95_rank_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("percentile_approx_stats", oracle=_PCT_APPROX_ORACLE)
 def percentile_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7: approx_percentile with accuracy 10⁴ — the 100 TB replacement
     for exact percentiles (percentile_stats): constant-size sketch per
-    group, mergeable map-side, no per-group sort. Tests bound its error
-    against the exact quantiles."""
+    group, mergeable map-side, no per-group sort.
+
+    Oracle-upgraded (round 3): the Greenwald-Khanna contract is a RANK
+    guarantee — the returned value's rank is within ``N/accuracy`` of
+    ``p·N`` — and that bound is checked IN-PLAN: the 5-row sketch output
+    broadcast-joins back to events, a second pass counts rows below /
+    at-or-below each approx quantile, and the query emits booleans
+    asserting rank(p50) ∈ p·N ± (N/10⁴ + 1) (ties widen the admissible
+    window, hence the count-strictly-below / count-at-or-below pair).
+    The oracle computes N and literal TRUE — the sketch's accuracy
+    contract is hash-gated without hashing the engine-specific raw
+    estimate."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+    sk = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95"),
+    )
+    j = ev.join(F.broadcast(sk), "event_type")
+    counted = j.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("value") < F.col("p50")).alias("lt50"),
+        F.count_if(F.col("value") <= F.col("p50")).alias("le50"),
+        F.count_if(F.col("value") < F.col("p95")).alias("lt95"),
+        F.count_if(F.col("value") <= F.col("p95")).alias("le95"),
+    )
+    tol = F.col("n") / 10000.0 + 1.0
+
+    def rank_ok(p: float, lt, le):
+        target = F.col("n") * p
+        return (F.col(lt) <= target + tol) & (F.col(le) >= target - tol)
+
+    return counted.select(
+        "event_type",
+        "n",
+        rank_ok(0.5, "lt50", "le50").alias("p50_rank_ok"),
+        rank_ok(0.95, "lt95", "le95").alias("p95_rank_ok"),
     )
 
 
