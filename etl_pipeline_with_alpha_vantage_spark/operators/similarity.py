@@ -463,7 +463,11 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.select("vec_id", _unit_udf()("embedding").alias("unit"))
 
     raw = table(spark, sf_dir, "embeddings")
-    cache_key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
+    # Cache key covers path + mtime_ns + size: a same-second in-place
+    # rewrite (coarse mtime granularity) still changes size or mtime_ns,
+    # so a stale codebook is never served silently.
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    cache_key = (sf_dir, st.st_mtime_ns, st.st_size)
     if cache_key in _IVF_CODEBOOK_CACHE:
         head, cents = _IVF_CODEBOOK_CACHE[cache_key]
     else:
@@ -493,10 +497,13 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = units(raw).withColumn("cell", _assign_udf(cents)("unit"))
     # Queries probe their NPROBE nearest refined centroids (tiny,
     # driver-side: N_QUERIES × K dot products on the collected matrix).
+    # kind="stable" so exact dot-product ties break by ascending cell id,
+    # provably matching the oracle's ORDER BY dp DESC, c (default
+    # quicksort gives no such guarantee).
     probes = [
         (q, int(c))
         for q in range(N_QUERIES)
-        for c in np.argsort(-(head[q] @ cents.T))[:NPROBE]
+        for c in np.argsort(-(head[q] @ cents.T), kind="stable")[:NPROBE]
     ]
     probe_df = spark.createDataFrame(probes, "query_id long, cell long")
     q = corpus.filter(F.col("vec_id") < N_QUERIES).select(

@@ -490,7 +490,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONCURRENCY_ORACLE = """
 WITH iv AS (
     SELECT event_type, ts AS s,
-           ts + INTERVAL (CAST(value AS INT)) SECOND AS e
+           ts + INTERVAL (CAST(trunc(value) AS INT)) SECOND AS e
     FROM events
 ),
 deltas AS (
@@ -534,11 +534,16 @@ def concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
+    # Interval length = trunc(value) seconds, matching the oracle's
+    # CAST(trunc(value) AS INT) exactly (CAST alone ROUNDS in DuckDB but
+    # TRUNCATES in non-ANSI Spark — a latent half-second parity break).
+    # The long cast before the microsecond multiply keeps arbitrarily
+    # long intervals out of 32-bit wraparound territory.
     iv = ev.select(
         "event_type",
         F.col("ts").alias("s"),
         F.timestamp_micros(
-            F.unix_micros("ts") + F.col("value").cast("int") * 1_000_000
+            F.unix_micros("ts") + F.col("value").cast("long") * 1_000_000
         ).alias("e"),
     )
     # One fact scan: emit both sweep deltas per interval with a 2-element

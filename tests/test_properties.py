@@ -239,3 +239,50 @@ def test_pack_greedy_invariants(spark, per_group_tokens):
         for a, b in zip(rs, rs[1:]):
             if b.bin_id == a.bin_id + 1:
                 assert sum(fills[a.bin_id]) + b.est_tokens > PACK_BUDGET
+
+
+def test_concurrency_peak_trunc_semantics_adversarial(spark, tmp_path):
+    """Round-vs-trunc interval ends CHANGE the peak on this data: interval
+    A has length 10.5s, interval B starts exactly at t=10. Truncation ends
+    A at t=10 (end-before-start tie rule → peak 1); rounding would stretch
+    A to t=11, overlapping B (peak 2). Both the Spark query and the DuckDB
+    oracle must agree on the truncating semantics — this row pattern is
+    precisely the one ADVICE flagged as a latent data-dependent break."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_with_alpha_vantage_spark import registry
+    from etl_pipeline_with_alpha_vantage_spark.operators.timeseries import (
+        _CONCURRENCY_ORACLE,
+    )
+
+    registry.load_all()
+    base = 1_700_000_000_000_000  # micros
+    rows = {
+        "event_id": [1, 2],
+        "ts": pa.array(
+            [base, base + 10_000_000], type=pa.timestamp("us", tz="UTC")
+        ),
+        "user_id": [1, 2],
+        "event_type": ["x", "x"],
+        "value": [10.5, 5.0],
+        "props": ["{}", "{}"],
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+
+    got = {
+        (r.event_type, r.peak_concurrency)
+        for r in registry.QUERIES["concurrency_peak"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {("x", 1)}  # trunc: A closes before B opens
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path / 'events.parquet'}'"
+    )
+    oracle = set(map(tuple, con.sql(_CONCURRENCY_ORACLE).fetchall()))
+    con.close()
+    assert oracle == got
