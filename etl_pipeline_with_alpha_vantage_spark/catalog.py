@@ -97,6 +97,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Partition-count probe results, keyed by the scan's input files (path,
+# mtime_ns, size). df.rdd.getNumPartitions() forces a full plan→RDD
+# translation on the driver (~0.17 s measured) — fine once, wasteful when
+# the same scan is probed per query build (this was most of the round-2
+# dedup_minhash_lsh bench regression).
+_SPREAD_PROBE_CACHE: dict = {}
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Re-split an under-partitioned input before compute-heavy per-row
     work (hashing, shingling, vectorized UDFs).
@@ -107,9 +115,30 @@ def spread(df: DataFrame) -> DataFrame:
     one narrow shuffle to spread it; when the scan is already well-split
     (the 100 TB case — thousands of row groups), this is a no-op, so the
     helper never adds a shuffle at scale.
+
+    The probe itself is memoized per input-file identity: the partition
+    count of a file scan only changes when the files (or session
+    parallelism) do, both part of the cache key.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    key = None
+    try:
+        files = df.inputFiles()
+        ident = []
+        for f in files:
+            p = f.removeprefix("file:")
+            st = os.stat(p)
+            ident.append((p, st.st_mtime_ns, st.st_size))
+        key = (target, tuple(sorted(ident)))
+    except Exception:
+        key = None  # non-local / non-file plan — probe uncached
+    if key is not None and key in _SPREAD_PROBE_CACHE:
+        n = _SPREAD_PROBE_CACHE[key]
+    else:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            _SPREAD_PROBE_CACHE[key] = n
+    return df.repartition(target) if n < target else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
