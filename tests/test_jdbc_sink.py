@@ -1,0 +1,138 @@
+"""Unit tests for the JDBC INSERT IGNORE upsert writer (L1/L2 parity).
+
+No MySQL exists in the sandbox, so these tests pin the ASSEMBLY: the
+emitted DDL/DML must reproduce the reference's load semantics
+(/root/reference/etl.py:115-156) and the Spark write options must form
+the batched staging append that replaces its row-at-a-time loop.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipeline_with_alpha_vantage_spark.sinks.jdbc import (
+    plan_jdbc_upsert,
+    write_jdbc_upsert,
+)
+
+URL = "jdbc:mysql://localhost:3306/etl"
+
+
+@pytest.fixture()
+def stock_df(spark):
+    """A frame shaped like the reference's final load frame (etl.py:96-99
+    after the sink-side renames of SURVEY.md §2.D.6)."""
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [("AAPL", "2025-10-03", 254.665, 258.02, 253.95, 258.02, 49155614, 1.317417)],
+        "symbol string, date string, open_price double, high_price double, "
+        "low_price double, close_price double, volume long, "
+        "daily_change_percentage double",
+    ).select(
+        "symbol",
+        F.to_date("date").alias("date"),
+        F.col("open_price").cast("decimal(15,4)").alias("open_price"),
+        F.col("high_price").cast("decimal(15,4)").alias("high_price"),
+        F.col("low_price").cast("decimal(15,4)").alias("low_price"),
+        F.col("close_price").cast("decimal(15,4)").alias("close_price"),
+        F.col("volume").cast("int").alias("volume"),
+        F.col("daily_change_percentage")
+        .cast("decimal(10,4)")
+        .alias("daily_change_percentage"),
+    )
+
+
+def test_target_ddl_matches_reference_schema(stock_df):
+    plan = plan_jdbc_upsert(
+        stock_df, URL, "stock_daily_data", keys=("symbol", "date")
+    )
+    ddl = plan.create_target_sql
+    # Reference DDL semantics, item by item (etl.py:115-129):
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS stock_daily_data")
+    assert "id INT PRIMARY KEY AUTO_INCREMENT" in ddl
+    assert "extraction_timestamp TIMESTAMP DEFAULT CURRENT_TIMESTAMP" in ddl
+    assert "UNIQUE (symbol, date)" in ddl
+    assert "open_price DECIMAL(15,4)" in ddl
+    assert "daily_change_percentage DECIMAL(10,4)" in ddl
+    assert "volume INT" in ddl
+    assert "date DATE" in ddl
+
+
+def test_insert_ignore_omits_server_populated_columns(stock_df):
+    plan = plan_jdbc_upsert(
+        stock_df, URL, "stock_daily_data", keys=("symbol", "date")
+    )
+    # The reference's INSERT lists only the 8 data columns — never id or
+    # extraction_timestamp (etl.py:143-144); ditto here.
+    assert plan.insert_ignore_sql.startswith(
+        "INSERT IGNORE INTO stock_daily_data "
+        "(symbol, date, open_price, high_price, low_price, close_price, "
+        "volume, daily_change_percentage)"
+    )
+    assert "id" not in plan.insert_ignore_sql.split("(")[1].split(")")[0].split(
+        ", "
+    )
+    assert "extraction_timestamp" not in plan.insert_ignore_sql
+    assert plan.insert_ignore_sql.endswith(
+        f"SELECT symbol, date, open_price, high_price, low_price, "
+        f"close_price, volume, daily_change_percentage FROM "
+        f"{plan.staging_table}"
+    )
+
+
+def test_staging_table_has_no_unique_key(stock_df):
+    plan = plan_jdbc_upsert(
+        stock_df, URL, "stock_daily_data", keys=("symbol", "date")
+    )
+    assert "UNIQUE" not in plan.create_staging_sql
+    assert "AUTO_INCREMENT" not in plan.create_staging_sql
+    assert plan.staging_table == "stock_daily_data__stage"
+
+
+def test_write_options_batch_into_staging(stock_df):
+    plan = plan_jdbc_upsert(
+        stock_df, URL, "stock_daily_data", keys=("symbol", "date"),
+        batchsize=5000,
+    )
+    assert plan.write_options["url"] == URL
+    assert plan.write_options["dbtable"] == "stock_daily_data__stage"
+    assert plan.write_options["batchsize"] == "5000"
+    assert plan.write_options["truncate"] == "false"
+
+
+def test_bad_identifiers_and_keys_rejected(stock_df):
+    with pytest.raises(ValueError, match="unsafe SQL identifier"):
+        plan_jdbc_upsert(stock_df, URL, "t; DROP TABLE x", keys=("symbol",))
+    with pytest.raises(ValueError, match="keys"):
+        plan_jdbc_upsert(stock_df, URL, "t", keys=("nope",))
+
+
+def test_run_path_statement_order_and_crash_hygiene(stock_df):
+    """With a recording run_sql, the statement sequence must be: ensure
+    target, drop stale staging, create staging, (bulk write — fails here,
+    no MySQL driver), and the finally-drop must still run."""
+    ran: list[str] = []
+    with pytest.raises(Exception):
+        write_jdbc_upsert(
+            stock_df,
+            URL,
+            "stock_daily_data",
+            keys=("symbol", "date"),
+            run_sql=ran.append,
+        )
+    assert [s.split()[0:3] for s in ran[:3]] == [
+        ["CREATE", "TABLE", "IF"],
+        ["DROP", "TABLE", "IF"],
+        ["CREATE", "TABLE", "stock_daily_data__stage"],
+    ]
+    # crash hygiene: the last statement is the staging drop even though
+    # the bulk write raised
+    assert ran[-1] == "DROP TABLE IF EXISTS stock_daily_data__stage"
+
+
+def test_plan_only_mode_executes_nothing(stock_df):
+    plan = write_jdbc_upsert(
+        stock_df, URL, "stock_daily_data", keys=("symbol", "date")
+    )
+    assert plan.insert_ignore_sql  # assembled
