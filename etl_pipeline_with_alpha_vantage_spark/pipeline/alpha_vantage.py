@@ -67,12 +67,28 @@ AV_SCHEMA = StructType(
 )
 
 
-def read_raw_payloads(spark: SparkSession, path: str) -> DataFrame:
-    """Schema'd PERMISSIVE read of raw Alpha Vantage JSON payloads.
+def read_raw_payloads(
+    spark: SparkSession, path: str, strict: bool = False
+) -> DataFrame:
+    """Schema'd read of raw Alpha Vantage JSON payloads — both validation
+    modes of SURVEY.md §2.A V1.
 
-    Malformed files land in ``_corrupt_record`` and are filtered out —
-    the drop-invalid-payload-and-continue gate of etl.py:52-56.
+    Default (PERMISSIVE): malformed files land in ``_corrupt_record`` and
+    are filtered out — the drop-invalid-payload-and-continue gate of
+    etl.py:52-56.
+
+    ``strict=True`` (FAILFAST): any malformed payload aborts the read —
+    the mode for pipelines where silently dropping a partner feed must be
+    an error, not a log line. Same schema, same downstream operators.
     """
+    if strict:
+        fields = [f for f in AV_SCHEMA.fields if f.name != "_corrupt_record"]
+        return (
+            spark.read.schema(StructType(fields))
+            .option("multiLine", True)
+            .option("mode", "FAILFAST")
+            .json(path)
+        )
     df = (
         spark.read.schema(AV_SCHEMA)
         .option("multiLine", True)

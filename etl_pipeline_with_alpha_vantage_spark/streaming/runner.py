@@ -102,6 +102,50 @@ def run_available_now(
         q.stop()
 
 
+def run_processing_time(
+    transformed: DataFrame,
+    table_name: str,
+    interval: str = "1 second",
+    checkpoint_dir: str | None = None,
+    min_batches: int = 2,
+    timeout_sec: int = 120,
+    output_mode: str = "complete",
+):
+    """O1, resident form: a ``Trigger.ProcessingTime`` loop — the direct
+    Spark twin of the reference's ``schedule.every().day.at("09:00")`` +
+    poll loop (etl.py:227-235). Where ``run_available_now`` is the
+    cron-style catch-up run, this keeps a resident query that re-fires on
+    a wall-clock cadence (daily in production, seconds here so tests can
+    observe multiple firings); file-source bookkeeping gives each firing
+    exactly-once pickup of newly arrived payloads, replacing the
+    reference's file-cache idempotency check (etl.py:42-45).
+
+    Runs until ``min_batches`` micro-batches completed (or timeout),
+    then stops; returns the number of completed batches.
+    """
+    import time as _time
+
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_pt_")
+    q = (
+        transformed.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(checkpoint, table_name))
+        .trigger(processingTime=interval)
+        .start()
+    )
+    deadline = _time.time() + timeout_sec
+    try:
+        while _time.time() < deadline:
+            done = len(q.recentProgress)
+            if done >= min_batches:
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    return len(q.recentProgress)
+
+
 def attribution_join_stream(
     spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
 ) -> DataFrame:

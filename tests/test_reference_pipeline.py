@@ -184,3 +184,51 @@ def test_zero_division_yields_null_policy(spark):
         .collect()[0]
     )
     assert row.fdiv is None and row.idiv is None and row.badcast is None
+
+
+def test_validation_gate_failfast_mode(spark, tmp_path):
+    """V1 strict variant: FAILFAST aborts the read on any malformed
+    payload (vs PERMISSIVE's drop-and-continue), and reads identically to
+    PERMISSIVE when every payload is clean — both declared modes of the
+    validation gate, documented side by side."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from etl_pipeline_with_alpha_vantage_spark.pipeline.alpha_vantage import (
+        read_raw_payloads,
+        unnest_and_standardize,
+    )
+
+    good = {
+        "Meta Data": {
+            "1. Information": "Daily Prices",
+            "2. Symbol": "GOOD",
+            "3. Last Refreshed": "2025-10-05",
+            "4. Output Size": "Compact",
+            "5. Time Zone": "US/Eastern",
+        },
+        "Time Series (Daily)": {
+            "2025-10-03": {
+                "1. open": "100.0",
+                "2. high": "110.0",
+                "3. low": "95.0",
+                "4. close": "105.0",
+                "5. volume": "12345",
+            }
+        },
+    }
+    clean = tmp_path / "clean"
+    clean.mkdir()
+    (clean / "GOOD_2025-10-05.json").write_text(json.dumps(good))
+
+    strict = unnest_and_standardize(
+        read_raw_payloads(spark, str(clean / "*.json"), strict=True)
+    ).collect()
+    assert [r.symbol for r in strict] == ["GOOD"]
+
+    dirty = tmp_path / "dirty"
+    dirty.mkdir()
+    (dirty / "GOOD_2025-10-05.json").write_text(json.dumps(good))
+    (dirty / "BAD_2025-10-05.json").write_text("{this is not json]")
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)):
+        read_raw_payloads(spark, str(dirty / "*.json"), strict=True).collect()
