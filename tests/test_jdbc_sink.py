@@ -136,3 +136,39 @@ def test_plan_only_mode_executes_nothing(stock_df):
         stock_df, URL, "stock_daily_data", keys=("symbol", "date")
     )
     assert plan.insert_ignore_sql  # assembled
+
+
+def test_jdbc_topk_read_pushes_sort_limit_serverside():
+    from etl_pipeline_with_alpha_vantage_spark.sources.jdbc import (
+        plan_jdbc_topk,
+    )
+
+    spec = plan_jdbc_topk(URL, "stock_daily_data", "id", 5)
+    # reference etl.py:174 — the exact query, as a pushdown subquery
+    assert spec.options["dbtable"] == (
+        "(SELECT * FROM stock_daily_data ORDER BY id DESC LIMIT 5) AS topk"
+    )
+    assert spec.options["url"] == URL
+    with pytest.raises(ValueError):
+        plan_jdbc_topk(URL, "t; DROP", "id", 5)
+    with pytest.raises(ValueError):
+        plan_jdbc_topk(URL, "t", "id", 0)
+
+
+def test_jdbc_partitioned_read_spec():
+    from etl_pipeline_with_alpha_vantage_spark.sources.jdbc import (
+        plan_jdbc_partitioned,
+    )
+
+    spec = plan_jdbc_partitioned(
+        URL, "stock_daily_data", "id", lower=1, upper=1_000_000,
+        num_partitions=32,
+    )
+    o = spec.options
+    assert (o["partitionColumn"], o["lowerBound"], o["upperBound"]) == (
+        "id", "1", "1000000"
+    )
+    assert o["numPartitions"] == "32"
+    assert o["fetchsize"] == "10000"
+    with pytest.raises(ValueError):
+        plan_jdbc_partitioned(URL, "t", "id", 10, 10, 4)
