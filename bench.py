@@ -61,6 +61,9 @@ HEADLINE = [
     "text_tfidf",
     "cohort_retention",
     "funnel_conversion",
+    # round-3 additions
+    "chunk_sliding_windows",
+    "dedup_canonical_corpus",
 ]
 
 

@@ -646,3 +646,68 @@ def decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .filter(F.col("n_shared_grams") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# X14/X15 composed — the DELIVERABLE of dedup: the surviving corpus
+# --------------------------------------------------------------------------
+
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+{_NGRAM_ORACLE.strip()}
+),
+nodes AS (
+    SELECT doc_id FROM documents WHERE doc_id < 200
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(a, b) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+labels AS (
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+),
+kept AS (
+    SELECT cluster_id AS doc_id,
+           COUNT(*) - 1 AS n_dups_removed
+    FROM labels GROUP BY cluster_id
+)
+SELECT k.doc_id,
+       CAST(k.n_dups_removed AS BIGINT) AS n_dups_removed,
+       CAST(length(d.text) AS INT)      AS text_len
+FROM kept k JOIN documents d USING (doc_id)
+"""
+
+
+@query("dedup_canonical_corpus", oracle=_CANONICAL_ORACLE)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product every near-dedup pipeline exists to produce: the
+    SURVIVING corpus — one canonical document per near-dup cluster
+    (smallest doc_id), with per-survivor accounting of how many
+    near-dups it displaced.
+
+    Composition: candidate pairs (inverted-index shingle join) →
+    connected components (min-label propagation) → keep rows where the
+    component label IS the doc — a filter on the label table, no extra
+    shuffle — then one join back to documents for payload columns. At
+    100 TB the join-back is key-partitioned on doc_id and the label
+    table is orders of magnitude smaller than the corpus (only cluster
+    representatives survive the groupBy)."""
+    labels = dedup_cc_clusters(spark, sf_dir)
+    kept = (
+        labels.groupBy("cluster_id")
+        .agg((F.count(F.lit(1)) - 1).alias("n_dups_removed"))
+        .select(
+            F.col("cluster_id").alias("doc_id"),
+            F.col("n_dups_removed").cast("long").alias("n_dups_removed"),
+        )
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("int").alias("text_len")
+    )
+    return kept.join(docs, "doc_id")

@@ -545,3 +545,62 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TFIDF_TOP_K)
         .select("doc_id", "term", "tf", "df", "tfidf")
     )
+
+
+# --------------------------------------------------------------------------
+# X17/training-data — sliding-window document chunking
+# --------------------------------------------------------------------------
+
+_CHUNK_WINDOW = 64  # tokens per chunk (context-window budget)
+_CHUNK_STRIDE = 48  # tokens between chunk starts (overlap = 16)
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+chunks AS (
+    SELECT doc_id,
+           CAST((s - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           t[s : least(s + {_CHUNK_WINDOW} - 1, len(t))] AS piece
+    FROM toks, unnest(generate_series(1, len(t), {_CHUNK_STRIDE})) AS g(s)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(piece) AS INT)          AS n_tokens,
+       array_to_string(piece, ' ')      AS chunk_text
+FROM chunks
+"""
+
+
+@query("chunk_sliding_windows", oracle=_CHUNK_ORACLE)
+def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data prep: split every document into overlapping
+    fixed-token-budget chunks (window 64, stride 48) — the step that
+    turns a raw corpus into model-ingestible sequences while keeping
+    boundary context via the overlap.
+
+    Pure narrow plan: tokenize → in-row start-offset sequence → explode →
+    slice. No shuffle at all — every chunk derives from its own row, so
+    the operator scales linearly with corpus bytes and parallelizes per
+    input split. Chunk counts are data-dependent (ceil(len/stride)), and
+    the trailing chunk is short rather than padded, exactly like the
+    oracle's inclusive list slice."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    exploded = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(_CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    piece = F.slice(
+        "t",
+        F.col("s"),
+        F.least(F.lit(_CHUNK_WINDOW), F.size("t") - F.col("s") + 1),
+    )
+    return exploded.select(
+        "doc_id",
+        ((F.col("s") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.size(piece).cast("int").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
