@@ -88,12 +88,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = spark.read.schema(schema).parquet(path)
     else:
         df = spark.read.parquet(path)
-    # Truncate long nanos to a micros timestamp. Integer DIV —
-    # ns-since-epoch (~1.7e18) exceeds double's exact-integer range.
-    from pyspark.sql.types import LongType
+    # Normalize events.ts across Spark versions. Spark ≤4.0 honors
+    # nanosAsLong (Long ns-since-epoch → integer DIV, since ~1.7e18
+    # exceeds double's exact-integer range); Spark 4.1+ reads parquet
+    # TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ and ignores the legacy
+    # conf. Either way downstream operators see one type — TIMESTAMP —
+    # so unix_micros/window arithmetic works and, with the session pinned
+    # to UTC, the NTZ wall clock maps to the identical instant DuckDB
+    # renders for the same naive parquet value.
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -28,15 +28,17 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
+    TimestampNTZType,
 )
 
-# ts is parquet TIMESTAMP(NANOS) → long under nanosAsLong (see session.py);
-# converted to a micros timestamp right after the scan.
+# ts is parquet TIMESTAMP(NANOS); Spark 4.1+ reads it natively as a
+# micros-truncated TIMESTAMP_NTZ, which the source schema pins (streaming
+# reads require an explicit schema) and the read casts to TIMESTAMP so
+# watermarks/windows agree with the batch twin under the UTC session.
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -55,7 +57,7 @@ def read_events_stream(
         .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def dedup_hourly_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
