@@ -64,6 +64,9 @@ HEADLINE = [
     # round-3 additions
     "chunk_sliding_windows",
     "dedup_canonical_corpus",
+    "anomaly_rolling_zscore",
+    "text_bigrams_top",
+    "agg_histogram_bins",
 ]
 
 

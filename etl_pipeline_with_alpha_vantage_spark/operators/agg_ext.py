@@ -280,3 +280,53 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-width histogram (binned aggregation)
+# --------------------------------------------------------------------------
+
+_HISTOGRAM_BIN_WIDTH = 5000.0
+
+_HISTOGRAM_ORACLE = f"""
+SELECT
+    CAST(floor(l_extendedprice / {_HISTOGRAM_BIN_WIDTH}) AS BIGINT) AS price_bin,
+    CAST(floor(l_extendedprice / {_HISTOGRAM_BIN_WIDTH}) * {_HISTOGRAM_BIN_WIDTH}
+         AS DOUBLE)                                                 AS bin_lo,
+    CAST(COUNT(*) AS BIGINT)                                        AS n_items,
+    CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0
+         AS DOUBLE)                                                 AS total_qty,
+    MIN(l_extendedprice)                                            AS min_price,
+    MAX(l_extendedprice)                                            AS max_price
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+@query("agg_histogram_bins", oracle=_HISTOGRAM_ORACLE)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of line-item prices — the binned aggregate
+    behind every distribution dashboard and data-profiling pass. The bin
+    id is floor(price/width): a narrow scan-inline expression, so the
+    histogram is ONE partial-aggregated shuffle whose state is
+    O(distinct bins), not O(rows) — the same plan at sf0.01 and 100 TB.
+    min/max per bin are order-insensitive; the quantity sum uses exact
+    integer cents; the bin boundary itself is a single IEEE divide+floor
+    on identical doubles, so bin assignment is engine-exact.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    bin_id = F.floor(F.col("l_extendedprice") / _HISTOGRAM_BIN_WIDTH).cast("long")
+    return (
+        li.groupBy(
+            bin_id.alias("price_bin"),
+            (bin_id * _HISTOGRAM_BIN_WIDTH).cast("double").alias("bin_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100.0)
+            .cast("double")
+            .alias("total_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )

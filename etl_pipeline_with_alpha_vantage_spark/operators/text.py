@@ -9,7 +9,7 @@ shuffles are the final aggregations on low-cardinality keys.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -603,4 +603,70 @@ def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
         F.size(piece).cast("int").alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X17/training-data — corpus bigram statistics (n-gram LM counts)
+# --------------------------------------------------------------------------
+
+_BIGRAM_TOP_K = 15
+
+_BIGRAM_ORACLE = f"""
+WITH toks AS (
+    SELECT lang, string_split(text, ' ') AS t FROM documents
+),
+b AS (
+    SELECT lang,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])) AS bigram
+    FROM toks
+),
+c AS (
+    SELECT lang, bigram, COUNT(*) AS cnt FROM b GROUP BY lang, bigram
+),
+r AS (
+    SELECT lang, bigram, cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rn
+    FROM c
+)
+SELECT lang, bigram, CAST(cnt AS BIGINT) AS cnt, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= {_BIGRAM_TOP_K}
+"""
+
+
+@query("text_bigrams_top", oracle=_BIGRAM_ORACLE)
+def text_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency, top-15 per language — the n-gram count
+    table feeding n-gram LMs, contamination screens, and collocation
+    quality filters.
+
+    Bigram formation is NARROW: each row expands its own token array via
+    transform(sequence(...)) + explode — no window over token position,
+    no shuffle until the count. The plan is scan → in-row expand →
+    partial-agg → one shuffle on (lang, bigram) → per-lang top-k; at
+    100 TB the exploded stream never materializes, and map-side partial
+    aggregation collapses repeated bigrams before the exchange.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(
+                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "bigram")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BIGRAM_TOP_K)
+        .select("lang", "bigram", "cnt", "rank")
     )

@@ -537,14 +537,13 @@ def concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Interval length = trunc(value) seconds, matching the oracle's
     # CAST(trunc(value) AS INT) exactly (CAST alone ROUNDS in DuckDB but
     # TRUNCATES in non-ANSI Spark — a latent half-second parity break).
-    # The long cast before the microsecond multiply keeps arbitrarily
-    # long intervals out of 32-bit wraparound territory.
+    # timestamp_add keeps the column's TIMESTAMP_NTZ type (unix_micros
+    # would reject it) and the long cast keeps arbitrarily long
+    # intervals out of 32-bit wraparound territory.
     iv = ev.select(
         "event_type",
         F.col("ts").alias("s"),
-        F.timestamp_micros(
-            F.unix_micros("ts") + F.col("value").cast("long") * 1_000_000
-        ).alias("e"),
+        F.timestamp_add("SECOND", F.col("value").cast("long"), F.col("ts")).alias("e"),
     )
     # One fact scan: emit both sweep deltas per interval with a 2-element
     # explode instead of a self-union (which would scan events twice).
@@ -557,10 +556,8 @@ def concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("d"),
     ).select("event_type", F.col("d.t").alias("t"), F.col("d.delta").alias("delta"))
-    bucketed = deltas.withColumn(
-        "bucket", F.date_trunc("hour", F.col("t"))
-    ).withColumn("t_us", F.unix_micros("t"))
-    w_local = Window.partitionBy("event_type", "bucket").orderBy("t_us", "delta")
+    bucketed = deltas.withColumn("bucket", F.date_trunc("hour", F.col("t")))
+    w_local = Window.partitionBy("event_type", "bucket").orderBy("t", "delta")
     local = bucketed.withColumn("running", F.sum("delta").over(w_local))
     per_bucket = local.groupBy("event_type", "bucket").agg(
         F.sum("delta").alias("net"),
@@ -576,4 +573,147 @@ def concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return with_offset.groupBy("event_type").agg(
         F.max(F.col("offset") + F.col("local_max")).alias("peak_concurrency")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling z-score anomaly detection (trailing-window outliers)
+# --------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH c AS (
+    SELECT event_id, user_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+w AS (
+    SELECT event_id, user_id, ts, cents,
+           COUNT(*)            OVER win AS n,
+           SUM(cents)          OVER win AS s1,
+           SUM(cents * cents)  OVER win AS s2
+    FROM c
+    WINDOW win AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+    )
+)
+SELECT event_id, user_id, ts,
+       CAST(cents / 100.0 AS DOUBLE) AS value,
+       (cents - CAST(s1 AS DOUBLE) / n)
+           / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))) AS zscore
+FROM w
+WHERE n >= 5 AND n * s2 - s1 * s1 > 0
+  AND abs((cents - CAST(s1 AS DOUBLE) / n)
+          / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1)))) > 2.0
+"""
+
+
+@query("anomaly_rolling_zscore", oracle=_ZSCORE_ORACLE)
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window outlier detection: flag events whose value sits
+    more than 2 standard deviations from the mean of the SAME user's
+    previous ≤20 events — the data-quality screen that catches sensor
+    glitches / abuse spikes without a global pass.
+
+    Cross-engine exactness: the rolling moments are integer-cent sums
+    (count / Σx / Σx² are exact BIGINTs in any accumulation order), and
+    mean/variance/z are derived from those integers by one fixed IEEE
+    expression tree, so Spark and the oracle produce bit-identical
+    doubles — no tolerance needed even at full-precision hashing.
+
+    Scale: one shuffle on user_id (high cardinality → even spread),
+    then a bounded 20-row frame per key: state is O(1) per row, the
+    whole operator is a single window pass over the fact stream.
+    """
+    ev = table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    w = c.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "cents",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("cents").over(win).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var_num = n * s2 - s1 * s1
+    z = (F.col("cents") - s1.cast("double") / n) / F.sqrt(
+        var_num.cast("double") / (n * (n - 1))
+    )
+    return (
+        w.filter((n >= 5) & (var_num > 0))
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 2.0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (F.col("cents") / 100.0).cast("double").alias("value"),
+            "zscore",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-group reservoir sample (quota sampling by source)
+# --------------------------------------------------------------------------
+
+_RESERVOIR_K = 10
+
+_RESERVOIR_ORACLE = f"""
+WITH h AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5('res:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hkey
+    FROM documents
+),
+r AS (
+    SELECT doc_id, source, hkey,
+           row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS rn
+    FROM h
+)
+SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank
+FROM r WHERE rn <= {_RESERVOIR_K}
+"""
+
+
+@query("sample_reservoir_group", oracle=_RESERVOIR_ORACLE)
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fixed-quota sample: the k documents with the smallest
+    salted md5 key per source — statistically a uniform without-
+    replacement reservoir, but DETERMINISTIC and engine-independent
+    (re-runs, Spark vs DuckDB, any partitioning: same k docs), which is
+    what an audit-able training-data pipeline needs from its "inspect
+    10 docs per source" step.
+
+    Scale: the hash is a narrow projection; per-group top-k by hash is
+    rank-then-filter after one shuffle on source. With heavy groups the
+    map-side already discards beyond-k candidates per partition under
+    AQE-sized splits; state per group is O(k), never O(rows).
+    """
+    docs = table(spark, sf_dir, "documents")
+    hkey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("res:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    return (
+        docs.select("doc_id", "source", hkey.alias("hkey"))
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= _RESERVOIR_K)
+        .select("source", "doc_id", "sample_rank")
     )
