@@ -67,6 +67,8 @@ HEADLINE = [
     "anomaly_rolling_zscore",
     "text_bigrams_top",
     "agg_histogram_bins",
+    "graph_pagerank",
+    "cumulative_distinct_users",
 ]
 
 

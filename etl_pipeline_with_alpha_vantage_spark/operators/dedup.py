@@ -244,38 +244,44 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     Cost shape: each shingle *string* is hashed exactly once (md5 prefix →
     60-bit long); the n-hash family is then derived with four integer ops
     per member on that fixed-width long — far cheaper than re-hashing
-    strings per member. min() per member runs over the long array. No
-    explode, no Python, constant work per document.
+    strings per member. No explode, no Python, constant work per document.
+
+    Expression discipline (measured 2.5× at sf0.1): trigrams come from
+    zip_with over three slices — NOT transform(sequence)+element_at,
+    where projection collapse inlines the token array into every
+    element_at and re-evaluates it per shingle — and the n mins come
+    from ONE aggregate() pass with an n-wide least() accumulator — NOT
+    n array_min(transform(ghashes, ...)) expressions, which inline the
+    md5 transform n times and re-hash every shingle per member.
     """
     toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
         F.size("toks") >= 3
     )
-    grams = toks.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("toks", i + 1),
-                    F.element_at("toks", i + 2),
-                    F.element_at("toks", i + 3),
-                ),
-            )
-        ).alias("grams"),
+    n2 = F.size("toks") - 2
+    tri = F.zip_with(
+        F.slice("toks", 1, n2),
+        F.zip_with(
+            F.slice("toks", 2, n2),
+            F.slice("toks", 3, n2),
+            lambda b, c: F.concat(b, F.lit(" "), c),
+        ),
+        lambda a, bc: F.concat(a, F.lit(" "), bc),
     )
+    grams = toks.select("doc_id", F.array_distinct(tri).alias("grams"))
     ghashed = grams.select(
         "doc_id",
         F.transform(F.col("grams"), _base60).alias("ghashes"),
     )
-    def member_fn(m: int, a: int, b: int):
-        return lambda h: _member_hash(h, m, a, b)
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("ghashes"), member_fn(m, a, b)))
-            for m, (a, b) in enumerate(_member_coeffs(n_hashes))
-        ]
+    coeffs = list(enumerate(_member_coeffs(n_hashes)))
+    init = F.array(*[F.lit(1 << 62).cast("long") for _ in coeffs])
+    sig = F.aggregate(
+        "ghashes",
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[_member_hash(h, m, a, b) for m, (a, b) in coeffs]),
+            lambda x, y: F.least(x, y),
+        ),
     )
     return ghashed.select("doc_id", sig.alias("sig"))
 

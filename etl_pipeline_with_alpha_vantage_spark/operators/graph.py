@@ -1,0 +1,141 @@
+"""Graph operators over warehouse-derived edge lists.
+
+The reference has no graph surface; these extend the engine the same way
+``dedup_cc_clusters`` does (iterative min-label propagation) — here with
+a FIXED-ITERATION dataflow algorithm, PageRank, over the bipartite
+supplier↔part graph mined from ``lineitem``.
+
+Exactness across engines is the interesting part: floating-point PageRank
+is order-sensitive (Σ of doubles), so instead the whole recurrence runs in
+scaled 64-bit INTEGER arithmetic — rank "units", truncating division for
+the per-edge share, integer damping — which is associative/commutative and
+therefore bit-exact on any partitioning, any engine. The oracle replays
+the identical recurrence as chained CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+_PR_ITERS = 3
+_PR_INIT = 1_000_000  # initial rank units per node
+# damped update, all-integer: r' = 150000 + (850 * inflow) DIV 1000
+# (i.e. 0.15 teleport + 0.85 damping at 1e6 scale, truncating).
+
+
+def _pr_oracle() -> str:
+    """Chained-CTE replay of the integer PageRank recurrence."""
+    its = []
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        its.append(
+            f"""r{k} AS (
+    SELECT n.node_id,
+           150000 + ((850 * COALESCE(SUM(
+               (p.rank_units // d.outdeg)
+           ), 0)) // 1000) AS rank_units
+    FROM nodes n
+    LEFT JOIN edges e ON e.dst = n.node_id
+    LEFT JOIN {prev} p ON p.node_id = e.src
+    LEFT JOIN deg d ON d.node_id = e.src
+    GROUP BY n.node_id
+)"""
+        )
+        prev = f"r{k}"
+    chained = ",\n".join(its)
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT l_suppkey AS suppkey, l_partkey AS partkey FROM lineitem
+),
+edges AS (
+    SELECT suppkey * 2 AS src, partkey * 2 + 1 AS dst FROM pairs
+    UNION ALL
+    SELECT partkey * 2 + 1 AS src, suppkey * 2 AS dst FROM pairs
+),
+nodes AS (
+    SELECT DISTINCT src AS node_id FROM edges
+),
+deg AS (
+    SELECT src AS node_id, COUNT(*) AS outdeg FROM edges GROUP BY src
+),
+r0 AS (
+    SELECT node_id, {_PR_INIT} AS rank_units FROM nodes
+),
+{chained}
+SELECT node_id,
+       CASE WHEN node_id % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
+       CAST(node_id // 2 AS BIGINT) AS entity_key,
+       CAST(rank_units AS BIGINT) AS rank_units
+FROM {prev}
+"""
+
+
+@query("graph_pagerank", oracle=_pr_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration (3) PageRank over the supplier↔part co-supply
+    graph: which suppliers/parts are most central to the supply network.
+
+    Exact-replay design: ranks are scaled integers; each edge carries
+    rank DIV outdeg (truncating); the damped update is integer too. Every
+    reduction is an integer sum — order-insensitive — so Spark and the
+    chained-CTE oracle agree bit-for-bit, something no floating-point
+    PageRank can promise across engines.
+
+    Scale shape: the edge list shuffles ONCE onto its src key and is then
+    reused by every iteration's join; each iteration is join(edges, ranks
+    on src) → groupBy(dst) partial-aggregated sum — the standard
+    distributed PR dataflow with a lineage bounded by the fixed iteration
+    count (no checkpoint needed at 3 hops). Undirected bipartite edges
+    mean no dangling nodes, so no global rank-mass correction term is
+    required.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_suppkey").alias("suppkey"), F.col("l_partkey").alias("partkey")
+    ).distinct()
+    sup = (F.col("suppkey") * 2).alias("src")
+    prt = (F.col("partkey") * 2 + 1).alias("dst")
+    edges = pairs.select(sup, prt).unionAll(
+        pairs.select(
+            (F.col("partkey") * 2 + 1).alias("src"),
+            (F.col("suppkey") * 2).alias("dst"),
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # src nodes == all nodes (undirected doubling), and the edge⋈degree
+    # product is iteration-invariant: precompute it once so each sweep
+    # only joins the current ranks.
+    edges_deg = edges.join(deg, "src")
+    nodes = deg.select(F.col("src").alias("node_id"))
+    ranks = nodes.withColumn("rank_units", F.lit(_PR_INIT).cast("long"))
+    for _ in range(_PR_ITERS):
+        inflow = (
+            edges_deg.join(
+                ranks.withColumnRenamed("node_id", "src"), "src"
+            )
+            .select(
+                F.col("dst").alias("node_id"),
+                F.expr("rank_units DIV outdeg").alias("share"),
+            )
+            .groupBy("node_id")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        ranks = nodes.join(inflow, "node_id", "left").select(
+            "node_id",
+            (
+                F.lit(150000)
+                + F.expr("(850 * coalesce(inflow, 0)) DIV 1000")
+            ).cast("long").alias("rank_units"),
+        )
+    return ranks.select(
+        "node_id",
+        F.when(F.col("node_id") % 2 == 0, "supplier")
+        .otherwise("part")
+        .alias("node_type"),
+        F.expr("node_id DIV 2").cast("long").alias("entity_key"),
+        F.col("rank_units").cast("long").alias("rank_units"),
+    )

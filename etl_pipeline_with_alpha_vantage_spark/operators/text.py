@@ -458,14 +458,16 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
         F.size("toks") >= 2
     )
+    # zip_with over two slices, not transform(sequence)+element_at: the
+    # latter re-evaluates the inlined token array per element after
+    # projection collapse (see text_bigrams_top — measured ~5×).
     bigrams = toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 2),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)
-                ),
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda x, y: F.concat(x, F.lit(" "), y),
             )
         ).alias("bg"),
     )
@@ -641,26 +643,25 @@ def text_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     table feeding n-gram LMs, contamination screens, and collocation
     quality filters.
 
-    Bigram formation is NARROW: each row expands its own token array via
-    transform(sequence(...)) + explode — no window over token position,
-    no shuffle until the count. The plan is scan → in-row expand →
-    partial-agg → one shuffle on (lang, bigram) → per-lang top-k; at
-    100 TB the exploded stream never materializes, and map-side partial
-    aggregation collapses repeated bigrams before the exchange.
+    Bigram formation is NARROW: each row zips its own token array with
+    itself shifted by one (zip_with over two slices) — no window over
+    token position, no shuffle until the count. The plan is scan →
+    in-row zip → explode → partial-agg → one shuffle on (lang, bigram)
+    → per-lang top-k; at 100 TB the exploded stream never materializes,
+    and map-side partial aggregation collapses repeated bigrams before
+    the exchange. (A transform(sequence)+element_at formulation computes
+    the same thing ~5× slower: each element_at re-evaluates its array
+    argument, turning the expansion quadratic in tokens.)
     """
     docs = table(spark, sf_dir, "documents")
-    t = F.split("text", " ")
-    bigrams = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat(
-                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    toks = docs.select("lang", F.split("text", " ").alias("t"))
+    bigrams = F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
     counts = (
-        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        toks.select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

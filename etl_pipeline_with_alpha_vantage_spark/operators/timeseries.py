@@ -717,3 +717,59 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= _RESERVOIR_K)
         .select("source", "doc_id", "sample_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Cumulative distinct cardinality (first-occurrence decomposition)
+# --------------------------------------------------------------------------
+
+_CUMDISTINCT_ORACLE = """
+WITH first_seen AS (
+    SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS first_day
+    FROM events GROUP BY event_type, user_id
+),
+daily AS (
+    SELECT event_type, first_day AS day, COUNT(*) AS new_users
+    FROM first_seen GROUP BY event_type, first_day
+)
+SELECT event_type, day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cumulative_users
+FROM daily
+"""
+
+
+@query("cumulative_distinct_users", oracle=_CUMDISTINCT_ORACLE)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-growth curve: per event type, daily NEW users and the
+    running count of distinct users ever seen — i.e. COUNT(DISTINCT)
+    over a growing window, which no engine supports directly at scale.
+
+    The trick is the first-occurrence decomposition: a distinct user
+    contributes exactly once, on their first day, so cumulative-distinct
+    ≡ running SUM of first-day counts. The fact stream collapses map-side
+    into (type, user) pairs (partial min), the per-day roll-up is
+    distinct-user-sized, and the window runs over tiny (type, day) rows —
+    the 100 TB timeline never serializes through one partition.
+    """
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = first_seen.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )

@@ -66,6 +66,7 @@ def load_all() -> None:
         agg_ext,
         asof,
         dedup,
+        graph,
         multimodal,
         packing,
         paging_joins,
