@@ -180,3 +180,55 @@ def export_sorted_shards(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental rollup maintenance (partition-scoped refresh)
+# --------------------------------------------------------------------------
+
+def refresh_daily_rollup(
+    spark: SparkSession,
+    events_df: DataFrame,
+    rollup_path: str,
+    days: list[str] | None = None,
+) -> int:
+    """Maintain a daily (event_type, day) rollup table INCREMENTALLY:
+    recompute only the named day-partitions and overwrite just those
+    directories, leaving every other partition's files untouched.
+
+    This is the materialized-aggregate maintenance loop every warehouse
+    runs nightly: at 100 TB you never rebuild the rollup — late-arriving
+    or corrected data invalidates a handful of day-partitions, and the
+    refresh cost is O(changed days), not O(history). Mechanics:
+
+    - the aggregate is partial-aggregated map-side before its single
+      shuffle (same plan as a full build, just filtered to the days);
+    - ``partitionOverwriteMode=dynamic`` scopes the overwrite to exactly
+      the partitions present in the written frame — a crash mid-write
+      never touches days outside the refresh set;
+    - the day filter prunes the source scan at planning time when the
+      source itself is day-partitioned (PartitionFilters), so the read
+      side is also O(changed days).
+
+    Returns the number of day-partitions written. ``days=None`` performs
+    the initial full build (all days present in the source).
+    """
+    agg = (
+        events_df.withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+    if days is not None:
+        agg = agg.filter(F.col("day").isin(days))
+    n_parts = agg.select("day").distinct().count()
+    (
+        agg.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(rollup_path)
+    )
+    return n_parts

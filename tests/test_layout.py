@@ -143,3 +143,73 @@ def test_zorder_export_clusters_both_dimensions(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(path).count() == orders.count()
     )
+
+
+def test_incremental_rollup_refresh(spark, sf_dir, tmp_path):
+    """refresh_daily_rollup: the initial build equals a direct aggregate;
+    a scoped refresh rewrites ONLY the named day-partitions (other
+    partition files stay byte-identical on disk) and folds source
+    changes for those days into the table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_with_alpha_vantage_spark.catalog import table
+    from etl_pipeline_with_alpha_vantage_spark.sinks.maintenance import (
+        refresh_daily_rollup,
+    )
+
+    events = table(spark, sf_dir, "events")
+    path = str(tmp_path / "rollup")
+
+    n_full = refresh_daily_rollup(spark, events, path, None)
+    assert n_full > 2
+
+    def snapshot(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    before = snapshot(path)
+    days = sorted(
+        r.day.isoformat()
+        for r in spark.read.parquet(path).select("day").distinct().collect()
+    )[:2]
+
+    # refresh two days from a CHANGED source (drop one event type)
+    changed = events.filter(F.col("event_type") != "error")
+    n_ref = refresh_daily_rollup(spark, changed, path, days)
+    assert n_ref == 2
+
+    after = snapshot(path)
+    touched_prefixes = tuple(os.path.join(path, f"day={d}") for d in days)
+    for p, sig in before.items():
+        if not p.startswith(touched_prefixes):
+            assert after.get(p) == sig, f"untouched partition rewritten: {p}"
+
+    # table content == old rollup outside the refresh set, new agg inside
+    expected_inside = (
+        changed.withColumn("day", F.to_date("ts"))
+        .filter(F.col("day").isin(days))
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+    got_inside = spark.read.parquet(path).filter(
+        F.col("day").cast("string").isin(days)
+    )
+    cols = ["event_type", "day", "n_events", "value_cents", "n_users"]
+    assert sorted(map(tuple, got_inside.select(*cols).collect())) == sorted(
+        map(tuple, expected_inside.select(*cols).collect())
+    )
+    assert "error" not in {
+        r.event_type for r in got_inside.select("event_type").distinct().collect()
+    }
