@@ -199,3 +199,92 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_click_id",
         "next_click_ts",
     )
+
+
+# --------------------------------------------------------------------------
+# X5c — as-of join with tolerance (stale matches dropped)
+# --------------------------------------------------------------------------
+
+_ASOF_TOL_US = 3600 * 1_000_000  # 1 hour
+
+_ASOF_TOL_ORACLE = """
+SELECT
+    p.event_id AS purchase_id,
+    p.user_id  AS user_id,
+    p.ts       AS purchase_ts,
+    p.value    AS purchase_value,
+    CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 1 HOUR
+         THEN c.event_id END AS click_id,
+    CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL 1 HOUR
+         THEN c.value END    AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@query("asof_join_tolerance", oracle=_ASOF_TOL_ORACLE)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 with a staleness bound: the latest same-user click at or before
+    each purchase counts only if it happened within the last hour —
+    pandas' ``merge_asof(tolerance=...)``, the form attribution windows
+    actually need (an hours-old click should not claim the credit).
+
+    Same single-shuffle union+window plan as ``asof_join`` (the carried
+    click timestamp rides the same last(ignorenulls) window); the
+    tolerance is a row-local post-filter, so the bound adds zero plan
+    cost. The oracle is DuckDB's native ASOF LEFT JOIN with the stale
+    matches nulled the same way.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", F.coalesce("click_id", "purchase_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "user_id",
+        "ts",
+        "kind",
+        "purchase_id",
+        "purchase_value",
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last("click_value", ignorenulls=True).over(w).alias("click_value"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("click_ts"),
+    )
+    fresh = (
+        F.col("click_ts").isNotNull()
+        & (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts"))
+            <= F.lit(_ASOF_TOL_US)
+        )
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        F.col("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "purchase_value",
+        F.when(fresh, F.col("click_id")).alias("click_id"),
+        F.when(fresh, F.col("click_value")).alias("click_value"),
+    )

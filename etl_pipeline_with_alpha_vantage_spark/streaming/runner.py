@@ -316,3 +316,69 @@ def run_with_log(
             fh.write(f"ETL run {table_name} completed at {now}\n")
     finally:
         spark.streams.removeListener(listener)
+
+
+def run_stream_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    bronze_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 120,
+) -> None:
+    """End-to-end incremental pipeline: file stream → bronze append →
+    partition-scoped rollup refresh (the medallion pattern on top of
+    ``sinks.maintenance.refresh_daily_rollup``).
+
+    Each micro-batch (foreachBatch):
+
+    1. lands its raw rows under ``bronze/epoch=N`` with OVERWRITE — a
+       retried epoch rewrites its own directory, so the bronze layer is
+       exactly-once without a transactional table format;
+    2. computes the set of event-days the batch touched;
+    3. re-aggregates ONLY those day-partitions from the full bronze
+       history and dynamically overwrites them in the rollup.
+
+    Late or corrected data for an already-published day simply lands in a
+    later epoch and re-triggers that day's refresh — the rollup converges
+    to the batch answer after every run, and refresh cost stays
+    O(days touched per batch), not O(history). A second AvailableNow run
+    with the same checkpoint processes zero new files and leaves both
+    layers untouched (idempotent catch-up, like the reference's daily
+    scheduled re-run).
+    """
+    import tempfile as _tf
+
+    from ..sinks.maintenance import refresh_daily_rollup
+
+    stream = read_events_stream(spark, sf_dir)
+    checkpoint = checkpoint_dir or _tf.mkdtemp(prefix="ckpt_rollup_")
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        sess = df.sparkSession
+        df.persist()
+        try:
+            df.write.mode("overwrite").parquet(
+                os.path.join(bronze_dir, f"epoch={epoch_id}")
+            )
+            days = [
+                r.day.isoformat()
+                for r in df.select(F.to_date("ts").alias("day"))
+                .distinct()
+                .collect()
+            ]
+            if days:
+                bronze = sess.read.parquet(bronze_dir).drop("epoch")
+                refresh_daily_rollup(sess, bronze, rollup_dir, days)
+        finally:
+            df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", os.path.join(checkpoint, "rollup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()

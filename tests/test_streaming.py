@@ -332,3 +332,53 @@ def test_processing_time_trigger_resident_loop(spark, sf_dir, tmp_path):
         for r in QUERIES["stream_dedup_window"](spark, sf_dir).collect()
     }
     assert got == batch
+
+
+def test_stream_rollup_incremental_equals_batch(spark, sf_dir, tmp_path):
+    """run_stream_rollup: stream → bronze → partition-scoped rollup
+    refresh converges to the batch aggregate, and a second catch-up run
+    (no new files) leaves both layers untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_with_alpha_vantage_spark.catalog import table
+    from etl_pipeline_with_alpha_vantage_spark.streaming.runner import (
+        run_stream_rollup,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_rollup(spark, sf_dir, bronze, rollup, checkpoint_dir=ckpt)
+
+    expected = (
+        table(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+    cols = ["event_type", "day", "n_events", "value_cents", "n_users"]
+    got = spark.read.parquet(rollup)
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, expected.select(*cols).collect())
+    )
+
+    def snapshot(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    b0, r0 = snapshot(bronze), snapshot(rollup)
+    run_stream_rollup(spark, sf_dir, bronze, rollup, checkpoint_dir=ckpt)
+    assert snapshot(bronze) == b0, "idempotent catch-up rewrote bronze"
+    assert snapshot(rollup) == r0, "idempotent catch-up rewrote rollup"
