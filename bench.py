@@ -69,6 +69,7 @@ HEADLINE = [
     "agg_histogram_bins",
     "graph_pagerank",
     "cumulative_distinct_users",
+    "fuzzy_join_symdel",
 ]
 
 
