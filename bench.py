@@ -70,6 +70,7 @@ HEADLINE = [
     "graph_pagerank",
     "cumulative_distinct_users",
     "fuzzy_join_symdel",
+    "scd2_customer_status",
 ]
 
 

@@ -773,3 +773,66 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 dimension build (change detection → validity intervals)
+# --------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH h AS (
+    SELECT o_custkey AS custkey, o_orderstatus AS status,
+           o_orderdate AS seen_at, o_orderkey AS okey,
+           lag(o_orderstatus) OVER w AS prev_status
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+changes AS (
+    SELECT custkey, status, seen_at, okey
+    FROM h WHERE prev_status IS NULL OR status <> prev_status
+)
+SELECT custkey, status,
+       seen_at AS valid_from,
+       lead(seen_at) OVER w2 AS valid_to,
+       (lead(seen_at) OVER w2 IS NULL) AS is_current,
+       CAST(row_number() OVER w2 AS BIGINT) AS version
+FROM changes
+WINDOW w2 AS (PARTITION BY custkey ORDER BY seen_at, okey)
+"""
+
+
+@query("scd2_customer_status", oracle=_SCD2_ORACLE)
+def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension build: treat each customer's
+    order stream as status observations, keep only CHANGES (lag-compare),
+    and close each surviving row's validity interval with the next
+    change's start (lead) — the valid_from/valid_to/is_current/version
+    shape every warehouse dimension load needs.
+
+    All three windows (lag change-detect, lead interval-close, version
+    row_number) share ONE custkey clustering, so the whole build is a
+    single shuffle of the history table followed by partition-local
+    scans; at 100 TB this is the cheapest correct SCD2 build shape —
+    no self-join of history against itself.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    h = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("seen_at"),
+        F.col("o_orderkey").alias("okey"),
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+    )
+    changes = h.filter(
+        F.col("prev_status").isNull() | (F.col("status") != F.col("prev_status"))
+    )
+    w2 = Window.partitionBy("custkey").orderBy("seen_at", "okey")
+    return changes.select(
+        "custkey",
+        "status",
+        F.col("seen_at").alias("valid_from"),
+        F.lead("seen_at").over(w2).alias("valid_to"),
+        F.lead("seen_at").over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )

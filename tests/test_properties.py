@@ -286,3 +286,54 @@ def test_concurrency_peak_trunc_semantics_adversarial(spark, tmp_path):
     oracle = set(map(tuple, con.sql(_CONCURRENCY_ORACLE).fetchall()))
     con.close()
     assert oracle == got
+
+
+# --------------------------------------------------------------------------
+# SymSpell deletion-blocking lemma (fuzzy_join_symdel's candidate scheme)
+# --------------------------------------------------------------------------
+
+
+def _del1(s: str) -> set[str]:
+    return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="abc", min_size=0, max_size=6),
+    st.text(alphabet="abc", min_size=0, max_size=6),
+)
+def test_symdel_blocking_is_complete(s, t):
+    """d(s,t) ≤ 1 ⇒ the deletion-key sets intersect (no false negatives;
+    false positives like 'ab'/'ba' are expected — the query's levenshtein
+    verify removes them, so blocking+verify ≡ brute force)."""
+    if _lev(s, t) <= 1:
+        assert _del1(s) & _del1(t)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcd", min_size=1, max_size=5), min_size=1, max_size=12),
+    st.lists(st.text(alphabet="abcd", min_size=1, max_size=5), min_size=1, max_size=12),
+)
+def test_symdel_block_verify_equals_bruteforce(dirty, clean):
+    """blocked-candidates ∩ (lev ≤ 1) == all-pairs (lev ≤ 1)."""
+    blocked = {
+        (d, c)
+        for d in dirty
+        for c in clean
+        if (_del1(d) & _del1(c)) and _lev(d, c) <= 1
+    }
+    brute = {(d, c) for d in dirty for c in clean if _lev(d, c) <= 1}
+    assert blocked == brute
