@@ -330,3 +330,70 @@ def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").alias("max_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Robust outlier screen — median / MAD (median absolute deviation)
+# --------------------------------------------------------------------------
+
+_MAD_K = 1.4826  # consistency constant: MAD·k estimates σ under normality
+
+_ROBUST_MAD_ORACLE = f"""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+    FROM events e JOIN med m USING (event_type)
+),
+madt AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.med, t.mad,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN d.adev > 3 * {_MAD_K} * t.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN madt t USING (event_type)
+GROUP BY d.event_type, d.med, t.mad
+"""
+
+
+@query("agg_robust_mad", oracle=_ROBUST_MAD_ORACLE)
+def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event type: median + MAD (median of
+    absolute deviations), flagging values beyond 3 robust sigmas
+    (MAD·1.4826). Unlike the mean/stddev z-score (anomaly_rolling_zscore),
+    the 50% breakdown point means the screen itself cannot be dragged by
+    the outliers it hunts — the data-quality filter of choice for heavy-
+    tailed telemetry.
+
+    Exactness: exact interpolated percentile is engine-identical on
+    identical doubles (established by percentile_stats), deviations and
+    the 3·k·MAD threshold are single fixed IEEE expressions, counts are
+    integers. Shape: two passes over the fact stream (median, then
+    deviation median + screen), each a partial-aggregated shuffle on the
+    low-cardinality type key with the tiny per-type medians broadcast
+    back — O(groups) state, no sort of the full data.
+    """
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    madt = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(madt), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * _MAD_K * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
