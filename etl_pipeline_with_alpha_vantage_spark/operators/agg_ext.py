@@ -397,3 +397,73 @@ def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram (quantile-bucketed aggregation)
+# --------------------------------------------------------------------------
+
+_EQUIDEPTH_ORACLE = """
+WITH b AS (
+    SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+           quantile_cont(o_totalprice, 0.50) AS q2,
+           quantile_cont(o_totalprice, 0.75) AS q3
+    FROM orders
+)
+SELECT
+    CAST(CASE WHEN o.o_totalprice <= b.q1 THEN 0
+              WHEN o.o_totalprice <= b.q2 THEN 1
+              WHEN o.o_totalprice <= b.q3 THEN 2
+              ELSE 3 END AS BIGINT)     AS bucket,
+    CAST(COUNT(*) AS BIGINT)            AS n_orders,
+    MIN(o.o_totalprice)                 AS lo,
+    MAX(o.o_totalprice)                 AS hi,
+    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0
+         AS DOUBLE)                     AS total_price
+FROM orders o CROSS JOIN b
+GROUP BY 1
+"""
+
+
+@query("agg_equidepth_buckets", oracle=_EQUIDEPTH_ORACLE)
+def agg_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) histogram of order totals — the profiling
+    companion to the fixed-width agg_histogram_bins, and the statistic
+    behind range-partitioning boundaries and optimizer histograms.
+
+    A global ``ntile(4)`` window would funnel the whole table through
+    one sorted partition; instead the three quartile BOUNDARIES come
+    from one exact-percentile aggregate (O(1) rows out) and join back as
+    a broadcast, so binning is a scan-inline CASE and the final count is
+    one partial-aggregated shuffle of 4-row state. Same answer, no
+    global sort — the plan that survives 100 TB.
+
+    Exactness: interpolated percentiles are engine-identical on
+    identical doubles; boundary comparisons then agree bit-for-bit, and
+    min/max/integer-cent sums are order-insensitive.
+    """
+    o = table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.50).alias("q2"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("q1"), 0)
+        .when(F.col("o_totalprice") <= F.col("q2"), 1)
+        .when(F.col("o_totalprice") <= F.col("q3"), 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
