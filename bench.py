@@ -71,6 +71,7 @@ HEADLINE = [
     "cumulative_distinct_users",
     "fuzzy_join_symdel",
     "scd2_customer_status",
+    "pipeline_chunk_yield",
 ]
 
 

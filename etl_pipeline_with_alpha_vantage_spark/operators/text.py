@@ -671,3 +671,106 @@ def text_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BIGRAM_TOP_K)
         .select("lang", "bigram", "cnt", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end training-data yield: gate → canonical dedup → chunk budget
+# --------------------------------------------------------------------------
+
+_YIELD_ORACLE = f"""
+WITH scored AS (
+    SELECT
+        doc_id, source, lang,
+        len(string_split(text, ' ')) AS n_tokens,
+        CAST(len(list_filter(string_split(text, ' '),
+                             t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS stop_ratio,
+        md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')))
+            AS norm_hash
+    FROM documents
+),
+kept AS (SELECT * FROM scored WHERE n_tokens >= 20 AND stop_ratio >= 0.01),
+canon AS (
+    SELECT norm_hash, MIN(doc_id) AS canonical_doc
+    FROM kept GROUP BY norm_hash
+),
+survivors AS (
+    SELECT k.* FROM canon c JOIN kept k ON k.doc_id = c.canonical_doc
+),
+chunked AS (
+    SELECT source, lang, n_tokens,
+           len(generate_series(1, n_tokens, {_CHUNK_STRIDE})) AS n_chunks,
+           list_sum(list_transform(generate_series(1, n_tokens, {_CHUNK_STRIDE}),
+                    s -> least({_CHUNK_WINDOW}, n_tokens - s + 1)))
+               AS chunk_tokens
+    FROM survivors
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT)            AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT)       AS raw_tokens,
+       CAST(SUM(n_chunks) AS BIGINT)       AS n_chunks,
+       CAST(SUM(chunk_tokens) AS BIGINT)   AS chunk_tokens
+FROM chunked GROUP BY source, lang
+"""
+
+
+@query("pipeline_chunk_yield", oracle=_YIELD_ORACLE)
+def pipeline_chunk_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus→training-sequences yield report in ONE declarative
+    plan: quality gate (length + stopword ratio) → canonical dedup
+    (normalized content hash, keep lowest doc_id) → sliding-window chunk
+    budget (window {w}, stride {s}) → per-(source, lang) accounting of
+    documents, raw tokens, chunk counts, and post-overlap chunk tokens —
+    the number a training run actually budgets against.
+
+    The chunk stage NEVER materializes chunks: counts and token totals
+    come from a per-row aggregate() over the start-offset sequence
+    (closed-form yield), so the added stage is narrow and the whole
+    pipeline still costs one scoring scan + one hash shuffle + one
+    rollup shuffle at any corpus size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / n_tokens
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "))
+    kept = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        F.md5(norm).alias("norm_hash"),
+    ).filter((F.col("n_tokens") >= 20) & (F.col("stop_ratio") >= 0.01))
+    canon = kept.groupBy("norm_hash").agg(F.min("doc_id").alias("canonical_doc"))
+    survivors = canon.join(kept, canon.canonical_doc == kept.doc_id)
+    starts = F.sequence(F.lit(1), F.col("n_tokens"), F.lit(_CHUNK_STRIDE))
+    chunked = survivors.select(
+        "source",
+        "lang",
+        "n_tokens",
+        F.size(starts).alias("n_chunks"),
+        F.aggregate(
+            starts,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.least(F.lit(_CHUNK_WINDOW), F.col("n_tokens") - s + 1),
+        ).alias("chunk_tokens"),
+    )
+    return chunked.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("raw_tokens"),
+        F.sum("n_chunks").alias("n_chunks"),
+        F.sum("chunk_tokens").alias("chunk_tokens"),
+    )
+
+
+pipeline_chunk_yield.__doc__ = pipeline_chunk_yield.__doc__.format(
+    w=_CHUNK_WINDOW, s=_CHUNK_STRIDE
+)
