@@ -134,12 +134,18 @@ def spread(df: DataFrame) -> DataFrame:
     key = None
     try:
         files = df.inputFiles()
-        ident = []
-        for f in files:
-            p = f.removeprefix("file:")
-            st = os.stat(p)
-            ident.append((p, st.st_mtime_ns, st.st_size))
-        key = (target, tuple(sorted(ident)))
+        if not files:
+            # In-memory / JDBC / non-file plans all report zero input
+            # files; keying them would collapse every such frame onto
+            # one cache entry and serve the wrong partition count.
+            key = None
+        else:
+            ident = []
+            for f in files:
+                p = f.removeprefix("file:")
+                st = os.stat(p)
+                ident.append((p, st.st_mtime_ns, st.st_size))
+            key = (target, tuple(sorted(ident)))
     except Exception:
         key = None  # non-local / non-file plan — probe uncached
     if key is not None and key in _SPREAD_PROBE_CACHE:

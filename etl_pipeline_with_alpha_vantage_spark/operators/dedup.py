@@ -795,12 +795,14 @@ def fuzzy_join_symdel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see minhash_signatures on why element_at-style rebinding would not).
     """
     part = table(spark, sf_dir, "part")
+    # 0-based deletion position; the two substrings excise the character
+    # at pos+1 (1-based), matching the oracle's construction.
     pos = F.col("p_partkey") % F.length("p_name")
     dirty = part.select(
         F.col("p_partkey").alias("dirty_key"),
         F.concat(
-            F.expr("substr(p_name, 1, p_partkey % length(p_name))"),
-            F.expr("substr(p_name, p_partkey % length(p_name) + 2, 1000)"),
+            F.substring("p_name", F.lit(1), pos),
+            F.substring("p_name", pos + 2, F.lit(1000)),
         ).alias("dirty_name"),
     )
     clean = part.select(F.col("p_name").alias("clean_name")).distinct()

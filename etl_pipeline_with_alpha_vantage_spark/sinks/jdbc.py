@@ -89,6 +89,7 @@ def plan_jdbc_upsert(
     ),
     isolation_level: str = "READ_COMMITTED",
     properties: dict[str, str] | None = None,
+    staging_suffix: str | None = None,
 ) -> JdbcUpsertPlan:
     """Assemble the INSERT IGNORE upsert plan for ``df`` → ``table``.
 
@@ -97,9 +98,19 @@ def plan_jdbc_upsert(
     the INSERT column list) — defaults reproduce the reference's
     surrogate id + audit timestamp (etl.py:117,126), which the row
     INSERT likewise omits (etl.py:143-144).
+
+    ``staging_suffix`` defaults to a fresh per-invocation token so two
+    concurrent upserts into the same target stage into DIFFERENT tables
+    — a fixed staging name would let one job's DROP/CREATE destroy the
+    other's in-flight rows. Pass an explicit suffix only to pin names in
+    tests or to resume a crashed load.
     """
+    if staging_suffix is None:
+        import uuid
+
+        staging_suffix = f"stage_{uuid.uuid4().hex[:12]}"
     table = _ident(table)
-    staging = _ident(f"{table}__stage")
+    staging = _ident(f"{table}__{staging_suffix}")
     cols = [_ident(f.name) for f in df.schema.fields]
     if not set(keys) <= set(cols):
         raise ValueError(f"keys {keys!r} not all present in df columns {cols}")

@@ -213,8 +213,14 @@ def refresh_daily_rollup(
     Returns the number of day-partitions written. ``days=None`` performs
     the initial full build (all days present in the source).
     """
+    src = events_df
+    if days is not None and "day" in src.columns:
+        # Day-partitioned source (e.g. the streaming bronze layer): the
+        # filter lands on the PARTITION column, so planning-time pruning
+        # makes the read side genuinely O(changed days).
+        src = src.filter(F.col("day").isin(days))
     agg = (
-        events_df.withColumn("day", F.to_date("ts"))
+        src.withColumn("day", F.to_date("ts"))
         .groupBy("event_type", "day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -224,11 +230,18 @@ def refresh_daily_rollup(
     )
     if days is not None:
         agg = agg.filter(F.col("day").isin(days))
-    n_parts = agg.select("day").distinct().count()
-    (
-        agg.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day")
-        .parquet(rollup_path)
-    )
+    # The tiny aggregate result is cached so the day count and the write
+    # share ONE scan+aggregate of the source (agg output is O(days ×
+    # types) rows, never fact-sized).
+    agg = agg.persist()
+    try:
+        n_parts = agg.select("day").distinct().count()
+        (
+            agg.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(rollup_path)
+        )
+    finally:
+        agg.unpersist()
     return n_parts

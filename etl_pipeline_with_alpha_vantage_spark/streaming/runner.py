@@ -139,8 +139,14 @@ def run_processing_time(
     deadline = _time.time() + timeout_sec
     try:
         while _time.time() < deadline:
+            if q.exception() is not None:
+                # Surface the root-cause StreamingQueryException instead
+                # of spinning out the timeout and returning a low count.
+                raise q.exception()
             done = len(q.recentProgress)
             if done >= min_batches:
+                break
+            if not q.isActive:
                 break
             _time.sleep(0.2)
     finally:
@@ -356,16 +362,18 @@ def run_stream_rollup(
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
         sess = df.sparkSession
+        df = df.withColumn("day", F.to_date("ts"))
         df.persist()
         try:
-            df.write.mode("overwrite").parquet(
+            # Bronze is partitioned by DAY inside each epoch directory,
+            # so the refresh's day filter prunes bronze at planning time
+            # — without this, every micro-batch would rescan the whole
+            # accumulated history (O(batches × history) reads).
+            df.write.mode("overwrite").partitionBy("day").parquet(
                 os.path.join(bronze_dir, f"epoch={epoch_id}")
             )
             days = [
-                r.day.isoformat()
-                for r in df.select(F.to_date("ts").alias("day"))
-                .distinct()
-                .collect()
+                r.day.isoformat() for r in df.select("day").distinct().collect()
             ]
             if days:
                 bronze = sess.read.parquet(bronze_dir).drop("epoch")

@@ -45,7 +45,7 @@ def stock_df(spark):
 
 def test_target_ddl_matches_reference_schema(stock_df):
     plan = plan_jdbc_upsert(
-        stock_df, URL, "stock_daily_data", keys=("symbol", "date")
+        stock_df, URL, "stock_daily_data", keys=("symbol", "date"), staging_suffix="stage"
     )
     ddl = plan.create_target_sql
     # Reference DDL semantics, item by item (etl.py:115-129):
@@ -61,7 +61,7 @@ def test_target_ddl_matches_reference_schema(stock_df):
 
 def test_insert_ignore_omits_server_populated_columns(stock_df):
     plan = plan_jdbc_upsert(
-        stock_df, URL, "stock_daily_data", keys=("symbol", "date")
+        stock_df, URL, "stock_daily_data", keys=("symbol", "date"), staging_suffix="stage"
     )
     # The reference's INSERT lists only the 8 data columns — never id or
     # extraction_timestamp (etl.py:143-144); ditto here.
@@ -83,7 +83,7 @@ def test_insert_ignore_omits_server_populated_columns(stock_df):
 
 def test_staging_table_has_no_unique_key(stock_df):
     plan = plan_jdbc_upsert(
-        stock_df, URL, "stock_daily_data", keys=("symbol", "date")
+        stock_df, URL, "stock_daily_data", keys=("symbol", "date"), staging_suffix="stage"
     )
     assert "UNIQUE" not in plan.create_staging_sql
     assert "AUTO_INCREMENT" not in plan.create_staging_sql
@@ -93,7 +93,7 @@ def test_staging_table_has_no_unique_key(stock_df):
 def test_write_options_batch_into_staging(stock_df):
     plan = plan_jdbc_upsert(
         stock_df, URL, "stock_daily_data", keys=("symbol", "date"),
-        batchsize=5000,
+        batchsize=5000, staging_suffix="stage",
     )
     assert plan.write_options["url"] == URL
     assert plan.write_options["dbtable"] == "stock_daily_data__stage"
@@ -119,7 +119,7 @@ def test_run_path_statement_order_and_crash_hygiene(stock_df):
             URL,
             "stock_daily_data",
             keys=("symbol", "date"),
-            run_sql=ran.append,
+            run_sql=ran.append, staging_suffix="stage",
         )
     assert [s.split()[0:3] for s in ran[:3]] == [
         ["CREATE", "TABLE", "IF"],
@@ -133,7 +133,7 @@ def test_run_path_statement_order_and_crash_hygiene(stock_df):
 
 def test_plan_only_mode_executes_nothing(stock_df):
     plan = write_jdbc_upsert(
-        stock_df, URL, "stock_daily_data", keys=("symbol", "date")
+        stock_df, URL, "stock_daily_data", keys=("symbol", "date"), staging_suffix="stage"
     )
     assert plan.insert_ignore_sql  # assembled
 
@@ -172,3 +172,13 @@ def test_jdbc_partitioned_read_spec():
     assert o["fetchsize"] == "10000"
     with pytest.raises(ValueError):
         plan_jdbc_partitioned(URL, "t", "id", 10, 10, 4)
+
+
+def test_default_staging_names_are_per_invocation_unique(stock_df):
+    """Concurrent upserts into the same target must stage into different
+    tables — a fixed staging name lets one job's DROP/CREATE destroy the
+    other's in-flight rows."""
+    a = plan_jdbc_upsert(stock_df, URL, "stock_daily_data", keys=("symbol", "date"))
+    b = plan_jdbc_upsert(stock_df, URL, "stock_daily_data", keys=("symbol", "date"))
+    assert a.staging_table != b.staging_table
+    assert a.staging_table.startswith("stock_daily_data__stage_")

@@ -230,5 +230,8 @@ def test_validation_gate_failfast_mode(spark, tmp_path):
     dirty.mkdir()
     (dirty / "GOOD_2025-10-05.json").write_text(json.dumps(good))
     (dirty / "BAD_2025-10-05.json").write_text("{this is not json]")
-    with pytest.raises((Py4JJavaError, PySparkException, Exception)):
+    # Deliberately NOT a bare Exception catch-all: the abort must come
+    # from the FAILFAST parse path, not some unrelated setup error.
+    with pytest.raises((Py4JJavaError, PySparkException)) as excinfo:
         read_raw_payloads(spark, str(dirty / "*.json"), strict=True).collect()
+    assert "FAILFAST" in str(excinfo.value) or "Malformed" in str(excinfo.value)
