@@ -825,3 +825,91 @@ def fuzzy_join_symdel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clean_name",
         F.levenshtein("dirty_name", "clean_name").cast("long").alias("edit_dist"),
     )
+
+
+# --------------------------------------------------------------------------
+# X15i — n-gram containment (asymmetric near-dup: subsets and quotes)
+# --------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = """
+WITH docs AS (
+    SELECT doc_id, string_split(text, ' ') AS toks
+    FROM documents WHERE doc_id < 200
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]) AS gram
+    FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+    WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+)
+SELECT
+    i.doc_a,
+    i.doc_b,
+    CAST(i.n_common AS BIGINT)                 AS n_common,
+    CAST(i.n_common AS DOUBLE) / sa.n          AS containment_a_in_b
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+WHERE CAST(i.n_common AS DOUBLE) / sa.n >= 0.5
+"""
+
+
+@query("dedup_ngram_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15 asymmetric variant: trigram CONTAINMENT |A∩B| / |A| — the
+    metric that catches a short document embedded in a long one (quotes,
+    excerpts, boilerplate wrappers), which symmetric Jaccard structurally
+    underweights: a 50-token doc fully contained in a 5000-token doc has
+    jaccard ≈ 0.01 but containment = 1.0.
+
+    Directed pairs (doc_id <> doc_id, not <) because containment is
+    asymmetric. Same inverted-index shape as dedup_ngram_jaccard — only
+    docs sharing a shingle ever meet; one shuffle on the gram, one on
+    the pair, the |A| size joined back from the per-doc distinct count.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    n2 = F.size("toks") - 2
+    tri = F.zip_with(
+        F.slice("toks", 1, n2),
+        F.zip_with(
+            F.slice("toks", 2, n2),
+            F.slice("toks", 3, n2),
+            lambda b, c: F.concat(b, F.lit(" "), c),
+        ),
+        lambda a, bc: F.concat(a, F.lit(" "), bc),
+    )
+    grams = toks.select(
+        "doc_id", F.explode(F.array_distinct(tri)).alias("gram")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("sa.n")).alias(
+                "containment_a_in_b"
+            ),
+        )
+        .filter(F.col("containment_a_in_b") >= 0.5)
+    )

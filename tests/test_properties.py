@@ -337,3 +337,50 @@ def test_symdel_block_verify_equals_bruteforce(dirty, clean):
     }
     brute = {(d, c) for d in dirty for c in clean if _lev(d, c) <= 1}
     assert blocked == brute
+
+
+def test_chunk_yield_closed_form_matches_materialized_chunks(spark, sf_dir):
+    """Cross-operator consistency: pipeline_chunk_yield's closed-form
+    chunk budget (aggregate over start offsets, no explode) must agree
+    with physically materializing chunks via chunk_sliding_windows for
+    the same survivor set."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_with_alpha_vantage_spark import registry
+
+    registry.load_all()
+    yield_df = registry.QUERIES["pipeline_chunk_yield"](spark, sf_dir)
+    totals = yield_df.agg(
+        F.sum("n_chunks").alias("n_chunks"), F.sum("chunk_tokens").alias("toks")
+    ).collect()[0]
+
+    chunks = registry.QUERIES["chunk_sliding_windows"](spark, sf_dir)
+    # survivor doc_ids exactly as the yield pipeline selects them
+    from etl_pipeline_with_alpha_vantage_spark.operators.text import (
+        _STOPWORDS,
+    )
+    from etl_pipeline_with_alpha_vantage_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+        / n_tokens
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "))
+    kept = docs.select(
+        "doc_id", F.md5(norm).alias("norm_hash")
+    ).filter((n_tokens >= 20) & (stop_ratio >= 0.01))
+    survivors = kept.groupBy("norm_hash").agg(F.min("doc_id").alias("doc_id"))
+
+    mat = (
+        chunks.join(survivors.select("doc_id"), "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("toks"),
+        )
+        .collect()[0]
+    )
+    assert (totals.n_chunks, totals.toks) == (mat.n_chunks, mat.toks)
