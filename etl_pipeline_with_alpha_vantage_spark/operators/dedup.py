@@ -142,21 +142,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
         F.size("toks") >= 3
     )
+    # zip_with over three slices (not transform(sequence)+element_at,
+    # which re-evaluates the inlined array per shingle — see
+    # minhash_signatures).
+    n2 = F.size("toks") - 2
+    tri = F.zip_with(
+        F.slice("toks", 1, n2),
+        F.zip_with(
+            F.slice("toks", 2, n2),
+            F.slice("toks", 3, n2),
+            lambda b, c: F.concat(b, F.lit(" "), c),
+        ),
+        lambda a, bc: F.concat(a, F.lit(" "), bc),
+    )
     grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 3),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("toks", i + 1),
-                        F.element_at("toks", i + 2),
-                        F.element_at("toks", i + 3),
-                    ),
-                )
-            )
-        ).alias("gram"),
+        "doc_id", F.explode(F.array_distinct(tri)).alias("gram")
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.alias("a")
@@ -623,22 +623,20 @@ def decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", bucket.alias("bucket"), F.split("text", " ").alias("toks")
     ).filter(F.size("toks") >= 3)
+    n2 = F.size("toks") - 2
+    tri = F.zip_with(
+        F.slice("toks", 1, n2),
+        F.zip_with(
+            F.slice("toks", 2, n2),
+            F.slice("toks", 3, n2),
+            lambda b, c: F.concat(b, F.lit(" "), c),
+        ),
+        lambda a, bc: F.concat(a, F.lit(" "), bc),
+    )
     grams = toks.select(
         "doc_id",
         "bucket",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 3),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("toks", i + 1),
-                        F.element_at("toks", i + 2),
-                        F.element_at("toks", i + 3),
-                    ),
-                )
-            )
-        ).alias("gram"),
+        F.explode(F.array_distinct(tri)).alias("gram"),
     )
     train = grams.filter(F.col("bucket") < 80).select(
         F.col("doc_id").alias("train_doc"), "gram"
