@@ -467,3 +467,80 @@ def agg_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quartiles)
+# --------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+    SELECT o_custkey AS custkey,
+           MAX(o_orderdate)              AS last_order,
+           COUNT(*)                      AS frequency,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+    FROM orders GROUP BY o_custkey
+),
+b AS (
+    SELECT quantile_cont(CAST(frequency AS DOUBLE), 0.5)      AS f_med,
+           quantile_cont(CAST(monetary_cents AS DOUBLE), 0.5) AS m_med,
+           MAX(last_order)                                    AS corpus_last
+    FROM per_cust
+)
+SELECT p.custkey,
+       CAST(date_diff('day', p.last_order, b.corpus_last) AS BIGINT)
+           AS recency_days,
+       CAST(p.frequency AS BIGINT) AS frequency,
+       CAST(p.monetary_cents / 100.0 AS DOUBLE) AS monetary,
+       CASE WHEN date_diff('day', p.last_order, b.corpus_last) <= 30
+            THEN 'active' ELSE 'lapsed' END AS r_seg,
+       CASE WHEN CAST(p.frequency AS DOUBLE) >= b.f_med
+            THEN 'hi' ELSE 'lo' END AS f_seg,
+       CASE WHEN CAST(p.monetary_cents AS DOUBLE) >= b.m_med
+            THEN 'hi' ELSE 'lo' END AS m_seg
+FROM per_cust p CROSS JOIN b
+"""
+
+
+@query("rfm_segments", oracle=_RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-analytics deliverable:
+    per-customer recency (days since last order, anchored to the corpus
+    max so the query is reproducible), frequency, monetary total, each
+    cut into segments against corpus-level thresholds.
+
+    Shape: one per-customer aggregate (partial-aggregated shuffle on
+    custkey), then the three thresholds collapse to a 1-ROW broadcast
+    joined back — segmenting 100 TB of customers never sorts or windows
+    the full table. Exactness: medians on exact integer-derived doubles,
+    date arithmetic in whole days, cents-integer monetary totals.
+    """
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    b = per_cust.agg(
+        F.percentile(F.col("frequency").cast("double"), 0.5).alias("f_med"),
+        F.percentile(F.col("monetary_cents").cast("double"), 0.5).alias("m_med"),
+        F.max("last_order").alias("corpus_last"),
+    )
+    recency = F.datediff(
+        F.col("corpus_last").cast("date"), F.col("last_order").cast("date")
+    ).cast("long")
+    return per_cust.crossJoin(F.broadcast(b)).select(
+        "custkey",
+        recency.alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        (F.col("monetary_cents") / 100.0).cast("double").alias("monetary"),
+        F.when(recency <= 30, "active").otherwise("lapsed").alias("r_seg"),
+        F.when(
+            F.col("frequency").cast("double") >= F.col("f_med"), "hi"
+        ).otherwise("lo").alias("f_seg"),
+        F.when(
+            F.col("monetary_cents").cast("double") >= F.col("m_med"), "hi"
+        ).otherwise("lo").alias("m_seg"),
+    )

@@ -213,3 +213,29 @@ def test_incremental_rollup_refresh(spark, sf_dir, tmp_path):
     assert "error" not in {
         r.event_type for r in got_inside.select("event_type").distinct().collect()
     }
+
+
+def test_rollup_refresh_prunes_day_partitioned_source(spark, sf_dir, tmp_path):
+    """When the source is day-partitioned (the bronze layer), the
+    refresh's day filter must land on the partition column and prune at
+    planning time — the property the O(changed days) claim rests on."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_with_alpha_vantage_spark.catalog import table
+
+    src_dir = str(tmp_path / "bronze")
+    events = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    events.write.partitionBy("day").parquet(src_dir)
+
+    bronze = spark.read.parquet(src_dir)
+    days = sorted(
+        r.day.isoformat()
+        for r in bronze.select("day").distinct().limit(2).collect()
+    )
+    filtered = bronze.filter(F.col("day").isin(days))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the pushed partition filter must mention the day column, and the
+    # pruned scan must read only the selected partitions' rows
+    expected = events.filter(F.col("day").cast("string").isin(days)).count()
+    assert filtered.count() == expected
