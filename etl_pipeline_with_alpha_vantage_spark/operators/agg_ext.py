@@ -544,3 +544,85 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("monetary_cents").cast("double") >= F.col("m_med"), "hi"
         ).otherwise("lo").alias("m_seg"),
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket affinity (co-occurrence + lift over the order fact)
+# --------------------------------------------------------------------------
+
+_BASKET_MIN_PAIRS = 3
+
+_BASKET_ORACLE = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT okey) AS n FROM items),
+freq AS (SELECT part, COUNT(*) AS n_part FROM items GROUP BY part),
+pairs AS (
+    SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS n_together
+    FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+    GROUP BY 1, 2
+)
+SELECT p.part_a, p.part_b,
+       CAST(p.n_together AS BIGINT) AS n_together,
+       CAST(fa.n_part AS BIGINT)    AS n_part_a,
+       CAST(fb.n_part AS BIGINT)    AS n_part_b,
+       CAST(p.n_together AS DOUBLE) * o.n / (fa.n_part * fb.n_part) AS lift
+FROM pairs p
+JOIN freq fa ON fa.part = p.part_a
+JOIN freq fb ON fb.part = p.part_b
+CROSS JOIN n_orders o
+WHERE p.n_together >= {_BASKET_MIN_PAIRS}
+"""
+
+
+@query("basket_affinity", oracle=_BASKET_ORACLE)
+def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-ordered in the same order,
+    with lift = P(a,b) / (P(a)·P(b)) — the co-occurrence statistic
+    behind recommendations and affinity analysis.
+
+    Scale shape: the pair expansion is an equi-join on orderkey, so only
+    items of the SAME order ever meet; with bounded basket sizes (≤7
+    lines per TPC-H order) the expansion is a constant factor of the
+    fact, never a cross product. Frequencies and the single-row order
+    count broadcast back; the n_together >= {_BASKET_MIN_PAIRS} support
+    floor prunes the long tail before the lift join. Lift is one IEEE
+    expression over exact integers — engine-identical.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = items.agg(F.count_distinct("okey").alias("n"))
+    freq = items.groupBy("part").agg(F.count(F.lit(1)).alias("n_part"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .filter(F.col("n_together") >= _BASKET_MIN_PAIRS)
+    )
+    fa = freq.select(F.col("part").alias("part_a"), F.col("n_part").alias("n_part_a"))
+    fb = freq.select(F.col("part").alias("part_b"), F.col("n_part").alias("n_part_b"))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_together",
+            "n_part_a",
+            "n_part_b",
+            (
+                F.col("n_together").cast("double")
+                * F.col("n")
+                / (F.col("n_part_a") * F.col("n_part_b"))
+            ).alias("lift"),
+        )
+    )

@@ -836,3 +836,56 @@ def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("seen_at").over(w2).isNull().alias("is_current"),
         F.row_number().over(w2).cast("long").alias("version"),
     )
+
+
+# --------------------------------------------------------------------------
+# Behavioral transition matrix (Markov counts over event sequences)
+# --------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY event_type)
+           AS p_transition
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+@query("event_transitions", oracle=_TRANSITIONS_ORACLE)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: counts and conditional
+    probabilities of event_type → next event_type within each user's
+    timeline — the Markov summary behind funnel diagnostics and
+    next-action models.
+
+    One shuffle on user_id for the lead() window (ties broken by
+    event_id for a deterministic sequence), then the (from, to) rollup
+    collapses map-side to a states² table; the per-from normalization
+    runs over that tiny matrix, never the fact. p is one integer ratio
+    per cell — engine-identical.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    w_norm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_norm)
+        ).alias("p_transition"),
+    )

@@ -89,6 +89,7 @@ _NESTED_LOOP_OK = {
     "text_tfidf",  # 1-row corpus-size broadcast
     "agg_equidepth_buckets",  # 1-row quartile-boundary broadcast
     "rfm_segments",  # 1-row threshold broadcast
+    "basket_affinity",  # 1-row order-count broadcast
 }
 
 
