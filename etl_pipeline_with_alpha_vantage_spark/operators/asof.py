@@ -288,3 +288,88 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("click_id")).alias("click_id"),
         F.when(fresh, F.col("click_value")).alias("click_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# X4b — interval self-overlap join (bucket-block → dedup → verify)
+# --------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH iv AS (
+    SELECT user_id, event_id, ts AS s,
+           ts + INTERVAL (CAST(trunc(value) AS INT)) SECOND AS e
+    FROM events WHERE user_id % 29 = 0
+)
+SELECT
+    a.user_id,
+    a.event_id AS event_a,
+    b.event_id AS event_b,
+    CAST(date_diff('microseconds',
+                   greatest(a.s, b.s), least(a.e, b.e)) AS BIGINT)
+        AS overlap_us
+FROM iv a JOIN iv b
+    ON a.user_id = b.user_id AND a.event_id < b.event_id
+   AND a.s < b.e AND b.s < a.e
+"""
+
+
+@query("interval_overlap_join", oracle=_OVERLAP_ORACLE)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: which of a user's activity intervals [ts, ts+value s) overlap
+    each other, with the overlap duration — the self-interval-join
+    behind double-billing detection, conflict scheduling, and session
+    stitching.
+
+    Scale shape — bucket-block → dedup → verify (the interval analog of
+    the SymSpell fuzzy join): each interval explodes to the hour buckets
+    it spans (bounded: interval length / 1 h + 1 keys), candidates meet
+    through an equi-join on (user, bucket) — never the per-user O(n²)
+    product a raw theta join would plan — then exact overlap predicates
+    verify the deduped pairs. The oracle is the brute-force theta join,
+    proving the decomposition exact. user_id % 29 bounds the demo; the
+    plan is size-independent.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") % 29 == 0)
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.timestamp_add("SECOND", F.col("value").cast("long"), F.col("ts")).alias(
+            "e"
+        ),
+    )
+    hour = 3600 * 1_000_000
+    bucketed = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                (F.unix_micros("s") / hour).cast("long"),
+                (F.unix_micros("e") / hour).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            (
+                F.unix_micros(F.least(F.col("a.e"), F.col("b.e")))
+                - F.unix_micros(F.greatest(F.col("a.s"), F.col("b.s")))
+            ).alias("overlap_us"),
+        )
+        .dropDuplicates(["user_id", "event_a", "event_b"])
+    )
+    return pairs
