@@ -72,6 +72,8 @@ HEADLINE = [
     "fuzzy_join_symdel",
     "scd2_customer_status",
     "pipeline_chunk_yield",
+    "basket_affinity",
+    "interval_overlap_join",
 ]
 
 
