@@ -297,8 +297,9 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OVERLAP_ORACLE = """
 WITH iv AS (
     SELECT user_id, event_id, ts AS s,
-           ts + INTERVAL (CAST(trunc(value) AS INT)) SECOND AS e
-    FROM events WHERE user_id % 29 = 0
+           ts + INTERVAL (CAST(trunc(value) * 60 AS INT)) SECOND AS e
+    FROM events
+    WHERE user_id % 5 = 0 AND value BETWEEN 0 AND 1440
 )
 SELECT
     a.user_id,
@@ -326,17 +327,22 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     through an equi-join on (user, bucket) — never the per-user O(n²)
     product a raw theta join would plan — then exact overlap predicates
     verify the deduped pairs. The oracle is the brute-force theta join,
-    proving the decomposition exact. user_id % 29 bounds the demo; the
-    plan is size-independent.
+    proving the decomposition exact (162 pairs at sf0.01, 13 at
+    sf0.001 — never vacuous). `value` is interpreted as minutes and
+    clamped to [0, 1440] (24 h), so per-row bucket fan-out is provably
+    ≤ 25 — unbounded `sequence()` expansion is impossible by
+    construction; the clamp is mirrored in the oracle.
     """
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id") % 29 == 0)
+    ev = table(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 5 == 0) & F.col("value").between(0.0, 1440.0)
+    )
     iv = ev.select(
         "user_id",
         "event_id",
         F.col("ts").alias("s"),
-        F.timestamp_add("SECOND", F.col("value").cast("long"), F.col("ts")).alias(
-            "e"
-        ),
+        F.timestamp_add(
+            "SECOND", F.col("value").cast("long") * 60, F.col("ts")
+        ).alias("e"),
     )
     hour = 3600 * 1_000_000
     bucketed = iv.select(

@@ -211,16 +211,30 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANTI_ORACLE = """
 SELECT c.c_custkey, c.c_name, c.c_mktsegment
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderstatus = 'F' AND o.o_totalprice > 150000
+)
 """
 
 
 @query("join_anti", oracle=_ANTI_ORACLE)
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: left-anti join (NOT EXISTS) — the building block of the
-    idempotent INSERT IGNORE sink (sinks.idempotent)."""
+    idempotent INSERT IGNORE sink (sinks.idempotent).
+
+    The probe side is the *filtered* orders (finished, > $150k): in this
+    synthetic corpus every customer has at least one order, so an
+    unfiltered NOT EXISTS is the empty set at every SF — a vacuous pass
+    (round-3 lesson). Filtering the build side both makes the result
+    real (21 rows at sf0.001, 149 at sf0.01) and is the more common
+    production shape: the filter lands before the shuffle, so the
+    anti-join's build side shrinks by ~10×."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )

@@ -105,8 +105,8 @@ JOIN orders o   ON o.o_orderkey = l.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
 JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
-WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
   AND l.l_shipdate >= TIMESTAMP '1996-01-01'
   AND l.l_shipdate <  TIMESTAMP '1998-01-01'
 GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS BIGINT)
@@ -138,8 +138,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19")
+    ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
     return (
         li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
         .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
@@ -643,37 +643,47 @@ WITH avg_bal AS (
     WHERE c_acctbal > 0.0
 ),
 eligible AS (
-    SELECT substr(c_name, length(c_name) - 1, 2) AS cntrycode,
+    SELECT CAST(c_custkey % 25 + 10 AS VARCHAR) AS cntrycode,
            c_custkey, c_acctbal
     FROM customer, avg_bal
     WHERE c_acctbal > a
-      AND substr(c_name, length(c_name) - 1, 2)
+      AND CAST(c_custkey % 25 + 10 AS VARCHAR)
           IN ('13', '31', '23', '29', '30', '18', '17')
 )
 SELECT cntrycode,
        CAST(COUNT(*) AS BIGINT)  AS numcust,
        {sql_dsum('c_acctbal')}   AS totacctbal
 FROM eligible e
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey)
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = e.c_custkey
+      AND o.o_orderstatus = 'F' AND o.o_totalprice > 150000
+)
 GROUP BY cntrycode
 """
 
 
 @query("q22_dormant_value", oracle=_Q22_ORACLE)
 def q22_dormant_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: customers with above-average balances and no
-    orders, bucketed by "country code". Adapted: the schema has no
-    c_phone, so the code is the last two digits of c_name (same substring
-    predicate shape against an IN-list).
+    """TPC-H Q22 shape: high-balance customers with no finished big-ticket
+    order, bucketed by "country code". Adapted twice for this synthetic
+    corpus: (1) the schema has no c_phone, so the TPC-H code-10-to-34
+    country code is derived as c_custkey % 25 + 10 (same 7-of-25 IN-list
+    selectivity); (2) every customer here has ≥1 order, so "dormant"
+    means no finished order over $150k — an unfiltered NOT EXISTS would
+    be the empty set at every SF (a vacuous pass, round-3 lesson).
+    Nonzero at every SF: 2 rows at sf0.001, 7 at sf0.01.
 
     Composition: uncorrelated scalar subquery (global exact average,
-    1-row broadcast) → selective filter → anti-join against orders →
-    aggregate. The anti-join probes with only eligible customers
-    (~¼ of the table), not all of them.
+    1-row broadcast) → selective filter → anti-join against filtered
+    orders → aggregate. The anti-join probes with only eligible
+    customers (~¼ of the table), not all of them.
     """
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
-    code = F.substring(F.col("c_name"), -2, 2)
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+    )
+    code = (F.col("c_custkey") % 25 + 10).cast("string")
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
         .agg(davg("c_acctbal").alias("a"))
