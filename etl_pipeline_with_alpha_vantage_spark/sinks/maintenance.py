@@ -210,8 +210,18 @@ def refresh_daily_rollup(
       source itself is day-partitioned (PartitionFilters), so the read
       side is also O(changed days).
 
-    Returns the number of day-partitions written. ``days=None`` performs
-    the initial full build (all days present in the source).
+    Returns the number of day-partitions refreshed (written + deleted).
+    ``days=None`` performs the initial full build (all days present in
+    the source).
+
+    Vanished days: dynamic overwrite only rewrites partitions PRESENT in
+    the written frame — a requested day whose recomputed aggregate is
+    empty (every source row for it deleted) produces no partition to
+    overwrite and would silently stay stale on disk. Those days are
+    diffed out after the write and their directories deleted explicitly
+    through the Hadoop FileSystem API (portable to HDFS/S3A, not just
+    local disk), so the "refresh exactly these days" contract holds even
+    when a day's data disappears entirely.
     """
     src = events_df
     if days is not None and "day" in src.columns:
@@ -235,7 +245,11 @@ def refresh_daily_rollup(
     # types) rows, never fact-sized).
     agg = agg.persist()
     try:
-        n_parts = agg.select("day").distinct().count()
+        written_days = {
+            r.day.isoformat()
+            for r in agg.select("day").distinct().collect()
+            if r.day is not None
+        }
         (
             agg.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -244,4 +258,28 @@ def refresh_daily_rollup(
         )
     finally:
         agg.unpersist()
+    n_parts = len(written_days)
+    if days is not None:
+        vanished = set(days) - written_days
+        n_parts += _delete_day_partitions(spark, rollup_path, sorted(vanished))
     return n_parts
+
+
+def _delete_day_partitions(
+    spark: SparkSession, rollup_path: str, days: list[str]
+) -> int:
+    """Drop ``day=<d>`` partition directories via the Hadoop FileSystem
+    API (works on any Hadoop-compatible FS, unlike shutil). Returns how
+    many existed and were removed."""
+    if not days:
+        return 0
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    removed = 0
+    for d in days:
+        p = jvm.org.apache.hadoop.fs.Path(os.path.join(rollup_path, f"day={d}"))
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
+            removed += 1
+    return removed

@@ -31,32 +31,59 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
-# ts is parquet TIMESTAMP(NANOS); Spark 4.1+ reads it natively as a
-# micros-truncated TIMESTAMP_NTZ, which the source schema pins (streaming
-# reads require an explicit schema) and the read casts to TIMESTAMP so
-# watermarks/windows agree with the batch twin under the UTC session.
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", TimestampNTZType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# ts is parquet TIMESTAMP(NANOS). Spark 4.1+ reads it natively as a
+# micros-truncated TIMESTAMP_NTZ; Spark ≤4.0 only reads it under the
+# nanosAsLong legacy conf, as a Long of ns-since-epoch. Streaming reads
+# require an explicit schema, so the pinned type must branch on the
+# runtime version exactly like catalog.table's batch path does —
+# otherwise batch and streaming would have asymmetric version support.
+def _events_stream_schema() -> StructType:
+    ts_type = TimestampNTZType() if _spark_reads_nanos_natively() else LongType()
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def _spark_reads_nanos_natively() -> bool:
+    """True on Spark 4.1+, where parquet TIMESTAMP(NANOS) arrives as
+    TIMESTAMP_NTZ and the nanosAsLong legacy conf is ignored."""
+    import pyspark
+
+    parts = pyspark.__version__.split(".")
+    try:
+        return (int(parts[0]), int(parts[1])) >= (4, 1)
+    except (ValueError, IndexError):
+        return True  # unparseable dev version — assume current behavior
+
+# Version-appropriate schema, resolved at import against the installed
+# PySpark (kept as a module constant for external callers/tests).
+EVENTS_SCHEMA = _events_stream_schema()
 
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, glob: str = "events*.parquet"
 ) -> DataFrame:
     """File-source stream over the events table (one file per micro-batch
-    by default; at production scale this is a directory new files land in)."""
+    by default; at production scale this is a directory new files land in).
+    ts is normalized to TIMESTAMP on both version paths, so every
+    downstream watermark/window agrees with the batch twin."""
+    from ..catalog import ensure_query_confs
+
+    ensure_query_confs(spark)  # nanosAsLong for the ≤4.0 long-ns path
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
+    if isinstance(EVENTS_SCHEMA["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
@@ -369,11 +396,17 @@ def run_stream_rollup(
             # so the refresh's day filter prunes bronze at planning time
             # — without this, every micro-batch would rescan the whole
             # accumulated history (O(batches × history) reads).
+            # Null-ts rows land in bronze's Hive default partition
+            # (raw layer preserves everything) but are excluded from the
+            # rollup refresh: day=None has no partition to refresh, and
+            # None.isoformat() would kill the streaming query.
             df.write.mode("overwrite").partitionBy("day").parquet(
                 os.path.join(bronze_dir, f"epoch={epoch_id}")
             )
             days = [
-                r.day.isoformat() for r in df.select("day").distinct().collect()
+                r.day.isoformat()
+                for r in df.select("day").distinct().collect()
+                if r.day is not None
             ]
             if days:
                 bronze = sess.read.parquet(bronze_dir).drop("epoch")

@@ -215,6 +215,43 @@ def test_incremental_rollup_refresh(spark, sf_dir, tmp_path):
     }
 
 
+def test_rollup_refresh_deletes_vanished_day(spark, sf_dir, tmp_path):
+    """A refreshed day whose recomputed aggregate is EMPTY must disappear
+    from disk, not silently stay stale (dynamic overwrite alone only
+    rewrites partitions present in the written frame)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_with_alpha_vantage_spark.catalog import table
+    from etl_pipeline_with_alpha_vantage_spark.sinks.maintenance import (
+        refresh_daily_rollup,
+    )
+
+    events = table(spark, sf_dir, "events")
+    path = str(tmp_path / "rollup")
+    refresh_daily_rollup(spark, events, path, None)
+
+    days = sorted(
+        r.day.isoformat()
+        for r in spark.read.parquet(path).select("day").distinct().collect()
+    )[:2]
+    gone, kept = days[0], days[1]
+    assert os.path.isdir(os.path.join(path, f"day={gone}"))
+
+    # Source where every row of `gone` was deleted; `kept` still has rows.
+    changed = events.filter(F.to_date("ts") != F.lit(gone).cast("date"))
+    n_ref = refresh_daily_rollup(spark, changed, path, days)
+    assert n_ref == 2  # one rewritten + one deleted
+
+    assert not os.path.exists(os.path.join(path, f"day={gone}"))
+    remaining = {
+        r.day.isoformat()
+        for r in spark.read.parquet(path).select("day").distinct().collect()
+    }
+    assert gone not in remaining and kept in remaining
+
+
 def test_rollup_refresh_prunes_day_partitioned_source(spark, sf_dir, tmp_path):
     """When the source is day-partitioned (the bronze layer), the
     refresh's day filter must land on the partition column and prune at
