@@ -576,53 +576,100 @@ WHERE p.n_together >= {_BASKET_MIN_PAIRS}
 """
 
 
+# Per-order item cap: bounds the in-row pair expansion at cap·(cap−1)/2
+# per order on ANY data — the quadratic term a mega-basket would otherwise
+# inject. Never binds on TPC-H (≤7 lines/order), so the oracle (which has
+# no cap) still matches exactly; on real retail data the cap is the
+# documented truncation: only each order's `cap` smallest part keys count.
+_BASKET_ITEM_CAP = 64
+
+
 @query("basket_affinity", oracle=_BASKET_ORACLE)
 def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: part pairs co-ordered in the same order,
     with lift = P(a,b) / (P(a)·P(b)) — the co-occurrence statistic
     behind recommendations and affinity analysis.
 
-    Scale shape: the pair expansion is an equi-join on orderkey, so only
-    items of the SAME order ever meet; with bounded basket sizes (≤7
-    lines per TPC-H order) the expansion is a constant factor of the
-    fact, never a cross product. Frequencies and the single-row order
-    count broadcast back; the n_together >= {_BASKET_MIN_PAIRS} support
-    floor prunes the long tail before the lift join. Lift is one IEEE
-    expression over exact integers — engine-identical.
+    Scale shape (round-4 rework, was an items-self-join with 8 static
+    exchanges): ONE shuffle on orderkey builds per-order baskets
+    (map-side-combined collect_set, capped at {_BASKET_ITEM_CAP}
+    items); a window count over the exploded baskets attaches each
+    part's order-frequency IN PLACE (no frequency table, no fa/fb
+    joins); the items regroup to (part, n_part) struct baskets; and
+    pairs are generated IN-ROW from the sorted struct array (nested
+    transform over suffix slices — a bounded cap²/2 expansion per
+    order), already carrying both frequencies, so the per-order
+    self-join and every post-aggregation join disappear. The plan is
+    join-free except the single-row order-count broadcast: 5 static
+    exchanges (baskets, window, regroup, pair agg — baskets counted
+    twice statically, materialized once via ReuseExchange), nothing
+    broadcast-size-dependent, no skew assumption beyond the item cap.
+    The n_together >= {_BASKET_MIN_PAIRS} support floor prunes the
+    long tail at the pair aggregation. Lift is one IEEE expression
+    over exact integers — engine-identical.
     """
     li = table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
-    n_orders = items.agg(F.count_distinct("okey").alias("n"))
-    freq = items.groupBy("part").agg(F.count(F.lit(1)).alias("n_part"))
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.part") < F.col("b.part")),
+    baskets = (
+        li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"))
+        .groupBy("okey")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("part")), 1, _BASKET_ITEM_CAP
+            ).alias("parts")
         )
-        .groupBy(F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
-        .agg(F.count(F.lit(1)).alias("n_together"))
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
+    # Frequency-in-place: explode the (already deduplicated, capped)
+    # baskets and window-count per part — every item row now knows how
+    # many orders its part appears in.
+    from pyspark.sql.window import Window
+
+    exploded = baskets.select("okey", F.explode("parts").alias("part"))
+    with_freq = exploded.withColumn(
+        "n_part", F.count(F.lit(1)).over(Window.partitionBy("part"))
+    )
+    struct_baskets = with_freq.groupBy("okey").agg(
+        F.sort_array(F.collect_list(F.struct("part", "n_part"))).alias("items")
+    )
+    # In-row pair expansion: for each index i, pair items[i] with every
+    # later element (suffix slice) — the array is sorted by part and
+    # duplicate-free, so part_a < part_b holds by construction.
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(
+                    x["part"].alias("part_a"),
+                    y["part"].alias("part_b"),
+                    x["n_part"].alias("n_part_a"),
+                    y["n_part"].alias("n_part_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        struct_baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.part_a", "p.part_b", "p.n_part_a", "p.n_part_b")
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_together"),
+            # constant within the (part_a, part_b) group — max is just a
+            # deterministic carrier
+            F.max("n_part_a").alias("n_part_a"),
+            F.max("n_part_b").alias("n_part_b"),
+        )
         .filter(F.col("n_together") >= _BASKET_MIN_PAIRS)
     )
-    fa = freq.select(F.col("part").alias("part_a"), F.col("n_part").alias("n_part_a"))
-    fb = freq.select(F.col("part").alias("part_b"), F.col("n_part").alias("n_part_b"))
-    return (
-        pairs.join(fa, "part_a")
-        .join(fb, "part_b")
-        .crossJoin(F.broadcast(n_orders))
-        .select(
-            "part_a",
-            "part_b",
-            "n_together",
-            "n_part_a",
-            "n_part_b",
-            (
-                F.col("n_together").cast("double")
-                * F.col("n")
-                / (F.col("n_part_a") * F.col("n_part_b"))
-            ).alias("lift"),
-        )
+    return pairs.crossJoin(F.broadcast(n_orders)).select(
+        "part_a",
+        "part_b",
+        "n_together",
+        "n_part_a",
+        "n_part_b",
+        (
+            F.col("n_together").cast("double")
+            * F.col("n")
+            / (F.col("n_part_a") * F.col("n_part_b"))
+        ).alias("lift"),
     )
