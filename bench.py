@@ -114,6 +114,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                # Comparison floor: BENCH_r03.json, the first round run on
+                # PySpark 4.1.2 (+25-40% env offset vs 4.0 under identical
+                # plans — see BENCH_BASELINE.md). Deltas vs r1/r2 numbers
+                # are not meaningful.
+                "baseline": "r3-pyspark-4.1.2",
             }
         )
     )
