@@ -29,6 +29,29 @@ ROWS_ONLY_CASES = sorted(set(registry.QUERIES) - set(registry.ORACLES))
 # empty-by-design.
 EMPTY_OK: dict[str, str] = {}
 
+# Two-SF adversarial coverage: these families have never appeared in a
+# driver sample (round-3 verdict), so their only gate is this suite — and
+# data-dependent bugs (ties, empties, boundary predicates) can hide at a
+# single scale factor. Each runs at BOTH sf0.001 (the default suite SF)
+# and sf0.01 (the driver's SF), giving every data-dependent branch two
+# chances to surface.
+SECOND_SF_DIR = "/root/testdata/sf0.01"
+TWO_SF_CASES = [
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_supplier_relation",
+    "q20_excess_share_suppliers",
+    "q21_waiting_suppliers",
+    "scd2_customer_status",
+    "stream_dedup_window",
+    "stream_join_attribution",
+    "stream_session",
+    "stream_sliding",
+    "stream_stateful_totals",
+    "stream_static_enrich",
+    "stream_tumbling",
+]
+
 
 def canon(v):
     """Canonicalize a scalar for order-insensitive cross-engine compare."""
@@ -56,8 +79,7 @@ def rows_to_multiset(rows, col_order):
     return sorted(tuple(canon(r[i]) for i in col_order) for r in rows)
 
 
-@pytest.mark.parametrize("name", ORACLE_CASES)
-def test_query_matches_oracle(spark, duck, sf_dir, name):
+def assert_query_matches_oracle(spark, duck, sf_dir, name):
     sdf = registry.QUERIES[name](spark, sf_dir)
     spark_cols = [c.lower() for c in sdf.columns]
     srows = sdf.collect()
@@ -88,6 +110,35 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
             (a, b) for a, b in zip(s_set, d_set) if a != b
         ][:5]
         raise AssertionError(f"{name}: value mismatch; first diffs {diffs}")
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    assert_query_matches_oracle(spark, duck, sf_dir, name)
+
+
+@pytest.fixture(scope="module")
+def duck_second_sf():
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM '{os.path.join(SECOND_SF_DIR, name + '.parquet')}'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(TWO_SF_CASES))
+def test_never_sampled_families_at_second_sf(spark, duck_second_sf, name):
+    assert_query_matches_oracle(spark, duck_second_sf, SECOND_SF_DIR, name)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_CASES)
