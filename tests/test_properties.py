@@ -384,3 +384,95 @@ def test_chunk_yield_closed_form_matches_materialized_chunks(spark, sf_dir):
         .collect()[0]
     )
     assert (totals.n_chunks, totals.toks) == (mat.n_chunks, mat.toks)
+
+
+# --------------------------------------------------------------------------
+# SymSpell (symmetric-deletion) blocking completeness
+# --------------------------------------------------------------------------
+
+
+def _del1_py(s: str) -> set[str]:
+    """{s} ∪ all single-character deletions — Python twin of
+    operators.dedup._del1_keys."""
+    return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _random_edit(s: str, kind: int, pos: int, ch: str) -> str:
+    """Apply one edit (or none) to s at a wrapped position."""
+    if kind == 0 or not s and kind == 2:
+        if kind == 0:
+            p = pos % (len(s) + 1)
+            return s[:p] + ch + s[p:]  # insert
+    if not s:
+        return s
+    p = pos % len(s)
+    if kind == 1:
+        return s[:p] + s[p + 1 :]  # delete
+    if kind == 2:
+        return s[:p] + ch + s[p + 1 :]  # substitute
+    return s  # identical
+
+
+edit_pairs = st.tuples(
+    st.text(alphabet="abc", min_size=0, max_size=8),
+    st.integers(min_value=0, max_value=3),  # edit kind
+    st.integers(min_value=0, max_value=7),  # position seed
+    st.sampled_from("abc"),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(p=edit_pairs)
+def test_symdel_blocking_complete_python(p):
+    """d(s,t) ≤ 1 ⟹ the deletion-key sets intersect — the completeness
+    half of the SymSpell claim (the half candidate generation relies on;
+    false candidates are removed by the levenshtein verify)."""
+    s, kind, pos, ch = p
+    t = _random_edit(s, kind, pos, ch)
+    assert _lev(s, t) <= 1
+    assert _del1_py(s) & _del1_py(t), (s, t)
+
+
+def test_symdel_spark_candidates_superset_of_true_pairs(spark):
+    """The Spark block-join candidate generation must recover EVERY true
+    distance-≤1 pair of a fixed adversarial vocabulary (duplicates,
+    prefixes, single chars, transposition-like cases)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.dedup import _del1_keys
+
+    vocab = [
+        "abc", "abd", "ab", "abcd", "bbc", "a", "b", "", "acb",
+        "xyz", "xy", "yz", "xz", "zyx", "aabc", "abca",
+    ]
+    true_pairs = {
+        (s, t)
+        for s in vocab
+        for t in vocab
+        if s < t and _lev(s, t) <= 1
+    }
+    assert true_pairs  # the fixture must actually exercise the property
+
+    df = spark.createDataFrame([(v,) for v in vocab], "s string")
+    keys = df.select("s", F.explode(_del1_keys("s")).alias("blk"))
+    a = keys.select(F.col("s").alias("sa"), "blk")
+    b = keys.select(F.col("s").alias("sb"), "blk")
+    cand = {
+        (r.sa, r.sb)
+        for r in a.join(b, "blk").filter(F.col("sa") < F.col("sb"))
+        .select("sa", "sb").distinct().collect()
+    }
+    missing = true_pairs - cand
+    assert not missing, f"blocking missed true pairs: {sorted(missing)}"
