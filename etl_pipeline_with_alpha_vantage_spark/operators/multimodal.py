@@ -452,3 +452,172 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (blob_len % 480 + 1).cast("int").alias("src_h"),
     )
     return dims.mapInPandas(_resize_batch, _RESIZE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Audio modality: real pure-Python WAV (RIFF PCM-16) codec + end-to-end
+# decode query. Same design as the BMP path: deterministic synthetic
+# samples → actual container bytes → pixel/sample-parsing decoder → an
+# analytic DuckDB oracle over the generator formula.
+# --------------------------------------------------------------------------
+
+
+def encode_wav(sample_rate: int, samples: list[int] | bytes) -> bytes:
+    """Build a mono 16-bit PCM WAV file (44-byte canonical header).
+
+    ``samples`` are signed 16-bit integers. Little-endian layout per the
+    RIFF spec — a decoder that misreads block alignment or chunk sizes
+    produces a wrong sample count/mean, which the round-trip test and
+    oracle would catch.
+    """
+    body = b"".join(struct.pack("<h", s) for s in samples)
+    byte_rate = sample_rate * 2
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(body), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, byte_rate, 2, 16
+        )
+        + struct.pack("<4sI", b"data", len(body))
+        + body
+    )
+
+
+def _decode_wav(blob: bytes) -> tuple[int, int, int, int, float] | None:
+    """Parse a PCM WAV; None if not a valid one.
+
+    Returns (sample_rate, n_channels, n_samples, duration_us,
+    mean |amplitude|). Walks the RIFF chunk list (fmt /data may be
+    preceded by LIST or other chunks), validates PCM-16, and requires
+    the data chunk to fit the blob — so near-miss text never mis-parses.
+    """
+    if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(blob):
+        cid, size = struct.unpack_from("<4sI", blob, pos)
+        pos += 8
+        if pos + size > len(blob):
+            return None
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", blob, pos)
+        elif cid == b"data":
+            data = blob[pos : pos + size]
+        pos += size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, channels, rate, _byte_rate, _block, bits = fmt
+    if audio_fmt != 1 or bits != 16 or channels < 1 or rate <= 0:
+        return None
+    n_frames = len(data) // (2 * channels)
+    if n_frames == 0:
+        return None
+    vals = struct.unpack_from(f"<{n_frames * channels}h", data)
+    mean_abs = sum(abs(v) for v in vals) / len(vals)
+    duration_us = n_frames * 1_000_000 // rate
+    return rate, channels, n_frames, duration_us, mean_abs
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_us", LongType()),
+        StructField("mean_abs", DoubleType()),
+    ]
+)
+
+
+def decode_audio_features(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched WAV feature extraction over (doc_id, blob)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, b in zip(pdf["doc_id"], pdf["blob"]):
+                parsed = _decode_wav(b)
+                if parsed is None:
+                    continue  # non-audio blobs contribute no row
+                rows.append((d, *parsed))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_samples",
+                    "duration_us",
+                    "mean_abs",
+                ],
+            )
+
+    return blobs.mapInPandas(extract, AUDIO_SCHEMA)
+
+
+_WAV_RATE = 8000
+
+_WAV_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, octet_length(encode(text)) % 2000 + 1 AS n
+    FROM documents WHERE doc_id % 13 = 0
+),
+s AS (
+    SELECT doc_id, n, ((i.i * 37 + doc_id * 11) % 65536) - 32768 AS v
+    FROM d, unnest(generate_series(0, n - 1)) AS i(i)
+)
+SELECT doc_id,
+       CAST({_WAV_RATE} AS INTEGER)  AS sample_rate,
+       CAST(1 AS INTEGER)            AS n_channels,
+       CAST(max(n) AS BIGINT)        AS n_samples,
+       CAST(max(n) * 1000000 // {_WAV_RATE} AS BIGINT) AS duration_us,
+       CAST(sum(abs(v)) AS DOUBLE) / count(*)          AS mean_abs
+FROM s GROUP BY doc_id
+"""
+
+
+def _pattern_samples(doc_id: int, n: int) -> list[int]:
+    """Deterministic sawtooth-ish test signal: full int16 range coverage."""
+    return [((i * 37 + doc_id * 11) % 65536) - 32768 for i in range(n)]
+
+
+@query("multimodal_decode_wav", oracle=_WAV_ORACLE)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: a deterministic int16 signal is
+    packed into actual RIFF/WAV containers (chunk walk, word alignment,
+    PCM-16 frames) in one Arrow batch stage, then parsed back out by the
+    pure-Python WAV reader. The oracle recomputes sample count,
+    duration, and mean |amplitude| analytically from the generator
+    formula — an exact-match proof that real PCM frames round-trip
+    through a real audio container.
+
+    Scale shape: two chained narrow ``mapInPandas`` stages, no shuffle;
+    sample counts bounded (≤2000), so per-row work is constant."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    blob_len = F.length(F.encode("text", "UTF-8"))
+    dims = docs.select("doc_id", (blob_len % 2000 + 1).cast("int").alias("n"))
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": [
+                        encode_wav(_WAV_RATE, _pattern_samples(d, n))
+                        for d, n in zip(pdf["doc_id"], pdf["n"])
+                    ],
+                }
+            )
+
+    blobs = dims.mapInPandas(
+        pack,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("blob", BinaryType()),
+            ]
+        ),
+    )
+    return decode_audio_features(blobs)

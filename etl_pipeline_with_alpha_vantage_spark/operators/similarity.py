@@ -636,3 +636,99 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: cluster-blocked cosine pruning
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.3
+
+_SEMDEDUP_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS emb
+    FROM embeddings
+),
+n AS (SELECT vec_id, label, emb,
+             sqrt(list_sum([x * x for x in emb])) AS norm FROM e),
+close_pairs AS (
+    SELECT b.vec_id AS dup_id
+    FROM n a JOIN n b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(
+            list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]))
+            / (a.norm * b.norm), 6) >= {_SEMDEDUP_TAU}
+),
+dup_counts AS (
+    SELECT dup_id, COUNT(*) AS n_closer FROM close_pairs GROUP BY dup_id
+)
+SELECT e.vec_id,
+       CAST(e.label AS BIGINT) AS label,
+       CAST(coalesce(d.n_closer, 0) AS BIGINT) AS n_closer_dups,
+       coalesce(d.n_closer, 0) = 0 AS kept
+FROM e LEFT JOIN dup_counts d ON d.dup_id = e.vec_id
+"""
+
+
+@query("dedup_semantic", oracle=_SEMDEDUP_ORACLE)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: within each embedding
+    cluster, a vector is pruned when a lower-id cluster-mate sits above
+    cosine {tau} — keep-the-first over semantic near-duplicate sets,
+    the embedding-space analog of the MinHash text tier.
+
+    Scale shape: the pairwise check is BLOCKED BY CLUSTER (here the
+    pre-assigned label; at corpus scale the IVF codebook's cell
+    assignment — similarity_ivf_topk — plays this role), so candidate
+    volume is Σ cell² not corpus²; a skewed mega-cell would be split by
+    re-clustering its members (hierarchical k-means), keeping per-cell
+    work bounded. The join is a label equi-join, never a cross product;
+    survivors' counts come from one groupBy on the pruned pairs.
+
+    Output: every vector with its closer-duplicate count and the kept
+    verdict (n_closer_dups = 0) — the keep-list a corpus writer joins
+    back against.
+    """
+    emb = with_norm(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _as_double("embedding").alias("emb")
+        )
+    )
+    a = emb.select(
+        F.col("label").alias("la"),
+        F.col("vec_id").alias("ida"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = emb.select(
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("idb"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    close = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("ida") < F.col("idb")))
+        .filter(
+            F.round(
+                _dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6
+            )
+            >= _SEMDEDUP_TAU
+        )
+        .groupBy(F.col("idb").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_closer"))
+    )
+    return (
+        emb.select("vec_id", F.col("label").cast("long").alias("label"))
+        .join(close, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce(F.col("n_closer"), F.lit(0)).cast("long").alias(
+                "n_closer_dups"
+            ),
+            (F.coalesce(F.col("n_closer"), F.lit(0)) == 0).alias("kept"),
+        )
+    )
+
+
+dedup_semantic.__doc__ = dedup_semantic.__doc__.format(tau=_SEMDEDUP_TAU)

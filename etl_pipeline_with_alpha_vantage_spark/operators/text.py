@@ -774,3 +774,98 @@ def pipeline_chunk_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
 pipeline_chunk_yield.__doc__ = pipeline_chunk_yield.__doc__.format(
     w=_CHUNK_WINDOW, s=_CHUNK_STRIDE
 )
+
+
+# --------------------------------------------------------------------------
+# PII redaction — the scrub pass every training-data pipeline runs before
+# anything else sees the text. Deterministic PII is INJECTED first (the
+# synthetic corpus contains none), so the redaction is provably exercised
+# and the oracle can rebuild the exact same input.
+# --------------------------------------------------------------------------
+
+# Dialect-portable patterns: RE2 (DuckDB) ∩ java.util.regex (Spark) —
+# character classes, bounded repetition and \b only; no lookaround, no
+# backreferences, so both engines compile the same automaton.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+_PII_ORACLE = f"""
+WITH injected AS (
+    SELECT doc_id,
+           concat(text, ' contact user', doc_id, '@example.com from 10.',
+                  doc_id % 256, '.0.1 tel 555-', 1000 + doc_id % 9000,
+                  ' end') AS raw
+    FROM documents WHERE doc_id % 7 = 0
+),
+red AS (
+    SELECT doc_id, raw,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IPV4}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM injected
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{_PII_IPV4}'))  AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(length(raw) - length(redacted) AS BIGINT) AS chars_removed,
+       sha256(redacted) AS redacted_sha
+FROM red
+"""
+
+
+@query("text_pii_redact", oracle=_PII_ORACLE)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails, IPv4s, and phone-shaped digit runs are
+    replaced by typed placeholders, with per-document counts of each
+    class and a hash of the redacted text (the byte-exact proof the two
+    engines redacted identically).
+
+    The corpus is synthetic and PII-free, so a deterministic
+    email/IP/phone triple is appended per selected document FIRST —
+    redaction over text that provably contains PII, never a vacuous
+    no-op pass. Patterns stay in the RE2 ∩ Java regex dialect overlap
+    so Spark and DuckDB compile identical automata.
+
+    Scale shape: pure narrow projection — regexp_replace chains run
+    inside whole-stage codegen, no shuffle, no UDF; the scan prunes to
+    (doc_id, text). At 100 TB this is the embarrassingly parallel pass
+    it should be."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 tel 555-"),
+        (1000 + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" end"),
+    )
+    with_raw = docs.select("doc_id", raw.alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return with_raw.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_PII_IPV4), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        (F.length("raw") - F.length(redacted)).cast("long").alias("chars_removed"),
+        F.sha2(F.encode(redacted, "UTF-8"), 256).alias("redacted_sha"),
+    )
