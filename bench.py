@@ -74,6 +74,11 @@ HEADLINE = [
     "pipeline_chunk_yield",
     "basket_affinity",
     "interval_overlap_join",
+    # round-4 additions: real-codec multimodal + PII + semantic dedup
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
+    "text_pii_redact",
+    "dedup_semantic",
 ]
 
 
