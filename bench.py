@@ -79,6 +79,8 @@ HEADLINE = [
     "multimodal_decode_wav",
     "text_pii_redact",
     "dedup_semantic",
+    "cdc_latest_state",
+    "text_perplexity_proxy",
 ]
 
 
@@ -111,6 +113,10 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Stop the JVM BEFORE printing: GC/alloc warnings from the child
+    # process share this stdout and have been observed interleaving with
+    # (even clobbering) the JSON line if anything still runs after it.
+    spark.stop()
     print(
         json.dumps(
             {
@@ -127,7 +133,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -113,28 +113,30 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 1.5× at sf0.1, and at 100 TB the re-derivation would be
     # 3 extra passes over the fact table.
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
-    nodes = edges_deg.select(F.col("src").alias("node_id")).distinct().localCheckpoint(
-        eager=False
+    # The oracle LEFT-joins a node list so rank mass reaches isolated
+    # nodes; here that join is provably dead weight: undirected doubling
+    # gives EVERY node an incident edge, so the inflow aggregation's
+    # keyset already equals the node set and the damped update folds
+    # into the aggregation itself. Dropping the per-iteration node join
+    # removes 3 sort-merge joins + their exchanges from the loop.
+    ranks = (
+        edges_deg.select(F.col("src").alias("node_id"))
+        .distinct()
+        .withColumn("rank_units", F.lit(_PR_INIT).cast("long"))
     )
-    ranks = nodes.withColumn("rank_units", F.lit(_PR_INIT).cast("long"))
     for _ in range(_PR_ITERS):
-        inflow = (
-            edges_deg.join(
-                ranks.withColumnRenamed("node_id", "src"), "src"
-            )
+        ranks = (
+            edges_deg.join(ranks.withColumnRenamed("node_id", "src"), "src")
             .select(
                 F.col("dst").alias("node_id"),
                 F.expr("rank_units DIV outdeg").alias("share"),
             )
             .groupBy("node_id")
-            .agg(F.sum("share").alias("inflow"))
-        )
-        ranks = nodes.join(inflow, "node_id", "left").select(
-            "node_id",
-            (
-                F.lit(150000)
-                + F.expr("(850 * coalesce(inflow, 0)) DIV 1000")
-            ).cast("long").alias("rank_units"),
+            .agg(
+                (F.lit(150000) + F.expr("(850 * sum(share)) DIV 1000"))
+                .cast("long")
+                .alias("rank_units")
+            )
         )
     return ranks.select(
         "node_id",

@@ -869,3 +869,78 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("raw") - F.length(redacted)).cast("long").alias("chars_removed"),
         F.sha2(F.encode(redacted, "UTF-8"), 256).alias("redacted_sha"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM perplexity proxy — CCNet-style quality scoring
+# --------------------------------------------------------------------------
+
+_PPLX_ORACLE = """
+WITH t AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+vocab AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term),
+n AS (SELECT COUNT(*) AS n_tokens FROM t),
+tok AS (
+    SELECT t.doc_id,
+           CAST(round(ln(CAST(n.n_tokens AS DOUBLE) / v.cnt) * 1000000)
+                AS BIGINT) AS nll_units
+    FROM t JOIN vocab v USING (term) CROSS JOIN n
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT)    AS n_tokens,
+       CAST(SUM(nll_units) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_nll,
+       CAST(SUM(nll_units) // (COUNT(*) * 1000000) AS BIGINT) AS nll_bucket
+FROM tok GROUP BY doc_id
+"""
+
+
+@query("text_perplexity_proxy", oracle=_PPLX_ORACLE)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy per document — the CCNet-style quality
+    score used to rank web text before training (low mean negative
+    log-likelihood ≈ head-like text, high ≈ tail/garbage). The "language
+    model" is the corpus's own unigram distribution: nll(w) =
+    ln(N / count(w)).
+
+    Cross-engine exactness: each token's nll is rounded to integer
+    micro-nats BEFORE the per-document sum (ln may differ in the last
+    ulp across engines; a rounded integer cannot), so the reduction is
+    an order-insensitive integer sum and mean_nll derives from one IEEE
+    division of two exact integers — the same determinism device as the
+    scaled-cents aggregates.
+
+    Scale shape: one explode → (term) partial-agg shuffle builds the
+    vocabulary (dimension-sized — broadcastable the way freq dims are);
+    token rows join it and collapse map-side onto doc_id. The corpus
+    token count is a 1-row broadcast. At 100 TB: two fact-sized
+    shuffles (vocab build, per-doc agg), no sort, no window.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    n = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
+    scored = (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("n_tokens").cast("double") / F.col("cnt"))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("nll_units"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (
+            F.sum("nll_units").cast("double") / F.count(F.lit(1)) / 1_000_000.0
+        ).alias("mean_nll"),
+        F.expr("sum(nll_units) DIV (count(1) * 1000000)")
+        .cast("long")
+        .alias("nll_bucket"),
+    )

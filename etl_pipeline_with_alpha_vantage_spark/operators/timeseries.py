@@ -889,3 +889,72 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(w_norm)
         ).alias("p_transition"),
     )
+
+
+# --------------------------------------------------------------------------
+# CDC latest-state apply (SCD1 merge with deletes)
+# --------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH changes AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+    FROM events
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+    FROM changes
+)
+SELECT user_id,
+       ts AS last_ts,
+       CAST(round(value * 100) AS BIGINT) AS last_value_cents,
+       CAST(n_changes AS BIGINT) AS n_changes
+FROM ranked
+WHERE rn = 1 AND op = 'U'
+"""
+
+
+@query("cdc_latest_state", oracle=_CDC_ORACLE)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: collapse a change stream (upserts + deletes) to the
+    current state table — the SCD-Type-1 MERGE every warehouse replays
+    from a Debezium/binlog feed. Events are per-user changes ordered by
+    (ts, event_id); 'error' events model tombstones: a key whose LATEST
+    change is a delete vanishes from the state entirely (not merely
+    filtered history — the contested case an anti-join formulation gets
+    wrong when a later upsert follows the delete).
+
+    Scale shape: ONE shuffle on the key; both the latest-row choice
+    (row_number) and the change count ride the same user_id window
+    clustering. No self-join against "current state" — at 100 TB the
+    state table is derived, not joined. Deterministic total order via
+    the (ts, event_id) tiebreak; value in exact cents.
+    """
+    ev = table(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = changes.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .alias("n_changes"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("op") == "U")).select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("last_value_cents"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+    )
