@@ -382,3 +382,56 @@ def test_stream_rollup_incremental_equals_batch(spark, sf_dir, tmp_path):
     run_stream_rollup(spark, sf_dir, bronze, rollup, checkpoint_dir=ckpt)
     assert snapshot(bronze) == b0, "idempotent catch-up rewrote bronze"
     assert snapshot(rollup) == r0, "idempotent catch-up rewrote rollup"
+
+
+def test_stream_rollup_survives_null_ts(spark, tmp_path):
+    """A micro-batch containing null-ts rows must not kill the streaming
+    query (day=None previously raised in the refresh-day collection);
+    null-day rows stay in bronze's default partition and the rollup only
+    carries real days."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        (1, dt.datetime(2024, 3, 1, 10), 7, "click", 1.5, "{}"),
+        (2, None, 7, "click", 2.5, "{}"),  # the poison row
+        (3, dt.datetime(2024, 3, 2, 11), 8, "view", 3.5, "{}"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(src / "events1.parquet"))
+
+    from etl_pipeline_with_alpha_vantage_spark.streaming.runner import (
+        run_stream_rollup,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    rollup = str(tmp_path / "rollup")
+    run_stream_rollup(
+        spark, str(src), bronze, rollup, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+
+    # bronze keeps all three rows (null day in the Hive default partition)
+    assert spark.read.parquet(bronze).count() == 3
+    assert any(
+        "__HIVE_DEFAULT_PARTITION__" in d
+        for d, _, _ in os.walk(bronze)
+    )
+    # rollup exists, has only the two real days, and excludes the null row
+    roll = spark.read.parquet(rollup).collect()
+    days = {str(r.day) for r in roll}
+    assert days == {"2024-03-01", "2024-03-02"}
+    assert sum(r.n_events for r in roll) == 2
