@@ -276,3 +276,42 @@ def test_rollup_refresh_prunes_day_partitioned_source(spark, sf_dir, tmp_path):
     # pruned scan must read only the selected partitions' rows
     expected = events.filter(F.col("day").cast("string").isin(days)).count()
     assert filtered.count() == expected
+
+
+def test_dynamic_partition_pruning_on_fact_join(spark, sf_dir, tmp_path):
+    """Joining a day-partitioned fact against a filtered dim must inject
+    a dynamic-partition-pruning subquery into the fact scan: at 100 TB
+    the fact's untouched day directories are never read even though the
+    day set is only known at run time (it comes from the dim filter)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_with_alpha_vantage_spark.catalog import table
+
+    fact_dir = str(tmp_path / "fact")
+    events = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    events.write.partitionBy("day").parquet(fact_dir)
+
+    days = sorted(
+        r.day
+        for r in events.select("day").distinct().collect()
+        if r.day is not None
+    )
+    # NOTE: the dim filter must be a COMPARISON for Spark's
+    # isLikelySelective heuristic to consider pruning — a bare boolean
+    # attribute filter does not qualify and silently skips DPP.
+    dim = spark.createDataFrame(
+        [(d, i) for i, d in enumerate(days)], "day date, rank int"
+    )
+
+    fact = spark.read.parquet(fact_dir)
+    joined = fact.join(
+        F.broadcast(dim.filter(F.col("rank") < 4)), "day"
+    ).groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    opt = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in opt.lower(), opt[:2000]
+    # the executed scan carries the runtime IN-subquery partition filter
+    got = {r.day for r in joined.collect()}
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+    # and the result is correct (only the four filtered days survive)
+    assert got == set(days[:4])
