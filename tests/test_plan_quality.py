@@ -87,6 +87,7 @@ _NESTED_LOOP_OK = {
     "q22_dormant_value",  # 1-row scalar-subquery (global avg) broadcast
     "q11_important_parts",  # 1-row global-total broadcast (non-equi filter)
     "text_tfidf",  # 1-row corpus-size broadcast
+    "text_perplexity_proxy",  # 1-row corpus-token-count broadcast
     "agg_equidepth_buckets",  # 1-row quartile-boundary broadcast
     "rfm_segments",  # 1-row threshold broadcast
     "basket_affinity",  # 1-row order-count broadcast
