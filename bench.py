@@ -81,6 +81,8 @@ HEADLINE = [
     "dedup_semantic",
     "cdc_latest_state",
     "text_perplexity_proxy",
+    "bpe_train_merges",
+    "data_mix_temperature",
 ]
 
 

@@ -958,3 +958,72 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("last_value_cents"),
         F.col("n_changes").cast("long").alias("n_changes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled source mixing (the multi-corpus sampling weights)
+# --------------------------------------------------------------------------
+
+_MIX_BUDGET = 100_000  # documents in the mixed training set
+
+_MIX_TEMP_ORACLE = f"""
+WITH src AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS n FROM src),
+w AS (
+    SELECT source, n_docs,
+           CAST(n_docs AS DOUBLE) / tot.n AS raw_share,
+           CAST(round(sqrt(CAST(n_docs AS DOUBLE) / tot.n) * 1000000000)
+                AS BIGINT) AS w_units
+    FROM src, tot
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       raw_share,
+       CAST(w_units AS DOUBLE) / SUM(w_units) OVER () AS temp_weight,
+       CAST({_MIX_BUDGET} * w_units // SUM(w_units) OVER () AS BIGINT)
+           AS target_docs
+FROM w
+"""
+
+
+@query("data_mix_temperature", oracle=_MIX_TEMP_ORACLE)
+def data_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (T=2, i.e. weight ∝ share^0.5):
+    the standard rebalancing that upsamples small sources relative to
+    their raw share when assembling a multi-corpus training mix.
+
+    Cross-engine exactness despite the power function: α=0.5 is sqrt —
+    IEEE-correctly-rounded on every platform (general pow is not) — and
+    each source's weight rounds to integer nano-units BEFORE the
+    normalizing sum, so the denominator is an exact integer and both
+    weight and target count derive from integer arithmetic plus one
+    deterministic division.
+
+    Scale shape: one partial-aggregated shuffle to source counts
+    (O(sources) rows), then window math over the tiny aggregate — the
+    fact table is scanned once and never re-shuffled.
+    """
+    docs = table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    wall = Window.partitionBy()
+    tot = F.sum("n_docs").over(wall)
+    share = F.col("n_docs").cast("double") / tot
+    w_units = F.round(F.sqrt(share) * 1_000_000_000).cast("long")
+    with_w = src.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        share.alias("raw_share"),
+        w_units.alias("w_units"),
+    )
+    unit_sum = F.sum("w_units").over(wall)
+    return with_w.select(
+        "source",
+        "n_docs",
+        "raw_share",
+        (F.col("w_units").cast("double") / unit_sum).alias("temp_weight"),
+        F.expr(f"{_MIX_BUDGET} * w_units DIV sum(w_units) OVER ()")
+        .cast("long")
+        .alias("target_docs"),
+    )

@@ -77,6 +77,7 @@ def load_all() -> None:
         skew,
         text,
         timeseries,
+        tokenizer,
         tpch_suite,
         udf,
         windows,
