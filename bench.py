@@ -83,6 +83,7 @@ HEADLINE = [
     "text_perplexity_proxy",
     "bpe_train_merges",
     "data_mix_temperature",
+    "scalar_variant_extract",
 ]
 
 

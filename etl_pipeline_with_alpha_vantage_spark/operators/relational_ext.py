@@ -880,3 +880,50 @@ def scalar_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("enriched_json"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 VARIANT ingestion — typed semi-structured aggregation
+# --------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k,
+       'OBJECT<k: BIGINT>' AS variant_schema
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("scalar_variant_extract", oracle=_VARIANT_ORACLE)
+def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's native VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` path extraction feeding a normal aggregation —
+    the modern replacement for per-query ``get_json_object`` string
+    re-parsing (the variant parses each document ONCE; every downstream
+    path access is a binary traversal, which is the whole point at
+    100 TB of JSON). ``schema_of_variant`` is aggregated as a constant
+    sanity column (every props object here is OBJECT<k: BIGINT>).
+
+    The oracle replays the same extraction with DuckDB's JSON functions:
+    typed values, not strings, so the sums hash-match exactly.
+    """
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.variant_get("v", "$.k", "long").alias("k"),
+        F.expr("schema_of_variant(v)").alias("sch"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.max("sch").alias("variant_schema"),
+    )
