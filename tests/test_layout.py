@@ -315,3 +315,54 @@ def test_dynamic_partition_pruning_on_fact_join(spark, sf_dir, tmp_path):
     assert "dynamicpruningexpression" in plan.lower()
     # and the result is correct (only the four filtered days survive)
     assert got == set(days[:4])
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """Row-level runtime filtering (the shuffle-join sibling of DPP):
+    when a selective dim filter feeds a non-broadcast equi-join, Spark
+    must inject a bloom_filter_agg subquery and a might_contain guard on
+    the fact side, pruning rows BEFORE the shuffle. At 100 TB this is
+    the difference between shuffling the whole fact and shuffling the
+    ~matching fraction.
+
+    Conditions (each silently disables the rule if unmet, documented
+    here so plan changes are debuggable): creation side below
+    creationSideThreshold, application-side scan above
+    applicationSideScanSizeThreshold (10 GB default — hence lowered
+    here; at real scale it passes naturally), creation side NOT
+    broadcastable (a broadcast join needs no bloom), and a
+    comparison-shaped (isLikelySelective) dim filter."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_with_alpha_vantage_spark.catalog import table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in overrides.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        li = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 350000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom_filter_agg" in opt, opt[:1500]
+        assert "might_contain" in opt
+        # and the filtered join is still exact
+        expected = (
+            li.join(o, li.l_orderkey == o.o_orderkey).count()
+        )
+        assert j.collect()[0].n == expected > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
