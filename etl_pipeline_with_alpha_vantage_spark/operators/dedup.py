@@ -911,3 +911,116 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment_a_in_b") >= 0.5)
     )
+
+
+# --------------------------------------------------------------------------
+# X15h — duplicated-span detection (exact-substring dedup, n-gram form)
+# --------------------------------------------------------------------------
+
+_SPAN_N = 8  # token 8-grams, the classic "exact substring" span unit
+
+_SPAN_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, i AS start,
+           md5(array_to_string(t[i+1:i+{_SPAN_N}], ' ')) AS gh
+    FROM toks, unnest(generate_series(0, len(t) - {_SPAN_N})) AS u(i)
+    WHERE len(t) >= {_SPAN_N}
+),
+dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2),
+cov AS (
+    SELECT DISTINCT g.doc_id, p.pos
+    FROM grams g JOIN dup d ON g.gh = d.gh,
+         unnest(generate_series(g.start, g.start + {_SPAN_N - 1})) AS p(pos)
+),
+per_doc AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id)
+SELECT
+    tk.doc_id,
+    CAST(len(tk.t) AS BIGINT)                  AS n_tokens,
+    CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+    CAST(COALESCE(pd.dup_tokens, 0) AS DOUBLE) / len(tk.t) AS dup_fraction
+FROM toks tk LEFT JOIN per_doc pd ON tk.doc_id = pd.doc_id
+"""
+
+
+@query("dedup_span_ngrams", oracle=_SPAN_ORACLE)
+def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: duplicated-span accounting — the n-gram form of exact-substring
+    dedup (the "dedup training data makes LMs better" recipe: drop or
+    down-weight spans that repeat verbatim across the corpus).
+
+    A token 8-gram that occurs >= 2 times corpus-wide marks all 8 of its
+    token positions as duplicated; each doc reports how many of its token
+    positions lie under at least one such span. The suffix-array of the
+    single-machine formulation is replaced by a distributed inverted
+    index, which finds exactly the same >=8-token repeats:
+
+      1. explode every doc into (start, md5(8-gram)) — narrow, no shuffle;
+      2. one partial-aggregated shuffle on the 16-byte gram hash counts
+         occurrences (state per key is ONE long, never a posting list);
+      3. duplicated grams join back to their occurrences on the same gh
+         clustering (ReusedExchange — the exchange from step 2 serves
+         both sides);
+      4. covered positions = explode the 8 positions under each dup span,
+         distinct on (doc_id, pos) — the union-of-intervals without any
+         per-doc sequential sweep;
+      5. per-doc counts ride the doc_id clustering of step 4's shuffle.
+
+    At 100 TB the gram table is ~tokens-in-corpus rows of (hash, start) —
+    big but embarrassingly partitioned; nothing ever materializes a
+    posting list or a per-doc timeline. Mirrors the reference's
+    idempotent re-load semantics (``/root/reference/etl.py:127,142``) at
+    span granularity rather than row granularity.
+    """
+    docs = spread(table(spark, sf_dir, "documents"))
+    n = _SPAN_N
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    g = (
+        toks.filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(0), F.size("t") - n)).alias("start"),
+        )
+        .select(
+            "doc_id",
+            "start",
+            F.md5(
+                F.concat_ws(" ", F.slice("t", F.col("start") + 1, n))
+            ).alias("gh"),
+        )
+    )
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    cov = (
+        g.join(dup, "gh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    per_doc = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_tokens")
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1,0 +1,207 @@
+"""Statistical / preference-query operators: Pareto skyline and
+chi-square association (SURVEY.md §2.C widening — analytics shapes a
+warehouse user of the reference would reach for next, built on the same
+exactness discipline as the rest of the registry).
+
+Both operators replace an O(n²) textbook formulation with a
+decomposition that is one shuffle plus tiny-side work, and each oracle
+IS the naive formulation — so the parity suite proves the decomposition
+exact, not merely plausible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+# --------------------------------------------------------------------------
+# Pareto skyline (minimize price, maximize size)
+# --------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+_SKY_BUCKET_WIDTH = 64  # price units per segment of the prefix-max sweep
+
+
+def pareto_frontier(
+    df: DataFrame,
+    cost_col: str,
+    gain_col: str,
+    bucket_width: float = _SKY_BUCKET_WIDTH,
+) -> DataFrame:
+    """Rows not dominated by any other row (minimize cost, maximize gain).
+
+    Dominance: q dominates p iff q.cost <= p.cost AND q.gain >= p.gain
+    with at least one strict. Exact-duplicate points do not dominate each
+    other, so all copies of a frontier point survive — matching the
+    NOT EXISTS definition. See skyline_pareto for the plan shape.
+    """
+    per_cost = df.groupBy(cost_col).agg(F.max(gain_col).alias("_max_gain"))
+    bucketed = per_cost.withColumn(
+        "_bucket", F.floor(F.col(cost_col) / bucket_width)
+    )
+    w_local = (
+        Window.partitionBy("_bucket")
+        .orderBy(cost_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "_local_prev", F.max("_max_gain").over(w_local)
+    )
+    bucket_tops = bucketed.groupBy("_bucket").agg(
+        F.max("_max_gain").alias("_bucket_max")
+    )
+    w_buckets = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior = bucket_tops.select(
+        "_bucket", F.max("_bucket_max").over(w_buckets).alias("_prior_max")
+    )
+    frontier = (
+        local.join(prior, "_bucket")
+        .withColumn(
+            "_prev_max",
+            F.greatest(
+                F.coalesce("_local_prev", F.lit(float("-inf"))),
+                F.coalesce("_prior_max", F.lit(float("-inf"))),
+            ),
+        )
+        .filter(F.col("_max_gain") > F.col("_prev_max"))
+        .select(cost_col, "_max_gain")
+    )
+    return (
+        df.join(F.broadcast(frontier), cost_col)
+        .filter(F.col(gain_col) == F.col("_max_gain"))
+        .drop("_max_gain")
+    )
+
+
+@query("skyline_pareto", oracle=_SKYLINE_ORACLE)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline over part: cheapest-for-its-size frontier
+    (minimize p_retailprice, maximize p_size).
+
+    The textbook NOT EXISTS self-join — which IS the oracle, proving
+    this plan exact — is O(n²). The skyline has a sweep-line
+    characterization instead: a row survives iff
+
+      (a) its size equals the max size at its exact price, and
+      (b) every strictly-cheaper price's max size is below its size.
+
+    (b) is a prefix maximum over *distinct prices*, computed here with
+    the same segmented two-pass trick as concurrency_peak so no global
+    single-partition sort ever happens:
+
+      1. one shuffle: per-price max size (price-level table, one row per
+         distinct price);
+      2. per price-bucket (floor(price/64)) local prefix max — window
+         inside the bucket only;
+      3. bucket-level maxima (one row per bucket) get a global running
+         max — a window over #buckets rows, vanishingly small;
+      4. prev_max = max(local prefix, previous buckets' max), rows with
+         size > prev_max and size == their price's max are the skyline.
+
+    The fact table is touched once (step 1's aggregation); everything
+    after runs on the distinct-price table. At 100 TB with billions of
+    rows but bounded distinct prices this is one real shuffle + dust.
+    """
+    part = table(spark, sf_dir, "part")
+    return pareto_frontier(part, "p_retailprice", "p_size").select(
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Chi-square association (event_type × user segment)
+# --------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH obs AS (
+    SELECT event_type, user_id % 4 AS segment, COUNT(*) AS o
+    FROM events GROUP BY 1, 2
+),
+tot AS (SELECT SUM(o) AS n FROM obs),
+rt AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1),
+ct AS (SELECT segment, SUM(o) AS c FROM obs GROUP BY 1),
+cells AS (
+    SELECT obs.event_type, obs.o,
+           CAST(rt.r AS DOUBLE) * ct.c / tot.n AS e
+    FROM obs JOIN rt USING (event_type) JOIN ct USING (segment)
+             CROSS JOIN tot
+),
+scored AS (
+    SELECT event_type,
+           CAST(floor((o - e) * (o - e) / e * 1e6 + 0.5) AS BIGINT)
+               AS contrib_micro
+    FROM cells
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)          AS n_cells,
+       CAST(SUM(contrib_micro) / 1e6 AS DOUBLE) AS chi2_contrib
+FROM scored GROUP BY event_type
+"""
+
+
+@query("chi_square_assoc", oracle=_CHI2_ORACLE)
+def chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency contributions: is event_type independent of
+    the user segment (user_id mod 4)? Per-event-type sum of the classic
+    (observed − expected)²/expected cell statistic.
+
+    The only real work is the contingency count — ONE partial-aggregated
+    shuffle over the fact table producing #types × #segments rows.
+    Marginals, expected counts, and the statistic all run on that tiny
+    cell table (window totals over ~20 rows). Cross-engine exactness:
+    expected counts derive from identical integers via identical IEEE
+    ops, and each cell's contribution is rounded to integer micro-units
+    BEFORE the per-type sum (the text_perplexity_proxy discipline), so
+    summation order cannot produce drift.
+
+    At 100 TB: the fact shuffle carries (type, segment) pairs — the
+    aggregation state is bounded by the contingency table's size, not
+    the data's.
+    """
+    ev = table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("segment")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    w_all = Window.partitionBy()
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("segment")
+    cells = obs.select(
+        "event_type",
+        "o",
+        (
+            F.sum("o").over(w_row).cast("double")
+            * F.sum("o").over(w_col)
+            / F.sum("o").over(w_all)
+        ).alias("e"),
+    )
+    contrib = F.floor(
+        (F.col("o") - F.col("e"))
+        * (F.col("o") - F.col("e"))
+        / F.col("e")
+        * 1e6
+        + 0.5
+    ).cast("long")
+    return (
+        cells.select("event_type", contrib.alias("contrib_micro"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            (F.sum("contrib_micro") / 1e6).cast("double").alias("chi2_contrib"),
+        )
+    )

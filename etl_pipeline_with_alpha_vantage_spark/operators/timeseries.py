@@ -1027,3 +1027,137 @@ def data_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("target_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA smoothing — per-key sequential recurrence (X20 + X10 widening)
+# --------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH RECURSIVE e AS (
+    SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+    FROM events
+),
+r AS (
+    SELECT user_id, event_id, rn, cents AS ewma_cents FROM e WHERE rn = 1
+    UNION ALL
+    SELECT e.user_id, e.event_id, e.rn,
+           CAST(floor((r.ewma_cents + e.cents) / 2.0) AS BIGINT)
+    FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn,
+       CAST(ewma_cents / 100.0 AS DOUBLE) AS ewma
+FROM r
+"""
+
+
+@query("ewma_smoothing", oracle=_EWMA_ORACLE)
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (alpha = 1/2).
+
+    A true sequential recurrence — s_t = floor((s_{t-1} + v_t) / 2) — has
+    no closed window form, so it runs as ONE grouped ``applyInPandas``
+    (Arrow-batched, the X20 slow-path discipline): one shuffle on
+    user_id, then a linear numpy sweep per key. State is integer cents
+    and the halving is floor division, so every step is bit-exact on any
+    engine — the DuckDB oracle replays the identical recurrence as a
+    recursive CTE and must agree to the last bit.
+
+    At 100 TB this is the canonical "shuffle once, sweep per key"
+    pattern (same clustering discipline as sessionize_batch); per-key
+    state is a single int64, and keys are independent, so 1000 executors
+    each sweep their own users. The alpha=1/2 choice is what makes the
+    arithmetic closed over integers — a float alpha would need the
+    integer-microunit rounding discipline of text_perplexity_proxy
+    instead.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = pdf["cents"].to_numpy()
+        out = cents.copy()
+        for i in range(1, len(out)):
+            # floor((a+b)/2) == (a+b)//2 for int64 — engine-exact
+            out[i] = (out[i - 1] + cents[i]) // 2
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "rn": range(1, len(out) + 1),
+                "ewma": out / 100.0,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        sweep, "user_id long, event_id long, rn long, ewma double"
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling median — order-statistic window frame (X10 widening)
+# --------------------------------------------------------------------------
+
+_ROLLMED_ORACLE = """
+SELECT user_id, event_id,
+       CAST(median(CAST(round(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) / 100.0 AS DOUBLE)
+       AS rolling_median
+FROM events
+"""
+
+
+@query("window_rolling_median", oracle=_ROLLMED_ORACLE)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-20-event rolling median per user — the robust twin of
+    anomaly_rolling_zscore's rolling mean (a median shrugs off the
+    outliers that drag a mean).
+
+    Spark refuses ordered-set aggregates (median/percentile) over a
+    window *frame*, so the frame's order statistic is computed the
+    JVM-native way: ``collect_list`` over the 20-row frame (frames DO
+    support it), ``array_sort``, and an in-row pick of the middle
+    element(s) — all whole-stage-codegen expressions, no Python.
+    Exactness: the inputs are integer cents, and the median of integers
+    is either an integer or a half-integer (mean of the two middle
+    values) — both exactly representable in a double, so the engines
+    agree bit-for-bit with no rounding discipline needed.
+
+    Frame state is O(20) per row by construction; nothing global. At
+    100 TB the plan is one user_id shuffle and a per-partition sorted
+    sweep — the frame never leaves the executor.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    frame = F.array_sort(F.collect_list(cents).over(w))
+    n = F.size(frame)
+    med = F.when(
+        n % 2 == 1,
+        F.element_at(frame, F.floor((n + 1) / 2).cast("int")).cast("double"),
+    ).otherwise(
+        (
+            F.element_at(frame, F.floor(n / 2).cast("int"))
+            + F.element_at(frame, F.floor(n / 2).cast("int") + 1)
+        )
+        / 2.0
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (med / 100.0).cast("double").alias("rolling_median"),
+    )

@@ -75,6 +75,7 @@ def load_all() -> None:
         reshape,
         similarity,
         skew,
+        stats,
         text,
         timeseries,
         tokenizer,

@@ -37,6 +37,9 @@ EMPTY_OK: dict[str, str] = {}
 # chances to surface.
 SECOND_SF_DIR = "/root/testdata/sf0.01"
 TWO_SF_CASES = [
+    "dedup_span_ngrams",
+    "ewma_smoothing",
+    "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q16_supplier_relation",

@@ -1,0 +1,115 @@
+"""Fixture tests for the round-4 stats/sequence operators: crafted inputs
+with known answers, exercising exactly the tie/duplicate branches a
+random TPC-H sample may never hit (the round-3 interval_overlap_join
+lesson: a parity pass on convenient data proves less than a fixture that
+pins the adversarial cases)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+    pareto_frontier,
+)
+
+
+def test_pareto_frontier_ties_and_duplicates(spark):
+    # (cost, gain): duplicates at (1.0, 5), a same-cost loser (1.0, 3),
+    # an equal-gain-worse-cost loser (3.0, 7), and a low-gain cheap
+    # point (0.5, 1) that survives because nothing is both cheaper and
+    # at-least-as-good.
+    rows = [
+        (1, 0.5, 1),
+        (2, 1.0, 5),
+        (3, 1.0, 5),
+        (4, 1.0, 3),
+        (5, 2.0, 7),
+        (6, 3.0, 7),
+        (7, 2.5, 6),
+    ]
+    df = spark.createDataFrame(rows, "id long, cost double, gain long")
+    got = sorted(r.id for r in pareto_frontier(df, "cost", "gain").collect())
+    # frontier: (0.5,1), both copies of (1.0,5), (2.0,7)
+    assert got == [1, 2, 3, 5]
+
+
+def test_pareto_frontier_cross_bucket_domination(spark):
+    # Points far apart in cost land in different prefix-max segments;
+    # domination must still propagate across bucket boundaries.
+    rows = [
+        (1, 10.0, 100),
+        (2, 500.0, 90),    # dominated by id=1 from a distant bucket
+        (3, 500.0, 150),   # survives
+        (4, 9000.0, 150),  # dominated by id=3 (equal gain, worse cost)
+        (5, 9000.0, 151),  # survives
+    ]
+    df = spark.createDataFrame(rows, "id long, cost double, gain long")
+    got = sorted(r.id for r in pareto_frontier(df, "cost", "gain").collect())
+    assert got == [1, 3, 5]
+
+
+def test_dedup_span_coverage_exact(spark, tmp_path):
+    """Two docs sharing one verbatim 8-token span, plus a doc with no
+    duplicated content — coverage must count the UNION of covered
+    positions, not double-count overlapping spans."""
+    span = "a b c d e f g h"  # the shared 8-gram
+    texts = [
+        span + " x y z",                       # doc 1: positions 0-7
+        "p q " + span,                          # doc 2: positions 2-9
+        "u v w unique tokens only here now",    # doc 3: nothing
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["t"] * 3, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/documents.parquet")
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.dedup import (
+        dedup_span_ngrams,
+    )
+
+    out = {
+        r.doc_id: (r.n_tokens, r.dup_tokens)
+        for r in dedup_span_ngrams(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == (11, 8)
+    assert out[2] == (10, 8)
+    assert out[3] == (8, 0)
+
+
+def test_ewma_recurrence_exact(spark, tmp_path):
+    """EWMA floor recurrence replayed by hand on one user."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(minutes=i) for i in range(4)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7] * 4, pa.int64()),
+            "event_type": pa.array(["view"] * 4, pa.string()),
+            "value": pa.array([1.00, 2.00, 10.00, 0.01], pa.float64()),
+            "props": pa.array(["{}"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/events.parquet")
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.timeseries import (
+        ewma_smoothing,
+    )
+
+    rows = {
+        r.rn: r.ewma for r in ewma_smoothing(spark, str(tmp_path)).collect()
+    }
+    # cents: 100, 200, 1000, 1 →
+    # s1=100; s2=(100+200)//2=150; s3=(150+1000)//2=575; s4=(575+1)//2=288
+    assert rows == {1: 1.00, 2: 1.50, 3: 5.75, 4: 2.88}
