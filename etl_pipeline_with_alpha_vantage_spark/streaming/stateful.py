@@ -75,3 +75,66 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming EWMA — the stateful-stream twin of operators.timeseries.
+# ewma_smoothing (alpha = 1/2, integer-cents floor recurrence)
+# --------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("ewma_cents", LongType())]
+)
+
+
+def _update_user_ewma(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, acc = state.get if state.exists else (0, None)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # Replay in event-time order within the micro-batch; across batches
+    # the recurrence is exact as long as a key's events arrive
+    # batch-monotonically (true for availableNow catch-up and for any
+    # source partitioned by key), matching the batch twin bit-for-bit.
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    cents = (rows["value"] * 100).round().astype("int64")
+    for c in cents:
+        c = int(c)
+        acc = c if acc is None else (acc + c) // 2
+        n += 1
+    state.update((n, acc if acc is not None else 0))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "ewma": [(acc if acc is not None else 0) / 100.0],
+        }
+    )
+
+
+def running_user_ewma(events_stream: DataFrame) -> DataFrame:
+    """Streaming per-user EWMA (alpha=1/2) with explicit integer state.
+
+    Identical recurrence to the batch ewma_smoothing operator —
+    s_t = floor((s_{t-1} + cents_t) / 2) — so after draining a stream the
+    final per-user value equals the batch operator's last row exactly
+    (asserted in tests). State per key is two bigints: bounded by the
+    user population regardless of stream length.
+    """
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -83,3 +83,33 @@ def test_stateful_running_totals_equals_batch(spark, sf_dir, tmp_path):
     # per user must match the batch result (single availableNow batch →
     # one emission per user)
     assert streamed == batch
+
+
+def test_stateful_ewma_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming EWMA state after draining the stream equals the batch
+    ewma_smoothing operator's final per-user row, bit-for-bit — the two
+    implementations share one integer recurrence."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.timeseries import (
+        ewma_smoothing,
+    )
+    from etl_pipeline_with_alpha_vantage_spark.streaming.stateful import (
+        running_user_ewma,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = running_user_ewma(stream)
+    run_available_now(
+        out, "user_ewma", checkpoint_dir=str(tmp_path), output_mode="update"
+    )
+    streamed = {
+        (r.user_id, r.n_events, r.ewma)
+        for r in spark.table("user_ewma").collect()
+    }
+
+    batch_rows = ewma_smoothing(spark, sf_dir).collect()
+    final: dict[int, tuple[int, float]] = {}
+    for r in batch_rows:
+        if r.user_id not in final or r.rn > final[r.user_id][0]:
+            final[r.user_id] = (r.rn, r.ewma)
+    batch = {(u, rn, ew) for u, (rn, ew) in final.items()}
+    assert streamed == batch
