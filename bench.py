@@ -84,6 +84,13 @@ HEADLINE = [
     "bpe_train_merges",
     "data_mix_temperature",
     "scalar_variant_extract",
+    # round-4 batch 2: span dedup, sequential recurrences, stats shapes
+    "dedup_span_ngrams",
+    "ewma_smoothing",
+    "window_rolling_median",
+    "skyline_pareto",
+    "chi_square_assoc",
+    "graph_triangles",
 ]
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..registry import query
 
 _PR_ITERS = 3
@@ -145,4 +145,199 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         F.expr("node_id DIV 2").cast("long").alias("entity_key"),
         F.col("rank_units").cast("long").alias("rank_units"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Triangle enumeration over the near-duplicate pair graph
+# --------------------------------------------------------------------------
+
+_TRI_JACCARD = 0.2  # pair-graph edge threshold
+_TRI_DF_CAP = 50    # drop shingles shared by > 50 docs (stopword shingles)
+
+_TRI_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams0 AS (
+    SELECT DISTINCT doc_id,
+           concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]) AS gram
+    FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+    WHERE len(toks) >= 3
+),
+keep AS (
+    SELECT gram FROM grams0 GROUP BY gram
+    HAVING COUNT(*) <= {_TRI_DF_CAP}
+),
+grams AS (SELECT g.doc_id, g.gram FROM grams0 g JOIN keep k ON g.gram = k.gram),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.doc_a
+    JOIN sizes sb ON sb.doc_id = inter.doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+          >= {_TRI_JACCARD}
+),
+deg AS (
+    SELECT n, COUNT(*) AS d FROM (
+        SELECT doc_a AS n FROM pairs UNION ALL SELECT doc_b FROM pairs
+    ) GROUP BY n
+),
+eo AS (
+    SELECT CASE WHEN (da.d, p.doc_a) < (db.d, p.doc_b)
+                THEN p.doc_a ELSE p.doc_b END AS u,
+           CASE WHEN (da.d, p.doc_a) < (db.d, p.doc_b)
+                THEN p.doc_b ELSE p.doc_a END AS v
+    FROM pairs p
+    JOIN deg da ON da.n = p.doc_a
+    JOIN deg db ON db.n = p.doc_b
+),
+tri AS (
+    SELECT t1.u AS a, t1.v AS b, t2.v AS c
+    FROM eo t1
+    JOIN eo t2 ON t2.u = t1.v
+    JOIN eo t3 ON t3.u = t1.u AND t3.v = t2.v
+)
+SELECT
+    CAST(LEAST(a, b, c) AS BIGINT)                             AS doc_a,
+    CAST(a + b + c - LEAST(a, b, c) - GREATEST(a, b, c) AS BIGINT)
+                                                               AS doc_b,
+    CAST(GREATEST(a, b, c) AS BIGINT)                          AS doc_c
+FROM tri
+"""
+
+
+@query("graph_triangles", oracle=_TRI_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle enumeration over the near-duplicate pair graph —
+    triangles are the densest dedup clusters (three docs pairwise
+    similar), the signal canonical-corpus building cares most about.
+
+    Two scale disciplines compose here:
+
+      1. **Edges** come from the trigram inverted index (the
+         dedup_ngram_jaccard shape) with a document-frequency cap:
+         shingles shared by > 50 docs are stopword-shingles — no dedup
+         signal, quadratic join blowup — so they are dropped BEFORE the
+         self-join, bounding per-shingle fan-out at C(50,2) pairs.
+         Jaccard is computed over the capped shingle sets, mirrored
+         exactly in the oracle.
+      2. **Triangles** use the degree-ordered orientation: every edge
+         points from its lower-(degree, id) endpoint to the higher one,
+         so each triangle is generated exactly once and the wedge join
+         fans out along out-degrees, which orientation provably bounds
+         by O(sqrt(E)) per node — the standard fix for hub vertices
+         (a boilerplate doc near-duplicated across thousands of pages
+         would otherwise quadratically explode the wedge join).
+
+    Output triples are canonicalized (sorted by doc_id) so the result is
+    orientation-independent. Everything is integer arithmetic and exact
+    division-compares — bit-stable on any engine or partitioning.
+    """
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    n2 = F.size("toks") - 2
+    tri_arr = F.zip_with(
+        F.slice("toks", 1, n2),
+        F.zip_with(
+            F.slice("toks", 2, n2),
+            F.slice("toks", 3, n2),
+            lambda b, c: F.concat(b, F.lit(" "), c),
+        ),
+        lambda a, bc: F.concat(a, F.lit(" "), bc),
+    )
+    grams0 = toks.select(
+        "doc_id", F.explode(F.array_distinct(tri_arr)).alias("gram")
+    )
+    keep = (
+        grams0.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _TRI_DF_CAP)
+        .select("gram")
+    )
+    grams = grams0.join(keep, "gram")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    pairs = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+            >= _TRI_JACCARD
+        )
+        .select("doc_a", "doc_b")
+        # The edge list feeds deg twice, the orientation join, and THREE
+        # roles of the triangle self-join; without cutting lineage here
+        # the inverted-index subtree would be cloned into every branch
+        # (~120 scans in the static plan). Materialize the (tiny) edge
+        # list once — same discipline as CC's per-sweep checkpoint.
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("n"))
+        .unionAll(pairs.select(F.col("doc_b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    ranked = (
+        pairs.join(da, F.col("doc_a") == F.col("da.n"))
+        .join(db, F.col("doc_b") == F.col("db.n"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.struct(F.col("da.d"), F.col("doc_a"))
+                < F.struct(F.col("db.d"), F.col("doc_b"))
+            ).alias("a_first"),
+        )
+    )
+    eo = ranked.select(
+        F.when(F.col("a_first"), F.col("doc_a")).otherwise(F.col("doc_b"))
+        .alias("u"),
+        F.when(F.col("a_first"), F.col("doc_b")).otherwise(F.col("doc_a"))
+        .alias("v"),
+    )
+    t1, t2, t3 = eo.alias("t1"), eo.alias("t2"), eo.alias("t3")
+    tri = (
+        t1.join(t2, F.col("t2.u") == F.col("t1.v"))
+        .join(
+            t3,
+            (F.col("t3.u") == F.col("t1.u"))
+            & (F.col("t3.v") == F.col("t2.v")),
+        )
+        .select(
+            F.col("t1.u").alias("a"),
+            F.col("t1.v").alias("b"),
+            F.col("t2.v").alias("c"),
+        )
+    )
+    lo = F.least("a", "b", "c")
+    hi = F.greatest("a", "b", "c")
+    return tri.select(
+        lo.cast("long").alias("doc_a"),
+        (F.col("a") + F.col("b") + F.col("c") - lo - hi)
+        .cast("long")
+        .alias("doc_b"),
+        hi.cast("long").alias("doc_c"),
     )

@@ -39,6 +39,7 @@ SECOND_SF_DIR = "/root/testdata/sf0.01"
 TWO_SF_CASES = [
     "dedup_span_ngrams",
     "ewma_smoothing",
+    "graph_triangles",
     "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",
