@@ -91,6 +91,8 @@ HEADLINE = [
     "skyline_pareto",
     "chi_square_assoc",
     "graph_triangles",
+    "agg_hll_mergeable",
+    "sample_balanced_classes",
 ]
 
 

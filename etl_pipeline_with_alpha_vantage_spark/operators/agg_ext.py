@@ -673,3 +673,62 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_part_a") * F.col("n_part_b"))
         ).alias("lift"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable HLL sketches — partial sketch per day, union across days
+# --------------------------------------------------------------------------
+
+_HLL_MERGE_ORACLE = """
+SELECT
+    event_type,
+    CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_daily_sketches,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT)          AS exact_users,
+    TRUE                                             AS merged_within_2pct
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("agg_hll_mergeable", oracle=_HLL_MERGE_ORACLE)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 at warehouse scale: MERGEABLE distinct-count sketches.
+
+    agg_approx_distinct shows the one-shot HLL; this shows the property
+    that actually matters at 100 TB — sketches are a commutative monoid,
+    so per-partition/per-day partial sketches (built incrementally, e.g.
+    by the nightly load) union into exact-of-the-sketch global estimates
+    without ever re-touching raw data. Plan: one shuffle builds a
+    Datasketches HLL per (event_type, day); a second tiny aggregation
+    unions the ~days×types sketches per type. Re-aggregating yesterday's
+    users is O(sketches), not O(events) — the pre-aggregated rollup
+    pattern of sinks.refresh_daily_rollup extended to distinct counts.
+
+    Gate discipline (the agg_approx_distinct pattern): the hashed cells
+    carry the EXACT count plus an in-plan accuracy boolean
+    |merged_estimate − exact| / exact ≤ 0.02, so the sketch estimate is
+    correctness-checked without placing the engine-specific estimate
+    value into the hash.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+        <= 0.02
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_daily_sketches",
+        "exact_users",
+        within.alias("merged_within_2pct"),
+    )

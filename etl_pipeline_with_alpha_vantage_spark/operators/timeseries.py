@@ -1161,3 +1161,62 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (med / 100.0).cast("double").alias("rolling_median"),
     )
+
+
+# --------------------------------------------------------------------------
+# Class-balanced sampling — equalize class sizes deterministically
+# --------------------------------------------------------------------------
+
+_BALANCED_ORACLE = """
+WITH quota AS (
+    SELECT MIN(c) AS q FROM (
+        SELECT COUNT(*) AS c FROM documents GROUP BY lang
+    )
+),
+ranked AS (
+    SELECT lang, doc_id,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT r.lang, r.doc_id
+FROM ranked r CROSS JOIN quota
+WHERE r.rn <= quota.q
+"""
+
+
+@query("sample_balanced_classes", oracle=_BALANCED_ORACLE)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class-balancing downsample: every language keeps
+    exactly min-class-size docs — the standard rebalance before training
+    a classifier on skewed labels (no class weighting support needed
+    downstream).
+
+    The quota is data-derived (1-row global min, broadcast into the
+    plan); membership is the salted-hash discipline every sampler here
+    uses — rank docs per class by md5(doc_id) and keep the smallest —
+    so the sample is reproducible across runs, engines, and cluster
+    sizes, and adding documents to one class never changes which docs
+    OTHER classes keep. One shuffle on lang, rank-then-filter; same
+    shape as sample_reservoir_group but with the quota coming from the
+    data instead of a constant.
+    """
+    docs = table(spark, sf_dir, "documents")
+    quota = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").alias("q"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "lang", "doc_id", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(quota))
+        .filter(F.col("rn") <= F.col("q"))
+        .select("lang", "doc_id")
+    )

@@ -40,6 +40,8 @@ TWO_SF_CASES = [
     "dedup_span_ngrams",
     "ewma_smoothing",
     "graph_triangles",
+    "agg_hll_mergeable",
+    "sample_balanced_classes",
     "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -91,6 +91,7 @@ _NESTED_LOOP_OK = {
     "agg_equidepth_buckets",  # 1-row quartile-boundary broadcast
     "rfm_segments",  # 1-row threshold broadcast
     "basket_affinity",  # 1-row order-count broadcast
+    "sample_balanced_classes",  # 1-row min-class-quota broadcast
 }
 
 
