@@ -93,6 +93,7 @@ HEADLINE = [
     "graph_triangles",
     "agg_hll_mergeable",
     "sample_balanced_classes",
+    "multimodal_audio_rms",
 ]
 
 

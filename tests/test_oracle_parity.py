@@ -42,6 +42,7 @@ TWO_SF_CASES = [
     "graph_triangles",
     "agg_hll_mergeable",
     "sample_balanced_classes",
+    "multimodal_audio_rms",
     "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",
