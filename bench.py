@@ -94,6 +94,7 @@ HEADLINE = [
     "agg_hll_mergeable",
     "sample_balanced_classes",
     "multimodal_audio_rms",
+    "stream_topk_trending",
 ]
 
 

@@ -342,3 +342,68 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Trending top-k per window — streamable counts + tiny post-rank
+# --------------------------------------------------------------------------
+
+_TRENDING_K = 3
+
+_TRENDING_ORACLE = f"""
+WITH counts AS (
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, dense_rank() OVER (
+        PARTITION BY window_start
+        ORDER BY n_events DESC, event_type
+    ) AS rnk
+    FROM counts
+)
+SELECT window_start,
+       event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(rnk AS BIGINT)      AS rnk
+FROM ranked WHERE rnk <= {_TRENDING_K}
+"""
+
+
+@query("stream_topk_trending", oracle=_TRENDING_ORACLE)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18/X11: trending top-{_TRENDING_K} event types per 15-minute
+    window — the "what's hot right now" query every event dashboard
+    runs.
+
+    The split matters for streaming: the windowed COUNT is incremental
+    (watermark-bounded state, partial aggregation), while the rank is
+    NOT streamable as-is — so the rank runs as a tiny second stage over
+    the window×type count table (types × windows rows, dust). In true
+    streaming mode the counts stream into a sink and the identical rank
+    applies per refresh / in foreachBatch — the medallion split tested
+    in test_stream_trending_equals_batch. Deterministic tie-break
+    (count DESC, then event_type) keeps top-k stable across engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window("ts", "15 minutes").alias("win"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    rnk = F.dense_rank().over(
+        W.partitionBy("win").orderBy(F.desc("n_events"), "event_type")
+    )
+    return (
+        counts.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= _TRENDING_K)
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "rnk",
+        )
+    )

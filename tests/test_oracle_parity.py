@@ -43,6 +43,7 @@ TWO_SF_CASES = [
     "agg_hll_mergeable",
     "sample_balanced_classes",
     "multimodal_audio_rms",
+    "stream_topk_trending",
     "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -435,3 +435,44 @@ def test_stream_rollup_survives_null_ts(spark, tmp_path):
     days = {str(r.day) for r in roll}
     assert days == {"2024-03-01", "2024-03-02"}
     assert sum(r.n_events for r in roll) == 2
+
+
+def test_stream_trending_equals_batch(spark, sf_dir, tmp_path):
+    """Trending top-k: the windowed COUNT streams (complete mode to a
+    memory sink); the non-streamable rank stage applies identically over
+    the drained sink — and must reproduce the batch query exactly."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from etl_pipeline_with_alpha_vantage_spark.streaming.windows import (
+        _TRENDING_K,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    counts = stream.groupBy(
+        F.window("ts", "15 minutes").alias("win"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    run_available_now(counts, "trend_counts", checkpoint_dir=str(tmp_path))
+
+    rnk = F.dense_rank().over(
+        W.partitionBy("win").orderBy(F.desc("n_events"), "event_type")
+    )
+    streamed = {
+        (r.window_start, r.event_type, r.n_events, r.rnk)
+        for r in spark.table("trend_counts")
+        .withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= _TRENDING_K)
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "rnk",
+        )
+        .collect()
+    }
+    batch = {
+        (r.window_start, r.event_type, r.n_events, r.rnk)
+        for r in QUERIES["stream_topk_trending"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
