@@ -95,6 +95,7 @@ HEADLINE = [
     "sample_balanced_classes",
     "multimodal_audio_rms",
     "stream_topk_trending",
+    "asof_join_nearest",
 ]
 
 

@@ -379,3 +379,122 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_a", "event_b"])
     )
     return pairs
+
+
+# --------------------------------------------------------------------------
+# X5d — nearest as-of join (either direction, deterministic tie-break)
+# --------------------------------------------------------------------------
+
+_ASOF_NEAREST_ORACLE = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click'),
+cand AS (
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.value AS click_value,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delta_us,
+           abs(epoch_us(p.ts) - epoch_us(c.ts)) AS abs_us,
+           CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS side,
+           row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                        CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                        CASE WHEN c.ts <= p.ts THEN -c.event_id
+                             ELSE c.event_id END
+           ) AS rn
+    FROM p JOIN c ON p.user_id = c.user_id
+)
+SELECT pp.event_id AS purchase_id, pp.user_id, pp.ts AS purchase_ts,
+       k.click_id, k.click_value, CAST(k.delta_us AS BIGINT) AS delta_us
+FROM p pp
+LEFT JOIN (SELECT * FROM cand WHERE rn = 1) k
+       ON k.purchase_id = pp.event_id
+"""
+
+
+@query("asof_join_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: NEAREST-direction as-of — for each purchase, the click by the
+    same user closest in time in EITHER direction (backward preferred on
+    exact |delta| ties; within a side, the asof_join tie discipline:
+    last click wins looking back, first click wins looking forward).
+    Completes the as-of family: backward / forward / tolerance / nearest.
+
+    Plan: the SAME single union-window pass as the other as-of variants —
+    one shuffle on user_id, one per-key sort — with BOTH directions read
+    off the one sorted frame (last(ignorenulls) up to the current row
+    for backward, first(ignorenulls) from the current row on for
+    forward), then a row-local nearest pick. The oracle is the O(n²)
+    brute-force argmin per purchase, so the parity gate proves the
+    two-frame decomposition implements exactly the nearest semantics.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    merged = clicks.unionByName(purchases)
+    # kind=0 sorts clicks before a same-ts purchase: the backward frame
+    # (<= current row) then includes same-ts clicks — the inclusive
+    # bound — and the forward frame starts at the purchase itself, but
+    # purchases carry no click columns so ignorenulls skips them. For
+    # the forward frame to also see same-ts clicks, order ties by kind
+    # then event_id; a same-ts click lands on the backward side with
+    # delta 0, which nearest-selection prefers anyway.
+    order = [F.col("ts"), F.col("kind"), F.coalesce("click_id", "purchase_id")]
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    us = F.unix_micros(F.col("ts"))
+    carried = merged.select(
+        "user_id",
+        "ts",
+        "kind",
+        "purchase_id",
+        F.last("click_id", ignorenulls=True).over(back).alias("b_id"),
+        F.last("click_value", ignorenulls=True).over(back).alias("b_val"),
+        F.last(F.when(F.col("kind") == 0, us), ignorenulls=True)
+        .over(back)
+        .alias("b_us"),
+        F.first("click_id", ignorenulls=True).over(fwd).alias("f_id"),
+        F.first("click_value", ignorenulls=True).over(fwd).alias("f_val"),
+        F.first(F.when(F.col("kind") == 0, us), ignorenulls=True)
+        .over(fwd)
+        .alias("f_us"),
+    )
+    p = carried.filter(F.col("kind") == 1)
+    d_b = us - F.col("b_us")          # >= 0 when backward exists
+    d_f = F.col("f_us") - us          # >= 0 when forward exists
+    take_back = F.col("b_us").isNotNull() & (
+        F.col("f_us").isNull() | (d_b <= d_f)
+    )
+    return p.select(
+        F.col("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(take_back, F.col("b_id")).otherwise(F.col("f_id"))
+        .alias("click_id"),
+        F.when(take_back, F.col("b_val")).otherwise(F.col("f_val"))
+        .alias("click_value"),
+        F.when(take_back, d_b.cast("long"))
+        .otherwise((-d_f).cast("long"))
+        .alias("delta_us"),
+    )

@@ -44,6 +44,7 @@ TWO_SF_CASES = [
     "sample_balanced_classes",
     "multimodal_audio_rms",
     "stream_topk_trending",
+    "asof_join_nearest",
     "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",
