@@ -96,6 +96,7 @@ HEADLINE = [
     "multimodal_audio_rms",
     "stream_topk_trending",
     "asof_join_nearest",
+    "attribution_linear",
 ]
 
 

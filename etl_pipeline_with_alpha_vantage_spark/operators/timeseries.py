@@ -1220,3 +1220,94 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("q"))
         .select("lang", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution — credit split across the click window
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7 days
+
+_ATTR_LINEAR_ORACLE = f"""
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT event_id AS click_id, user_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+),
+pairs AS (
+    SELECT p.purchase_id, p.value_cents, c.click_id, c.user_id
+    FROM p JOIN c ON p.user_id = c.user_id
+    WHERE c.click_ts <= p.purchase_ts
+      AND epoch_us(p.purchase_ts) - epoch_us(c.click_ts)
+          <= {_ATTR_WINDOW_US}
+),
+split AS (
+    SELECT click_id, user_id,
+           purchase_id,
+           value_cents * 10000 //
+               COUNT(*) OVER (PARTITION BY purchase_id) AS credit_micro
+    FROM pairs
+)
+SELECT click_id,
+       user_id,
+       CAST(COUNT(*) AS BIGINT)                  AS n_purchases,
+       CAST(SUM(credit_micro) / 1e6 AS DOUBLE)   AS credit
+FROM split
+GROUP BY click_id, user_id
+"""
+
+
+@query("attribution_linear", oracle=_ATTR_LINEAR_ORACLE)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the 7 days before
+    a purchase shares the purchase value equally — the credit model one
+    step past stream_join_attribution's raw pair enumeration (last-touch
+    is the as-of join; this is the many-touch generalization).
+
+    Plan: the user_id equi-join carries the time band as a residual (per
+    user the candidate set is that user's own clicks — key-bounded, no
+    range blow-up), a purchase_id window counts the touchpoints, and the
+    per-click rollup aggregates the split credit. Exactness: each
+    purchase's cents convert to micro-cent credit via INTEGER division
+    (floor), so the split is engine-identical — no floating credit
+    drift; the remainder simply stays unassigned, the documented
+    convention.
+    """
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+            <= _ATTR_WINDOW_US
+        ),
+    )
+    n_touch = F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+    split = pairs.select(
+        "click_id",
+        "user_id",
+        F.expr("value_cents * 10000").alias("vm"),
+        n_touch.alias("n"),
+    ).select(
+        "click_id", "user_id", F.expr("vm DIV n").alias("credit_micro")
+    )
+    return split.groupBy("click_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        (F.sum("credit_micro") / 1e6).cast("double").alias("credit"),
+    )

@@ -45,6 +45,7 @@ TWO_SF_CASES = [
     "multimodal_audio_rms",
     "stream_topk_trending",
     "asof_join_nearest",
+    "attribution_linear",
     "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",
