@@ -97,6 +97,7 @@ HEADLINE = [
     "stream_topk_trending",
     "asof_join_nearest",
     "attribution_linear",
+    "window_streak_longest",
 ]
 
 

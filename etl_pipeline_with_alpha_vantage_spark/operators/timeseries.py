@@ -1311,3 +1311,75 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         (F.sum("credit_micro") / 1e6).cast("double").alias("credit"),
     )
+
+
+# --------------------------------------------------------------------------
+# Longest activity streak — gaps-and-islands on the date axis
+# --------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+grp AS (
+    SELECT user_id, day,
+           day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+    FROM days
+),
+streaks AS (
+    SELECT user_id, anchor,
+           COUNT(*) AS streak_days,
+           MIN(day) AS streak_start,
+           MAX(day) AS streak_end
+    FROM grp GROUP BY user_id, anchor
+)
+SELECT user_id, CAST(streak_days AS BIGINT) AS streak_days,
+       streak_start, streak_end
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY streak_days DESC, streak_start) AS rn
+    FROM streaks
+) WHERE rn = 1
+"""
+
+
+@query("window_streak_longest", oracle=_STREAK_ORACLE)
+def window_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands problem (retention/engagement metric).
+
+    The island key needs no self-join and no iteration: day minus the
+    per-user day rank is CONSTANT within a run of consecutive dates and
+    jumps at every gap, so one window + one aggregate + one top-1 window
+    solve it. All three stages ride the same user_id hash clustering —
+    ONE shuffle end to end (the distinct collapses map-side first).
+    Earliest streak wins a length tie, making the result deterministic.
+    """
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("day")
+    )
+    grp = days.withColumn("anchor", F.date_sub(F.col("day"), rn))
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+    )
+    top = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.desc("streak_days"), "streak_start"
+        )
+    )
+    return (
+        streaks.withColumn("rn", top)
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("streak_days").cast("long"),
+            "streak_start",
+            "streak_end",
+        )
+    )

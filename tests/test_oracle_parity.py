@@ -46,6 +46,7 @@ TWO_SF_CASES = [
     "stream_topk_trending",
     "asof_join_nearest",
     "attribution_linear",
+    "window_streak_longest",
     "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",
