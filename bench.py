@@ -98,6 +98,7 @@ HEADLINE = [
     "asof_join_nearest",
     "attribution_linear",
     "window_streak_longest",
+    "dedup_simhash_pairs",
 ]
 
 

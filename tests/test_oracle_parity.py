@@ -47,6 +47,7 @@ TWO_SF_CASES = [
     "asof_join_nearest",
     "attribution_linear",
     "window_streak_longest",
+    "dedup_simhash_pairs",
     "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",
