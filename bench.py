@@ -99,6 +99,7 @@ HEADLINE = [
     "attribution_linear",
     "window_streak_longest",
     "dedup_simhash_pairs",
+    "gapfill_interpolate",
 ]
 
 

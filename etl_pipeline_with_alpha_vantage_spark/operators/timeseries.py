@@ -1383,3 +1383,114 @@ def window_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streak_end",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gap-fill by linear interpolation — the two-sided complement of LOCF
+# --------------------------------------------------------------------------
+
+_INTERP_ORACLE = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS day_cents
+    FROM events WHERE user_id % 29 = 0
+    GROUP BY user_id, CAST(ts AS DATE)
+),
+bounds AS (
+    SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+),
+spine AS (
+    SELECT user_id,
+           CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+),
+j AS (
+    SELECT s.user_id, s.day, d.day_cents FROM spine s
+    LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+),
+ctx AS (
+    SELECT user_id, day, day_cents,
+           last_value(day_cents IGNORE NULLS) OVER wb AS pc,
+           last_value(CASE WHEN day_cents IS NOT NULL THEN day END
+                      IGNORE NULLS) OVER wb AS pd,
+           first_value(day_cents IGNORE NULLS) OVER wf AS nc,
+           first_value(CASE WHEN day_cents IS NOT NULL THEN day END
+                       IGNORE NULLS) OVER wf AS nd
+    FROM j
+    WINDOW wb AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       CAST(CASE WHEN day_cents IS NOT NULL THEN day_cents * 10000
+                 ELSE pc * 10000 + CAST(floor(
+                     (nc - pc) * 10000.0 * date_diff('day', pd, day)
+                     / date_diff('day', pd, nd)) AS BIGINT)
+            END / 1e6 AS DOUBLE)      AS value_interp,
+       (day_cents IS NULL)            AS is_gap
+FROM ctx
+"""
+
+
+@query("gapfill_interpolate", oracle=_INTERP_ORACLE)
+def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap-fill by LINEAR INTERPOLATION — the two-sided
+    sibling of gapfill_locf (a reading between two observations should
+    trend toward the next one, not flatline at the last).
+
+    Same single-shuffle shape: per-user daily rollup, sequence() spine,
+    left join to mark holes, then BOTH neighbors off one sorted frame
+    (last ignorenulls looking back, first ignorenulls looking forward —
+    the asof_join_nearest discipline) and a row-local interpolation.
+    Exactness: the interpolated value is computed in integer micro-cent
+    units with one floor'd IEEE division (exact inputs, identical
+    rounding on both engines). Spine endpoints are always observations,
+    so every gap has both neighbors by construction.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") % 29 == 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(cents).alias("day_cents")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_cents").isNotNull(), F.col("day"))
+    ctx = j.select(
+        "user_id",
+        "day",
+        "day_cents",
+        F.last("day_cents", ignorenulls=True).over(wb).alias("pc"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("pd"),
+        F.first("day_cents", ignorenulls=True).over(wf).alias("nc"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp_micro = F.col("pc") * 10000 + F.floor(
+        (F.col("nc") - F.col("pc"))
+        * 10000.0
+        * F.datediff("day", "pd")
+        / F.datediff("nd", "pd")
+    ).cast("long")
+    filled = F.when(
+        F.col("day_cents").isNotNull(), F.col("day_cents") * 10000
+    ).otherwise(interp_micro)
+    return ctx.select(
+        "user_id",
+        "day",
+        (filled / 1e6).cast("double").alias("value_interp"),
+        F.col("day_cents").isNull().alias("is_gap"),
+    )

@@ -48,6 +48,7 @@ TWO_SF_CASES = [
     "attribution_linear",
     "window_streak_longest",
     "dedup_simhash_pairs",
+    "gapfill_interpolate",
     "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",
