@@ -100,6 +100,7 @@ HEADLINE = [
     "window_streak_longest",
     "dedup_simhash_pairs",
     "gapfill_interpolate",
+    "multimodal_image_ahash",
 ]
 
 

@@ -741,3 +741,148 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual average-hash (aHash) over decoded BMP pixels
+# --------------------------------------------------------------------------
+
+_AHASH_GRID = 8  # 8×8 sample grid → 64 bits, emitted as two 32-bit halves
+
+_AHASH_ORACLE = """
+WITH d AS (
+    SELECT doc_id, octet_length(encode(text)) AS L
+    FROM documents WHERE doc_id % 11 = 0
+),
+dims AS (SELECT doc_id, L % 16 + 1 AS w, L % 12 + 1 AS h FROM d),
+cells AS (
+    SELECT doc_id, i.i, j.j,
+           (((i.i * w // 8) * 7) + ((j.j * h // 8) * 13) + doc_id) % 256 AS v
+    FROM dims, generate_series(0, 7) i(i), generate_series(0, 7) j(j)
+),
+m AS (SELECT doc_id, SUM(v) / 64.0 AS mean_v FROM cells GROUP BY 1)
+SELECT c.doc_id,
+       CAST(MAX(dims.w) AS INTEGER) AS width,
+       CAST(MAX(dims.h) AS INTEGER) AS height,
+       CAST(SUM(CASE WHEN j < 4 AND v > mean_v
+                     THEN 1 << (j * 8 + i) ELSE 0 END) AS BIGINT) AS ahash_lo,
+       CAST(SUM(CASE WHEN j >= 4 AND v > mean_v
+                     THEN 1 << ((j - 4) * 8 + i) ELSE 0 END) AS BIGINT)
+           AS ahash_hi
+FROM cells c JOIN m USING (doc_id) JOIN dims USING (doc_id)
+GROUP BY c.doc_id
+"""
+
+
+def _decode_bmp_pixels(blob: bytes):
+    """Full-pixel BMP decode (24-bit, bottom-up): returns (w, h, pixels)
+    with pixels row-major from the TOP (blue channel; the test images
+    are grayscale so all channels agree). None if not a valid BMP."""
+    if len(blob) < 54 or blob[:2] != b"BM":
+        return None
+    offset = struct.unpack_from("<I", blob, 10)[0]
+    width, height = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    if bpp != 24 or width <= 0 or height <= 0:
+        return None
+    row_size = (width * 3 + 3) // 4 * 4
+    if offset + row_size * height > len(blob):
+        return None
+    px = [0] * (width * height)
+    for y in range(height):
+        base = offset + (height - 1 - y) * row_size  # bottom-up storage
+        for x in range(width):
+            px[y * width + x] = blob[base + x * 3]
+    return width, height, px
+
+
+@query("multimodal_image_ahash", oracle=_AHASH_ORACLE)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) computed from REAL decoded BMP
+    pixels — the image-corpus fingerprint that powers near-duplicate
+    image dedup (two re-encodes of one photo share a hash; compare with
+    Hamming distance like dedup_simhash_pairs does for text).
+
+    Pipeline: pack the deterministic pattern into real 24-bit BMP
+    containers, full-pixel decode (bottom-up rows, padding), sample an
+    8×8 grid (nearest-pixel at floor(i·w/8), floor(j·h/8)), threshold
+    each sample against the grid mean, emit the 64 bits as two 32-bit
+    halves (keeping the value exact in signed BIGINT land on every
+    engine). Sum/64 is a power-of-two division — the mean is exact, so
+    every threshold comparison is deterministic. The oracle recomputes
+    the hash analytically from the pattern formula: a full-precision
+    proof that the decoder reproduced every sampled pixel.
+
+    Scale: two chained narrow mapInPandas stages, zero shuffles.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    blob_len = F.length(F.encode("text", "UTF-8"))
+    dims = docs.select(
+        "doc_id",
+        (blob_len % 16 + 1).cast("int").alias("w"),
+        (blob_len % 12 + 1).cast("int").alias("h"),
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": [
+                        encode_bmp(w, h, _pattern_pixels(d, w, h))
+                        for d, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"])
+                    ],
+                }
+            )
+
+    blobs = dims.mapInPandas(
+        pack,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("blob", BinaryType()),
+            ]
+        ),
+    )
+
+    g = _AHASH_GRID
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, b in zip(pdf["doc_id"], pdf["blob"]):
+                parsed = _decode_bmp_pixels(b)
+                if parsed is None:
+                    continue
+                w, h, px = parsed
+                samples = [
+                    px[(j * h // g) * w + (i * w // g)]
+                    for j in range(g)
+                    for i in range(g)
+                ]
+                mean_v = sum(samples) / 64.0
+                lo = hi = 0
+                for j in range(g):
+                    for i in range(g):
+                        if samples[j * g + i] > mean_v:
+                            if j < 4:
+                                lo |= 1 << (j * 8 + i)
+                            else:
+                                hi |= 1 << ((j - 4) * 8 + i)
+                rows.append((d, w, h, lo, hi))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "ahash_lo", "ahash_hi"]
+            )
+
+    return blobs.mapInPandas(
+        featurize,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("width", IntegerType()),
+                StructField("height", IntegerType()),
+                StructField("ahash_lo", LongType()),
+                StructField("ahash_hi", LongType()),
+            ]
+        ),
+    )

@@ -49,6 +49,7 @@ TWO_SF_CASES = [
     "window_streak_longest",
     "dedup_simhash_pairs",
     "gapfill_interpolate",
+    "multimodal_image_ahash",
     "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",
