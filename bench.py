@@ -101,6 +101,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "gapfill_interpolate",
     "multimodal_image_ahash",
+    "agg_exact_median_2pass",
 ]
 
 

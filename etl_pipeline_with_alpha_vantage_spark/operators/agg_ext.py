@@ -14,7 +14,7 @@ Cross-engine exactness notes (the whole point of this module):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -731,4 +731,100 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_daily_sketches",
         "exact_users",
         within.alias("merged_within_2pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact global median WITHOUT a global sort — two-pass bucket counting
+# --------------------------------------------------------------------------
+
+_MEDIAN_BUCKET = 10_000  # cents per bucket ($100)
+
+_MEDIAN_2PASS_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(median(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+            AS DOUBLE) AS median_price
+FROM orders
+"""
+
+
+@query("agg_exact_median_2pass", oracle=_MEDIAN_2PASS_ORACLE)
+def agg_exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median of a 100 TB column without ever globally
+    sorting it — the selection-by-counting pattern (percentile_approx
+    trades accuracy for one pass; this stays exact in two).
+
+    Pass 1: one partial-aggregated shuffle counts rows per $100 value
+    bucket — state is O(buckets), never O(rows). A running sum over the
+    tiny bucket table locates which bucket holds each middle order
+    statistic (k₁ = ⌈n/2⌉, k₂ = ⌈(n+1)/2⌉) and its rank WITHIN that
+    bucket. Pass 2: re-scan filtered to the ≤2 target buckets (a
+    scan-pushed range predicate — at 100 TB this reads a sliver), sort
+    only inside them (row_number per bucket), and pick the two ranked
+    values. Median = their mean; integer cents make every step exact.
+
+    The oracle is DuckDB's native median over the full column — the
+    parity gate proves the counting decomposition selects exactly the
+    middle order statistics.
+    """
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    vals = o.select(cents.alias("x"), (cents / _MEDIAN_BUCKET).cast("long").alias("b"))
+    counts = vals.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "b",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        (F.sum("c").over(wcum) - F.col("c")).alias("cum_prev"),
+    )
+    n_row = vals.agg(F.count(F.lit(1)).alias("n"))
+    # k1/k2: 1-based middle order statistics (equal when n is odd)
+    targets = (
+        cum.join(F.broadcast(n_row))
+        .withColumn("k1", (F.col("n") + 1) / 2)
+        .withColumn("k2", (F.col("n") + 2) / 2)
+        .select(
+            "b",
+            "cum_prev",
+            "n",
+            F.floor("k1").cast("long").alias("k1"),
+            F.floor("k2").cast("long").alias("k2"),
+            "cum",
+        )
+    )
+    t1 = targets.filter(
+        (F.col("cum") >= F.col("k1")) & (F.col("cum_prev") < F.col("k1"))
+    ).select(
+        F.col("b").alias("tb"),
+        (F.col("k1") - F.col("cum_prev")).alias("trank"),
+        "n",
+    )
+    t2 = targets.filter(
+        (F.col("cum") >= F.col("k2")) & (F.col("cum_prev") < F.col("k2"))
+    ).select(
+        F.col("b").alias("tb"),
+        (F.col("k2") - F.col("cum_prev")).alias("trank"),
+        "n",
+    )
+    picks = t1.unionByName(t2)
+    wrank = Window.partitionBy("b").orderBy("x")
+    bucket_set = picks.select("tb").distinct()
+    in_bucket = (
+        vals.join(F.broadcast(bucket_set), vals["b"] == bucket_set["tb"])
+        .drop("tb")
+        .withColumn("rn", F.row_number().over(wrank))
+    )
+    chosen = in_bucket.join(
+        F.broadcast(picks),
+        (in_bucket["b"] == picks["tb"]) & (in_bucket["rn"] == picks["trank"]),
+    )
+    return chosen.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        # two picks (identical row when n is odd and k1==k2 collapses the
+        # join to one match per target) — average of the SUM over both
+        # target picks; when k1==k2 the same row matches both t1 and t2
+        (F.sum("x") / F.count(F.lit(1)) / 100.0)
+        .cast("double")
+        .alias("median_price"),
     )

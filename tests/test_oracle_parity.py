@@ -50,6 +50,7 @@ TWO_SF_CASES = [
     "dedup_simhash_pairs",
     "gapfill_interpolate",
     "multimodal_image_ahash",
+    "agg_exact_median_2pass",
     "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -92,6 +92,7 @@ _NESTED_LOOP_OK = {
     "rfm_segments",  # 1-row threshold broadcast
     "basket_affinity",  # 1-row order-count broadcast
     "sample_balanced_classes",  # 1-row min-class-quota broadcast
+    "agg_exact_median_2pass",  # 1-row global-count broadcast
 }
 
 
