@@ -102,6 +102,7 @@ HEADLINE = [
     "gapfill_interpolate",
     "multimodal_image_ahash",
     "agg_exact_median_2pass",
+    "join_point_in_time",
 ]
 
 

@@ -498,3 +498,92 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((-d_f).cast("long"))
         .alias("delta_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time join against an SCD2-style state history
+# --------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+WITH states AS (
+    SELECT user_id, ts, event_id, event_type AS state,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts
+    FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+),
+views AS (
+    SELECT event_id AS view_id, user_id, ts AS view_ts
+    FROM events WHERE event_type = 'view'
+)
+SELECT v.view_id, v.user_id, v.view_ts,
+       s.state, s.ts AS state_since
+FROM views v
+LEFT JOIN states s
+       ON s.user_id = v.user_id
+      AND v.view_ts >= s.ts
+      AND (s.next_ts IS NULL OR v.view_ts < s.next_ts)
+"""
+
+
+@query("join_point_in_time", oracle=_PIT_ORACLE)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join — every view event enriched with the
+    user's state AS OF that moment (the consumption side of an SCD2
+    dimension: scd2_customer_status builds the history, this reads it
+    correctly, with no leakage from the future).
+
+    The oracle formulates it the warehouse way: build validity intervals
+    with lead() and range-join ``valid_from <= t < valid_to`` — correct
+    but a non-equi join. The engine plan avoids the range join entirely
+    with the as-of union-window discipline: state changes (kind 0) and
+    facts (kind 1) union, ONE shuffle on user_id, and
+    last(ignorenulls) carries (state, since, version-defining event)
+    forward — at 100 TB this is the difference between a key-bounded
+    window sweep and an interval join the optimizer can't bound. The
+    parity gate proves carry-forward ≡ interval semantics, including
+    the zero-length-interval edge (two state changes at one timestamp:
+    the later event_id wins, exactly as the interval form excludes the
+    superseded row).
+    """
+    ev = table(spark, sf_dir, "events")
+    states = ev.filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    ).select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.lit(None).cast("long").alias("view_id"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.col("event_id").alias("view_id"),
+    )
+    merged = states.unionByName(views)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "user_id",
+        "ts",
+        "kind",
+        "view_id",
+        F.last("state", ignorenulls=True).over(w).alias("state"),
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("state_since"),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "view_id",
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        "state",
+        "state_since",
+    )

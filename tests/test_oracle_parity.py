@@ -51,6 +51,7 @@ TWO_SF_CASES = [
     "gapfill_interpolate",
     "multimodal_image_ahash",
     "agg_exact_median_2pass",
+    "join_point_in_time",
     "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",
