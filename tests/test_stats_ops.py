@@ -113,3 +113,79 @@ def test_ewma_recurrence_exact(spark, tmp_path):
     # cents: 100, 200, 1000, 1 →
     # s1=100; s2=(100+200)//2=150; s3=(150+1000)//2=575; s4=(575+1)//2=288
     assert rows == {1: 1.00, 2: 1.50, 3: 5.75, 4: 2.88}
+
+
+def test_pareto_frontier_randomized_vs_brute(spark):
+    """300 random points on a small grid (heavy cost/gain ties) — the
+    segmented sweep must equal the O(n²) dominance definition."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    cost = rng.randint(0, 40, 300) * 7.5   # collisions across buckets
+    gain = rng.randint(0, 25, 300)
+    rows = [(i, float(c), int(g)) for i, (c, g) in enumerate(zip(cost, gain))]
+    df = spark.createDataFrame(rows, "id long, cost double, gain long")
+    got = sorted(r.id for r in pareto_frontier(df, "cost", "gain").collect())
+
+    def dominated(i):
+        ci, gi = rows[i][1], rows[i][2]
+        return any(
+            (c <= ci and g >= gi and (c < ci or g > gi))
+            for _, c, g in rows
+        )
+
+    want = sorted(i for i in range(len(rows)) if not dominated(i))
+    assert got == want
+
+
+def test_rolling_median_randomized_vs_pandas(spark, tmp_path):
+    """Random cents series per user — the collect_list frame median must
+    equal pandas' rolling(20, min_periods=1).median() exactly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    n = 400
+    base = dt.datetime(2024, 5, 1)
+    users = rng.randint(0, 5, n)
+    vals = rng.randint(0, 10_000, n) / 100.0
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(seconds=int(i)) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/events.parquet")
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.timeseries import (
+        window_rolling_median,
+    )
+
+    got = {
+        r.event_id: r.rolling_median
+        for r in window_rolling_median(spark, str(tmp_path)).collect()
+    }
+    pdf = pd.DataFrame(
+        {"event_id": range(n), "user_id": users,
+         "cents": (vals * 100).round().astype("int64")}
+    )
+    want = (
+        pdf.groupby("user_id")["cents"]
+        .rolling(20, min_periods=1)
+        .median()
+        .reset_index(level=0, drop=True)
+        / 100.0
+    )
+    # after the groupby the series is group-ordered; its index still
+    # holds the original row position == event_id, so align through it
+    for eid, w in want.items():
+        assert got[eid] == w, (eid, got[eid], w)
