@@ -103,6 +103,7 @@ HEADLINE = [
     "multimodal_image_ahash",
     "agg_exact_median_2pass",
     "join_point_in_time",
+    "abc_pareto_classes",
 ]
 
 

@@ -828,3 +828,86 @@ def agg_exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("median_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# ABC (Pareto 80/15/5) classification — global ranked prefix sum, segmented
+# --------------------------------------------------------------------------
+
+_ABC_ORACLE = """
+WITH rev AS (
+    SELECT l_partkey AS partkey,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+    FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(rev_cents) AS t FROM rev),
+cum AS (
+    SELECT partkey, rev_cents,
+           SUM(rev_cents) OVER (ORDER BY rev_cents DESC, partkey) AS cum_cents
+    FROM rev
+)
+SELECT partkey,
+       CAST(rev_cents / 100.0 AS DOUBLE) AS revenue,
+       CAST(cum_cents AS BIGINT)         AS cum_cents,
+       CASE WHEN CAST(cum_cents AS DOUBLE) / t <= 0.80 THEN 'A'
+            WHEN CAST(cum_cents AS DOUBLE) / t <= 0.95 THEN 'B'
+            ELSE 'C' END                 AS abc_class
+FROM cum CROSS JOIN tot
+"""
+
+
+@query("abc_pareto_classes", oracle=_ABC_ORACLE)
+def abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (80/15/5 Pareto) revenue classification of parts — the
+    inventory-analysis staple: 'A' parts carry the first 80% of
+    cumulative revenue, 'B' the next 15%, 'C' the tail.
+
+    The textbook form is a prefix sum over the GLOBALLY sorted revenue
+    ranking (the oracle) — a single-partition window at scale. The
+    engine plan segments it (the concurrency_peak / skyline trick):
+    per-part revenue aggregates once off the fact table; parts bucket by
+    floor(log2(revenue)) — monotone in revenue, so descending buckets
+    respect the global order; each bucket computes its local descending
+    prefix sum in parallel; and only the per-bucket totals (≈64 rows)
+    take a global window to produce each bucket's offset. cum =
+    offset + local prefix, classified against the exact integer total.
+    No step ever sorts more than one bucket on one executor.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(cents).alias("rev_cents")
+    )
+    bucketed = rev.withColumn(
+        "bucket", F.floor(F.log2(F.greatest("rev_cents", F.lit(1))))
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("rev_cents"), "partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = bucketed.withColumn("local_cum", F.sum("rev_cents").over(w_local))
+    btot = bucketed.groupBy("bucket").agg(F.sum("rev_cents").alias("bsum"))
+    w_prior = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior = btot.select(
+        "bucket",
+        F.coalesce(F.sum("bsum").over(w_prior), F.lit(0)).alias("offset"),
+    )
+    tot = rev.agg(F.sum("rev_cents").alias("t"))
+    cum = (
+        local.join(F.broadcast(prior), "bucket")
+        .join(F.broadcast(tot))
+        .withColumn("cum_cents", F.col("offset") + F.col("local_cum"))
+    )
+    share = F.col("cum_cents").cast("double") / F.col("t")
+    return cum.select(
+        "partkey",
+        (F.col("rev_cents") / 100.0).cast("double").alias("revenue"),
+        F.col("cum_cents").cast("long"),
+        F.when(share <= 0.80, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

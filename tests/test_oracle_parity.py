@@ -52,6 +52,7 @@ TWO_SF_CASES = [
     "multimodal_image_ahash",
     "agg_exact_median_2pass",
     "join_point_in_time",
+    "abc_pareto_classes",
     "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",

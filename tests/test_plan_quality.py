@@ -93,6 +93,7 @@ _NESTED_LOOP_OK = {
     "basket_affinity",  # 1-row order-count broadcast
     "sample_balanced_classes",  # 1-row min-class-quota broadcast
     "agg_exact_median_2pass",  # 1-row global-count broadcast
+    "abc_pareto_classes",  # 1-row revenue-total broadcast
 }
 
 
