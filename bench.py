@@ -104,6 +104,7 @@ HEADLINE = [
     "agg_exact_median_2pass",
     "join_point_in_time",
     "abc_pareto_classes",
+    "text_bigram_lm",
 ]
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..registry import query
 
 # --------------------------------------------------------------------------
@@ -943,4 +943,101 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(nll_units) DIV (count(1) * 1000000)")
         .cast("long")
         .alias("nll_bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM quality score — context-aware sibling of the unigram proxy
+# --------------------------------------------------------------------------
+
+_BIGRAM_LM_ORACLE = """
+WITH docs AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+    SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+    FROM docs, unnest(generate_series(1, len(t) - 1)) u(i)
+    WHERE len(t) >= 2
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+uc AS (SELECT w1, SUM(c) AS c1 FROM bc GROUP BY 1),
+v AS (
+    SELECT COUNT(DISTINCT tok) AS v FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+),
+tok AS (
+    SELECT bg.doc_id,
+           CAST(round(ln(CAST(uc.c1 + v.v AS DOUBLE) / (bc.c + 1)) * 1000000)
+                AS BIGINT) AS nll_units
+    FROM bg
+    JOIN bc ON bc.w1 = bg.w1 AND bc.w2 = bg.w2
+    JOIN uc ON uc.w1 = bg.w1
+    CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(nll_units) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_nll
+FROM tok GROUP BY doc_id
+"""
+
+
+@query("text_bigram_lm", oracle=_BIGRAM_LM_ORACLE)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score per document — the context-aware upgrade
+    of text_perplexity_proxy: nll(w₂|w₁) = ln((c(w₁·)+V)/(c(w₁w₂)+1)),
+    i.e. add-one-smoothed bigram conditionals from the corpus's own
+    counts. Repetitive/templated text scores low (predictable
+    continuations), token salad scores high — a sharper training-data
+    filter than unigram frequency alone.
+
+    Scale shape: bigrams form IN-ROW (zip_with over two slices — the
+    text_bigrams_top idiom) so the only fact-sized shuffles are the
+    bigram-count build and the per-doc rollup; the w₁ continuation
+    totals derive from the ALREADY-AGGREGATED bigram table (dust), and
+    the vocabulary size is a 1-row broadcast. Exactness: per-bigram nll
+    rounds to integer micro-nats BEFORE the per-doc sum (the
+    perplexity discipline), so ln's last-ulp freedom never reaches the
+    hashed cells.
+    """
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n1 = F.size("t") - 1
+    pairs = F.zip_with(
+        F.slice("t", 1, n1),
+        F.slice("t", 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uc = bc.groupBy("w1").agg(F.sum("c").alias("c1"))
+    v = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        bg.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(uc), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("c1") + F.col("v")).cast("double")
+                    / (F.col("c") + 1)
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("nll_units"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("nll_units").cast("double") / F.count(F.lit(1)) / 1_000_000.0)
+        .alias("mean_nll"),
     )

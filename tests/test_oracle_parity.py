@@ -53,6 +53,7 @@ TWO_SF_CASES = [
     "agg_exact_median_2pass",
     "join_point_in_time",
     "abc_pareto_classes",
+    "text_bigram_lm",
     "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",
