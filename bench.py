@@ -105,6 +105,7 @@ HEADLINE = [
     "join_point_in_time",
     "abc_pareto_classes",
     "text_bigram_lm",
+    "dedup_minhash_verify",
 ]
 
 

@@ -1127,3 +1127,100 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= _SIMHASH_HAM_MAX)
+
+
+# --------------------------------------------------------------------------
+# X15c' — LSH candidates verified with EXACT Jaccard (precision gate)
+# --------------------------------------------------------------------------
+
+def _minhash_verify_oracle() -> str:
+    """Compose the full MinHash replay with an exact-Jaccard verify."""
+    base = _minhash_oracle()
+    cte_end = base.rindex("SELECT doc_a, doc_b, jaccard_est FROM pairs")
+    return base[:cte_end] + """
+, cand AS (SELECT doc_a, doc_b, jaccard_est FROM pairs
+           WHERE jaccard_est >= 0.2),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+inter AS (
+    SELECT c.doc_a, c.doc_b, c.jaccard_est, COUNT(*) AS ni
+    FROM cand c
+    JOIN grams ga ON ga.doc_id = c.doc_a
+    JOIN grams gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+    GROUP BY 1, 2, 3
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.jaccard_est, 6) AS jaccard_est,
+       CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS exact_jaccard,
+       (CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.2) AS is_true_pair
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+"""
+
+
+@query("dedup_minhash_verify", oracle=_minhash_verify_oracle())
+def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: the PRECISION half of production LSH dedup — every MinHash
+    candidate pair is re-scored with its EXACT trigram Jaccard, and
+    candidates below the true threshold are flagged as false positives.
+
+    Why this op must exist: the engine's portable multiply-add hash
+    family (the price of an overflow-free, SQL-replayable oracle) has
+    correlated members — a single shared shingle with an extremal base
+    hash can minimize EVERY member function for both docs, so the
+    signature estimate biases HIGH on nearly-disjoint pairs (observed:
+    est ≈ 1.0 at exact J ≈ 0.005). That inflates candidates (recall is
+    unaffected — banding still catches all truly similar pairs) but
+    makes verification mandatory for precision. This operator IS that
+    verification, exactly the candidates→verify split real LSH dedup
+    ships with.
+
+    Scale shape: candidates come from the banded equi-join (bounded);
+    the exact re-score joins each candidate to its two in-row distinct
+    shingle ARRAYS (no inverted-index second pass) and intersects
+    row-locally — O(candidates × doc_len), embarrassingly parallel.
+    """
+    cand = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.round("jaccard_est", 6).alias("jaccard_est")
+    )
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    n2 = F.size("toks") - 2
+    tri = F.zip_with(
+        F.slice("toks", 1, n2),
+        F.zip_with(
+            F.slice("toks", 2, n2),
+            F.slice("toks", 3, n2),
+            lambda b, c: F.concat(b, F.lit(" "), c),
+        ),
+        lambda a, bc: F.concat(a, F.lit(" "), bc),
+    )
+    gram_arrays = toks.select(
+        "doc_id", F.array_distinct(tri).alias("grams")
+    )
+    ga = gram_arrays.alias("ga")
+    gb = gram_arrays.alias("gb")
+    joined = (
+        cand.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+        .join(gb, F.col("doc_b") == F.col("gb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard_est",
+            F.size(F.array_intersect("ga.grams", "gb.grams")).alias("ni"),
+            F.size("ga.grams").alias("na"),
+            F.size("gb.grams").alias("nb"),
+        )
+    )
+    exact = F.col("ni").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("ni")
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        "jaccard_est",
+        exact.alias("exact_jaccard"),
+        (exact >= 0.2).alias("is_true_pair"),
+    )

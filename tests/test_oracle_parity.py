@@ -54,6 +54,7 @@ TWO_SF_CASES = [
     "join_point_in_time",
     "abc_pareto_classes",
     "text_bigram_lm",
+    "dedup_minhash_verify",
     "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",
