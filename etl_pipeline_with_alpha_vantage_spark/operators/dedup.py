@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import spread, table
@@ -963,10 +963,14 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       3. duplicated grams join back to their occurrences on the same gh
          clustering (ReusedExchange — the exchange from step 2 serves
          both sides);
-      4. covered positions = explode the 8 positions under each dup span,
-         distinct on (doc_id, pos) — the union-of-intervals without any
-         per-doc sequential sweep;
-      5. per-doc counts ride the doc_id clustering of step 4's shuffle.
+      4. covered tokens = the union length of the [start, start+8)
+         intervals. Because every span has the SAME length, interval
+         ends are monotone in starts, so the union length is a closed
+         form over the sorted starts: first span contributes 8, each
+         later span contributes min(8, start − prev_start). One lag()
+         window + sum per doc — never an 8× position explode + distinct
+         (the first implementation; this form shuffles ⅛ the rows);
+      5. the window and the per-doc sum share one doc_id clustering.
 
     At 100 TB the gram table is ~tokens-in-corpus rows of (hash, start) —
     big but embarrassingly partitioned; nothing ever materializes a
@@ -998,18 +1002,16 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= 2)
         .select("gh")
     )
-    cov = (
-        g.join(dup, "gh")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + (n - 1))
-            ).alias("pos"),
-        )
-        .distinct()
+    dupstarts = g.join(dup, "gh").select("doc_id", "start")
+    w = Window.partitionBy("doc_id").orderBy("start")
+    gap = F.col("start") - F.lag("start").over(w)
+    contrib = F.when(gap.isNull(), F.lit(n)).otherwise(
+        F.least(F.lit(n), gap)
     )
-    per_doc = cov.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dup_tokens")
+    per_doc = (
+        dupstarts.withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("dup_tokens"))
     )
     return (
         toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
