@@ -106,6 +106,7 @@ HEADLINE = [
     "abc_pareto_classes",
     "text_bigram_lm",
     "dedup_minhash_verify",
+    "multimodal_scene_cuts",
 ]
 
 

@@ -24,7 +24,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -885,4 +885,78 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 StructField("ahash_hi", LongType()),
             ]
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scene-cut detection over a per-frame luminance series (video shape)
+# --------------------------------------------------------------------------
+
+_CUT_THRESHOLD = 30  # |Δ luminance| that counts as a hard cut
+
+_SCENE_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, octet_length(encode(text)) % 240 + 8 AS n_frames
+    FROM documents WHERE doc_id % 3 = 0
+),
+fr AS (
+    SELECT doc_id, n_frames, f.f AS frame_idx,
+           (doc_id * 31 + (f.f // 7) * 97) % 256 AS lum
+    FROM d, unnest(generate_series(0, n_frames - 1)) AS f(f)
+),
+x AS (
+    SELECT *, lag(lum) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+        AS prev_lum
+    FROM fr
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(prev_lum AS BIGINT)   AS prev_lum,
+       CAST(lum AS BIGINT)        AS lum
+FROM x
+WHERE prev_lum IS NOT NULL AND abs(lum - prev_lum) >= {_CUT_THRESHOLD}
+"""
+
+
+@query("multimodal_scene_cuts", oracle=_SCENE_ORACLE)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection shape: expand each clip into its frame
+    index series (the multimodal_frame_sample plumbing), score per-frame
+    luminance, and flag hard cuts where the frame-to-frame delta jumps —
+    the first stage of any shot-segmentation / keyframe-selection pass
+    over a video corpus.
+
+    The luminance here is the deterministic shot-structured test signal
+    ((doc·31 + (f÷7)·97) mod 256 — constant within 7-frame shots,
+    jumping at shot boundaries), standing in for the per-frame decode
+    that plugs into the same seam as decode_features. What IS real and
+    load-bearing at 100 TB: the frame fan-out stays a narrow
+    sequence+explode (no shuffle), and cut detection is one lag() window
+    per clip — frame series never leave their executor, state is one
+    previous frame. Integer arithmetic end to end; the oracle replays
+    the generator analytically.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    n_frames = (F.length(F.encode("text", "UTF-8")) % 240 + 8).cast("int")
+    frames = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        (
+            (F.col("doc_id") * 31 + F.floor(F.col("frame_idx") / 7) * 97)
+            % 256
+        ).alias("lum"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    x = frames.withColumn("prev_lum", F.lag("lum").over(w))
+    return x.filter(
+        F.col("prev_lum").isNotNull()
+        & (F.abs(F.col("lum") - F.col("prev_lum")) >= _CUT_THRESHOLD)
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("int"),
+        F.col("prev_lum").cast("long"),
+        F.col("lum").cast("long"),
     )

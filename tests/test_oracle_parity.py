@@ -55,6 +55,7 @@ TWO_SF_CASES = [
     "abc_pareto_classes",
     "text_bigram_lm",
     "dedup_minhash_verify",
+    "multimodal_scene_cuts",
     "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",
