@@ -107,6 +107,7 @@ HEADLINE = [
     "text_bigram_lm",
     "dedup_minhash_verify",
     "multimodal_scene_cuts",
+    "embedding_quantize_int8",
 ]
 
 

@@ -762,3 +762,111 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dedup_semantic.__doc__ = dedup_semantic.__doc__.format(tau=_SEMDEDUP_TAU)
+
+
+# --------------------------------------------------------------------------
+# Int8 scalar quantization — embedding storage compression + error audit
+# --------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cell AS (
+    SELECT vec_id, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS x
+    FROM e, unnest(generate_series(1, len(embedding))) i(i)
+),
+d AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM cell GROUP BY pos),
+q AS (
+    SELECT c.vec_id, c.pos, c.x, d.mn, (d.mx - d.mn) / 255.0 AS sc
+    FROM cell c JOIN d USING (pos)
+),
+codes AS (
+    SELECT vec_id, pos, x, mn, sc,
+           CASE WHEN sc = 0 THEN 0
+                ELSE CAST(floor((x - mn) / sc + 0.5) AS BIGINT) END AS code
+    FROM q
+),
+scored AS (
+    SELECT vec_id, pos, code,
+           CASE WHEN sc = 0 THEN 0.0 ELSE x - (mn + code * sc) END AS err
+    FROM codes
+)
+SELECT vec_id,
+       CAST(SUM(code * pos) AS BIGINT) AS code_checksum,
+       CAST(SUM(CAST(round(err * err * 1e12) AS BIGINT)) / 1e12 / 64.0
+            AS DOUBLE) AS mse
+FROM scored GROUP BY vec_id
+"""
+
+
+@query("embedding_quantize_int8", oracle=_QUANT_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus — the 4×
+    storage/bandwidth compression every 100 TB vector store applies
+    before ANN serving (per-dimension min/max affine codes, the
+    faiss-style SQ8 recipe).
+
+    Plan: one posexplode pass aggregates the 64 per-dimension (min, max)
+    ranges — state is O(dims), collapsing map-side; the ranges come back
+    as ONE broadcast row of sorted arrays, and quantization runs
+    IN-ROW (arrays_zip + transform — whole-stage codegen, no Python, no
+    second shuffle). Each vector emits its integer code checksum
+    (position-weighted — proves all 64 codes bit-equal without 64
+    columns) and its reconstruction MSE with per-dimension pico-unit
+    rounding before the sum, so the only floating summation is
+    order-fixed integer addition. Constant dimensions quantize to code
+    0 with zero error rather than dividing by zero.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cells = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    dims = cells.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    ranges = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+            lambda s: s["mn"],
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+            lambda s: s["mx"],
+        ).alias("maxs"),
+    )
+    zipped = (
+        e.join(F.broadcast(ranges))
+        .select(
+            "vec_id",
+            F.arrays_zip(
+                F.transform("embedding", lambda v: v.cast("double")).alias(
+                    "x"
+                ),
+                F.col("mins").alias("mn"),
+                F.col("maxs").alias("mx"),
+            ).alias("z"),
+        )
+    )
+    sc = lambda s: (s["mx"] - s["mn"]) / 255.0  # noqa: E731
+    code = lambda s: F.when(sc(s) == 0, F.lit(0).cast("long")).otherwise(  # noqa: E731
+        F.floor((s["x"] - s["mn"]) / sc(s) + 0.5)
+    )
+    err = lambda s: F.when(sc(s) == 0, F.lit(0.0)).otherwise(  # noqa: E731
+        s["x"] - (s["mn"] + code(s) * sc(s))
+    )
+    checksum = F.aggregate(
+        F.transform("z", lambda s, i: code(s) * (i + 1)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pico = F.aggregate(
+        F.transform(
+            "z", lambda s: F.round(err(s) * err(s) * 1e12).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return zipped.select(
+        "vec_id",
+        checksum.alias("code_checksum"),
+        (pico / 1e12 / 64.0).cast("double").alias("mse"),
+    )

@@ -56,6 +56,7 @@ TWO_SF_CASES = [
     "text_bigram_lm",
     "dedup_minhash_verify",
     "multimodal_scene_cuts",
+    "embedding_quantize_int8",
     "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",

@@ -94,6 +94,7 @@ _NESTED_LOOP_OK = {
     "sample_balanced_classes",  # 1-row min-class-quota broadcast
     "agg_exact_median_2pass",  # 1-row global-count broadcast
     "abc_pareto_classes",  # 1-row revenue-total broadcast
+    "embedding_quantize_int8",  # 1-row per-dim range-arrays broadcast
 }
 
 
