@@ -108,6 +108,7 @@ HEADLINE = [
     "dedup_minhash_verify",
     "multimodal_scene_cuts",
     "embedding_quantize_int8",
+    "similarity_sq8_topk",
 ]
 
 

@@ -870,3 +870,121 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         checksum.alias("code_checksum"),
         (pico / 1e12 / 64.0).cast("double").alias("mse"),
     )
+
+
+# --------------------------------------------------------------------------
+# SQ8 serving: top-k inner product against the QUANTIZED corpus
+# --------------------------------------------------------------------------
+
+_SQ8_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cell AS (
+    SELECT vec_id, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS x
+    FROM e, unnest(generate_series(1, len(embedding))) i(i)
+),
+d AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM cell GROUP BY pos),
+recon AS (
+    SELECT c.vec_id, c.pos,
+           CASE WHEN (d.mx - d.mn) = 0 THEN d.mn
+                ELSE d.mn + floor((c.x - d.mn) / ((d.mx - d.mn) / 255.0)
+                                  + 0.5) * ((d.mx - d.mn) / 255.0)
+           END AS xr
+    FROM cell c JOIN d USING (pos)
+),
+qv AS (
+    SELECT vec_id AS query_id, pos, x AS qx
+    FROM cell WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT qv.query_id, r.vec_id AS neighbor_id,
+           SUM(CAST(round(qv.qx * r.xr * 1e9) AS BIGINT)) AS nano
+    FROM qv JOIN recon r ON qv.pos = r.pos AND r.vec_id <> qv.query_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(nano / 1e9 AS DOUBLE) AS ip
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY nano DESC, neighbor_id) AS rn
+    FROM scored
+) WHERE rn <= {TOP_K}
+"""
+
+
+@query("similarity_sq8_topk", oracle=_SQ8_ORACLE)
+def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16: the SERVING side of int8 quantization — top-k by inner
+    product where the corpus lives as SQ8 codes and only the query stays
+    float (asymmetric distance computation, the faiss ADC recipe). Pairs
+    with embedding_quantize_int8 the way dedup_minhash_verify pairs with
+    the LSH candidates: compression, then the query path that consumes
+    it.
+
+    Plan shape mirrors similarity_topk_brute: per-dim ranges come back
+    as one broadcast row, corpus vectors reconstruct IN-ROW from their
+    codes (zip/transform — codegen), the 5 float query vectors broadcast
+    into a nested-loop scoring pass, and per-query top-k ranks on the
+    INTEGER nano-unit inner product (per-dimension rounding before the
+    in-row sum — ranking ties are integer-exact, so the oracle's order
+    matches bit-for-bit). The corpus is scanned once; nothing shuffles
+    but the per-query top-k dust.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cells = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    dims = cells.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    ranges = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+            lambda s: s["mn"],
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+            lambda s: s["mx"],
+        ).alias("maxs"),
+    )
+    dbl = F.transform("embedding", lambda v: v.cast("double"))
+    zipped = e.join(F.broadcast(ranges)).select(
+        "vec_id",
+        F.arrays_zip(
+            dbl.alias("x"), F.col("mins").alias("mn"), F.col("maxs").alias("mx")
+        ).alias("z"),
+    )
+    sc = lambda s: (s["mx"] - s["mn"]) / 255.0  # noqa: E731
+    xr = lambda s: F.when(sc(s) == 0, s["mn"]).otherwise(  # noqa: E731
+        s["mn"] + F.floor((s["x"] - s["mn"]) / sc(s) + 0.5) * sc(s)
+    )
+    corpus = zipped.select(
+        "vec_id", F.transform("z", xr).alias("recon")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), dbl.alias("qemb")
+    )
+    nano = F.aggregate(
+        F.zip_with(
+            "qemb", "recon", lambda a, b: F.round(a * b * 1e9).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = corpus.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        nano.alias("nano"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("nano").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("nano") / 1e9).cast("double").alias("ip"),
+        )
+    )

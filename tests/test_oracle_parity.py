@@ -57,6 +57,7 @@ TWO_SF_CASES = [
     "dedup_minhash_verify",
     "multimodal_scene_cuts",
     "embedding_quantize_int8",
+    "similarity_sq8_topk",
     "skyline_pareto",
     "q2_min_cost_supplier",
     "q11_important_parts",

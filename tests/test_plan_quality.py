@@ -95,6 +95,7 @@ _NESTED_LOOP_OK = {
     "agg_exact_median_2pass",  # 1-row global-count broadcast
     "abc_pareto_classes",  # 1-row revenue-total broadcast
     "embedding_quantize_int8",  # 1-row per-dim range-arrays broadcast
+    "similarity_sq8_topk",  # broadcast query vectors + 1-row range arrays
 }
 
 
