@@ -59,6 +59,8 @@ TWO_SF_CASES = [
     "embedding_quantize_int8",
     "similarity_sq8_topk",
     "skyline_pareto",
+    "window_rolling_median",
+    "chi_square_assoc",
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q16_supplier_relation",
