@@ -88,6 +88,7 @@ _NESTED_LOOP_OK = {
     "q11_important_parts",  # 1-row global-total broadcast (non-equi filter)
     "text_tfidf",  # 1-row corpus-size broadcast
     "text_perplexity_proxy",  # 1-row corpus-token-count broadcast
+    "text_bigram_lm",  # 1-row vocabulary-size broadcast
     "agg_equidepth_buckets",  # 1-row quartile-boundary broadcast
     "rfm_segments",  # 1-row threshold broadcast
     "basket_affinity",  # 1-row order-count broadcast
