@@ -590,22 +590,19 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     with lift = P(a,b) / (P(a)·P(b)) — the co-occurrence statistic
     behind recommendations and affinity analysis.
 
-    Scale shape (round-4 rework, was an items-self-join with 8 static
-    exchanges): ONE shuffle on orderkey builds per-order baskets
-    (map-side-combined collect_set, capped at {_BASKET_ITEM_CAP}
-    items); a window count over the exploded baskets attaches each
-    part's order-frequency IN PLACE (no frequency table, no fa/fb
-    joins); the items regroup to (part, n_part) struct baskets; and
-    pairs are generated IN-ROW from the sorted struct array (nested
-    transform over suffix slices — a bounded cap²/2 expansion per
-    order), already carrying both frequencies, so the per-order
-    self-join and every post-aggregation join disappear. The plan is
-    join-free except the single-row order-count broadcast: 5 static
-    exchanges (baskets, window, regroup, pair agg — baskets counted
-    twice statically, materialized once via ReuseExchange), nothing
-    broadcast-size-dependent, no skew assumption beyond the item cap.
-    The n_together >= {_BASKET_MIN_PAIRS} support floor prunes the
-    long tail at the pair aggregation. Lift is one IEEE expression
+    Scale shape (round-4 rework, twice): ONE shuffle on orderkey builds
+    per-order baskets (map-side-combined collect_set, capped at
+    {_BASKET_ITEM_CAP} items); pairs generate IN-ROW from the sorted
+    basket array (nested transform over suffix slices — a bounded
+    cap²/2 expansion per order, never an items self-join) and collapse
+    through the partial-aggregated pair shuffle with the
+    n_together >= {_BASKET_MIN_PAIRS} support floor applied there; part
+    frequencies aggregate off the same basket exchange (ReuseExchange)
+    and join to the FLOORED pair table — tiny at that point, so AQE
+    broadcasts it. An earlier form attached frequencies in-place with a
+    per-part window before pairing; that forced a WindowExec sort over
+    every exploded item and a regroup — measurably slower than letting
+    the dust-sized post-floor joins do it. Lift is one IEEE expression
     over exact integers — engine-identical.
     """
     li = table(spark, sf_dir, "lineitem")
@@ -619,59 +616,54 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
-    # Frequency-in-place: explode the (already deduplicated, capped)
-    # baskets and window-count per part — every item row now knows how
-    # many orders its part appears in.
-    from pyspark.sql.window import Window
-
-    exploded = baskets.select("okey", F.explode("parts").alias("part"))
-    with_freq = exploded.withColumn(
-        "n_part", F.count(F.lit(1)).over(Window.partitionBy("part"))
-    )
-    struct_baskets = with_freq.groupBy("okey").agg(
-        F.sort_array(F.collect_list(F.struct("part", "n_part"))).alias("items")
-    )
-    # In-row pair expansion: for each index i, pair items[i] with every
-    # later element (suffix slice) — the array is sorted by part and
-    # duplicate-free, so part_a < part_b holds by construction.
+    # In-row pair expansion straight off the sorted basket array: for
+    # each index i, pair parts[i] with every later element (suffix
+    # slice) — sorted and duplicate-free, so part_a < part_b holds by
+    # construction. No per-item window, no regroup: frequencies attach
+    # AFTER the support floor, when the pair table is tiny.
     pair_arr = F.flatten(
         F.transform(
-            F.col("items"),
+            F.col("parts"),
             lambda x, i: F.transform(
-                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                lambda y: F.struct(
-                    x["part"].alias("part_a"),
-                    y["part"].alias("part_b"),
-                    x["n_part"].alias("n_part_a"),
-                    y["n_part"].alias("n_part_b"),
-                ),
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
             ),
         )
     )
     pairs = (
-        struct_baskets.select(F.explode(pair_arr).alias("p"))
-        .select("p.part_a", "p.part_b", "p.n_part_a", "p.n_part_b")
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_together"),
-            # constant within the (part_a, part_b) group — max is just a
-            # deterministic carrier
-            F.max("n_part_a").alias("n_part_a"),
-            F.max("n_part_b").alias("n_part_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_together"))
         .filter(F.col("n_together") >= _BASKET_MIN_PAIRS)
     )
-    return pairs.crossJoin(F.broadcast(n_orders)).select(
-        "part_a",
-        "part_b",
-        "n_together",
-        "n_part_a",
-        "n_part_b",
-        (
-            F.col("n_together").cast("double")
-            * F.col("n")
-            / (F.col("n_part_a") * F.col("n_part_b"))
-        ).alias("lift"),
+    freq = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_part"))
+    )
+    fa = freq.select(
+        F.col("part").alias("part_a"), F.col("n_part").alias("n_part_a")
+    )
+    fb = freq.select(
+        F.col("part").alias("part_b"), F.col("n_part").alias("n_part_b")
+    )
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_together",
+            "n_part_a",
+            "n_part_b",
+            (
+                F.col("n_together").cast("double")
+                * F.col("n")
+                / (F.col("n_part_a") * F.col("n_part_b"))
+            ).alias("lift"),
+        )
     )
 
 
