@@ -750,10 +750,14 @@ def agg_exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket — state is O(buckets), never O(rows). A running sum over the
     tiny bucket table locates which bucket holds each middle order
     statistic (k₁ = ⌈n/2⌉, k₂ = ⌈(n+1)/2⌉) and its rank WITHIN that
-    bucket. Pass 2: re-scan filtered to the ≤2 target buckets (a
-    scan-pushed range predicate — at 100 TB this reads a sliver), sort
-    only inside them (row_number per bucket), and pick the two ranked
-    values. Median = their mean; integer cents make every step exact.
+    bucket. The ≤2 target buckets and ranks are COLLECTED (4 scalars —
+    the IVF-codebook discipline: a constant-size driver hop, never data)
+    so pass 2 carries a LITERAL o_totalprice range that parquet
+    row-group pruning can act on (`PushedFilters` — asserted in
+    test_plan_quality); at 100 TB the second scan reads a sliver. Rows
+    inside the slice rank per bucket (row_number over at most two
+    bucket-sized groups) and the two picked values average into the
+    median; integer cents make every step exact.
 
     The oracle is DuckDB's native median over the full column — the
     parity gate proves the counting decomposition selects exactly the
@@ -799,23 +803,41 @@ def agg_exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k2") - F.col("cum_prev")).alias("trank"),
         "n",
     )
-    picks = t1.unionByName(t2)
+    # Constant-size driver hop: ≤2 (bucket, rank) targets + n. Collecting
+    # them lets pass 2 carry LITERAL predicates the parquet scan can
+    # prune with — a join-based filter would re-read the whole column.
+    picks = [
+        (int(r["tb"]), int(r["trank"]), int(r["n"]))
+        for r in t1.unionByName(t2).collect()
+    ]
+    n_total = picks[0][2]
+    lo_b = min(p[0] for p in picks)
+    hi_b = max(p[0] for p in picks)
+    # Pushable superset range on the RAW column (price within the target
+    # buckets ± one cent of slack for the round()); the exact bucket
+    # predicate on derived cents trims it precisely.
+    lo_price = (lo_b * _MEDIAN_BUCKET - 1) / 100.0
+    hi_price = ((hi_b + 1) * _MEDIAN_BUCKET + 1) / 100.0
+    second = table(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") >= lo_price)
+        & (F.col("o_totalprice") <= hi_price)
+    )
+    cents2 = F.round(F.col("o_totalprice") * 100).cast("long")
+    vals2 = second.select(
+        cents2.alias("x"), (cents2 / _MEDIAN_BUCKET).cast("long").alias("b")
+    ).filter(F.col("b").isin([p[0] for p in picks]))
     wrank = Window.partitionBy("b").orderBy("x")
-    bucket_set = picks.select("tb").distinct()
-    in_bucket = (
-        vals.join(F.broadcast(bucket_set), vals["b"] == bucket_set["tb"])
-        .drop("tb")
-        .withColumn("rn", F.row_number().over(wrank))
-    )
-    chosen = in_bucket.join(
-        F.broadcast(picks),
-        (in_bucket["b"] == picks["tb"]) & (in_bucket["rn"] == picks["trank"]),
-    )
+    ranked = vals2.withColumn("rn", F.row_number().over(wrank))
+    pick_cond = None
+    for tb, trank, _n in picks:
+        cond = (F.col("b") == tb) & (F.col("rn") == trank)
+        pick_cond = cond if pick_cond is None else (pick_cond | cond)
+    # odd n → both targets are the same (bucket, rank) → ONE surviving
+    # row whose mean is itself; even n → two rows, mean of the middles.
+    # Plain mean covers both cases.
+    chosen = ranked.filter(pick_cond)
     return chosen.agg(
-        F.max("n").cast("long").alias("n_rows"),
-        # two picks (identical row when n is odd and k1==k2 collapses the
-        # join to one match per target) — average of the SUM over both
-        # target picks; when k1==k2 the same row matches both t1 and t2
+        F.lit(n_total).cast("long").alias("n_rows"),
         (F.sum("x") / F.count(F.lit(1)) / 100.0)
         .cast("double")
         .alias("median_price"),

@@ -93,7 +93,6 @@ _NESTED_LOOP_OK = {
     "rfm_segments",  # 1-row threshold broadcast
     "basket_affinity",  # 1-row order-count broadcast
     "sample_balanced_classes",  # 1-row min-class-quota broadcast
-    "agg_exact_median_2pass",  # 1-row global-count broadcast
     "abc_pareto_classes",  # 1-row revenue-total broadcast
     "embedding_quantize_int8",  # 1-row per-dim range-arrays broadcast
     "similarity_sq8_topk",  # broadcast query vectors + 1-row range arrays
@@ -249,3 +248,15 @@ def test_q2_dims_filter_before_single_fact_exchange(spark, sf_dir):
     plan = plan_of(spark, "q2_min_cost_supplier", sf_dir)
     assert plan.count("BroadcastExchange") >= 2, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1, plan
+
+
+def test_median_2pass_second_scan_is_pruned(spark, sf_dir):
+    """The two-pass median's second scan must carry a pushed literal
+    o_totalprice range (the collected-targets design) — a join-based
+    bucket filter would silently re-read the whole column at 100 TB."""
+    plan = plan_of(spark, "agg_exact_median_2pass", sf_dir)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any(
+        "GreaterThanOrEqual(o_totalprice" in p_ for p_ in pushed
+    ), plan
+    assert "BroadcastNestedLoopJoin" not in plan
