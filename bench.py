@@ -109,6 +109,7 @@ HEADLINE = [
     "multimodal_scene_cuts",
     "embedding_quantize_int8",
     "similarity_sq8_topk",
+    "snapshot_diff",
 ]
 
 

@@ -1515,3 +1515,93 @@ def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (filled / 1e6).cast("double").alias("value_interp"),
         F.col("day_cents").isNull().alias("is_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff — time-travel table comparison between two cutoffs
+# --------------------------------------------------------------------------
+
+_SNAP_T1 = "2024-01-11 00:00:00"
+_SNAP_T2 = "2024-01-21 00:00:00"
+
+_SNAPDIFF_ORACLE = f"""
+WITH s1 AS (
+    SELECT user_id, event_type AS type_t1,
+           CAST(round(value * 100) AS BIGINT) AS cents_t1
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '{_SNAP_T1}'
+    ) WHERE rn = 1
+),
+s2 AS (
+    SELECT user_id, event_type AS type_t2,
+           CAST(round(value * 100) AS BIGINT) AS cents_t2
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '{_SNAP_T2}'
+    ) WHERE rn = 1
+)
+SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+       CASE WHEN s1.user_id IS NULL THEN 'ADDED'
+            WHEN s1.type_t1 <> s2.type_t2 OR s1.cents_t1 <> s2.cents_t2
+                THEN 'CHANGED'
+            ELSE 'UNCHANGED' END AS status,
+       s1.type_t1,
+       s2.type_t2,
+       CAST(COALESCE(s2.cents_t2, 0) - COALESCE(s1.cents_t1, 0) AS BIGINT)
+           AS cents_delta
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+"""
+
+
+@query("snapshot_diff", oracle=_SNAPDIFF_ORACLE)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel snapshot diff: per-key state of the events table AS OF
+    two cutoffs, classified ADDED / CHANGED / UNCHANGED — the audit
+    query behind every "what changed since the last load" report
+    (lakehouse table-diff semantics without a table format).
+
+    Each snapshot is a latest-row-per-key reduction (max_by on the
+    (ts, event_id) struct — ONE partial-aggregated shuffle per cutoff,
+    both with their ts predicate pushed to the scan), and the diff is a
+    single full-outer join on the key. Events are append-only, so
+    REMOVED cannot occur by construction (documented; a deletion
+    tombstone source would surface it through the same plan — see
+    cdc_latest_state for tombstone handling). Exactness: states are
+    (string, integer-cents) pairs picked by a deterministic total order;
+    the delta is integer subtraction.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def snap(cutoff: str, suffix: str) -> DataFrame:
+        filtered = ev.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp"))
+        key = F.struct("ts", "event_id")
+        return filtered.groupBy("user_id").agg(
+            F.max_by("event_type", key).alias(f"type_{suffix}"),
+            F.max_by(cents, key).alias(f"cents_{suffix}"),
+        )
+
+    s1 = snap(_SNAP_T1, "t1").withColumnRenamed("user_id", "u1")
+    s2 = snap(_SNAP_T2, "t2").withColumnRenamed("user_id", "u2")
+    j = s1.join(s2, s1["u1"] == s2["u2"], "full_outer")
+    status = (
+        F.when(F.col("u1").isNull(), "ADDED")
+        .when(
+            (F.col("type_t1") != F.col("type_t2"))
+            | (F.col("cents_t1") != F.col("cents_t2")),
+            "CHANGED",
+        )
+        .otherwise("UNCHANGED")
+    )
+    return j.select(
+        F.coalesce("u1", "u2").alias("user_id"),
+        status.alias("status"),
+        "type_t1",
+        "type_t2",
+        (
+            F.coalesce("cents_t2", F.lit(0)) - F.coalesce("cents_t1", F.lit(0))
+        ).alias("cents_delta"),
+    )

@@ -58,6 +58,7 @@ TWO_SF_CASES = [
     "multimodal_scene_cuts",
     "embedding_quantize_int8",
     "similarity_sq8_topk",
+    "snapshot_diff",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
