@@ -110,6 +110,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "similarity_sq8_topk",
     "snapshot_diff",
+    "rollup_cascade",
 ]
 
 

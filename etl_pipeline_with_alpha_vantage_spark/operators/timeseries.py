@@ -1605,3 +1605,68 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cents_t2", F.lit(0)) - F.coalesce("cents_t1", F.lit(0))
         ).alias("cents_delta"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cascading rollup — day → week → month from PRE-AGGREGATES only
+# --------------------------------------------------------------------------
+
+_CASCADE_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n, SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+    FROM events GROUP BY 1, 2
+),
+weekly AS (
+    SELECT event_type, date_trunc('week', day) AS week,
+           SUM(n) AS n, SUM(cents) AS cents, COUNT(*) AS n_days
+    FROM daily GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(date_trunc('month', week) AS DATE) AS month,
+       CAST(SUM(n) AS BIGINT)          AS n_events,
+       CAST(SUM(cents) / 100.0 AS DOUBLE) AS total_value,
+       CAST(SUM(n_days) AS BIGINT)     AS n_days,
+       CAST(COUNT(*) AS BIGINT)        AS n_weeks
+FROM weekly GROUP BY 1, 2
+"""
+
+
+@query("rollup_cascade", oracle=_CASCADE_ORACLE)
+def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading materialization rollup: day → week → month, where each
+    tier aggregates ONLY the tier below — the raw table is scanned
+    exactly once, for the daily tier. This is the warehouse
+    materialization hierarchy (sinks.refresh_daily_rollup maintains the
+    daily tier incrementally; the higher tiers re-aggregate O(days) and
+    O(weeks) rows, never raw events), and it works because counts and
+    integer-cent sums form a commutative monoid — the same algebraic
+    property agg_hll_mergeable exploits for distinct counts.
+
+    Months whose weeks straddle month boundaries attribute each ISO week
+    to the month containing its Monday — a deliberate, documented
+    convention (the oracle applies the identical truncation chain, so
+    the convention itself is parity-locked). One fact shuffle + two
+    dust-sized re-aggregations.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+    weekly = daily.groupBy(
+        "event_type", F.date_trunc("week", "day").alias("week")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("cents").alias("cents"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return weekly.groupBy(
+        "event_type",
+        F.date_trunc("month", "week").cast("date").alias("month"),
+    ).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        (F.sum("cents") / 100.0).cast("double").alias("total_value"),
+        F.sum("n_days").cast("long").alias("n_days"),
+        F.count(F.lit(1)).alias("n_weeks"),
+    )

@@ -59,6 +59,7 @@ TWO_SF_CASES = [
     "embedding_quantize_int8",
     "similarity_sq8_topk",
     "snapshot_diff",
+    "rollup_cascade",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
