@@ -111,6 +111,7 @@ HEADLINE = [
     "similarity_sq8_topk",
     "snapshot_diff",
     "rollup_cascade",
+    "funnel_strict_windowed",
 ]
 
 

@@ -587,3 +587,192 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state",
         "state_since",
     )
+
+
+# --------------------------------------------------------------------------
+# Strict-order windowed funnel — two chained forward as-ofs
+# --------------------------------------------------------------------------
+
+_FUNNEL_TOL_US = 24 * 3600 * 1_000_000  # each hop must land within 24 h
+
+_STRICT_FUNNEL_ORACLE = f"""
+WITH s AS (
+    SELECT event_id AS signup_id, user_id, ts AS s_ts
+    FROM events WHERE event_type = 'signup'
+),
+c AS (
+    SELECT event_id AS click_id, user_id, ts AS c_ts
+    FROM events WHERE event_type = 'click'
+),
+p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS p_ts
+    FROM events WHERE event_type = 'purchase'
+),
+qc AS (
+    SELECT * FROM (
+        SELECT s.signup_id, s.user_id, s.s_ts, c.click_id, c.c_ts,
+               row_number() OVER (
+                   PARTITION BY s.signup_id
+                   ORDER BY c.c_ts, c.click_id) AS rn
+        FROM s JOIN c ON c.user_id = s.user_id
+                     AND c.c_ts >= s.s_ts
+                     AND epoch_us(c.c_ts) - epoch_us(s.s_ts)
+                         <= {_FUNNEL_TOL_US}
+    ) WHERE rn = 1
+),
+qp AS (
+    SELECT * FROM (
+        SELECT qc.signup_id, p.purchase_id, p.p_ts,
+               row_number() OVER (
+                   PARTITION BY qc.signup_id
+                   ORDER BY p.p_ts, p.purchase_id) AS rn
+        FROM qc JOIN p ON p.user_id = qc.user_id
+                      AND p.p_ts >= qc.c_ts
+                      AND epoch_us(p.p_ts) - epoch_us(qc.c_ts)
+                          <= {_FUNNEL_TOL_US}
+    ) WHERE rn = 1
+)
+SELECT s.signup_id, s.user_id,
+       qc.click_id, qp.purchase_id,
+       (qp.purchase_id IS NOT NULL) AS completed,
+       CAST(CASE WHEN qp.purchase_id IS NOT NULL
+                 THEN epoch_us(qp.p_ts) - epoch_us(s.s_ts) END AS BIGINT)
+           AS convert_us
+FROM s
+LEFT JOIN qc ON qc.signup_id = s.signup_id
+LEFT JOIN qp ON qp.signup_id = s.signup_id
+"""
+
+
+@query("funnel_strict_windowed", oracle=_STRICT_FUNNEL_ORACLE)
+def funnel_strict_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order windowed funnel: signup → FIRST click within 24 h →
+    FIRST purchase within 24 h of that click, per signup event. Unlike
+    funnel_conversion (existence counts), each hop here must follow the
+    SPECIFIC event matched at the previous hop — the attribution-grade
+    funnel semantics.
+
+    Each hop is a forward as-of with tolerance, so the whole funnel is
+    TWO union-window passes on the user_id clustering (the asof_join
+    discipline): pass 1 unions signups with clicks and takes
+    first(click, ignorenulls) over the forward frame; pass 2 unions the
+    matched hops with purchases the same way. No hop ever plans a range
+    join — the oracle IS the range-join + row_number formulation, so
+    parity proves the chained-window decomposition implements exactly
+    the first-within-window semantics (including same-timestamp
+    ordering: a click at the signup instant qualifies, ordered by kind
+    then event_id).
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def forward_first(
+        queries: DataFrame,
+        carriers: DataFrame,
+        q_ts: str,
+        tol_us: int,
+        carry_cols: list[str],
+    ) -> DataFrame:
+        """For each query row, the first carrier at-or-after its ts
+        (per user), tolerance-bounded — one union-window pass."""
+        q = queries.withColumn("kind", F.lit(0))
+        for col in carry_cols:
+            q = q.withColumn(col, F.lit(None).cast("long"))
+        q = q.withColumn("c_ts_u", F.lit(None).cast("long"))
+        c = carriers.withColumn("kind", F.lit(1)).withColumn(
+            "c_ts_u", F.unix_micros(F.col(q_ts))
+        )
+        for col in set(q.columns) - set(c.columns):
+            c = c.withColumn(col, F.lit(None))
+        merged = c.select(*q.columns).unionByName(q)
+        fwd = (
+            Window.partitionBy("user_id")
+            .orderBy(q_ts, "kind", F.coalesce(*carry_cols, "qid"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        out = merged.select(
+            *[
+                c_
+                for c_ in merged.columns
+                if c_ not in carry_cols + ["c_ts_u"]
+            ],
+            *[
+                F.first(col, ignorenulls=True).over(fwd).alias(col)
+                for col in carry_cols
+            ],
+            F.first(
+                F.when(F.col("kind") == 1, F.col("c_ts_u")), ignorenulls=True
+            )
+            .over(fwd)
+            .alias("m_ts_u"),
+        )
+        within = (
+            F.col("m_ts_u") - F.unix_micros(F.col(q_ts)) <= tol_us
+        ) & F.col("m_ts_u").isNotNull()
+        return out.filter(F.col("kind") == 0).select(
+            *[
+                c_
+                for c_ in out.columns
+                if c_ not in carry_cols + ["m_ts_u", "kind"]
+            ],
+            *[
+                F.when(within, F.col(col)).alias(col) for col in carry_cols
+            ],
+            F.when(within, F.col("m_ts_u")).alias("m_ts_u"),
+        )
+
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("qid"),
+        "user_id",
+        F.col("ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("qid"),
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+    )
+    hop1 = forward_first(
+        s, clicks, "ts", _FUNNEL_TOL_US, ["click_id"]
+    ).select(
+        F.col("qid").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("s_ts"),
+        "click_id",
+        F.col("m_ts_u").alias("click_ts_u"),
+    )
+    # hop 2: queries are the MATCHED (signup, click) rows anchored at the
+    # click timestamp; unmatched signups pass through with null hops
+    matched = hop1.filter(F.col("click_id").isNotNull()).select(
+        F.col("signup_id").alias("qid"),
+        "user_id",
+        F.timestamp_micros(F.col("click_ts_u")).alias("ts"),
+        "s_ts",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("qid"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("s_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    hop2 = forward_first(
+        matched, purchases, "ts", _FUNNEL_TOL_US, ["purchase_id"]
+    ).select(
+        F.col("qid").alias("signup_id"),
+        "purchase_id",
+        F.col("m_ts_u").alias("purchase_ts_u"),
+    )
+    out = hop1.join(hop2, "signup_id", "left")
+    return out.select(
+        "signup_id",
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.col("purchase_id").isNotNull().alias("completed"),
+        F.when(
+            F.col("purchase_id").isNotNull(),
+            F.col("purchase_ts_u") - F.unix_micros("s_ts"),
+        )
+        .cast("long")
+        .alias("convert_us"),
+    )

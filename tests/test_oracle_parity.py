@@ -60,6 +60,7 @@ TWO_SF_CASES = [
     "similarity_sq8_topk",
     "snapshot_diff",
     "rollup_cascade",
+    "funnel_strict_windowed",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
