@@ -112,6 +112,7 @@ HEADLINE = [
     "snapshot_diff",
     "rollup_cascade",
     "funnel_strict_windowed",
+    "dedup_image_phash_pairs",
 ]
 
 

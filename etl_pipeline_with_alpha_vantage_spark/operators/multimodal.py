@@ -960,3 +960,104 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_lum").cast("long"),
         F.col("lum").cast("long"),
     )
+
+
+# --------------------------------------------------------------------------
+# Image near-duplicate pairs — pigeonhole banding over the perceptual hash
+# --------------------------------------------------------------------------
+
+_PHASH_HAM_MAX = 6   # pairs within Hamming distance 6 are near-dup images
+_PHASH_N_BANDS = 8   # 8 bands x 8 bits; d<=7 => >=1 band identical
+
+_PHASH_PAIRS_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, octet_length(encode(text)) AS L
+    FROM documents WHERE doc_id % 11 = 0
+),
+dims AS (SELECT doc_id, L % 16 + 1 AS w, L % 12 + 1 AS h FROM d),
+cells AS (
+    SELECT doc_id, i.i, j.j,
+           (((i.i * w // 8) * 7) + ((j.j * h // 8) * 13) + doc_id) % 256 AS v
+    FROM dims, generate_series(0, 7) i(i), generate_series(0, 7) j(j)
+),
+m AS (SELECT doc_id, SUM(v) / 64.0 AS mean_v FROM cells GROUP BY 1),
+sig AS (
+    SELECT c.doc_id,
+           SUM(CASE WHEN j < 4 AND v > mean_v
+                    THEN 1 << (j * 8 + i) ELSE 0 END) AS lo,
+           SUM(CASE WHEN j >= 4 AND v > mean_v
+                    THEN 1 << ((j - 4) * 8 + i) ELSE 0 END) AS hi
+    FROM cells c JOIN m USING (doc_id) GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+            AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+      <= {_PHASH_HAM_MAX}
+"""
+
+
+@query("dedup_image_phash_pairs", oracle=_PHASH_PAIRS_ORACLE)
+def dedup_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate PAIRS over the perceptual hash — the image
+    twin of dedup_simhash_pairs, closing the multimodal dedup loop:
+    multimodal_image_ahash fingerprints real decoded pixels, this finds
+    the re-encodes/crops that share a fingerprint neighborhood.
+
+    Same pigeonhole discipline, tuned to the looser image threshold:
+    {_PHASH_N_BANDS} bands of 8 bits mean two hashes within Hamming
+    distance {_PHASH_HAM_MAX} (< {_PHASH_N_BANDS}) MUST agree on at
+    least one band, so candidates are a band-value equi-join and the
+    exact bit_count(xor) verifies. The oracle is the brute all-pairs
+    scan over SQL-recomputed hashes — banding recall provably 100%.
+    The hash table (from the real BMP decode chain) is checkpointed
+    once; everything downstream shuffles 8-byte keys.
+    """
+    sig = multimodal_image_ahash(spark, sf_dir).select(
+        "doc_id", "ahash_lo", "ahash_hi"
+    ).localCheckpoint(eager=False)
+    band_structs = []
+    for k in range(_PHASH_N_BANDS):
+        src = F.col("ahash_lo") if k < 4 else F.col("ahash_hi")
+        band_structs.append(
+            F.struct(
+                F.lit(k).alias("band_idx"),
+                F.shiftrightunsigned(src, (k % 4) * 8)
+                .bitwiseAND(F.lit(0xFF))
+                .alias("band_val"),
+            )
+        )
+    bands = sig.select(
+        "doc_id",
+        "ahash_lo",
+        "ahash_hi",
+        F.explode(F.array(*band_structs)).alias("band"),
+    ).select(
+        "doc_id", "ahash_lo", "ahash_hi", "band.band_idx", "band.band_val"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash_lo").alias("lo_a"),
+            F.col("a.ahash_hi").alias("hi_a"),
+            F.col("b.ahash_lo").alias("lo_b"),
+            F.col("b.ahash_hi").alias("hi_b"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("long")
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= _PHASH_HAM_MAX
+    )

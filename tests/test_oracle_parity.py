@@ -61,6 +61,7 @@ TWO_SF_CASES = [
     "snapshot_diff",
     "rollup_cascade",
     "funnel_strict_windowed",
+    "dedup_image_phash_pairs",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
