@@ -113,6 +113,7 @@ HEADLINE = [
     "rollup_cascade",
     "funnel_strict_windowed",
     "dedup_image_phash_pairs",
+    "pipeline_modality_manifest",
 ]
 
 

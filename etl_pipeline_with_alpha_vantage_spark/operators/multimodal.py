@@ -1061,3 +1061,70 @@ def dedup_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= _PHASH_HAM_MAX
     )
+
+
+# --------------------------------------------------------------------------
+# Unified multimodal manifest — one row per (doc, modality)
+# --------------------------------------------------------------------------
+
+_MANIFEST_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, 'text' AS modality,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_units,
+           CAST(octet_length(encode(text)) AS BIGINT)   AS n_bytes
+    FROM documents
+),
+img AS (
+    SELECT doc_id, 'image' AS modality,
+           CAST((L % 16 + 1) * (L % 12 + 1) AS BIGINT) AS n_units,
+           CAST(54 + (((L % 16 + 1) * 3 + 3) // 4 * 4) * (L % 12 + 1)
+                AS BIGINT) AS n_bytes
+    FROM (SELECT doc_id, octet_length(encode(text)) AS L
+          FROM documents WHERE doc_id % 11 = 0)
+),
+aud AS (
+    SELECT doc_id, 'audio' AS modality,
+           CAST(L % 2000 + 1 AS BIGINT)            AS n_units,
+           CAST(44 + 2 * (L % 2000 + 1) AS BIGINT) AS n_bytes
+    FROM (SELECT doc_id, octet_length(encode(text)) AS L
+          FROM documents WHERE doc_id % 13 = 0)
+)
+SELECT * FROM t UNION ALL SELECT * FROM img UNION ALL SELECT * FROM aud
+"""
+
+
+@query("pipeline_modality_manifest", oracle=_MANIFEST_ORACLE)
+def pipeline_modality_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified multimodal training manifest: one row per (document,
+    modality) with unit and byte accounting — the index a multimodal
+    data loader reads to budget batches across text, image, and audio.
+
+    The image and audio rows come from the REAL container paths: blobs
+    are packed and re-parsed by the pure-Python BMP and WAV codecs
+    (multimodal_decode_bmp / _wav machinery), so the manifest's pixel
+    counts, sample counts, and byte sizes are what the decoders actually
+    measured — the oracle recomputes them analytically (including the
+    BMP row-padding formula), making any codec drift a parity failure.
+    Three narrow branches over one table union into the manifest; the
+    only width is the modality fan-out itself.
+    """
+    docs = table(spark, sf_dir, "documents")
+    text_rows = docs.select(
+        "doc_id",
+        F.lit("text").alias("modality"),
+        F.size(F.split("text", " ")).cast("long").alias("n_units"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    )
+    img = multimodal_decode_bmp(spark, sf_dir).select(
+        "doc_id",
+        F.lit("image").alias("modality"),
+        (F.col("width").cast("long") * F.col("height")).alias("n_units"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+    aud = multimodal_decode_wav(spark, sf_dir).select(
+        "doc_id",
+        F.lit("audio").alias("modality"),
+        F.col("n_samples").cast("long").alias("n_units"),
+        (44 + 2 * F.col("n_samples")).cast("long").alias("n_bytes"),
+    )
+    return text_rows.unionByName(img).unionByName(aud)

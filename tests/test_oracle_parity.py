@@ -62,6 +62,7 @@ TWO_SF_CASES = [
     "rollup_cascade",
     "funnel_strict_windowed",
     "dedup_image_phash_pairs",
+    "pipeline_modality_manifest",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
