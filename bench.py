@@ -114,6 +114,8 @@ HEADLINE = [
     "funnel_strict_windowed",
     "dedup_image_phash_pairs",
     "pipeline_modality_manifest",
+    "stream_sliding_unique",
+    "orders_interarrival",
 ]
 
 

@@ -1670,3 +1670,59 @@ def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_days").cast("long").alias("n_days"),
         F.count(F.lit(1)).alias("n_weeks"),
     )
+
+
+# --------------------------------------------------------------------------
+# Order inter-arrival statistics — per-customer cadence profile
+# --------------------------------------------------------------------------
+
+_INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+    SELECT o_custkey,
+           date_diff('day',
+               lag(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap_days
+    FROM orders
+)
+SELECT o_custkey AS custkey,
+       CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_days) AS BIGINT)   AS min_gap,
+       CAST(MAX(gap_days) AS BIGINT)   AS max_gap,
+       CAST(SUM(gap_days) AS BIGINT)   AS total_span_days,
+       CAST(median(gap_days) AS DOUBLE) AS median_gap
+FROM gaps
+WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+"""
+
+
+@query("orders_interarrival", oracle=_INTERARRIVAL_ORACLE)
+def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order cadence: inter-arrival gap statistics between
+    consecutive orders (reorder-frequency profiling — the input to churn
+    prediction and replenishment models).
+
+    One shuffle on custkey; lag() and the gap aggregation ride the same
+    clustering. Gaps are integer day counts, so min/max/sum are exact
+    and the median is integer-or-half-integer (the
+    window_rolling_median argument) — no rounding discipline needed.
+    Customers with a single order produce no gap rows and drop out, the
+    documented semantics (their cadence is undefined, not zero).
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_gap"),
+        F.max("gap_days").cast("long").alias("max_gap"),
+        F.sum("gap_days").cast("long").alias("total_span_days"),
+        F.median("gap_days").cast("double").alias("median_gap"),
+    )

@@ -407,3 +407,49 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window distinct users — exact audience per overlapping window
+# --------------------------------------------------------------------------
+
+_SLIDING_UNIQUE_ORACLE = """
+WITH assigned AS (
+    SELECT user_id,
+           time_bucket(INTERVAL '5 minutes', ts) AS window_start
+    FROM events
+    UNION ALL
+    SELECT user_id,
+           time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+    FROM events
+)
+SELECT window_start,
+       window_start + INTERVAL '10 minutes' AS window_end,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+@query("stream_sliding_unique", oracle=_SLIDING_UNIQUE_ORACLE)
+def stream_sliding_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18/X7: EXACT distinct users per overlapping window (10-minute
+    windows sliding every 5) — the audience-reach twin of
+    stream_sliding's count/sum rollup. Window fan-out is the bounded
+    ×(window/slide) explode Spark's own F.window performs; the distinct
+    collapses map-side to (window, user) pairs before the single
+    shuffle, so shuffle volume is unique-pairs, not events. For the
+    approximate tier at extreme cardinalities, swap countDistinct for
+    the mergeable sketches of agg_hll_mergeable — same plan shape.
+    """
+    ev = table(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(win.alias("win"))
+        .agg(F.countDistinct("user_id").alias("unique_users"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "unique_users",
+        )
+    )

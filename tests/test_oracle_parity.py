@@ -63,6 +63,8 @@ TWO_SF_CASES = [
     "funnel_strict_windowed",
     "dedup_image_phash_pairs",
     "pipeline_modality_manifest",
+    "stream_sliding_unique",
+    "orders_interarrival",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
