@@ -116,6 +116,7 @@ HEADLINE = [
     "pipeline_modality_manifest",
     "stream_sliding_unique",
     "orders_interarrival",
+    "agg_exact_percentiles_2pass",
 ]
 
 

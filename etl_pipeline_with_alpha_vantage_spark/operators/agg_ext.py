@@ -925,3 +925,101 @@ def abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact percentile SET without a global sort — generalized 2-pass selection
+# --------------------------------------------------------------------------
+
+# Dyadic grid (k/8): (n-1)·p, its floor-fraction, and the interpolation
+# weights are all EXACT binary fractions, so the linearly-interpolated
+# percentile is bit-identical no matter which algebraic form an engine
+# uses (lo + frac·(hi−lo) vs (1−frac)·lo + frac·hi). A 0.9 or 0.99 grid
+# point would make frac inexact and the last ulp formula-dependent.
+_PCTS = [0.125, 0.25, 0.5, 0.75, 0.875]
+
+
+def _pct_oracle() -> str:
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {p} AS pct,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), {p})
+            / 100.0 AS DOUBLE) AS value
+FROM orders"""
+        for p in _PCTS
+    )
+    return rows
+
+
+@query("agg_exact_percentiles_2pass", oracle=_pct_oracle())
+def agg_exact_percentiles_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles {_PCTS} of a 100 TB column with no
+    global sort — agg_exact_median_2pass generalized to a percentile
+    SET: one bucket-counting pass locates EVERY requested order
+    statistic at once, one pruned pass picks them all.
+
+    Pass 1 is the same O(buckets) counting shuffle; each percentile p
+    needs ranks ⌊(n−1)p⌋+1 and +2 with weights (1−frac, frac) — all
+    computed from the collected scalar n (constant driver hop). The ≤10
+    (bucket, rank, weight) targets collect to literals, so pass 2
+    carries one pushed o_totalprice range spanning only the target
+    buckets, ranks within them, and a per-pct weighted sum emits each
+    interpolated value. Exactness by the dyadic-grid argument above —
+    the oracle is DuckDB's native quantile_cont, an entirely different
+    implementation, and must agree to the last bit.
+    """
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    vals = o.select(
+        cents.alias("x"), (cents / _MEDIAN_BUCKET).cast("long").alias("b")
+    )
+    counts = vals.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum_rows = counts.select(
+        "b",
+        F.sum("c").over(wcum).alias("cum"),
+        (F.sum("c").over(wcum) - F.col("c")).alias("cum_prev"),
+    ).collect()  # O(buckets) rows — the same bounded state as pass 1
+    n = max(r["cum"] for r in cum_rows)
+
+    def bucket_of(k: int) -> tuple[int, int]:
+        for r in cum_rows:
+            if r["cum"] >= k and r["cum_prev"] < k:
+                return int(r["b"]), int(k - r["cum_prev"])
+        raise ValueError(f"rank {k} out of range")
+
+    targets: list[tuple[float, int, int, float]] = []  # pct, b, rank, w
+    for p in _PCTS:
+        idx = (n - 1) * p  # exact: dyadic p × integer
+        k_lo = int(idx // 1) + 1
+        frac = idx - (k_lo - 1)
+        targets.append((p, *bucket_of(k_lo), 1.0 - frac))
+        if frac > 0:
+            targets.append((p, *bucket_of(k_lo + 1), frac))
+
+    lo_b = min(t[1] for t in targets)
+    hi_b = max(t[1] for t in targets)
+    second = table(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") >= (lo_b * _MEDIAN_BUCKET - 1) / 100.0)
+        & (F.col("o_totalprice") <= ((hi_b + 1) * _MEDIAN_BUCKET + 1) / 100.0)
+    )
+    cents2 = F.round(F.col("o_totalprice") * 100).cast("long")
+    vals2 = second.select(
+        cents2.alias("x"), (cents2 / _MEDIAN_BUCKET).cast("long").alias("b")
+    ).filter(F.col("b").isin(sorted({t[1] for t in targets})))
+    ranked = vals2.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("b").orderBy("x"))
+    )
+    tdf = spark.createDataFrame(
+        targets, "pct double, tb long, trank long, w double"
+    )
+    picked = ranked.join(
+        F.broadcast(tdf),
+        (ranked["b"] == tdf["tb"]) & (ranked["rn"] == tdf["trank"]),
+    )
+    return picked.groupBy("pct").agg(
+        F.lit(n).cast("long").alias("n_rows"),
+        (F.sum(F.col("x") * F.col("w")) / 100.0)
+        .cast("double")
+        .alias("value"),
+    )

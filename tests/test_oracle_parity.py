@@ -65,6 +65,7 @@ TWO_SF_CASES = [
     "pipeline_modality_manifest",
     "stream_sliding_unique",
     "orders_interarrival",
+    "agg_exact_percentiles_2pass",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
