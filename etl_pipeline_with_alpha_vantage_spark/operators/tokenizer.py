@@ -34,10 +34,12 @@ from ..registry import query
 _BPE_MERGES = 3
 
 
-def _bpe_oracle() -> str:
-    """Chained-CTE replay of the merge iterations."""
+def _merge_chain_ctes() -> str:
+    """The shared vocab→v0→(p_k, b_k, v_k)* CTE chain that replays merge
+    learning in DuckDB — used by both the trainer oracle (which reads the
+    per-iteration b_k rows) and the encoder oracle (which reads only the
+    final learned pairs b_1..b_K)."""
     levels = []
-    rows = []
     prev = "v0"
     for k in range(1, _BPE_MERGES + 1):
         levels.append(
@@ -55,18 +57,9 @@ v{k} AS (
     FROM {prev}, b{k}
 )"""
         )
-        rows.append(
-            f"SELECT {k} AS iter, b{k}.pair AS pair,"
-            f" CAST(b{k}.cnt AS BIGINT) AS n_occurrences,"
-            f" (SELECT CAST(SUM(freq * len(string_split(trim(sym), ' ')))"
-            f" AS BIGINT) FROM v{k}) AS corpus_tokens_after"
-            f" FROM b{k}"
-        )
         prev = f"v{k}"
     chained = ",\n".join(levels)
-    unioned = "\nUNION ALL\n".join(rows)
-    return f"""
-WITH vocab AS (
+    return f"""vocab AS (
     SELECT tok AS word, COUNT(*) AS freq
     FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
     GROUP BY 1
@@ -76,7 +69,23 @@ v0 AS (
            ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sym
     FROM vocab
 ),
-{chained}
+{chained}"""
+
+
+def _bpe_oracle() -> str:
+    """Chained-CTE replay of the merge iterations."""
+    rows = []
+    for k in range(1, _BPE_MERGES + 1):
+        rows.append(
+            f"SELECT {k} AS iter, b{k}.pair AS pair,"
+            f" CAST(b{k}.cnt AS BIGINT) AS n_occurrences,"
+            f" (SELECT CAST(SUM(freq * len(string_split(trim(sym), ' ')))"
+            f" AS BIGINT) FROM v{k}) AS corpus_tokens_after"
+            f" FROM b{k}"
+        )
+    unioned = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH {_merge_chain_ctes()}
 {unioned}
 """
 
@@ -96,15 +105,12 @@ def _adjacent_pairs(arr: F.Column) -> F.Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-@query("bpe_train_merges", oracle=_bpe_oracle())
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first {k} BPE merges from the corpus: per iteration, the
-    most frequent adjacent symbol pair (weighted by word frequency)
-    merges into one symbol, and the corpus re-tokenizes under the grown
-    vocabulary. Returns one row per merge: the learned pair, its count
-    at selection time, and the corpus token count after applying it —
-    the exact trajectory a tokenizer trainer logs.
-    """
+def _learn_merges(spark: SparkSession, sf_dir: str):
+    """Run the merge-learning loop; yields (pair, count, vocab_after) per
+    iteration. The vocabulary is dimension-sized (distinct words), so each
+    iteration is one tiny aggregation plus a 1-row argmax collect — the
+    same O(1)-per-sweep driver sync as the IVF codebook and CC
+    convergence counts."""
     docs = table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -120,8 +126,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sym"),
         )
     )
-    records = []
-    for it in range(1, _BPE_MERGES + 1):
+    for _ in range(_BPE_MERGES):
         arr = F.split(F.trim(F.col("sym")), " ")
         best = (
             vocab.select("freq", F.explode(_adjacent_pairs(arr)).alias("pair"))
@@ -131,24 +136,129 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .collect()[0]
         )
-        merged = best.pair.replace(" ", "")
         vocab = vocab.withColumn(
-            "sym",
-            F.expr(
-                "replace(sym, ' {p} ', ' {m} ')".format(
-                    p=best.pair, m=merged
-                )
-            ),
+            "sym", _apply_merge(F.col("sym"), best.pair)
         )
+        yield best.pair, int(best.cnt), vocab
+
+
+def _apply_merge(sym: F.Column, pair: str) -> F.Column:
+    """One greedy BPE merge application: both engines' replace() scans
+    left-to-right non-overlapping, continuing after each replacement —
+    which IS BPE's merge semantics."""
+    return F.replace(
+        sym, F.lit(f" {pair} "), F.lit(f" {pair.replace(' ', '')} ")
+    )
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first {k} BPE merges from the corpus: per iteration, the
+    most frequent adjacent symbol pair (weighted by word frequency)
+    merges into one symbol, and the corpus re-tokenizes under the grown
+    vocabulary. Returns one row per merge: the learned pair, its count
+    at selection time, and the corpus token count after applying it —
+    the exact trajectory a tokenizer trainer logs.
+    """
+    records = []
+    for it, (pair, cnt, vocab) in enumerate(
+        _learn_merges(spark, sf_dir), start=1
+    ):
         tokens_after = vocab.agg(
             F.sum(
                 F.col("freq") * F.size(F.split(F.trim(F.col("sym")), " "))
             ).alias("t")
         ).collect()[0].t
-        records.append((it, best.pair, int(best.cnt), int(tokens_after)))
+        records.append((it, pair, cnt, int(tokens_after)))
     return spark.createDataFrame(
         records, "iter int, pair string, n_occurrences bigint, corpus_tokens_after bigint"
     )
 
 
 bpe_train_merges.__doc__ = bpe_train_merges.__doc__.format(k=_BPE_MERGES)
+
+
+def _bpe_encode_oracle() -> str:
+    """Learned pairs replayed via the shared CTE chain, then applied to
+    every word occurrence in the corpus with the same chained replace."""
+    sym = "' ' || array_to_string(string_split(word, ''), ' ') || ' '"
+    enc = sym
+    for k in range(1, _BPE_MERGES + 1):
+        enc = (
+            f"replace({enc}, ' ' || b{k}.pair || ' ',"
+            f" ' ' || replace(b{k}.pair, ' ', '') || ' ')"
+        )
+    froms = ", ".join(f"b{k}" for k in range(1, _BPE_MERGES + 1))
+    return f"""
+WITH {_merge_chain_ctes()},
+words AS (
+    SELECT d.source, d.doc_id,
+           unnest(string_split(d.text, ' ')) AS word
+    FROM documents d
+),
+enc AS (
+    SELECT source, doc_id,
+           len(string_split(trim({sym}), ' ')) AS chars,
+           len(string_split(trim({enc}), ' ')) AS toks
+    FROM words, {froms}
+)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(chars) AS BIGINT) AS tokens_char,
+       CAST(SUM(toks) AS BIGINT) AS tokens_bpe,
+       CAST(SUM(chars) - SUM(toks) AS BIGINT) AS tokens_saved
+FROM enc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("bpe_apply_encode", oracle=_bpe_encode_oracle())
+def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table to the whole corpus — the
+    encode half of the tokenizer loop (bpe_train_merges is the train
+    half). Per source: documents, word occurrences, token counts before
+    (pure characters) and after the merges, and the tokens saved.
+
+    Scale shape: the merge table is a tiny driver-side list compiled
+    into a chained column expression — the corpus-side plan is explode →
+    narrow per-row replace chain → one partial-aggregated shuffle to
+    per-source totals. Nothing corpus-sized crosses the wire, and at
+    100 TB the merge list (30k merges in a real tokenizer) stays a
+    broadcast-sized constant folded into codegen. Both token counts are
+    derived from the same symbol-string device (split(trim(sym)))
+    proven cross-engine exact by the trainer's parity, so empty words
+    from double spaces can't skew one engine only.
+    """
+    pairs = [p for p, _, _ in _learn_merges(spark, sf_dir)]
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    sym = F.concat(
+        F.lit(" "), F.array_join(F.split("word", ""), " "), F.lit(" ")
+    )
+    enc = sym
+    for p in pairs:
+        enc = _apply_merge(enc, p)
+    toks = lambda c: F.size(F.split(F.trim(c), " "))  # noqa: E731
+    return (
+        words.select(
+            "source",
+            "doc_id",
+            toks(sym).alias("chars"),
+            toks(enc).alias("toks"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("chars").cast("long").alias("tokens_char"),
+            F.sum("toks").cast("long").alias("tokens_bpe"),
+            (F.sum("chars") - F.sum("toks")).cast("long").alias("tokens_saved"),
+        )
+        .orderBy("source")
+    )
