@@ -117,6 +117,12 @@ HEADLINE = [
     "stream_sliding_unique",
     "orders_interarrival",
     "agg_exact_percentiles_2pass",
+    # round-4 batch 3: curation passes + tokenizer encode + CMS sketch
+    "bpe_apply_encode",
+    "sample_domain_cap",
+    "shuffle_training_order",
+    "pack_length_buckets",
+    "agg_cms_heavy_hitters",
 ]
 
 

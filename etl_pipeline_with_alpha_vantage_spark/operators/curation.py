@@ -1,0 +1,368 @@
+"""Corpus-curation operators a 100 TB training-data pipeline runs between
+dedup and tokenization: per-domain caps, reproducible global shuffling,
+length-bucketed batch packing, and sketch-based heavy-hitter screens.
+
+Reference parity: the reference (`/root/reference/etl.py`) stops at
+loading clean rows; these are the curation passes a user of that pipeline
+would layer on top before training-data export, re-expressed Spark-first
+(window ranks, hash orders, closed-form bucket math, mergeable sketches —
+never a driver-side loop over rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..registry import query
+
+# --------------------------------------------------------------------------
+# Per-domain cap (CommonCrawl-style source capping)
+# --------------------------------------------------------------------------
+
+_DOMAIN_CAP = 10
+
+_DOMAIN_CAP_ORACLE = f"""
+WITH ranked AS (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rk
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                               AS n_docs,
+       CAST(SUM(CASE WHEN rk <= {_DOMAIN_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT)                                        AS n_kept,
+       CAST(SUM(CASE WHEN rk > {_DOMAIN_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT)                                        AS n_dropped,
+       CAST(SUM(CASE WHEN rk <= {_DOMAIN_CAP} THEN n_chars ELSE 0 END)
+            AS BIGINT)                                        AS kept_chars,
+       CAST(SUM(CASE WHEN rk > {_DOMAIN_CAP} THEN n_chars ELSE 0 END)
+            AS BIGINT)                                        AS dropped_chars
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("sample_domain_cap", oracle=_DOMAIN_CAP_ORACLE)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source (domain) at {k} documents, keeping the longest —
+    the CommonCrawl-style curation pass that stops one over-crawled
+    domain from dominating the training mix. Deterministic rank
+    (n_chars DESC, doc_id) makes membership reproducible run-to-run.
+    Per source: total docs, kept/dropped counts, and the characters
+    retained vs shed.
+
+    Scale shape: ONE hash shuffle on source, per-partition sort for the
+    window rank, then the per-source accounting folds in the same pass
+    (no second shuffle — the aggregation keys on the partition column).
+    A skewed mega-domain makes the window partition hot; the standard
+    mitigation (pre-aggregate a per-(source, salt) top-cap first, then
+    re-rank the ≤ salt×cap survivors) is the skew.py device and drops
+    in without changing semantics.
+    """
+    docs = table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id")
+        )
+    )
+    kept = F.col("rk") <= _DOMAIN_CAP
+    return (
+        docs.select("source", "n_chars", "doc_id").withColumn("rk", rk)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum((~kept).cast("long")).alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+            F.sum(F.when(~kept, F.col("n_chars")).otherwise(0)).alias(
+                "dropped_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+sample_domain_cap.__doc__ = sample_domain_cap.__doc__.format(k=_DOMAIN_CAP)
+
+# --------------------------------------------------------------------------
+# Reproducible global training order (seeded shuffle)
+# --------------------------------------------------------------------------
+
+_SHUFFLE_SEED = 42
+_SHUFFLE_HEAD = 100
+
+_SHUFFLE_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id, source,
+           md5('shuf:{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+           AS position,
+       doc_id, source, shuffle_key
+FROM keyed
+ORDER BY shuffle_key, doc_id
+LIMIT {_SHUFFLE_HEAD}
+"""
+
+
+@query("shuffle_training_order", oracle=_SHUFFLE_ORACLE)
+def shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded, reproducible GLOBAL shuffle of the corpus — the data-order
+    pass every training run needs (epoch ordering must be random yet
+    bit-reproducible across reruns and engines). Order key is
+    md5(seed || doc_id): uniform, deterministic, engine-portable.
+    Returns the first {n} documents of the epoch with their positions.
+
+    Scale shape: rand() would be neither reproducible nor restartable;
+    a hash order is both, and Spark's orderBy range-partitions on
+    sampled key boundaries so the full-corpus write stays a single
+    range exchange with no driver materialization. The bounded head
+    here compiles to TakeOrderedAndProject — per-partition top-{n} then
+    a driver merge of 32 small heaps, never a full sort.
+    """
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(
+                F.lit(f"shuf:{_SHUFFLE_SEED}:"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("shuffle_key"),
+    )
+    head = keyed.orderBy("shuffle_key", "doc_id").limit(_SHUFFLE_HEAD)
+    return head.select(
+        F.row_number()
+        .over(Window.orderBy("shuffle_key", "doc_id"))
+        .cast("long")
+        .alias("position"),
+        "doc_id",
+        "source",
+        "shuffle_key",
+    )
+
+
+shuffle_training_order.__doc__ = shuffle_training_order.__doc__.format(
+    n=_SHUFFLE_HEAD
+)
+
+# --------------------------------------------------------------------------
+# Length-bucketed batch packing (padding-waste accounting)
+# --------------------------------------------------------------------------
+
+_BUCKET_FLOOR = 16
+
+_LENGTH_BUCKET_ORACLE = f"""
+WITH toks AS (
+    SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+bucketed AS (
+    SELECT n_tokens,
+           GREATEST({_BUCKET_FLOOR},
+                    CAST(power(2, length(bin(n_tokens - 1))) AS BIGINT))
+               AS bucket_cap
+    FROM toks
+)
+SELECT bucket_cap,
+       CAST(COUNT(*) AS BIGINT)      AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(bucket_cap * COUNT(*) AS BIGINT) AS padded_tokens,
+       CAST(CAST(bucket_cap * COUNT(*) - SUM(n_tokens) AS DOUBLE)
+            / CAST(bucket_cap * COUNT(*) AS DOUBLE) AS DOUBLE)
+           AS waste_frac
+FROM bucketed
+GROUP BY bucket_cap
+ORDER BY bucket_cap
+"""
+
+
+@query("pack_length_buckets", oracle=_LENGTH_BUCKET_ORACLE)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching accounting — the cheap alternative to
+    first-fit sequence packing (pack_sequences): documents pad to the
+    next power-of-two token cap (floor {floor}), and the per-bucket
+    padding waste is computed CLOSED-FORM (cap×docs − tokens) without
+    materializing a single padded batch. This is the number a data
+    engineer reads to pick bucket boundaries before a training run.
+
+    Cross-engine device: the power-of-two cap avoids floating log2
+    boundary hazards — it is 2^bitlength(n−1) via bin(), an integer
+    string-length computation identical in both engines; the waste
+    fraction is one IEEE division of exact integers. Scale shape: pure
+    narrow math then a partial-aggregated shuffle onto ~7 bucket rows.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    cap = F.greatest(
+        F.lit(_BUCKET_FLOOR),
+        F.pow(F.lit(2), F.length(F.bin(n_tokens - 1))).cast("long"),
+    )
+    padded = (F.col("bucket_cap") * F.count(F.lit(1))).cast("long")
+    return (
+        docs.select(
+            n_tokens.alias("n_tokens"), cap.alias("bucket_cap")
+        )
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            padded.alias("padded_tokens"),
+            (
+                (padded - F.sum("n_tokens")).cast("double")
+                / padded.cast("double")
+            ).alias("waste_frac"),
+        )
+        .orderBy("bucket_cap")
+    )
+
+
+pack_length_buckets.__doc__ = pack_length_buckets.__doc__.format(
+    floor=_BUCKET_FLOOR
+)
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters (mergeable, overestimate-bounded)
+# --------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_TOPK = 10
+
+
+def _cms_cell_sql(key: str) -> str:
+    """Portable md5 cell index for depth-row ``d.d`` over ``key``."""
+    return (
+        f"('0x' || substr(md5('cms:' || CAST(d.d AS VARCHAR) || ':'"
+        f" || CAST({key} AS VARCHAR)), 1, 8))::BIGINT % {_CMS_WIDTH}"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH depths AS (
+    SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS d
+),
+hashed AS (
+    SELECT d.d AS depth, {_cms_cell_sql('user_id')} AS cell
+    FROM events, depths d
+),
+cells AS (
+    SELECT depth, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM hashed GROUP BY 1, 2
+),
+exact AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+    FROM events GROUP BY 1
+    ORDER BY exact_cnt DESC, user_id LIMIT {_CMS_TOPK}
+),
+probe AS (
+    SELECT e.user_id, e.exact_cnt, d.d AS depth,
+           {_cms_cell_sql('e.user_id')} AS cell
+    FROM exact e, depths d
+)
+SELECT p.user_id, p.exact_cnt,
+       CAST(MIN(c.cnt) AS BIGINT) AS cms_est,
+       MIN(c.cnt) >= p.exact_cnt AS never_underestimates
+FROM probe p
+JOIN cells c ON c.depth = p.depth AND c.cell = p.cell
+GROUP BY 1, 2
+ORDER BY exact_cnt DESC, user_id
+"""
+
+
+@query("agg_cms_heavy_hitters", oracle=_CMS_ORACLE)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter frequencies from a MERGEABLE count-min sketch
+    (depth {d} × width {w}), audited against exact counts — the
+    complement of agg_hll_mergeable (distinct counts) for the other
+    sketch every 100 TB pipeline carries. The sketch's {d}×{w} counter
+    grid is a commutative monoid: per-partition/per-day grids sum
+    cell-wise, so re-aggregating history is O(grid), never O(events).
+
+    Plan: one partial-aggregated shuffle builds the grid (events
+    explode ×{d} rows — a constant fan-out — then reduce onto ≤{d}×{w}
+    cells); the exact top-{k} comes from the standard count/top-k pass;
+    the estimate joins the {k}×{d} probe keys against the grid
+    (broadcast — both sides are dust) and takes MIN per user. The
+    audit column asserts CMS's one-sided error guarantee
+    (estimate ≥ truth, always) in-plan, the agg_approx_distinct
+    discipline: engine-specific sketch internals never enter the hash —
+    here even the estimates hash-match because the hash family is the
+    portable md5 device shared with the oracle.
+    """
+    ev = table(spark, sf_dir, "events")
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth"),
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"cms:{d}:"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("cell"),
+            )
+            for d in range(_CMS_DEPTH)
+        ]
+    )
+    hashed = ev.select(
+        "user_id", F.explode(probes).alias("p")
+    ).select(
+        "user_id",
+        F.col("p.depth").alias("depth"),
+        (F.col("p.cell") % _CMS_WIDTH).alias("cell"),
+    )
+    cells = hashed.groupBy("depth", "cell").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(_CMS_TOPK)
+    )
+    probe_keys = exact.select(
+        "user_id", "exact_cnt", F.explode(probes).alias("p")
+    ).select(
+        "user_id",
+        "exact_cnt",
+        F.col("p.depth").alias("depth"),
+        (F.col("p.cell") % _CMS_WIDTH).alias("cell"),
+    )
+    est = (
+        F.broadcast(probe_keys)
+        .join(cells, ["depth", "cell"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias(
+            "never_underestimates"
+        ),
+    ).orderBy(F.col("exact_cnt").desc(), "user_id")
+
+
+agg_cms_heavy_hitters.__doc__ = agg_cms_heavy_hitters.__doc__.format(
+    d=_CMS_DEPTH, w=_CMS_WIDTH, k=_CMS_TOPK
+)

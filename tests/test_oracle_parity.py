@@ -66,6 +66,11 @@ TWO_SF_CASES = [
     "stream_sliding_unique",
     "orders_interarrival",
     "agg_exact_percentiles_2pass",
+    "bpe_apply_encode",
+    "sample_domain_cap",
+    "shuffle_training_order",
+    "pack_length_buckets",
+    "agg_cms_heavy_hitters",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
