@@ -123,6 +123,8 @@ HEADLINE = [
     "shuffle_training_order",
     "pack_length_buckets",
     "agg_cms_heavy_hitters",
+    "dq_expectations",
+    "agg_winsorized_mean",
 ]
 
 

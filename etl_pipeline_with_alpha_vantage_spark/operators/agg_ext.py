@@ -1023,3 +1023,128 @@ def agg_exact_percentiles_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorized mean — outlier-robust aggregation with exactly-selected bounds
+# --------------------------------------------------------------------------
+
+_WINSOR_LO = 0.125  # dyadic 1/8 and 7/8: (n-1)·p stays an exact fraction
+_WINSOR_HI = 0.875
+
+_WINSOR_ORACLE = f"""
+WITH c AS (
+    SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS x
+    FROM orders
+),
+ranked AS (
+    SELECT x, row_number() OVER (ORDER BY x) AS rn, COUNT(*) OVER () AS n
+    FROM c
+),
+bounds AS (
+    SELECT
+        MAX(CASE WHEN rn = CAST(floor((n - 1) * {_WINSOR_LO}) AS BIGINT) + 1
+                 THEN x END) AS lo,
+        MAX(CASE WHEN rn = CAST(floor((n - 1) * {_WINSOR_HI}) AS BIGINT) + 1
+                 THEN x END) AS hi
+    FROM ranked
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN x < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clamped_low,
+       CAST(SUM(CASE WHEN x > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clamped_high,
+       CAST(b.lo / 100.0 AS DOUBLE) AS lo_bound,
+       CAST(b.hi / 100.0 AS DOUBLE) AS hi_bound,
+       CAST(CAST(SUM(x) AS DOUBLE) / COUNT(*) / 100.0 AS DOUBLE)
+           AS mean_raw,
+       CAST(CAST(SUM(LEAST(GREATEST(x, b.lo), b.hi)) AS DOUBLE)
+            / COUNT(*) / 100.0 AS DOUBLE) AS mean_winsorized
+FROM c, bounds b
+GROUP BY o_orderpriority, b.lo, b.hi
+ORDER BY o_orderpriority
+"""
+
+
+@query("agg_winsorized_mean", oracle=_WINSOR_ORACLE)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clamped) mean per order priority, with the
+    clamp bounds selected EXACTLY as the global 1/8 and 7/8 order
+    statistics — the robust-aggregation tier between plain AVG and the
+    median/MAD screens. Reports clamp counts on both tails and the raw
+    vs winsorized means.
+
+    Scale shape: the 2-pass selection discipline of
+    agg_exact_median_2pass locates both bound ranks from ONE O(buckets)
+    counting shuffle; the pick pass reads only the two target buckets
+    behind a pushed o_totalprice range and collects TWO integer scalars
+    (the IVF-codebook driver hop). The clamp pass is then a plain
+    partial-aggregated group-by with the bounds folded in as literals —
+    no join, no sort, and integer-cent clamping keeps every sum exact
+    (the oracle's monolithic window formulation must agree bit-for-bit).
+    """
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    vals = o.select(
+        cents.alias("x"), (cents / _MEDIAN_BUCKET).cast("long").alias("b")
+    )
+    counts = vals.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum_rows = counts.select(
+        "b",
+        F.sum("c").over(wcum).alias("cum"),
+        (F.sum("c").over(wcum) - F.col("c")).alias("cum_prev"),
+    ).collect()
+    n = max(r["cum"] for r in cum_rows)
+
+    def bucket_of(k: int) -> tuple[int, int]:
+        for r in cum_rows:
+            if r["cum"] >= k and r["cum_prev"] < k:
+                return int(r["b"]), int(k - r["cum_prev"])
+        raise ValueError(f"rank {k} out of range")
+
+    targets = [
+        bucket_of(int((n - 1) * p // 1) + 1) for p in (_WINSOR_LO, _WINSOR_HI)
+    ]
+    tb = sorted({b for b, _ in targets})
+    second = table(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") >= (tb[0] * _MEDIAN_BUCKET - 1) / 100.0)
+        & (F.col("o_totalprice") <= ((tb[-1] + 1) * _MEDIAN_BUCKET + 1) / 100.0)
+    )
+    cents2 = F.round(F.col("o_totalprice") * 100).cast("long")
+    vals2 = second.select(
+        cents2.alias("x"), (cents2 / _MEDIAN_BUCKET).cast("long").alias("b")
+    ).filter(F.col("b").isin(tb))
+    ranked = vals2.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("b").orderBy("x"))
+    )
+    picks: dict[tuple[int, int], int] = {}
+    want = None
+    for b, rk in targets:
+        cond = (F.col("b") == F.lit(b)) & (F.col("rn") == F.lit(rk))
+        want = cond if want is None else (want | cond)
+    for row in ranked.filter(want).collect():
+        picks[(row["b"], row["rn"])] = int(row["x"])
+    lo_c, hi_c = (picks[t] for t in targets)
+
+    clamped = F.least(F.greatest(F.col("x"), F.lit(lo_c)), F.lit(hi_c))
+    return (
+        o.select("o_orderpriority", cents.alias("x"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("x") < lo_c).cast("long")).alias("n_clamped_low"),
+            F.sum((F.col("x") > hi_c).cast("long")).alias("n_clamped_high"),
+            F.lit(lo_c / 100.0).cast("double").alias("lo_bound"),
+            F.lit(hi_c / 100.0).cast("double").alias("hi_bound"),
+            (F.sum("x").cast("double") / F.count(F.lit(1)) / 100.0)
+            .cast("double")
+            .alias("mean_raw"),
+            (F.sum(clamped).cast("double") / F.count(F.lit(1)) / 100.0)
+            .cast("double")
+            .alias("mean_winsorized"),
+        )
+        .orderBy("o_orderpriority")
+    )

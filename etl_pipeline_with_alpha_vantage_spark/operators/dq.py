@@ -1,0 +1,219 @@
+"""Declarative data-quality expectations suite over the warehouse.
+
+The reference's validation gate (`/root/reference/etl.py:80-99` —
+per-payload column/NaN checks before load) generalized to the
+Great-Expectations-style contract a 100 TB warehouse actually runs:
+a TABLE of named expectations, each evaluated to checked/violation
+counts and a pass boolean, unioned into one audit report. Schema-level
+gates (PERMISSIVE/FAILFAST) live in pipeline/alpha_vantage.py; this is
+the VALUE-level tier: ranges, nullability, cross-field invariants, and
+cross-TABLE referential integrity.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+_DQ_ORACLE = """
+SELECT 'orders' AS table_name, 'o_custkey_not_null' AS expectation,
+       CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_violations,
+       COUNT(*) = COUNT(o_custkey) AS passed
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_totalprice_positive', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_orderdate_in_range', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                       OR o_orderdate >= TIMESTAMP '2005-01-01'
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                  OR o_orderdate >= TIMESTAMP '2005-01-01'
+                THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'lineitem', 'l_quantity_in_1_50', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'l_discount_in_0_10pct', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'l_orderkey_fk_orders',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+       CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem', 'l_shipdate_after_orderdate',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) = 0
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'documents', 'n_chars_matches_text', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+            AS BIGINT),
+       SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'events', 'ts_not_null', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(ts) AS BIGINT), COUNT(*) = COUNT(ts)
+FROM events
+ORDER BY table_name, expectation
+"""
+
+_REPORT_SCHEMA = (
+    "table_name string, expectation string, n_checked bigint, "
+    "n_violations bigint, passed boolean"
+)
+
+
+def _report_rows(df: DataFrame, tbl: str, checks: list[tuple[str, F.Column]]) -> DataFrame:
+    """One scan of ``df`` evaluating every (name, violation-predicate)
+    pair map-side, then an in-row unpivot of the single aggregate row
+    into one report row per expectation."""
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(pred.cast("long")).alias(f"v{i}")
+        for i, (_, pred) in enumerate(checks)
+    ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(tbl).alias("table_name"),
+                F.lit(name).alias("expectation"),
+                F.col("__n").alias("n_checked"),
+                F.col(f"v{i}").alias("n_violations"),
+                (F.col(f"v{i}") == 0).alias("passed"),
+            )
+            for i, (name, _) in enumerate(checks)
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@query("dq_expectations", oracle=_DQ_ORACLE)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the warehouse's declarative expectation suite: nullability,
+    value ranges, cross-field invariants, and cross-table referential
+    integrity, one audit row per expectation with checked/violation
+    counts and a pass flag. On this corpus the
+    l_shipdate_after_orderdate contract genuinely FAILS (items shipping
+    before their order date), so the suite demonstrably reports both
+    outcomes — a suite that can only say "pass" audits nothing.
+
+    Scale shape: each single-table block is ONE partial-aggregated scan
+    evaluating all of its predicates map-side (conditional sums), then
+    an in-row unpivot to report rows — expectations per table add
+    columns, not scans. The referential check is a null-counting
+    broadcast-or-shuffle equi-join (Catalyst picks by stats; the FK
+    probe is the classic build side), and the cross-table date invariant
+    rides the same join key. Report size is O(expectations), so the
+    union is dust.
+    """
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    docs = table(spark, sf_dir, "documents")
+    ev = table(spark, sf_dir, "events")
+
+    parts = [
+        _report_rows(
+            orders,
+            "orders",
+            [
+                ("o_custkey_not_null", F.col("o_custkey").isNull()),
+                ("o_totalprice_positive", F.col("o_totalprice") <= 0),
+                (
+                    "o_orderdate_in_range",
+                    (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                    | (
+                        F.col("o_orderdate")
+                        >= F.lit("2005-01-01").cast("timestamp")
+                    ),
+                ),
+            ],
+        ),
+        _report_rows(
+            li,
+            "lineitem",
+            [
+                (
+                    "l_quantity_in_1_50",
+                    (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+                ),
+                (
+                    "l_discount_in_0_10pct",
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+                ),
+            ],
+        ),
+        # Referential integrity: count FK probes that miss the orders
+        # build side. The anti-join's count is the violation count; the
+        # checked count is the probe cardinality.
+        li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .crossJoin(li.agg(F.count(F.lit(1)).alias("n_checked")))
+        .select(
+            F.lit("lineitem").alias("table_name"),
+            F.lit("l_orderkey_fk_orders").alias("expectation"),
+            "n_checked",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        ),
+        # Cross-table invariant on the same join key: shipment must not
+        # predate its order.
+        _report_rows(
+            li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+                "l_shipdate", "o_orderdate"
+            ),
+            "lineitem",
+            [
+                (
+                    "l_shipdate_after_orderdate",
+                    F.col("l_shipdate") < F.col("o_orderdate"),
+                )
+            ],
+        ),
+        _report_rows(
+            docs,
+            "documents",
+            [
+                (
+                    "n_chars_matches_text",
+                    F.col("n_chars") != F.length("text"),
+                )
+            ],
+        ),
+        _report_rows(
+            ev, "events", [("ts_not_null", F.col("ts").isNull())]
+        ),
+    ]
+    report = reduce(DataFrame.unionByName, parts)
+    return report.orderBy("table_name", "expectation")
+
+
+# The FK block reports n_checked from a separate COUNT in both engines,
+# keeping the anti-join strictly violation-counting; DuckDB's scalar
+# subquery mirrors the crossJoin of the two 1-row aggregates.

@@ -67,6 +67,7 @@ def load_all() -> None:
         asof,
         curation,
         dedup,
+        dq,
         graph,
         multimodal,
         packing,

@@ -71,6 +71,8 @@ TWO_SF_CASES = [
     "shuffle_training_order",
     "pack_length_buckets",
     "agg_cms_heavy_hitters",
+    "dq_expectations",
+    "agg_winsorized_mean",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
