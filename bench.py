@@ -125,6 +125,8 @@ HEADLINE = [
     "agg_cms_heavy_hitters",
     "dq_expectations",
     "agg_winsorized_mean",
+    "search_keyword_topk",
+    "watermark_lateness_profile",
 ]
 
 

@@ -1726,3 +1726,82 @@ def orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap_days").cast("long").alias("total_span_days"),
         F.median("gap_days").cast("double").alias("median_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# Watermark lateness profile — pick the streaming watermark FROM the data
+# --------------------------------------------------------------------------
+
+_LATENESS_ORACLE = """
+WITH seq AS (
+    SELECT event_type,
+           epoch_us(MAX(ts) OVER (PARTITION BY event_type
+                                  ORDER BY event_id)) - epoch_us(ts)
+               AS late_us
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)      AS n_events,
+       CAST(MAX(late_us) AS BIGINT)  AS max_late_us,
+       CAST(SUM(CASE WHEN late_us > CAST(60 AS BIGINT) * 1000000 THEN 1 ELSE 0 END)
+            AS BIGINT)               AS dropped_at_1m,
+       CAST(SUM(CASE WHEN late_us > CAST(600 AS BIGINT) * 1000000 THEN 1 ELSE 0 END)
+            AS BIGINT)               AS dropped_at_10m,
+       CAST(SUM(CASE WHEN late_us > CAST(3600 AS BIGINT) * 1000000 THEN 1 ELSE 0 END)
+            AS BIGINT)               AS dropped_at_1h,
+       CAST(CAST(SUM(CASE WHEN late_us > CAST(600 AS BIGINT) * 1000000 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*) AS DOUBLE) AS frac_dropped_10m
+FROM seq
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("watermark_lateness_profile", oracle=_LATENESS_ORACLE)
+def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit that chooses the streaming watermark FROM
+    the data instead of guessing: per event type, each event's lateness
+    is how far behind the running event-time high-water mark it arrived
+    (arrival order = event_id, the ingest sequence). Reports the max
+    lateness and exactly how many events a 1-minute / 10-minute /
+    1-hour watermark would DROP — the number that decides the
+    `withWatermark` argument for every X18/X19 operator here.
+
+    Scale shape: one shuffle clusters each type, the running max is a
+    single sort-based window sweep (no self-join against history), and
+    the per-type accounting folds map-side into O(types) rows. Integer
+    microsecond arithmetic end-to-end; the only double is one IEEE
+    division of exact counts.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    late = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("late_us"),
+    )
+    us = lambda s: s * 1_000_000  # noqa: E731
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("late_us").alias("max_late_us"),
+            F.sum((F.col("late_us") > us(60)).cast("long")).alias(
+                "dropped_at_1m"
+            ),
+            F.sum((F.col("late_us") > us(600)).cast("long")).alias(
+                "dropped_at_10m"
+            ),
+            F.sum((F.col("late_us") > us(3600)).cast("long")).alias(
+                "dropped_at_1h"
+            ),
+            (
+                F.sum((F.col("late_us") > us(600)).cast("long")).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("frac_dropped_10m"),
+        )
+        .orderBy("event_type")
+    )

@@ -75,6 +75,7 @@ def load_all() -> None:
         relational,
         relational_ext,
         reshape,
+        search,
         similarity,
         skew,
         stats,

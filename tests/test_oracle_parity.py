@@ -73,6 +73,8 @@ TWO_SF_CASES = [
     "agg_cms_heavy_hitters",
     "dq_expectations",
     "agg_winsorized_mean",
+    "search_keyword_topk",
+    "watermark_lateness_profile",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
