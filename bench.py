@@ -127,6 +127,7 @@ HEADLINE = [
     "agg_winsorized_mean",
     "search_keyword_topk",
     "watermark_lateness_profile",
+    "observe_inflight_metrics",
 ]
 
 

@@ -70,6 +70,7 @@ def load_all() -> None:
         dq,
         graph,
         multimodal,
+        observe,
         packing,
         paging_joins,
         relational,

@@ -75,6 +75,7 @@ TWO_SF_CASES = [
     "agg_winsorized_mean",
     "search_keyword_topk",
     "watermark_lateness_profile",
+    "observe_inflight_metrics",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
