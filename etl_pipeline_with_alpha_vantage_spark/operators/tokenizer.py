@@ -178,6 +178,23 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 bpe_train_merges.__doc__ = bpe_train_merges.__doc__.format(k=_BPE_MERGES)
 
 
+# Learned merge tables are deterministic functions of the corpus file, so
+# the encoder memoizes them on (sf_dir, mtime_ns, size) — the IVF-codebook
+# cache-key device (similarity.py): a same-second in-place rewrite still
+# changes size or mtime_ns, so a stale merge table is never served.
+_MERGES_CACHE: dict[tuple[str, int, int], list[str]] = {}
+
+
+def _learned_pairs_cached(spark: SparkSession, sf_dir: str) -> list[str]:
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = (sf_dir, st.st_mtime_ns, st.st_size)
+    if key not in _MERGES_CACHE:
+        _MERGES_CACHE[key] = [p for p, _, _ in _learn_merges(spark, sf_dir)]
+    return _MERGES_CACHE[key]
+
+
 def _bpe_encode_oracle() -> str:
     """Learned pairs replayed via the shared CTE chain, then applied to
     every word occurrence in the corpus with the same chained replace."""
@@ -231,7 +248,7 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven cross-engine exact by the trainer's parity, so empty words
     from double spaces can't skew one engine only.
     """
-    pairs = [p for p, _, _ in _learn_merges(spark, sf_dir)]
+    pairs = _learned_pairs_cached(spark, sf_dir)
     docs = table(spark, sf_dir, "documents")
     words = docs.select(
         "source",
