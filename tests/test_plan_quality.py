@@ -96,6 +96,7 @@ _NESTED_LOOP_OK = {
     "abc_pareto_classes",  # 1-row revenue-total broadcast
     "embedding_quantize_int8",  # 1-row per-dim range-arrays broadcast
     "similarity_sq8_topk",  # broadcast query vectors + 1-row range arrays
+    "dq_expectations",  # crossJoin of two 1-row aggregates (FK block)
 }
 
 
