@@ -128,6 +128,8 @@ HEADLINE = [
     "search_keyword_topk",
     "watermark_lateness_profile",
     "observe_inflight_metrics",
+    "seasonality_weekday_index",
+    "gdpr_user_erasure",
 ]
 
 

@@ -217,3 +217,78 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The FK block reports n_checked from a separate COUNT in both engines,
 # keeping the anti-join strictly violation-counting; DuckDB's scalar
 # subquery mirrors the crossJoin of the two 1-row aggregates.
+
+
+# --------------------------------------------------------------------------
+# Right-to-erasure (DSR) purge accounting
+# --------------------------------------------------------------------------
+
+_ERASURE_ORACLE = """
+WITH dsr AS (
+    SELECT DISTINCT user_id FROM events WHERE user_id % 1000 < 5
+),
+classified AS (
+    SELECT e.event_type,
+           CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END AS purge,
+           e.user_id
+    FROM events e LEFT JOIN dsr d ON d.user_id = e.user_id
+)
+SELECT event_type,
+       CAST(SUM(purge) AS BIGINT)                    AS n_purged,
+       CAST(SUM(1 - purge) AS BIGINT)                AS n_retained,
+       CAST(COUNT(DISTINCT CASE WHEN purge = 1 THEN user_id END)
+            AS BIGINT)                               AS n_erased_users,
+       SUM(CASE WHEN purge = 0 AND user_id % 1000 < 5
+                THEN 1 ELSE 0 END) = 0               AS clean_after_purge
+FROM classified
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("gdpr_user_erasure", oracle=_ERASURE_ORACLE)
+def gdpr_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure purge over the events table: rows belonging to a
+    data-subject-request list (demo: user_id % 1000 < 5) are split out,
+    and the per-type audit reports purged/retained row counts, distinct
+    users erased, and an in-plan proof that NO retained row still
+    matches the request list — the certificate a deletion job must
+    emit, not just the delete itself.
+
+    Scale shape: the DSR list is dimension-sized, so membership is one
+    broadcast-able semi-join side (here folded into a left join +
+    flag so purge and retention accounting share a single scan and one
+    partial-aggregated shuffle). On a partitioned warehouse the same
+    flag drives a dynamic-partition-overwrite rewrite of only the
+    affected partitions (sinks/maintenance.py machinery); the
+    certificate column is the piece deletion pipelines usually skip.
+    """
+    ev = table(spark, sf_dir, "events")
+    dsr = ev.filter(F.col("user_id") % 1000 < 5).select("user_id").distinct()
+    flagged = ev.join(
+        F.broadcast(dsr.withColumn("purge", F.lit(1))), "user_id", "left"
+    ).select(
+        "event_type",
+        "user_id",
+        F.coalesce(F.col("purge"), F.lit(0)).alias("purge"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.sum("purge").cast("long").alias("n_purged"),
+            F.sum(1 - F.col("purge")).cast("long").alias("n_retained"),
+            F.count_distinct(
+                F.when(F.col("purge") == 1, F.col("user_id"))
+            ).alias("n_erased_users"),
+            (
+                F.sum(
+                    (
+                        (F.col("purge") == 0)
+                        & (F.col("user_id") % 1000 < 5)
+                    ).cast("long")
+                )
+                == 0
+            ).alias("clean_after_purge"),
+        )
+        .orderBy("event_type")
+    )

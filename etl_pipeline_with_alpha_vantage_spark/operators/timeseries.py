@@ -1805,3 +1805,84 @@ def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Weekday seasonality index — calendar baseline for anomaly screens
+# --------------------------------------------------------------------------
+
+_SEASONALITY_ORACLE = """
+WITH base AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) % 7 AS weekday,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+per_day AS (
+    SELECT event_type, weekday,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM base GROUP BY 1, 2
+),
+totals AS (
+    SELECT event_type,
+           CAST(SUM(n_events) AS BIGINT) AS n_all,
+           CAST(SUM(sum_cents) AS BIGINT) AS sum_all
+    FROM per_day GROUP BY 1
+)
+SELECT p.event_type, p.weekday, p.n_events,
+       CAST(p.sum_cents / 100.0 AS DOUBLE) AS value_sum,
+       CAST((CAST(p.sum_cents AS DOUBLE) / p.n_events)
+            / (CAST(t.sum_all AS DOUBLE) / t.n_all) AS DOUBLE)
+           AS seasonal_index
+FROM per_day p JOIN totals t USING (event_type)
+ORDER BY event_type, weekday
+"""
+
+
+@query("seasonality_weekday_index", oracle=_SEASONALITY_ORACLE)
+def seasonality_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type (weekday mean ÷ overall
+    mean) — the calendar baseline a seasonal anomaly screen divides out
+    before applying the rolling z-score/median tests. Weekday is the
+    engine-portable integer day-number-since-epoch mod 7 (0 = Thursday),
+    sidestepping the engines' conflicting dayofweek() conventions.
+
+    Scale shape: one partial-aggregated shuffle onto the O(types × 7)
+    cell table; the per-type totals re-aggregate the CELLS (monoid
+    re-aggregation, rollup_cascade discipline) and join back on the
+    dust-sized table. Means stay exact integer sums until two final
+    IEEE divisions with identical shape in both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (
+            F.floor(F.unix_micros("ts") / 86_400_000_000).cast("long") % 7
+        ).alias("weekday"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    per_day = base.groupBy("event_type", "weekday").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    totals = per_day.groupBy("event_type").agg(
+        F.sum("n_events").alias("n_all"),
+        F.sum("sum_cents").alias("sum_all"),
+    )
+    return (
+        per_day.join(totals, "event_type")
+        .select(
+            "event_type",
+            "weekday",
+            "n_events",
+            (F.col("sum_cents") / 100.0).cast("double").alias("value_sum"),
+            (
+                (F.col("sum_cents").cast("double") / F.col("n_events"))
+                / (F.col("sum_all").cast("double") / F.col("n_all"))
+            )
+            .cast("double")
+            .alias("seasonal_index"),
+        )
+        .orderBy("event_type", "weekday")
+    )

@@ -76,6 +76,8 @@ TWO_SF_CASES = [
     "search_keyword_topk",
     "watermark_lateness_profile",
     "observe_inflight_metrics",
+    "seasonality_weekday_index",
+    "gdpr_user_erasure",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
