@@ -1,0 +1,155 @@
+"""Semantic-invariant tests for the round-4 curation/serving batch.
+
+Hash parity (test_oracle_parity) proves Spark ≡ DuckDB; these tests pin
+down properties a matching PAIR of wrong implementations could still
+violate — monotone drop counts, one-sided sketch error, cap boundaries
+at exact powers of two, certificate columns actually certifying.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_with_alpha_vantage_spark import registry
+
+registry.load_all()
+
+
+def _run(spark, sf_dir, name):
+    return registry.QUERIES[name](spark, sf_dir).collect()
+
+
+def test_pow2_caps_hit_exact_boundaries(spark):
+    # The bucket cap must be the smallest power of two >= n (floor 16):
+    # 2^bitlength(n-1) via bin(), asserted at the exact-power boundaries
+    # where a floating log2 implementation goes wrong.
+    df = spark.createDataFrame(
+        [(n,) for n in (1, 2, 15, 16, 17, 31, 32, 33, 63, 64, 65, 99)],
+        "n int",
+    )
+    cap = F.greatest(
+        F.lit(16), F.pow(F.lit(2), F.length(F.bin(F.col("n") - 1))).cast("long")
+    )
+    got = {r["n"]: r["cap"] for r in df.select("n", cap.alias("cap")).collect()}
+    expected = {
+        1: 16, 2: 16, 15: 16, 16: 16, 17: 32, 31: 32, 32: 32,
+        33: 64, 63: 64, 64: 64, 65: 128, 99: 128,
+    }
+    assert got == expected
+
+
+def test_length_buckets_account_for_every_document(spark, sf_dir, duck):
+    rows = _run(spark, sf_dir, "pack_length_buckets")
+    n_docs = duck.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["padded_tokens"] == r["bucket_cap"] * r["n_docs"]
+        assert 0.0 <= r["waste_frac"] < 1.0
+        # every doc in the bucket fits under its cap: waste < cap*n
+        assert r["total_tokens"] <= r["padded_tokens"]
+
+
+def test_domain_cap_keeps_exactly_the_longest(spark, sf_dir, duck):
+    rows = _run(spark, sf_dir, "sample_domain_cap")
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
+        assert r["n_kept"] <= 10
+        if r["n_dropped"] > 0:
+            # kept set = the longest 10: its minimum length must be >=
+            # the maximum dropped length (rank orders by n_chars desc).
+            lo_kept, hi_drop = duck.sql(
+                f"""
+                WITH ranked AS (
+                    SELECT n_chars, row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY n_chars DESC, doc_id) AS rk
+                    FROM documents WHERE source = '{r["source"]}'
+                )
+                SELECT (SELECT MIN(n_chars) FROM ranked WHERE rk <= 10),
+                       (SELECT MAX(n_chars) FROM ranked WHERE rk > 10)
+                """
+            ).fetchone()
+            assert lo_kept >= hi_drop
+
+
+def test_shuffle_order_positions_are_dense_and_key_sorted(spark, sf_dir):
+    rows = _run(spark, sf_dir, "shuffle_training_order")
+    assert [r["position"] for r in rows] == list(range(1, len(rows) + 1))
+    keys = [(r["shuffle_key"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    # A seeded hash order must not accidentally be the ingest order.
+    assert [r["doc_id"] for r in rows] != sorted(r["doc_id"] for r in rows)
+
+
+def test_cms_never_underestimates_and_depth_tightens(spark, sf_dir):
+    rows = _run(spark, sf_dir, "agg_cms_heavy_hitters")
+    assert len(rows) == 10
+    for r in rows:
+        assert r["never_underestimates"] is True
+        assert r["cms_est"] >= r["exact_cnt"]
+
+
+def test_watermark_drop_counts_are_monotone(spark, sf_dir):
+    rows = _run(spark, sf_dir, "watermark_lateness_profile")
+    assert rows
+    for r in rows:
+        assert (
+            r["dropped_at_1h"] <= r["dropped_at_10m"] <= r["dropped_at_1m"]
+        )
+        assert 0 <= r["dropped_at_1m"] <= r["n_events"]
+        assert r["max_late_us"] >= 0
+
+
+def test_winsorized_mean_is_clamped_and_bounded(spark, sf_dir):
+    rows = _run(spark, sf_dir, "agg_winsorized_mean")
+    assert rows
+    n_clamped = 0
+    for r in rows:
+        assert r["lo_bound"] <= r["mean_winsorized"] <= r["hi_bound"]
+        n_clamped += r["n_clamped_low"] + r["n_clamped_high"]
+    # The 1/8 and 7/8 bounds must actually clamp ~2/8 of rows globally.
+    total = sum(r["n_rows"] for r in rows)
+    assert 0 < n_clamped < total
+    assert abs(n_clamped / total - 0.25) < 0.05
+
+
+def test_dq_suite_reports_both_outcomes(spark, sf_dir):
+    rows = {r["expectation"]: r for r in _run(spark, sf_dir, "dq_expectations")}
+    assert rows["l_orderkey_fk_orders"]["passed"] is True
+    # The corpus genuinely violates this contract — the suite must say so.
+    bad = rows["l_shipdate_after_orderdate"]
+    assert bad["passed"] is False and bad["n_violations"] > 0
+    for r in rows.values():
+        assert 0 <= r["n_violations"] <= r["n_checked"]
+        assert r["passed"] == (r["n_violations"] == 0)
+
+
+def test_erasure_certificate_holds_and_purge_is_nonvacuous(spark, sf_dir):
+    rows = _run(spark, sf_dir, "gdpr_user_erasure")
+    assert rows
+    assert all(r["clean_after_purge"] is True for r in rows)
+    assert sum(r["n_purged"] for r in rows) > 0
+
+
+def test_bpe_encode_actually_compresses(spark, sf_dir):
+    rows = _run(spark, sf_dir, "bpe_apply_encode")
+    assert rows
+    for r in rows:
+        assert r["tokens_bpe"] < r["tokens_char"]
+        assert r["tokens_saved"] == r["tokens_char"] - r["tokens_bpe"]
+
+
+def test_search_results_contain_all_terms(spark, sf_dir, duck):
+    rows = _run(spark, sf_dir, "search_keyword_topk")
+    assert rows
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    ids = tuple(int(r["doc_id"]) for r in rows)
+    n_bad = duck.sql(
+        f"""
+        SELECT COUNT(*) FROM documents
+        WHERE doc_id IN {ids}
+          AND NOT (text LIKE '%window%' AND text LIKE '%merge%')
+        """
+    ).fetchone()[0]
+    assert n_bad == 0
