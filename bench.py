@@ -130,6 +130,7 @@ HEADLINE = [
     "observe_inflight_metrics",
     "seasonality_weekday_index",
     "gdpr_user_erasure",
+    "source_python_datasource",
 ]
 
 
