@@ -56,6 +56,38 @@ def _register(spark: SparkSession) -> None:
                 # Integer-only derivation → bit-replayable in SQL.
                 yield (i, i % _BUCKETS, ((i * _MULT) % 1000) / 100.0)
 
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class SeededFeedStreamReader(SimpleDataSourceStreamReader):
+        """Micro-batch tail of the same feed: offsets are plain row
+        indices, so restart/replay semantics are exact — readBetweenOffsets
+        re-derives any committed range bit-identically (the idempotent
+        re-delivery contract the raw-zone file cache implements for the
+        HTTP source, here provided by the first-class streaming API)."""
+
+        def __init__(self, options):
+            self.n = int(options.get("n", _N_ROWS))
+            self.batch = int(options.get("batch_rows", 10_000))
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def _rows(self, lo: int, hi: int):
+            # A LIST, not a generator: the engine's prefetch cache
+            # copy.copy()s the returned iterator when planning partitions.
+            return [
+                (i, i % _BUCKETS, ((i * _MULT) % 1000) / 100.0)
+                for i in range(lo, hi)
+            ]
+
+        def read(self, start):
+            lo = int(start["i"])
+            hi = min(lo + self.batch, self.n)
+            return self._rows(lo, hi), {"i": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(int(start["i"]), int(end["i"]))
+
     class SeededFeedSource(DataSource):
         @classmethod
         def name(cls):
@@ -66,6 +98,9 @@ def _register(spark: SparkSession) -> None:
 
         def reader(self, schema):
             return SeededFeedReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return SeededFeedStreamReader(self.options)
 
     try:
         spark.dataSource.register(SeededFeedSource)
