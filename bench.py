@@ -131,6 +131,7 @@ HEADLINE = [
     "seasonality_weekday_index",
     "gdpr_user_erasure",
     "source_python_datasource",
+    "udtf_lateral_ngrams",
 ]
 
 

@@ -268,3 +268,64 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(c.groupBy("c_user_id"))
         .applyInPandas(_asof_per_user, _COGROUP_SCHEMA)
     )
+
+
+# --------------------------------------------------------------------------
+# X20e — Python UDTF (table function) driven through a LATERAL join
+# --------------------------------------------------------------------------
+
+_UDTF_ORACLE = """
+WITH grams AS (
+    SELECT d.source,
+           arr[i.i] || ' ' || arr[i.i + 1] || ' ' || arr[i.i + 2] AS trigram
+    FROM (SELECT source, string_split(text, ' ') AS arr FROM documents) d,
+         unnest(generate_series(1, len(arr) - 2)) AS i(i)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                 AS n_trigrams,
+       CAST(COUNT(DISTINCT trigram) AS BIGINT)  AS n_unique_trigrams
+FROM grams
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("udtf_lateral_ngrams", oracle=_UDTF_ORACLE)
+def udtf_lateral_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 `@udtf`) correlated through a SQL LATERAL
+    join: each document row fans out to its word trigrams via a
+    user-defined TABLE function — the row-to-rows shape (one input, a
+    data-dependent number of outputs) that scalar UDFs cannot express
+    and that predates-Spark-3.4 code faked with explode-over-udf-array.
+    Per source: trigram occurrences and distinct trigrams.
+
+    Scale shape: the UDTF evaluates per-partition (no shuffle to reach
+    it; the LATERAL correlation is row-local), then one partial-
+    aggregated shuffle lands the per-source counts. The plan carries a
+    Python evaluation node by DESIGN — this is the one query whose
+    point is the Python table-function surface; every narrow transform
+    around it stays codegen. The oracle replays the fan-out with pure
+    SQL unnest, proving the UDTF's row multiplication is exact.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="trigram: string")
+    class Trigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for j in range(len(toks) - 2):
+                yield (" ".join(toks[j : j + 3]),)
+
+    spark.udtf.register("trigrams_udtf", Trigrams)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT source,
+               COUNT(*)               AS n_trigrams,
+               COUNT(DISTINCT trigram) AS n_unique_trigrams
+        FROM udtf_docs_v, LATERAL trigrams_udtf(text)
+        GROUP BY source
+        ORDER BY source
+        """
+    )

@@ -78,6 +78,7 @@ TWO_SF_CASES = [
     "observe_inflight_metrics",
     "seasonality_weekday_index",
     "gdpr_user_erasure",
+    "udtf_lateral_ngrams",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
