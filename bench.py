@@ -132,6 +132,8 @@ HEADLINE = [
     "gdpr_user_erasure",
     "source_python_datasource",
     "udtf_lateral_ngrams",
+    "agg_corr_matrix",
+    "ab_test_proportions",
 ]
 
 

@@ -205,3 +205,157 @@ def chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("contrib_micro") / 1e6).cast("double").alias("chi2_contrib"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Correlation matrix — all measure pairs in ONE pass
+# --------------------------------------------------------------------------
+
+_CORR_VARS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    rows = []
+    for i, a in enumerate(_CORR_VARS):
+        for b in _CORR_VARS[i + 1 :]:
+            rows.append(
+                f"SELECT '{a}' AS var_a, '{b}' AS var_b,"
+                f" CAST(round(corr({a}, {b}), 6) AS DOUBLE) AS corr"
+                f" FROM lineitem"
+            )
+    return "\nUNION ALL\n".join(rows)
+
+
+@query("agg_corr_matrix", oracle=_corr_oracle())
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of all four lineitem measures — the
+    multivariate screen run before any modeling on warehouse columns.
+    All 6 pairs compute in ONE partial-aggregated pass (co-moment
+    aggregates are a monoid, so adding pairs adds agg expressions, not
+    scans), then an in-row unpivot emits the (var_a, var_b, corr)
+    triangle. Rounded to 6 dp — the agg_regression device: co-moment
+    merge order differs across engines in the last ulps.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    names = []
+    for i, a in enumerate(_CORR_VARS):
+        for b in _CORR_VARS[i + 1 :]:
+            names.append((a, b))
+            aggs.append(F.round(F.corr(a, b), 6).alias(f"c{len(names)}"))
+    one = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("var_a"),
+                F.lit(b).alias("var_b"),
+                F.col(f"c{i + 1}").cast("double").alias("corr"),
+            )
+            for i, (a, b) in enumerate(names)
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout — two-proportion z-test on a hash-assigned split
+# --------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH assigned AS (
+    SELECT user_id,
+           ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM events
+    GROUP BY 1
+),
+arms AS (
+    SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+               AS conv_a,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+               AS conv_b
+    FROM assigned
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(CAST(conv_a AS DOUBLE) / n_a AS DOUBLE) AS rate_a,
+       CAST(CAST(conv_b AS DOUBLE) / n_b AS DOUBLE) AS rate_b,
+       CAST(round(
+           (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+           / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b)), 6) AS DOUBLE) AS z_score
+FROM arms
+"""
+
+
+@query("ab_test_proportions", oracle=_AB_ORACLE)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users hash-assigned to arms A/B
+    (md5('ab:'||user_id) mod 2 — the sample_hash_split device, so
+    assignment is reproducible and join-free), per-user conversion =
+    any purchase event, and the two-proportion z-statistic comparing
+    arms. This is the query every experimentation platform materializes
+    per metric per day.
+
+    Scale shape: one user_id shuffle produces per-user (arm, converted)
+    — conversion folds map-side via MAX — then the arm totals reduce to
+    a single row; the z-score is a handful of IEEE ops over exact
+    integers, rounded 6 dp (the co-moment discipline) because sqrt's
+    argument assembles differently-ordered sums across engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    assigned = ev.groupBy("user_id").agg(
+        F.first(arm).alias("arm"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted"),
+    )
+    arms = assigned.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = F.round(
+        (rate_a - rate_b)
+        / F.sqrt(
+            p_pool
+            * (1.0 - p_pool)
+            * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        ),
+        6,
+    )
+    return arms.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        rate_a.cast("double").alias("rate_a"),
+        rate_b.cast("double").alias("rate_b"),
+        z.cast("double").alias("z_score"),
+    )

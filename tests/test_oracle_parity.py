@@ -79,6 +79,8 @@ TWO_SF_CASES = [
     "seasonality_weekday_index",
     "gdpr_user_erasure",
     "udtf_lateral_ngrams",
+    "agg_corr_matrix",
+    "ab_test_proportions",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
