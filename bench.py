@@ -134,6 +134,7 @@ HEADLINE = [
     "udtf_lateral_ngrams",
     "agg_corr_matrix",
     "ab_test_proportions",
+    "schema_evolution_merge",
 ]
 
 

@@ -69,6 +69,7 @@ def load_all() -> None:
         dedup,
         dq,
         graph,
+        lakehouse,
         multimodal,
         observe,
         packing,

@@ -81,6 +81,7 @@ TWO_SF_CASES = [
     "udtf_lateral_ngrams",
     "agg_corr_matrix",
     "ab_test_proportions",
+    "schema_evolution_merge",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
