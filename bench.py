@@ -135,6 +135,7 @@ HEADLINE = [
     "agg_corr_matrix",
     "ab_test_proportions",
     "schema_evolution_merge",
+    "pipeline_curation_funnel",
 ]
 
 

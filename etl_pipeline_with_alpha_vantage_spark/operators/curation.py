@@ -366,3 +366,133 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 agg_cms_heavy_hitters.__doc__ = agg_cms_heavy_hitters.__doc__.format(
     d=_CMS_DEPTH, w=_CMS_WIDTH, k=_CMS_TOPK
 )
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation funnel — dedup → domain cap → quality, one pass
+# --------------------------------------------------------------------------
+
+_FUNNEL_CAP = 10
+_FUNNEL_MIN_TOKENS = 20
+_FUNNEL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))"
+
+_FUNNEL_ORACLE = f"""
+WITH flagged AS (
+    SELECT doc_id, source, n_chars,
+           len(string_split(text, ' ')) AS toks,
+           CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5({_FUNNEL_NORM}))
+                THEN 1 ELSE 0 END AS keep_dedup
+    FROM documents
+),
+ranked AS (
+    SELECT *,
+           SUM(keep_dedup) OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS surv_rank
+    FROM flagged
+),
+final AS (
+    SELECT toks,
+           keep_dedup,
+           CASE WHEN keep_dedup = 1 AND surv_rank <= {_FUNNEL_CAP}
+                THEN 1 ELSE 0 END AS keep_cap,
+           CASE WHEN keep_dedup = 1 AND surv_rank <= {_FUNNEL_CAP}
+                     AND toks >= {_FUNNEL_MIN_TOKENS}
+                THEN 1 ELSE 0 END AS keep_quality
+    FROM ranked
+)
+SELECT 1 AS stage_id, 'raw' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS n_tokens FROM final
+UNION ALL
+SELECT 2, 'dedup_normhash', CAST(SUM(keep_dedup) AS BIGINT),
+       CAST(SUM(keep_dedup * toks) AS BIGINT) FROM final
+UNION ALL
+SELECT 3, 'domain_cap', CAST(SUM(keep_cap) AS BIGINT),
+       CAST(SUM(keep_cap * toks) AS BIGINT) FROM final
+UNION ALL
+SELECT 4, 'quality_min_tokens', CAST(SUM(keep_quality) AS BIGINT),
+       CAST(SUM(keep_quality * toks) AS BIGINT) FROM final
+ORDER BY stage_id
+"""
+
+
+@query("pipeline_curation_funnel", oracle=_FUNNEL_ORACLE)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation chain as ONE funnel with per-stage yield:
+    raw → exact (normalized-hash) dedup → per-domain cap → minimum
+    token quality gate, reporting surviving documents and tokens at
+    every stage — the yield report a training-data run publishes.
+
+    Composition device: stages chain as FLAGS in one pipeline instead
+    of materialized intermediates. The domain-cap rank among dedup
+    SURVIVORS needs no second filtered pass: a running SUM(keep_dedup)
+    over the (source, length-desc) window IS the survivor rank at
+    survivor rows. Two window shuffles (hash key, then source) plus an
+    in-row unpivot of one aggregate row; the corpus is scanned once.
+    """
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " ")
+    )
+    toks = F.size(F.split("text", " "))
+    flagged = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        toks.alias("toks"),
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy(F.md5(norm)))
+        )
+        .cast("int")
+        .alias("keep_dedup"),
+    )
+    surv_rank = F.sum("keep_dedup").over(
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    final = flagged.select(
+        "toks",
+        "keep_dedup",
+        (
+            (F.col("keep_dedup") == 1) & (surv_rank <= _FUNNEL_CAP)
+        )
+        .cast("int")
+        .alias("keep_cap"),
+    ).withColumn(
+        "keep_quality",
+        (
+            (F.col("keep_cap") == 1)
+            & (F.col("toks") >= _FUNNEL_MIN_TOKENS)
+        ).cast("int"),
+    )
+    one = final.agg(
+        F.count(F.lit(1)).alias("d1"),
+        F.sum("toks").alias("t1"),
+        F.sum("keep_dedup").alias("d2"),
+        F.sum(F.col("keep_dedup") * F.col("toks")).alias("t2"),
+        F.sum("keep_cap").alias("d3"),
+        F.sum(F.col("keep_cap") * F.col("toks")).alias("t3"),
+        F.sum("keep_quality").alias("d4"),
+        F.sum(F.col("keep_quality") * F.col("toks")).alias("t4"),
+    )
+    stages = ["raw", "dedup_normhash", "domain_cap", "quality_min_tokens"]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage_id"),
+                F.lit(s).alias("stage"),
+                F.col(f"d{i + 1}").cast("long").alias("n_docs"),
+                F.col(f"t{i + 1}").cast("long").alias("n_tokens"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("stage_id")
+    )

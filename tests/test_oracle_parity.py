@@ -82,6 +82,7 @@ TWO_SF_CASES = [
     "agg_corr_matrix",
     "ab_test_proportions",
     "schema_evolution_merge",
+    "pipeline_curation_funnel",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
