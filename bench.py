@@ -136,6 +136,7 @@ HEADLINE = [
     "ab_test_proportions",
     "schema_evolution_merge",
     "pipeline_curation_funnel",
+    "path_trigram_top",
 ]
 
 

@@ -1886,3 +1886,64 @@ def seasonality_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "weekday")
     )
+
+
+# --------------------------------------------------------------------------
+# Behavioral path mining — top event-type trigram paths
+# --------------------------------------------------------------------------
+
+_PATH_TOPK = 10
+
+_PATH_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+       CAST(COUNT(*) AS BIGINT)                 AS n_occurrences,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT)  AS n_users
+FROM seq
+WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n_occurrences DESC, path
+LIMIT {_PATH_TOPK}
+"""
+
+
+@query("path_trigram_top", oracle=_PATH_ORACLE)
+def path_trigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining one order up from event_transitions: the most common
+    3-step behavioral sequences (event → next → next) across user
+    timelines, with occurrence and distinct-user counts — the query
+    behind "how do users actually reach purchase" funnel discovery.
+
+    Scale shape: the two lead() offsets ride ONE user_id sort window
+    (no self-joins — a 3-way sequence join would shuffle the fact
+    twice more), paths collapse map-side onto at most |types|³ rows,
+    and the top-k is TakeOrderedAndProject. Deterministic sequence
+    order via (ts, event_id) and a path-string tie-break.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path"),
+            "user_id",
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(_PATH_TOPK)
+    )

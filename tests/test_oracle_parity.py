@@ -83,6 +83,7 @@ TWO_SF_CASES = [
     "ab_test_proportions",
     "schema_evolution_merge",
     "pipeline_curation_funnel",
+    "path_trigram_top",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
