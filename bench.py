@@ -137,6 +137,8 @@ HEADLINE = [
     "schema_evolution_merge",
     "pipeline_curation_funnel",
     "path_trigram_top",
+    "ohlc_resample_bars",
+    "join_bloom_semi",
 ]
 
 

@@ -1947,3 +1947,87 @@ def path_trigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "path")
         .limit(_PATH_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# OHLC bar resampling — the reference's financial domain, warehouse-scale
+# --------------------------------------------------------------------------
+
+_OHLC_BUCKET_MIN = 10
+
+_OHLC_ORACLE = f"""
+WITH pricked AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / ({_OHLC_BUCKET_MIN} * 60000000))
+                AS BIGINT) AS bar,
+           event_id,
+           epoch_us(ts) AS t_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY event_type, bar
+                              ORDER BY t_us, event_id) AS rn_first,
+           row_number() OVER (PARTITION BY event_type, bar
+                              ORDER BY t_us DESC, event_id DESC) AS rn_last
+    FROM pricked
+)
+SELECT event_type, bar,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       CAST(MAX(CASE WHEN rn_first = 1 THEN cents END) / 100.0 AS DOUBLE)
+           AS open,
+       CAST(MAX(cents) / 100.0 AS DOUBLE) AS high,
+       CAST(MIN(cents) / 100.0 AS DOUBLE) AS low,
+       CAST(MAX(CASE WHEN rn_last = 1 THEN cents END) / 100.0 AS DOUBLE)
+           AS close,
+       CAST(SUM(cents) / 100.0 AS DOUBLE) AS volume_value
+FROM ranked
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("ohlc_resample_bars", oracle=_OHLC_ORACLE)
+def ohlc_resample_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLCV bar resampling — the reference's own domain (daily OHLCV
+    candles, `/root/reference/etl.py`) generalized to arbitrary-interval
+    bars at warehouse scale: per (event_type, {m}-minute bucket), the
+    open/high/low/close of `value` plus tick count and summed volume.
+
+    Scale shape: ONE partial-aggregated shuffle — open/close are
+    max_by/min_by against a collapsed integer ordering key
+    (micros×10⁷+event_id, unique and overflow-safe), so no sort window
+    and no per-bar first/last scan; high/low/volume ride the same agg.
+    Integer-cent prices make every bar engine-exact. This is the shape
+    a tick store materializes continuously (the streaming twin is
+    stream_tumbling with these aggregates).
+    """
+    ev = table(spark, sf_dir, "events")
+    bar = F.floor(
+        F.unix_micros("ts") / (_OHLC_BUCKET_MIN * 60_000_000)
+    ).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    pricked = ev.select(
+        "event_type",
+        bar.alias("bar"),
+        cents.alias("cents"),
+        F.struct(F.unix_micros("ts").alias("t"), "event_id").alias("okey"),
+    )
+    return (
+        pricked.groupBy("event_type", "bar")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            (F.min_by("cents", "okey") / 100.0).cast("double").alias("open"),
+            (F.max("cents") / 100.0).cast("double").alias("high"),
+            (F.min("cents") / 100.0).cast("double").alias("low"),
+            (F.max_by("cents", "okey") / 100.0).cast("double").alias("close"),
+            (F.sum("cents") / 100.0).cast("double").alias("volume_value"),
+        )
+        .orderBy("event_type", "bar")
+    )
+
+
+ohlc_resample_bars.__doc__ = ohlc_resample_bars.__doc__.format(
+    m=_OHLC_BUCKET_MIN
+)

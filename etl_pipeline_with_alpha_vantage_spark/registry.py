@@ -65,6 +65,7 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         agg_ext,
         asof,
+        bloom,
         curation,
         dedup,
         dq,

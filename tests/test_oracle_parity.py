@@ -84,6 +84,8 @@ TWO_SF_CASES = [
     "schema_evolution_merge",
     "pipeline_curation_funnel",
     "path_trigram_top",
+    "ohlc_resample_bars",
+    "join_bloom_semi",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",

@@ -49,10 +49,18 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    # Deliberately NOT get_spark(): mimic the driver's own session.
+    # Deliberately NOT get_spark(): mimic the driver's own session — the
+    # bareness that matters is SQL semantics (ANSI, timezone, shuffle
+    # partitions, parquet confs), which stay at their defaults. Driver
+    # HEAP is process capacity, not semantics: a 200-query sweep
+    # accumulates localCheckpoint blocks faster than the ContextCleaner
+    # reclaims them, and the 1g default OOMs mid-sweep at sf0.1
+    # (observed at graph_triangles, query #74 of 201). Size it like any
+    # real driver would be.
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
         .appName("verify-bare")
+        .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -76,7 +84,13 @@ def main() -> int:
     n_pass = n_rows_only = 0
     failures: list[tuple[str, str]] = []
 
-    for name in names:
+    for qi, name in enumerate(names):
+        if qi and qi % 25 == 0:
+            # Nudge the ContextCleaner: drop dangling cached/checkpointed
+            # blocks from earlier queries so heap use stays flat across
+            # the sweep instead of compounding.
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
         try:
             sdf = queries[name](spark, sf_dir)
             spark_cols = [c.lower() for c in sdf.columns]
