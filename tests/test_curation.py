@@ -153,3 +153,47 @@ def test_search_results_contain_all_terms(spark, sf_dir, duck):
         """
     ).fetchone()[0]
     assert n_bad == 0
+
+
+def test_ohlc_bars_are_internally_consistent(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ohlc_resample_bars")
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_ticks"] >= 1
+        if r["n_ticks"] == 1:
+            assert r["open"] == r["close"] == r["high"] == r["low"]
+
+
+def test_bloom_verdicts_partition_and_never_miss(spark, sf_dir):
+    r = _run(spark, sf_dir, "join_bloom_semi")[0]
+    assert r["no_false_negatives"] is True
+    assert r["n_definitely_out"] + r["n_maybe"] == r["n_probed"]
+    # maybe = members + false positives (one-sided error, both ways)
+    assert r["n_maybe"] == r["n_members"] + r["n_false_positives"]
+    assert r["n_members"] > 0
+
+
+def test_curation_funnel_is_monotone(spark, sf_dir):
+    rows = sorted(
+        _run(spark, sf_dir, "pipeline_curation_funnel"),
+        key=lambda r: r["stage_id"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "raw", "dedup_normhash", "domain_cap", "quality_min_tokens",
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs"] <= a["n_docs"]
+        assert b["n_tokens"] <= a["n_tokens"]
+    assert rows[-1]["n_docs"] > 0
+
+
+def test_path_trigrams_are_ranked_and_bounded(spark, sf_dir):
+    rows = _run(spark, sf_dir, "path_trigram_top")
+    assert 0 < len(rows) <= 10
+    counts = [r["n_occurrences"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r["path"].count(" > ") == 2
+        assert 1 <= r["n_users"] <= r["n_occurrences"]
