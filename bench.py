@@ -139,6 +139,7 @@ HEADLINE = [
     "path_trigram_top",
     "ohlc_resample_bars",
     "join_bloom_semi",
+    "rollup_delta_maintenance",
 ]
 
 

@@ -2031,3 +2031,120 @@ def ohlc_resample_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 ohlc_resample_bars.__doc__ = ohlc_resample_bars.__doc__.format(
     m=_OHLC_BUCKET_MIN
 )
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance — merge a delta batch into a standing rollup
+# --------------------------------------------------------------------------
+
+_IVM_CUTOFF = "2024-01-11 00:00:00"
+
+_IVM_ORACLE = f"""
+WITH base AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS hwm_us
+    FROM events WHERE ts <= TIMESTAMP '{_IVM_CUTOFF}' GROUP BY 1
+),
+delta AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS hwm_us
+    FROM events WHERE ts > TIMESTAMP '{_IVM_CUTOFF}' GROUP BY 1
+),
+merged AS (
+    SELECT COALESCE(b.event_type, d.event_type) AS event_type,
+           COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n,
+           COALESCE(b.cents, 0) + COALESCE(d.cents, 0) AS cents,
+           GREATEST(COALESCE(b.hwm_us, 0), COALESCE(d.hwm_us, 0)) AS hwm_us
+    FROM base b FULL OUTER JOIN delta d ON d.event_type = b.event_type
+),
+full_recompute AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS hwm_us
+    FROM events GROUP BY 1
+)
+SELECT m.event_type,
+       m.n AS n_events,
+       CAST(m.cents / 100.0 AS DOUBLE) AS value_total,
+       m.hwm_us AS high_watermark_us,
+       (m.n = f.n AND m.cents = f.cents AND m.hwm_us = f.hwm_us)
+           AS matches_full_recompute
+FROM merged m JOIN full_recompute f USING (event_type)
+ORDER BY event_type
+"""
+
+
+@query("rollup_delta_maintenance", oracle=_IVM_ORACLE)
+def rollup_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance made explicit: a standing per-type
+    rollup (count, exact sum, event-time high-water mark) is updated by
+    MERGING a delta batch's partial aggregate — a full-outer join of
+    two monoid states — and an in-plan certificate proves the merged
+    view equals a from-scratch recompute. This is the contract behind
+    refresh_daily_rollup and every nightly-load pattern: at 100 TB you
+    aggregate the day's delta (pushed ts predicate → only new
+    partitions scanned) and merge O(types) rows; you never rescan
+    history. The recompute branch exists here only as the audit.
+
+    All three states are exact integers (count / cents / max-micros),
+    so merge-vs-recompute equality is bit-level, not approximate —
+    count and sum merge by +, the watermark by MAX, the same
+    commutative-monoid discipline as the HLL and CMS sketch rollups.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("cents"),
+            F.max(F.unix_micros("ts")).alias("hwm_us"),
+        )
+
+    cutoff = F.lit(_IVM_CUTOFF).cast("timestamp")
+    base = state(ev.filter(F.col("ts") <= cutoff))
+    delta = state(ev.filter(F.col("ts") > cutoff))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = (
+        b.join(d, F.col("b.event_type") == F.col("d.event_type"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias(
+                "event_type"
+            ),
+            (
+                F.coalesce(F.col("b.n"), F.lit(0))
+                + F.coalesce(F.col("d.n"), F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce(F.col("b.cents"), F.lit(0))
+                + F.coalesce(F.col("d.cents"), F.lit(0))
+            ).alias("cents"),
+            F.greatest(
+                F.coalesce(F.col("b.hwm_us"), F.lit(0)),
+                F.coalesce(F.col("d.hwm_us"), F.lit(0)),
+            ).alias("hwm_us"),
+        )
+    )
+    full = state(ev).select(
+        F.col("event_type").alias("f_type"),
+        F.col("n").alias("f_n"),
+        F.col("cents").alias("f_cents"),
+        F.col("hwm_us").alias("f_hwm"),
+    )
+    return (
+        merged.join(full, merged.event_type == full.f_type)
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            (F.col("cents") / 100.0).cast("double").alias("value_total"),
+            F.col("hwm_us").alias("high_watermark_us"),
+            (
+                (F.col("n") == F.col("f_n"))
+                & (F.col("cents") == F.col("f_cents"))
+                & (F.col("hwm_us") == F.col("f_hwm"))
+            ).alias("matches_full_recompute"),
+        )
+        .orderBy("event_type")
+    )

@@ -86,6 +86,7 @@ TWO_SF_CASES = [
     "path_trigram_top",
     "ohlc_resample_bars",
     "join_bloom_semi",
+    "rollup_delta_maintenance",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
