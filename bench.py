@@ -140,6 +140,7 @@ HEADLINE = [
     "ohlc_resample_bars",
     "join_bloom_semi",
     "rollup_delta_maintenance",
+    "drift_psi_monitor",
 ]
 
 

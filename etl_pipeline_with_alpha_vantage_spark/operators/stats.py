@@ -359,3 +359,121 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate_b.cast("double").alias("rate_b"),
         z.cast("double").alias("z_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# Population-stability drift monitor (PSI) between two time windows
+# --------------------------------------------------------------------------
+
+_PSI_CUTOFF = "2024-01-11 00:00:00"
+_PSI_BUCKET_CENTS = 2000  # $20 value bands
+_PSI_ALERT = 0.1
+
+_PSI_ORACLE = f"""
+WITH binned AS (
+    SELECT event_type,
+           CAST(round(value * 100) AS BIGINT) // {_PSI_BUCKET_CENTS}
+               AS bucket,
+           CASE WHEN ts <= TIMESTAMP '{_PSI_CUTOFF}' THEN 1 ELSE 0 END
+               AS is_ref
+    FROM events
+),
+cells AS (
+    SELECT event_type, bucket,
+           CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+           CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+    FROM binned GROUP BY 1, 2
+),
+totals AS (
+    SELECT event_type,
+           CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+           CAST(SUM(n_cur) AS BIGINT) AS t_cur,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM cells GROUP BY 1
+),
+contrib AS (
+    SELECT c.event_type, t.t_ref, t.t_cur, t.n_buckets,
+           CAST(round(
+               ((CAST(c.n_ref + 1 AS DOUBLE) / (t.t_ref + t.n_buckets))
+                - (CAST(c.n_cur + 1 AS DOUBLE) / (t.t_cur + t.n_buckets)))
+               * ln((CAST(c.n_ref + 1 AS DOUBLE) / (t.t_ref + t.n_buckets))
+                    / (CAST(c.n_cur + 1 AS DOUBLE) / (t.t_cur + t.n_buckets)))
+               * 1000000000) AS BIGINT) AS psi_nano
+    FROM cells c JOIN totals t USING (event_type)
+)
+SELECT event_type,
+       CAST(MAX(t_ref) AS BIGINT) AS n_ref,
+       CAST(MAX(t_cur) AS BIGINT) AS n_cur,
+       CAST(MAX(n_buckets) AS BIGINT) AS n_buckets,
+       CAST(SUM(psi_nano) / 1000000000.0 AS DOUBLE) AS psi,
+       SUM(psi_nano) > {_PSI_ALERT} * 1000000000 AS drifted
+FROM contrib
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("drift_psi_monitor", oracle=_PSI_ORACLE)
+def drift_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitoring: the Population Stability Index of the
+    value distribution per event type, reference window vs current
+    (split at a cutoff), over $20 bands with add-one smoothing — the
+    screen an ML-ops pipeline runs before trusting a feature again.
+    Flags types whose PSI exceeds the conventional 0.1 alert level.
+
+    Scale shape: ONE partial-aggregated shuffle builds the
+    (type, bucket) cell table with both window counts as conditional
+    sums (no second scan for the second window); totals re-aggregate
+    the dust-sized cells and join back. Cross-engine exactness uses
+    the perplexity-proxy discipline: each bucket's PSI term is rounded
+    to integer NANO-units BEFORE the per-type sum, so the
+    order-sensitive float addition becomes an exact bigint sum; ln()
+    on identical IEEE inputs is bit-identical in both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit(_PSI_CUTOFF).cast("timestamp")
+    binned = ev.select(
+        "event_type",
+        F.floor(
+            F.round(F.col("value") * 100).cast("long") / _PSI_BUCKET_CENTS
+        )
+        .cast("long")
+        .alias("bucket"),
+        (F.col("ts") <= cutoff).cast("int").alias("is_ref"),
+    )
+    cells = binned.groupBy("event_type", "bucket").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).alias("n_cur"),
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    j = cells.join(totals, "event_type")
+    p = (F.col("n_ref") + 1).cast("double") / (
+        F.col("t_ref") + F.col("n_buckets")
+    )
+    q = (F.col("n_cur") + 1).cast("double") / (
+        F.col("t_cur") + F.col("n_buckets")
+    )
+    psi_nano = F.round((p - q) * F.log(p / q) * 1_000_000_000).cast("long")
+    return (
+        j.select(
+            "event_type", "t_ref", "t_cur", "n_buckets",
+            psi_nano.alias("psi_nano"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("t_ref").alias("n_ref"),
+            F.max("t_cur").alias("n_cur"),
+            F.max("n_buckets").alias("n_buckets"),
+            (F.sum("psi_nano") / 1_000_000_000.0)
+            .cast("double")
+            .alias("psi"),
+            (F.sum("psi_nano") > _PSI_ALERT * 1_000_000_000).alias(
+                "drifted"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -87,6 +87,7 @@ TWO_SF_CASES = [
     "ohlc_resample_bars",
     "join_bloom_semi",
     "rollup_delta_maintenance",
+    "drift_psi_monitor",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
