@@ -141,6 +141,7 @@ HEADLINE = [
     "join_bloom_semi",
     "rollup_delta_maintenance",
     "drift_psi_monitor",
+    "stream_ohlc_candles",
 ]
 
 

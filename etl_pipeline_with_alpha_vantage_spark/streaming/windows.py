@@ -453,3 +453,82 @@ def stream_sliding_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unique_users",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# OHLC candles as a streaming-compatible windowed aggregate
+# --------------------------------------------------------------------------
+
+_OHLC_STREAM_ORACLE = """
+WITH pricked AS (
+    SELECT event_type,
+           time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           epoch_us(ts) AS t_us, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY event_type, window_start
+                              ORDER BY t_us, event_id) AS rn_first,
+           row_number() OVER (PARTITION BY event_type, window_start
+                              ORDER BY t_us DESC, event_id DESC) AS rn_last
+    FROM pricked
+)
+SELECT event_type, window_start,
+       window_start + INTERVAL '10 minutes' AS window_end,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       CAST(MAX(CASE WHEN rn_first = 1 THEN cents END) / 100.0 AS DOUBLE)
+           AS open,
+       CAST(MAX(cents) / 100.0 AS DOUBLE) AS high,
+       CAST(MIN(cents) / 100.0 AS DOUBLE) AS low,
+       CAST(MAX(CASE WHEN rn_last = 1 THEN cents END) / 100.0 AS DOUBLE)
+           AS close
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
+def ohlc_candles(events: DataFrame) -> DataFrame:
+    """10-minute OHLC candles per event type — one windowed aggregation
+    whose every function (count / min_by / max_by / min / max) is an
+    incrementally-mergeable aggregate, so the SAME expression runs as a
+    watermark-bounded streaming query (the candle chart a tick feed
+    maintains live) or as a batch hash aggregation. min_by/max_by state
+    is one (value, order-key) pair per open window — bounded by the
+    watermark like every other window state here.
+    """
+    okey = F.struct(F.unix_micros("ts").alias("t"), F.col("event_id"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.groupBy(
+            "event_type", F.window("ts", "10 minutes").alias("win")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            (F.min_by(cents, okey) / 100.0).cast("double").alias("open"),
+            (F.max(cents) / 100.0).cast("double").alias("high"),
+            (F.min(cents) / 100.0).cast("double").alias("low"),
+            (F.max_by(cents, okey) / 100.0).cast("double").alias("close"),
+        )
+        .select(
+            "event_type",
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_ticks",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
+
+
+@query("stream_ohlc_candles", oracle=_OHLC_STREAM_ORACLE)
+def stream_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the live candle maintainer (see ohlc_candles; the
+    true-stream equality is asserted in tests/test_streaming.py). The
+    reference computes daily OHLCV rows once a day from a full refetch —
+    this is the same product maintained incrementally per window with
+    watermark-bounded state."""
+    return ohlc_candles(table(spark, sf_dir, "events"))

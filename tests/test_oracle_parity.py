@@ -88,6 +88,7 @@ TWO_SF_CASES = [
     "join_bloom_semi",
     "rollup_delta_maintenance",
     "drift_psi_monitor",
+    "stream_ohlc_candles",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",

@@ -535,3 +535,26 @@ def test_python_datasource_stream_equals_batch(spark, tmp_path):
     finally:
         if q.isActive:
             q.stop()
+
+
+def test_stream_ohlc_candles_equals_batch(spark, sf_dir, tmp_path):
+    """min_by/max_by must merge correctly as incremental streaming
+    state: the drained candle stream equals the batch twin exactly."""
+    from etl_pipeline_with_alpha_vantage_spark.streaming.windows import (
+        ohlc_candles,
+    )
+
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    run_available_now(
+        ohlc_candles(stream), "ohlc_out", checkpoint_dir=str(tmp_path)
+    )
+    streamed = {
+        (r.event_type, r.window_start, r.n_ticks, r.open, r.high, r.low, r.close)
+        for r in spark.table("ohlc_out").collect()
+    }
+    batch = {
+        (r.event_type, r.window_start, r.n_ticks, r.open, r.high, r.low, r.close)
+        for r in QUERIES["stream_ohlc_candles"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
