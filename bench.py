@@ -142,6 +142,8 @@ HEADLINE = [
     "rollup_delta_maintenance",
     "drift_psi_monitor",
     "stream_ohlc_candles",
+    "text_oov_rate",
+    "dq_fd_discovery",
 ]
 
 

@@ -292,3 +292,94 @@ def gdpr_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency discovery (profiling tier above dq_expectations)
+# --------------------------------------------------------------------------
+
+_FD_ORACLE = """
+WITH checks AS (
+    SELECT 'documents' AS table_name, 'doc_id' AS determinant,
+           'source' AS dependent, doc_id AS k,
+           COUNT(DISTINCT source) AS n_vals
+    FROM documents GROUP BY doc_id
+    UNION ALL
+    SELECT 'documents', 'source', 'lang', hash(source),
+           COUNT(DISTINCT lang)
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT 'orders', 'o_orderkey', 'o_custkey', o_orderkey,
+           COUNT(DISTINCT o_custkey)
+    FROM orders GROUP BY o_orderkey
+    UNION ALL
+    SELECT 'orders', 'o_custkey', 'o_orderpriority', o_custkey,
+           COUNT(DISTINCT o_orderpriority)
+    FROM orders GROUP BY o_custkey
+    UNION ALL
+    SELECT 'lineitem', 'l_orderkey', 'l_returnflag', l_orderkey,
+           COUNT(DISTINCT l_returnflag)
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT table_name, determinant, dependent,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_keys,
+       SUM(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM checks
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def _fd_check(
+    df: DataFrame, tbl: str, det: str, dep: str
+) -> DataFrame:
+    """One candidate FD det→dep: distinct dependent values per
+    determinant key, reduced to violation accounting."""
+    per_key = df.groupBy(det).agg(
+        F.count_distinct(dep).alias("n_vals")
+    )
+    return per_key.agg(
+        F.lit(tbl).alias("table_name"),
+        F.lit(det).alias("determinant"),
+        F.lit(dep).alias("dependent"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("n_vals") > 1).cast("long")).alias(
+            "n_violating_keys"
+        ),
+        (F.sum((F.col("n_vals") > 1).cast("long")) == 0).alias("holds"),
+    )
+
+
+@query("dq_fd_discovery", oracle=_FD_ORACLE)
+def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs —
+    the profiling tier above dq_expectations' fixed contracts: for each
+    candidate det→dep, how many determinant keys map to more than one
+    dependent value. Key-level FDs (doc_id→source, o_orderkey→custkey)
+    hold by construction; behavioral candidates (o_custkey→priority,
+    l_orderkey→returnflag) genuinely fail, so the report exercises both
+    verdicts. A schema tool runs exactly this before proposing
+    normalization or constraints.
+
+    Scale shape: each candidate is one partial-aggregated shuffle on
+    its determinant (COUNT(DISTINCT dep) per key collapses map-side),
+    reduced to a 1-row verdict — candidates add independent dust-sized
+    branches, and the per-key table never reaches the driver.
+    """
+    docs = table(spark, sf_dir, "documents")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    parts = [
+        _fd_check(docs, "documents", "doc_id", "source"),
+        _fd_check(docs, "documents", "source", "lang"),
+        _fd_check(orders, "orders", "o_orderkey", "o_custkey"),
+        _fd_check(orders, "orders", "o_custkey", "o_orderpriority"),
+        _fd_check(li, "lineitem", "l_orderkey", "l_returnflag"),
+    ]
+    from functools import reduce as _reduce
+
+    return _reduce(DataFrame.unionByName, parts).orderBy(
+        "table_name", "determinant", "dependent"
+    )

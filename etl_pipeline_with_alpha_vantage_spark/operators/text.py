@@ -1041,3 +1041,83 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("nll_units").cast("double") / F.count(F.lit(1)) / 1_000_000.0)
         .alias("mean_nll"),
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate — tokenizer diagnostics per source
+# --------------------------------------------------------------------------
+
+_VOCAB_TOPK = 100
+
+_OOV_ORACLE = f"""
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+    SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1
+        ORDER BY c DESC, tok LIMIT {_VOCAB_TOPK}
+    )
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       CAST(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS DOUBLE) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+GROUP BY t.source
+ORDER BY t.source
+"""
+
+
+@query("text_oov_rate", oracle=_OOV_ORACLE)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage diagnostics: with a fixed top-{k} corpus
+    vocabulary (frequency-ranked, deterministic tie-break), the
+    out-of-vocabulary token rate per source — the number a tokenizer
+    owner watches to size the vocabulary and spot sources the
+    vocabulary underserves.
+
+    Scale shape: the vocabulary is a TakeOrdered top-{k} over one
+    token aggregation, then a broadcast left join tags every token
+    occurrence (vocab is dimension-sized by construction, so the tag
+    join never shuffles the token stream); per-source accounting folds
+    map-side. The OOV rate is one IEEE division of exact counts.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(_VOCAB_TOPK)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    tagged = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_covered"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+            (
+                F.sum(
+                    F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).cast("double").alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+text_oov_rate.__doc__ = text_oov_rate.__doc__.format(k=_VOCAB_TOPK)

@@ -89,6 +89,8 @@ TWO_SF_CASES = [
     "rollup_delta_maintenance",
     "drift_psi_monitor",
     "stream_ohlc_candles",
+    "text_oov_rate",
+    "dq_fd_discovery",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
