@@ -144,6 +144,7 @@ HEADLINE = [
     "stream_ohlc_candles",
     "text_oov_rate",
     "dq_fd_discovery",
+    "embedding_class_scatter",
 ]
 
 

@@ -988,3 +988,110 @@ def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nano") / 1e9).cast("double").alias("ip"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-class embedding scatter — labeled-dataset health report
+# --------------------------------------------------------------------------
+
+_SCATTER_SCALE = 100_000  # 1e5: float32 inputs < 1.0, so e <= ~1e5;
+# e^2 <= ~1e10 and per-(label,dim) sums clear bigint far past sf1000.
+
+_SCATTER_ORACLE = f"""
+WITH elems AS (
+    SELECT label, i.i AS dim,
+           CAST(round(embedding[i.i] * {_SCATTER_SCALE}) AS BIGINT) AS e
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS i(i)
+),
+cells AS (
+    SELECT label, dim,
+           CAST(SUM(e) AS BIGINT) AS s,
+           CAST(SUM(e * e) AS BIGINT) AS q,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM elems GROUP BY 1, 2
+),
+contrib AS (
+    SELECT label, n,
+           CAST(round((q - CAST(s AS DOUBLE) * s / n) * 1000000
+                      / ({_SCATTER_SCALE} * {_SCATTER_SCALE}.0))
+                AS BIGINT) AS scatter_micro
+    FROM cells
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(MAX(n) AS BIGINT) AS n_vecs,
+       CAST(SUM(scatter_micro) / 1000000.0 AS DOUBLE)
+           AS within_class_scatter,
+       CAST(SUM(scatter_micro) / 1000000.0 / MAX(n) AS DOUBLE)
+           AS avg_scatter
+FROM contrib
+GROUP BY label
+ORDER BY label
+"""
+
+
+@query("embedding_class_scatter", oracle=_SCATTER_ORACLE)
+def embedding_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-embedding-dataset health: the within-class scatter
+    (sum of squared deviations from the class centroid) per label,
+    computed WITHOUT materializing a centroid or a second pass —
+    Σ‖x−c‖² = Σ_d (Q_d − S_d²/n) from per-(label,dim) running sums
+    S and Q, the one-pass variance identity distributed over dims.
+    A collapsing class (scatter → 0) or an exploding one stands out
+    immediately; this is the screen run before trusting labels for
+    class-balanced sampling or semantic dedup thresholds.
+
+    Scale shape: posexplode → ONE partial-aggregated shuffle onto
+    O(labels × dims) cells; everything after operates on that
+    dust-sized table. Exactness: elements scale to 1e5-unit integers
+    (S, Q exact bigints safe past sf1000 — bound documented above);
+    each dim's scatter term does its two IEEE ops then rounds to
+    micro-units BEFORE the cross-dim sum (the PSI/perplexity
+    discipline), so float addition order never leaks into the hash.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("x") * _SCATTER_SCALE).cast("long").alias("e"),
+    )
+    cells = elems.groupBy("label", "dim").agg(
+        F.sum("e").alias("s"),
+        F.sum(F.col("e") * F.col("e")).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    contrib = cells.select(
+        "label",
+        "n",
+        F.round(
+            (
+                F.col("q")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+            * 1_000_000
+            / (_SCATTER_SCALE * float(_SCATTER_SCALE))
+        )
+        .cast("long")
+        .alias("scatter_micro"),
+    )
+    return (
+        contrib.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            (F.sum("scatter_micro") / 1_000_000.0)
+            .cast("double")
+            .alias("within_class_scatter"),
+            (F.sum("scatter_micro") / 1_000_000.0 / F.max("n"))
+            .cast("double")
+            .alias("avg_scatter"),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_vecs",
+            "within_class_scatter",
+            "avg_scatter",
+        )
+        .orderBy("label")
+    )

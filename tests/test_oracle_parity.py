@@ -91,6 +91,7 @@ TWO_SF_CASES = [
     "stream_ohlc_candles",
     "text_oov_rate",
     "dq_fd_discovery",
+    "embedding_class_scatter",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
