@@ -145,6 +145,8 @@ HEADLINE = [
     "text_oov_rate",
     "dq_fd_discovery",
     "embedding_class_scatter",
+    "embedding_fisher_ratio",
+    "text_quality_model",
 ]
 
 

@@ -1095,3 +1095,138 @@ def embedding_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Class separability — between-class scatter and Fisher-style ratio
+# --------------------------------------------------------------------------
+
+_FISHER_ORACLE = f"""
+WITH elems AS (
+    SELECT label, i.i AS dim,
+           CAST(round(embedding[i.i] * {_SCATTER_SCALE}) AS BIGINT) AS e
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS i(i)
+),
+cells AS (
+    SELECT label, dim,
+           CAST(SUM(e) AS BIGINT) AS s,
+           CAST(SUM(e * e) AS BIGINT) AS q,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM elems GROUP BY 1, 2
+),
+globals AS (
+    SELECT dim, CAST(SUM(s) AS BIGINT) AS gs, CAST(SUM(n) AS BIGINT) AS gn
+    FROM cells GROUP BY 1
+),
+within AS (
+    SELECT label, n,
+           CAST(round((q - CAST(s AS DOUBLE) * s / n) * 1000000
+                      / ({_SCATTER_SCALE} * {_SCATTER_SCALE}.0))
+                AS BIGINT) AS w_micro
+    FROM cells
+),
+between_c AS (
+    SELECT c.label,
+           CAST(round(c.n * (CAST(c.s AS DOUBLE) / c.n
+                             - CAST(g.gs AS DOUBLE) / g.gn)
+                          * (CAST(c.s AS DOUBLE) / c.n
+                             - CAST(g.gs AS DOUBLE) / g.gn) * 1000000
+                      / ({_SCATTER_SCALE} * {_SCATTER_SCALE}.0))
+                AS BIGINT) AS b_micro
+    FROM cells c JOIN globals g USING (dim)
+)
+SELECT CAST(w.label AS INT) AS label,
+       CAST(MAX(w.n) AS BIGINT) AS n_vecs,
+       CAST(SUM(w.w_micro) / 1000000.0 AS DOUBLE) AS within_scatter,
+       CAST(MAX(b.b_total) / 1000000.0 AS DOUBLE) AS between_scatter,
+       CAST(CAST(MAX(b.b_total) AS DOUBLE) / SUM(w.w_micro) AS DOUBLE)
+           AS separability
+FROM within w
+JOIN (SELECT label, CAST(SUM(b_micro) AS BIGINT) AS b_total
+      FROM between_c GROUP BY 1) b USING (label)
+GROUP BY w.label
+ORDER BY label
+"""
+
+
+@query("embedding_fisher_ratio", oracle=_FISHER_ORACLE)
+def embedding_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class separability, the other half of the embedding health
+    report: per label, the BETWEEN-class scatter (n·‖c_label − c_global‖²)
+    against the within-class scatter, and their Fisher-style ratio — a
+    label whose classes overlap in embedding space (ratio → 0) will
+    poison any semantic-dedup threshold or class-balanced sample drawn
+    from it.
+
+    Scale shape: the same labels×dims cell table as
+    embedding_class_scatter; the global centroid re-aggregates the
+    CELLS (never the corpus) and joins back on dim. Exactness: both
+    scatter terms follow the micro-round-before-sum discipline, and
+    the final ratio is one IEEE division of the two exact totals.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("x") * _SCATTER_SCALE).cast("long").alias("e"),
+    )
+    cells = elems.groupBy("label", "dim").agg(
+        F.sum("e").alias("s"),
+        F.sum(F.col("e") * F.col("e")).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    globals_ = cells.groupBy("dim").agg(
+        F.sum("s").alias("gs"), F.sum("n").alias("gn")
+    )
+    scale2 = _SCATTER_SCALE * float(_SCATTER_SCALE)
+    within = cells.select(
+        "label",
+        "n",
+        F.round(
+            (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+            * 1_000_000
+            / scale2
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    diff = (
+        F.col("s").cast("double") / F.col("n")
+        - F.col("gs").cast("double") / F.col("gn")
+    )
+    between = (
+        cells.join(globals_, "dim")
+        .select(
+            "label",
+            F.round(F.col("n") * diff * diff * 1_000_000 / scale2)
+            .cast("long")
+            .alias("b_micro"),
+        )
+        .groupBy("label")
+        .agg(F.sum("b_micro").alias("b_total"))
+    )
+    return (
+        within.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sum("w_micro").alias("w_total"),
+        )
+        .join(between, "label")
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_vecs",
+            (F.col("w_total") / 1_000_000.0)
+            .cast("double")
+            .alias("within_scatter"),
+            (F.col("b_total") / 1_000_000.0)
+            .cast("double")
+            .alias("between_scatter"),
+            (F.col("b_total").cast("double") / F.col("w_total"))
+            .cast("double")
+            .alias("separability"),
+        )
+        .orderBy("label")
+    )

@@ -1121,3 +1121,96 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_oov_rate.__doc__ = text_oov_rate.__doc__.format(k=_VOCAB_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Model-scored quality filtering (fasttext-classifier-shaped pass)
+# --------------------------------------------------------------------------
+
+# Fixed logistic weights: intercept, tokens/100, type-token ratio,
+# mean-word-length/10. Stand-ins for trained classifier weights — the
+# POINT is the scoring/threshold plumbing, which is identical for any
+# linear model over in-row features.
+_QM_W = (-1.5, 0.8, 2.0, 1.1)
+_QM_THRESHOLD = 0.55
+
+_QM_ORACLE = f"""
+WITH feats AS (
+    SELECT source,
+           len(string_split(text, ' ')) AS n_tok,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq,
+           length(text) - (len(string_split(text, ' ')) - 1) AS word_chars
+    FROM documents
+),
+scored AS (
+    SELECT source,
+           CAST(round(
+               1.0 / (1.0 + exp(-({_QM_W[0]}
+                   + {_QM_W[1]} * (CAST(n_tok AS DOUBLE) / 100)
+                   + {_QM_W[2]} * (CAST(n_uniq AS DOUBLE) / n_tok)
+                   + {_QM_W[3]} * (CAST(word_chars AS DOUBLE) / n_tok / 10))))
+               * 1000000) AS BIGINT) AS score_micro
+    FROM feats
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN score_micro > {_QM_THRESHOLD} * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(CAST(SUM(score_micro) AS DOUBLE) / COUNT(*) / 1000000.0
+            AS DOUBLE) AS mean_score
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("text_quality_model", oracle=_QM_ORACLE)
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored quality filtering — the classifier-based pass
+    (fasttext-style) that sits above text_quality's raw heuristics in a
+    real curation stack: in-row features (token count, type-token
+    ratio, mean word length) feed a fixed-weight logistic score, docs
+    pass a keep threshold, and per-source keep counts plus mean score
+    come back. Swapping in trained weights changes nothing structural.
+
+    Scale shape: a zero-shuffle narrow feature+score chain (every
+    feature is in-row expression work — even distinct tokens via
+    array_distinct, no explode), then one partial-aggregated shuffle
+    to per-source rows. Exactness: per-doc scores round to micro-units
+    BEFORE any aggregation (sigmoid's exp is IEEE-identical on
+    shape-identical inputs), so keep flags and mean scores hash-match.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    word_chars = F.length("text") - (n_tok - 1)
+    z = (
+        F.lit(_QM_W[0])
+        + _QM_W[1] * (n_tok.cast("double") / 100)
+        + _QM_W[2] * (n_uniq.cast("double") / n_tok)
+        + _QM_W[3] * (word_chars.cast("double") / n_tok / 10)
+    )
+    score_micro = F.round(
+        (1.0 / (1.0 + F.exp(-z))) * 1_000_000
+    ).cast("long")
+    return (
+        docs.select("source", score_micro.alias("score_micro"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("score_micro") > _QM_THRESHOLD * 1_000_000).cast(
+                    "long"
+                )
+            ).alias("n_keep"),
+            (
+                F.sum("score_micro").cast("double")
+                / F.count(F.lit(1))
+                / 1_000_000.0
+            )
+            .cast("double")
+            .alias("mean_score"),
+        )
+        .orderBy("source")
+    )

@@ -92,6 +92,8 @@ TWO_SF_CASES = [
     "text_oov_rate",
     "dq_fd_discovery",
     "embedding_class_scatter",
+    "embedding_fisher_ratio",
+    "text_quality_model",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
