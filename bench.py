@@ -147,6 +147,8 @@ HEADLINE = [
     "embedding_class_scatter",
     "embedding_fisher_ratio",
     "text_quality_model",
+    "cohort_ltv_curve",
+    "embedding_label_outliers",
 ]
 
 

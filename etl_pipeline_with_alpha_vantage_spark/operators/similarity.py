@@ -1230,3 +1230,133 @@ def embedding_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Label-outlier detection — farthest vectors from their class centroid
+# --------------------------------------------------------------------------
+
+_OUTLIER_TOPK = 3
+
+_OUTLIER_ORACLE = f"""
+WITH elems AS (
+    SELECT vec_id, label, i.i AS dim,
+           CAST(round(embedding[i.i] * {_SCATTER_SCALE}) AS BIGINT) AS e
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS i(i)
+),
+cells AS (
+    SELECT label, dim, CAST(SUM(e) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM elems GROUP BY 1, 2
+),
+label_const AS (
+    SELECT label, CAST(SUM(s * s) AS BIGINT) AS csq, MAX(n) AS n
+    FROM cells GROUP BY 1
+),
+per_vec AS (
+    SELECT e.vec_id, e.label,
+           CAST(SUM(e.e * e.e) AS BIGINT) AS qv,
+           CAST(SUM(e.e * c.s) AS BIGINT) AS dot
+    FROM elems e JOIN cells c ON c.label = e.label AND c.dim = e.dim
+    GROUP BY 1, 2
+),
+dists AS (
+    SELECT v.vec_id, v.label,
+           CAST(round((v.qv - 2.0 * v.dot / l.n
+                       + CAST(l.csq AS DOUBLE) / l.n / l.n)
+                      * 1000000
+                      / ({_SCATTER_SCALE} * {_SCATTER_SCALE}.0))
+                AS BIGINT) AS dist2_micro
+    FROM per_vec v JOIN label_const l USING (label)
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY label
+                                 ORDER BY dist2_micro DESC, vec_id) AS rk
+    FROM dists
+)
+SELECT CAST(label AS INT) AS label, CAST(rk AS INT) AS rank,
+       vec_id, CAST(dist2_micro / 1000000.0 AS DOUBLE) AS dist2
+FROM ranked WHERE rk <= {_OUTLIER_TOPK}
+ORDER BY label, rank
+"""
+
+
+@query("embedding_label_outliers", oracle=_OUTLIER_ORACLE)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-example screen: the {k} vectors farthest from their
+    class centroid per label, by squared distance expanded as
+    ‖v‖² − 2⟨v,S⟩/n + ‖S‖²/n² — the centroid is never materialized as
+    a vector; per-vector terms come from joining elements against the
+    labels×dims cell table (dust-sized → broadcast), and the label
+    constants (‖S‖², n) re-aggregate the cells. These are the examples
+    a labeling-quality pass sends back for human review.
+
+    Scale shape: two passes over the exploded elements (cell build,
+    then the broadcast-join dot products), each a partial-aggregated
+    shuffle; the rank runs per label over the corpus-sized distance
+    table — one more shuffle, top-{k} per group. Distances micro-round
+    before ranking so ordering (and the hash) is engine-exact.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("x") * _SCATTER_SCALE).cast("long").alias("e"),
+    )
+    cells = elems.groupBy("label", "dim").agg(
+        F.sum("e").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    label_const = cells.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("csq"), F.max("n").alias("n")
+    )
+    per_vec = (
+        elems.join(F.broadcast(cells), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("e") * F.col("e")).alias("qv"),
+            F.sum(F.col("e") * F.col("s")).alias("dot"),
+        )
+    )
+    scale2 = _SCATTER_SCALE * float(_SCATTER_SCALE)
+    dists = per_vec.join(F.broadcast(label_const), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            (
+                F.col("qv")
+                - 2.0 * F.col("dot") / F.col("n")
+                + F.col("csq").cast("double") / F.col("n") / F.col("n")
+            )
+            * 1_000_000
+            / scale2
+        )
+        .cast("long")
+        .alias("dist2_micro"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("label").orderBy(
+            F.col("dist2_micro").desc(), "vec_id"
+        )
+    )
+    return (
+        dists.withColumn("rank", rk)
+        .filter(F.col("rank") <= _OUTLIER_TOPK)
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            (F.col("dist2_micro") / 1_000_000.0)
+            .cast("double")
+            .alias("dist2"),
+        )
+        .orderBy("label", "rank")
+    )
+
+
+embedding_label_outliers.__doc__ = embedding_label_outliers.__doc__.format(
+    k=_OUTLIER_TOPK
+)

@@ -2148,3 +2148,82 @@ def rollup_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve — cumulative revenue by acquisition cohort × age
+# --------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH keyed AS (
+    SELECT o_custkey,
+           CAST(date_part('year', o_orderdate) * 12
+                + date_part('month', o_orderdate) AS BIGINT) AS ym,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+cohorts AS (
+    SELECT o_custkey, MIN(ym) AS cohort_ym FROM keyed GROUP BY 1
+),
+cells AS (
+    SELECT c.cohort_ym, k.ym - c.cohort_ym AS age_months,
+           CAST(COUNT(DISTINCT k.o_custkey) AS BIGINT) AS n_active,
+           CAST(SUM(k.cents) AS BIGINT) AS cents
+    FROM keyed k JOIN cohorts c USING (o_custkey)
+    GROUP BY 1, 2
+)
+SELECT cohort_ym, age_months, n_active,
+       CAST(cents / 100.0 AS DOUBLE) AS revenue,
+       CAST(SUM(cents) OVER (PARTITION BY cohort_ym ORDER BY age_months
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) / 100.0 AS DOUBLE)
+           AS cum_revenue
+FROM cells
+ORDER BY cohort_ym, age_months
+"""
+
+
+@query("cohort_ltv_curve", oracle=_LTV_ORACLE)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curves: revenue by acquisition cohort
+    (first-order month) × account age in months, with the running
+    cumulative — the money-sided twin of cohort_retention and the table
+    every growth dashboard plots as LTV curves per cohort.
+
+    Scale shape: cohort assignment is one custkey aggregation; the
+    cohort join stays a key-clustered equi-join; cells collapse to
+    O(months²) rows, and the cumulative window runs over that
+    dust-sized table (never the fact). Months are integer year×12+month
+    (engine-portable — no months_between float semantics), revenue is
+    exact cents end-to-end including the running sum.
+    """
+    o = table(spark, sf_dir, "orders")
+    ym = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    ).cast("long")
+    keyed = o.select(
+        "o_custkey",
+        ym.alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cohorts = keyed.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    cells = (
+        keyed.join(cohorts, "o_custkey")
+        .groupBy(
+            "cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("age_months")
+        )
+        .agg(
+            F.count_distinct("o_custkey").alias("n_active"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    cum = Window.partitionBy("cohort_ym").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cells.select(
+        "cohort_ym",
+        "age_months",
+        "n_active",
+        (F.col("cents") / 100.0).cast("double").alias("revenue"),
+        (F.sum("cents").over(cum) / 100.0).cast("double").alias("cum_revenue"),
+    ).orderBy("cohort_ym", "age_months")

@@ -94,6 +94,8 @@ TWO_SF_CASES = [
     "embedding_class_scatter",
     "embedding_fisher_ratio",
     "text_quality_model",
+    "cohort_ltv_curve",
+    "embedding_label_outliers",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
