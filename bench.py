@@ -149,6 +149,7 @@ HEADLINE = [
     "text_quality_model",
     "cohort_ltv_curve",
     "embedding_label_outliers",
+    "export_shard_plan",
 ]
 
 

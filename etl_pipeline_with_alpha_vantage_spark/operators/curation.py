@@ -496,3 +496,88 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("stage_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Export shard plan — deterministic sharding with skew audit
+# --------------------------------------------------------------------------
+
+_EXPORT_SHARDS = 16
+
+_SHARD_PLAN_ORACLE = f"""
+WITH assigned AS (
+    SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % {_EXPORT_SHARDS} AS shard,
+           n_chars
+    FROM documents
+),
+cells AS (
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+    FROM assigned GROUP BY 1
+)
+SELECT shard, n_docs, n_bytes,
+       CAST(CAST(n_bytes AS DOUBLE)
+            / (CAST(SUM(n_bytes) OVER () AS DOUBLE) / {_EXPORT_SHARDS})
+            AS DOUBLE) AS skew_vs_mean
+FROM cells
+ORDER BY shard
+"""
+
+
+@query("export_shard_plan", oracle=_SHARD_PLAN_ORACLE)
+def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard planning: documents assign to {n} shards by
+    salted md5 (reproducible, join-free — the same key discipline as
+    shuffle_training_order, so re-exports land identically), and the
+    plan reports per-shard doc/byte totals plus each shard's byte skew
+    against the ideal mean. A skewed shard is a straggler at training
+    time; this is the audit run BEFORE writing a single output file.
+
+    Scale shape: one partial-aggregated shuffle onto {n} rows; the skew
+    normalization windows over those {n} rows only. The actual export
+    is then `df.repartition(shard).write` riding the same hash — the
+    plan and the write share the key by construction.
+    """
+    docs = table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("shard:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _EXPORT_SHARDS
+    )
+    cells = (
+        docs.select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_bytes"),
+        )
+    )
+    total = Window.partitionBy()
+    return cells.select(
+        "shard",
+        "n_docs",
+        "n_bytes",
+        (
+            F.col("n_bytes").cast("double")
+            / (F.sum("n_bytes").over(total).cast("double") / _EXPORT_SHARDS)
+        )
+        .cast("double")
+        .alias("skew_vs_mean"),
+    ).orderBy("shard")
+
+
+export_shard_plan.__doc__ = export_shard_plan.__doc__.format(
+    n=_EXPORT_SHARDS
+)

@@ -197,3 +197,60 @@ def test_path_trigrams_are_ranked_and_bounded(spark, sf_dir):
     for r in rows:
         assert r["path"].count(" > ") == 2
         assert 1 <= r["n_users"] <= r["n_occurrences"]
+
+
+def test_fisher_components_are_nonnegative_and_consistent(spark, sf_dir):
+    scatter = {r["label"]: r for r in _run(spark, sf_dir, "embedding_class_scatter")}
+    fisher = {r["label"]: r for r in _run(spark, sf_dir, "embedding_fisher_ratio")}
+    assert set(scatter) == set(fisher)
+    for lbl, f in fisher.items():
+        assert f["within_scatter"] >= 0 and f["between_scatter"] >= 0
+        assert f["separability"] >= 0
+        # within-scatter must agree with the standalone operator
+        assert abs(f["within_scatter"] - scatter[lbl]["within_class_scatter"]) < 1e-9
+
+
+def test_label_outliers_are_ranked_and_per_label(spark, sf_dir):
+    rows = _run(spark, sf_dir, "embedding_label_outliers")
+    per = {}
+    for r in rows:
+        per.setdefault(r["label"], []).append(r)
+    for lbl, rs in per.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["dist2"] for r in rs]
+        assert dists == sorted(dists, reverse=True)
+        assert all(d >= 0 for d in dists)
+
+
+def test_ltv_curve_cumulative_is_running_sum(spark, sf_dir):
+    rows = _run(spark, sf_dir, "cohort_ltv_curve")
+    per = {}
+    for r in sorted(rows, key=lambda r: (r["cohort_ym"], r["age_months"])):
+        per.setdefault(r["cohort_ym"], []).append(r)
+    for rs in per.values():
+        run = 0.0
+        assert rs[0]["age_months"] == 0  # a cohort exists from its first order
+        for r in rs:
+            run = round(run + r["revenue"], 2)
+            assert abs(r["cum_revenue"] - run) < 1e-6
+            assert r["n_active"] >= 1
+
+
+def test_quality_model_keep_rate_and_score_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "text_quality_model")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["mean_score"] <= 1.0
+        assert 0 <= r["n_keep"] <= r["n_docs"]
+    # the threshold must actually split (not everything kept or dropped)
+    total_keep = sum(r["n_keep"] for r in rows)
+    total = sum(r["n_docs"] for r in rows)
+    assert 0 < total_keep < total
+
+
+def test_shard_plan_covers_corpus_with_bounded_skew(spark, sf_dir, duck):
+    rows = _run(spark, sf_dir, "export_shard_plan")
+    n_docs = duck.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    mean = sum(r["skew_vs_mean"] for r in rows) / len(rows)
+    assert abs(mean - 1.0) < 1e-9  # skews average to exactly 1 by construction

@@ -96,6 +96,7 @@ TWO_SF_CASES = [
     "text_quality_model",
     "cohort_ltv_curve",
     "embedding_label_outliers",
+    "export_shard_plan",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
