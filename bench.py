@@ -150,6 +150,8 @@ HEADLINE = [
     "cohort_ltv_curve",
     "embedding_label_outliers",
     "export_shard_plan",
+    "sma_crossover_signals",
+    "drawdown_max",
 ]
 
 

@@ -1,0 +1,223 @@
+"""Quant analytics over bar series — the queries a user of the
+reference's OHLCV warehouse (`/root/reference/etl.py` loads daily
+candles) runs next: moving-average crossover screens and drawdown risk
+metrics. Both collapse the tick fact to a types×bars table FIRST, so
+every rolling window and signal comparison operates on dust.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+# --------------------------------------------------------------------------
+# Quant analytics over the bar series: SMA crossover signals
+# --------------------------------------------------------------------------
+
+_SMA_FAST = 5
+_SMA_SLOW = 20
+
+_SMA_CROSS_ORACLE = f"""
+WITH bars AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS bar,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+sma AS (
+    SELECT event_type, bar,
+           CAST(SUM(cents) OVER wf AS DOUBLE) / SUM(n) OVER wf AS fast,
+           CAST(SUM(cents) OVER ws AS DOUBLE) / SUM(n) OVER ws AS slow,
+           COUNT(*) OVER ws AS n_slow
+    FROM bars
+    WINDOW wf AS (PARTITION BY event_type ORDER BY bar
+                  ROWS BETWEEN {_SMA_FAST - 1} PRECEDING AND CURRENT ROW),
+         ws AS (PARTITION BY event_type ORDER BY bar
+                ROWS BETWEEN {_SMA_SLOW - 1} PRECEDING AND CURRENT ROW)
+),
+flagged AS (
+    SELECT event_type, bar,
+           CASE WHEN fast > slow THEN 1 ELSE 0 END AS above,
+           lag(CASE WHEN fast > slow THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY bar) AS prev_above
+    FROM sma WHERE n_slow = {_SMA_SLOW}
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_bars,
+       CAST(SUM(CASE WHEN above = 1 AND prev_above = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_golden_crosses,
+       CAST(SUM(CASE WHEN above = 0 AND prev_above = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_death_crosses,
+       CAST(MIN(CASE WHEN above = 1 AND prev_above = 0 THEN bar END)
+            AS BIGINT) AS first_golden_bar
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("sma_crossover_signals", oracle=_SMA_CROSS_ORACLE)
+def sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover signals — the canonical trading screen a
+    user of the reference's OHLCV warehouse runs next: fast ({f}-bar)
+    vs slow ({s}-bar) volume-weighted SMAs over 10-minute bars, with
+    golden/death crossings counted per event type (and the first golden
+    cross located). Warm-up bars (incomplete slow window) are excluded,
+    the standard convention.
+
+    Scale shape: bars collapse the fact FIRST (one partial-aggregated
+    shuffle onto types×bars), so both rolling frames, the lag, and the
+    signal accounting all run over the dust-sized bar table inside ONE
+    per-type sort window clustering — the fact is scanned once and
+    never re-shuffled. Exactness: frame numerators/denominators are
+    exact integer sums; each SMA is one IEEE division; the crossing
+    comparison (fast > slow) is on identically-derived doubles.
+    """
+    ev = table(spark, sf_dir, "events")
+    bars = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_micros("ts") / 600_000_000)
+            .cast("long")
+            .alias("bar"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("bar")
+        .rowsBetween(-(_SMA_FAST - 1), 0)
+    )
+    ws = (
+        Window.partitionBy("event_type")
+        .orderBy("bar")
+        .rowsBetween(-(_SMA_SLOW - 1), 0)
+    )
+    sma = bars.select(
+        "event_type",
+        "bar",
+        (F.sum("cents").over(wf).cast("double") / F.sum("n").over(wf)).alias(
+            "fast"
+        ),
+        (F.sum("cents").over(ws).cast("double") / F.sum("n").over(ws)).alias(
+            "slow"
+        ),
+        F.count(F.lit(1)).over(ws).alias("n_slow"),
+    ).filter(F.col("n_slow") == _SMA_SLOW)
+    above = (F.col("fast") > F.col("slow")).cast("int")
+    wl = Window.partitionBy("event_type").orderBy("bar")
+    flagged = sma.select(
+        "event_type",
+        "bar",
+        above.alias("above"),
+        F.lag(above).over(wl).alias("prev_above"),
+    )
+    golden = (F.col("above") == 1) & (F.col("prev_above") == 0)
+    death = (F.col("above") == 0) & (F.col("prev_above") == 1)
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            F.sum(golden.cast("long")).alias("n_golden_crosses"),
+            F.sum(death.cast("long")).alias("n_death_crosses"),
+            F.min(F.when(golden, F.col("bar"))).alias("first_golden_bar"),
+        )
+        .orderBy("event_type")
+    )
+
+
+sma_crossover_signals.__doc__ = sma_crossover_signals.__doc__.format(
+    f=_SMA_FAST, s=_SMA_SLOW
+)
+
+
+# --------------------------------------------------------------------------
+# Maximum drawdown per series
+# --------------------------------------------------------------------------
+
+_DRAWDOWN_ORACLE = """
+WITH bars AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS bar,
+           CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS close_c
+    FROM events GROUP BY 1, 2
+),
+runmax AS (
+    SELECT event_type, bar, close_c,
+           MAX(close_c) OVER (PARTITION BY event_type ORDER BY bar
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS peak_c
+    FROM bars
+),
+dd AS (
+    SELECT event_type, bar,
+           CAST(round(CAST(peak_c - close_c AS DOUBLE) / peak_c * 1000000)
+                AS BIGINT) AS dd_micro
+    FROM runmax
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_bars,
+       CAST(MAX(dd_micro) / 1000000.0 AS DOUBLE) AS max_drawdown,
+       CAST(MIN(CASE WHEN dd_micro = (SELECT MAX(d2.dd_micro) FROM dd d2
+                                      WHERE d2.event_type = dd.event_type)
+                     THEN bar END) AS BIGINT) AS trough_bar
+FROM dd
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("drawdown_max", oracle=_DRAWDOWN_ORACLE)
+def drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown — the risk metric every OHLCV consumer computes:
+    per event type, the largest fractional fall of the bar series from
+    its running peak, and the (earliest) trough bar where it happened.
+
+    Scale shape: bars aggregate the fact first; the running peak is one
+    sort-window sweep over the dust-sized bar table, and the per-type
+    argmax rides min_by on the micro-rounded drawdown (rounded BEFORE
+    comparison, so Spark's min_by and the oracle's correlated-max pick
+    the identical bar even at float ties). One fact shuffle total.
+    """
+    ev = table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 600_000_000).cast("long").alias("bar"),
+    ).agg(
+        F.max(F.round(F.col("value") * 100).cast("long")).alias("close_c")
+    )
+    peak = F.max("close_c").over(
+        Window.partitionBy("event_type")
+        .orderBy("bar")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = bars.select(
+        "event_type",
+        "bar",
+        F.round(
+            (peak - F.col("close_c")).cast("double") / peak * 1_000_000
+        )
+        .cast("long")
+        .alias("dd_micro"),
+    )
+    return (
+        dd.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            (F.max("dd_micro") / 1_000_000.0)
+            .cast("double")
+            .alias("max_drawdown"),
+            F.min_by(
+                "bar", F.struct((-F.col("dd_micro")).alias("d"), F.col("bar"))
+            ).alias("trough_bar"),
+        )
+        .orderBy("event_type")
+    )

@@ -75,6 +75,7 @@ def load_all() -> None:
         observe,
         packing,
         paging_joins,
+        quant,
         relational,
         relational_ext,
         reshape,

@@ -97,6 +97,8 @@ TWO_SF_CASES = [
     "cohort_ltv_curve",
     "embedding_label_outliers",
     "export_shard_plan",
+    "sma_crossover_signals",
+    "drawdown_max",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
