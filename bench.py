@@ -152,6 +152,8 @@ HEADLINE = [
     "export_shard_plan",
     "sma_crossover_signals",
     "drawdown_max",
+    "volatility_realized",
+    "returns_correlation_pairs",
 ]
 
 

@@ -221,3 +221,156 @@ def drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-bar returns: realized volatility and cross-series correlation
+# --------------------------------------------------------------------------
+
+_RETURNS_BARS_SQL = """
+bars AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS bar,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+rets AS (
+    SELECT event_type, bar,
+           CAST(round(((CAST(cents AS DOUBLE) / n)
+                       / (CAST(lag(cents) OVER w AS DOUBLE)
+                          / lag(n) OVER w) - 1.0) * 1000000) AS BIGINT)
+               AS ret_micro
+    FROM bars
+    WINDOW w AS (PARTITION BY event_type ORDER BY bar)
+)"""
+
+_VOLATILITY_ORACLE = f"""
+WITH {_RETURNS_BARS_SQL}
+SELECT event_type,
+       CAST(COUNT(ret_micro) AS BIGINT) AS n_returns,
+       CAST(round(CAST(SUM(ret_micro) AS DOUBLE) / COUNT(ret_micro)
+                  / 1000000, 9) AS DOUBLE) AS mean_return,
+       CAST(round(stddev_samp(ret_micro) / 1000000, 9) AS DOUBLE)
+           AS volatility
+FROM rets WHERE ret_micro IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("volatility_realized", oracle=_VOLATILITY_ORACLE)
+def volatility_realized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized volatility: the standard deviation of per-bar fractional
+    returns per series (plus the mean return) — the risk number quoted
+    next to every drawdown. Returns derive from bar mean prices via
+    lag, so one fact shuffle builds the bars and everything after rides
+    the dust-sized bar table.
+
+    Exactness: each return rounds to integer MICRO-units at birth (the
+    PSI discipline), making the mean an exact-integer ratio; the stddev
+    is the one genuinely order-sensitive reduction here, so it rounds
+    to 9 dp — tighter than the 6-dp regression device because micro-int
+    inputs bound the co-moment magnitudes.
+    """
+    ev = table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 600_000_000).cast("long").alias("bar"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bar")
+    price = F.col("cents").cast("double") / F.col("n")
+    prev = F.lag("cents").over(w).cast("double") / F.lag("n").over(w)
+    rets = bars.select(
+        "event_type",
+        "bar",
+        F.round((price / prev - 1.0) * 1_000_000)
+        .cast("long")
+        .alias("ret_micro"),
+    ).filter(F.col("ret_micro").isNotNull())
+    return (
+        rets.groupBy("event_type")
+        .agg(
+            F.count("ret_micro").alias("n_returns"),
+            F.round(
+                F.sum("ret_micro").cast("double")
+                / F.count("ret_micro")
+                / 1_000_000,
+                9,
+            )
+            .cast("double")
+            .alias("mean_return"),
+            F.round(F.stddev_samp("ret_micro") / 1_000_000, 9)
+            .cast("double")
+            .alias("volatility"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_RET_CORR_ORACLE = f"""
+WITH {_RETURNS_BARS_SQL}
+SELECT a.event_type AS series_a, b.event_type AS series_b,
+       CAST(COUNT(*) AS BIGINT) AS n_bars,
+       CAST(round(corr(a.ret_micro, b.ret_micro), 6) AS DOUBLE)
+           AS return_corr
+FROM rets a
+JOIN rets b ON b.bar = a.bar AND a.event_type < b.event_type
+WHERE a.ret_micro IS NOT NULL AND b.ret_micro IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("returns_correlation_pairs", oracle=_RET_CORR_ORACLE)
+def returns_correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series return correlation — THE portfolio query: Pearson
+    correlation of per-bar returns for every ordered series pair,
+    aligned on the bar. The pair join is a self-join of the dust-sized
+    rets table on bar (types² pairs of types×bars rows — never the
+    fact), and corr rounds 6 dp per the co-moment device.
+    """
+    ev = table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 600_000_000).cast("long").alias("bar"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bar")
+    price = F.col("cents").cast("double") / F.col("n")
+    prev = F.lag("cents").over(w).cast("double") / F.lag("n").over(w)
+    rets = bars.select(
+        "event_type",
+        "bar",
+        F.round((price / prev - 1.0) * 1_000_000)
+        .cast("long")
+        .alias("ret_micro"),
+    ).filter(F.col("ret_micro").isNotNull())
+    a = rets.select(
+        F.col("event_type").alias("series_a"),
+        "bar",
+        F.col("ret_micro").alias("ra"),
+    )
+    b = rets.select(
+        F.col("event_type").alias("series_b"),
+        F.col("bar").alias("bar_b"),
+        F.col("ret_micro").alias("rb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("bar") == F.col("bar_b"))
+            & (F.col("series_a") < F.col("series_b")),
+        )
+        .groupBy("series_a", "series_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            F.round(F.corr("ra", "rb"), 6).cast("double").alias("return_corr"),
+        )
+        .orderBy("series_a", "series_b")
+    )

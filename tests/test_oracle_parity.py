@@ -99,6 +99,8 @@ TWO_SF_CASES = [
     "export_shard_plan",
     "sma_crossover_signals",
     "drawdown_max",
+    "volatility_realized",
+    "returns_correlation_pairs",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
