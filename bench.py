@@ -154,6 +154,7 @@ HEADLINE = [
     "drawdown_max",
     "volatility_realized",
     "returns_correlation_pairs",
+    "dedup_canonical_best",
 ]
 
 

@@ -1226,3 +1226,80 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.alias("exact_jaccard"),
         (exact >= 0.2).alias("is_true_pair"),
     )
+
+
+# --------------------------------------------------------------------------
+# X15 — canonical corpus, keep-BEST-exemplar policy
+# --------------------------------------------------------------------------
+
+_BEST_CANONICAL_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+{_NGRAM_ORACLE.strip()}
+),
+nodes AS (
+    SELECT doc_id FROM documents WHERE doc_id < 200
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(a, b) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+labels AS (
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+),
+ranked AS (
+    SELECT l.cluster_id, l.doc_id, d.n_chars,
+           row_number() OVER (PARTITION BY l.cluster_id
+                              ORDER BY d.n_chars DESC, l.doc_id) AS rk,
+           COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+    FROM labels l JOIN documents d USING (doc_id)
+)
+SELECT cluster_id, doc_id AS canonical_doc,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_chars AS BIGINT) AS canonical_chars
+FROM ranked WHERE rk = 1
+ORDER BY cluster_id
+"""
+
+
+@query("dedup_canonical_best", oracle=_BEST_CANONICAL_ORACLE)
+def dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical corpus under the keep-BEST-exemplar policy — what
+    production dedup actually ships: per near-dup cluster, survive the
+    LONGEST document (n_chars DESC, doc_id tiebreak) instead of
+    dedup_canonical_corpus's smallest-id convention, which discards
+    content whenever a fragment happens to carry the lower id. Returns
+    each cluster's canonical doc, size, and the survivor's length.
+
+    Composition: the same candidate-pair + min-label-propagation
+    machinery (connected_components — one shuffle per sweep, per-sweep
+    localCheckpoint), then ONE window rank over the label⋈documents
+    join picks the exemplar; the rank partitions on cluster_id, which
+    the label table is already clustered by, so selection adds a
+    single dust-sized sort. Swapping the survival policy is an ORDER BY
+    change — the point of separating clustering from selection.
+    """
+    labels = dedup_cc_clusters(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = labels.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wsize = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wsize))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_chars").cast("long").alias("canonical_chars"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -101,6 +101,7 @@ TWO_SF_CASES = [
     "drawdown_max",
     "volatility_realized",
     "returns_correlation_pairs",
+    "dedup_canonical_best",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
