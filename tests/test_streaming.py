@@ -558,3 +558,76 @@ def test_stream_ohlc_candles_equals_batch(spark, sf_dir, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_watermark_actually_drops_late_rows(spark, tmp_path):
+    """Direct evidence for the watermark contract: a row older than
+    (max event time − watermark) arriving in a later micro-batch must
+    be DROPPED by the stateful operator, visible both in the
+    numRowsDroppedByWatermark metric and in the unchanged aggregate.
+    This is the mechanism watermark_lateness_profile sizes."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    src = tmp_path / "wmk_src"
+    src.mkdir()
+    fresh = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 12, 0, i), 1, 1.0) for i in range(10)],
+        schema,
+    )
+    fresh.write.parquet(str(src / "a"))
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return (
+            agg.writeStream.format("memory")
+            .queryName("wmk_out")
+            .outputMode("update")
+            .option(
+                "checkpointLocation", str(tmp_path / "wmk_ckpt")
+            )
+            .start()
+        )
+
+    import time
+
+    q = start()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            rows = spark.table("wmk_out").collect()
+            if sum(r.n for r in rows) == 10:
+                break
+            time.sleep(0.5)
+        before = {(r.win.start, r.n) for r in spark.table("wmk_out").collect()}
+        assert sum(n for _, n in before) == 10
+
+        # A row 2 hours older than the advanced watermark (11:50:09),
+        # delivered mid-stream in a later micro-batch.
+        late = spark.createDataFrame(
+            [(100, dt.datetime(2024, 1, 1, 10, 0, 0), 1, 1.0)], schema
+        )
+        late.write.parquet(str(src / "b"))
+
+        dropped = 0
+        deadline = time.time() + 120
+        while time.time() < deadline and dropped == 0:
+            dropped = sum(
+                op.get("numRowsDroppedByWatermark", 0)
+                for p in q.recentProgress
+                for op in p.get("stateOperators", [])
+            )
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert dropped >= 1
+    after = {(r.win.start, r.n) for r in spark.table("wmk_out").collect()}
+    # The late row contributed to NO window update.
+    assert sum(n for _, n in after) == sum(n for _, n in before)
