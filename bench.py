@@ -155,6 +155,7 @@ HEADLINE = [
     "volatility_realized",
     "returns_correlation_pairs",
     "dedup_canonical_best",
+    "search_diverse_topk",
 ]
 
 

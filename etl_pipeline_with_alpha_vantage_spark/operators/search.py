@@ -8,7 +8,7 @@ run against the same corpus the curation operators produce.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -79,4 +79,72 @@ def search_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 search_keyword_topk.__doc__ = search_keyword_topk.__doc__.format(
     terms=_TERMS, k=_SEARCH_K
+)
+
+
+# --------------------------------------------------------------------------
+# Diversity-capped top-k — at most N results per source
+# --------------------------------------------------------------------------
+
+_DIVERSE_PER_SOURCE = 2
+_DIVERSE_K = 10
+
+_DIVERSE_ORACLE = f"""
+WITH scored AS (
+    SELECT d.doc_id, d.source, CAST(COUNT(*) AS BIGINT) AS score
+    FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+          FROM documents) d
+    WHERE d.tok = 'window'
+    GROUP BY 1, 2
+),
+capped AS (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY score DESC, doc_id) AS src_rank
+    FROM scored
+)
+SELECT doc_id, source, score, CAST(src_rank AS INT) AS src_rank
+FROM capped
+WHERE src_rank <= {_DIVERSE_PER_SOURCE}
+ORDER BY score DESC, doc_id
+LIMIT {_DIVERSE_K}
+"""
+
+
+@query("search_diverse_topk", oracle=_DIVERSE_ORACLE)
+def search_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-capped retrieval: the top {k} documents for a term by
+    tf score, with AT MOST {c} results per source — the constraint
+    every search/retrieval layer applies so one domain cannot fill the
+    page. Two-stage shape: a per-source window rank prunes each source
+    to its best {c} candidates FIRST (the cap commutes with the global
+    ordering because ranks follow the same (score, doc_id) order), and
+    only the pruned sources×{c} survivors enter the global top-k —
+    which therefore compiles to TakeOrderedAndProject over a bounded
+    set rather than ranking the full corpus.
+    """
+    docs = table(spark, sf_dir, "documents")
+    scored = (
+        docs.select(
+            "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok") == "window")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    src_rank = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("score").desc(), F.col("doc_id")
+        )
+    )
+    return (
+        scored.withColumn("src_rank", src_rank)
+        .filter(F.col("src_rank") <= _DIVERSE_PER_SOURCE)
+        .select("doc_id", "source", "score", F.col("src_rank").cast("int").alias("src_rank"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_DIVERSE_K)
+    )
+
+
+search_diverse_topk.__doc__ = search_diverse_topk.__doc__.format(
+    k=_DIVERSE_K, c=_DIVERSE_PER_SOURCE
 )

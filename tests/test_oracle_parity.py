@@ -102,6 +102,7 @@ TWO_SF_CASES = [
     "volatility_realized",
     "returns_correlation_pairs",
     "dedup_canonical_best",
+    "search_diverse_topk",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
