@@ -156,6 +156,7 @@ HEADLINE = [
     "returns_correlation_pairs",
     "dedup_canonical_best",
     "search_diverse_topk",
+    "dq_volume_anomaly",
 ]
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -383,3 +383,86 @@ def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _reduce(DataFrame.unionByName, parts).orderBy(
         "table_name", "determinant", "dependent"
     )
+
+
+# --------------------------------------------------------------------------
+# Ingest-volume anomaly monitor — daily counts vs trailing median
+# --------------------------------------------------------------------------
+
+_VOL_WINDOW = 7  # trailing days in the baseline median
+_VOL_TOLERANCE = 0.5  # flag days outside +/-50% of the baseline
+
+_VOLUME_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1
+),
+based AS (
+    SELECT day, n_rows,
+           median(n_rows) OVER (ORDER BY day
+                                ROWS BETWEEN {_VOL_WINDOW} PRECEDING
+                                         AND 1 PRECEDING) AS baseline,
+           COUNT(*) OVER (ORDER BY day
+                          ROWS BETWEEN {_VOL_WINDOW} PRECEDING
+                                   AND 1 PRECEDING) AS n_base
+    FROM daily
+)
+SELECT day, n_rows,
+       CAST(baseline AS DOUBLE) AS baseline,
+       CAST(round(ABS(n_rows / CAST(baseline AS DOUBLE) - 1.0) * 1000000)
+            AS BIGINT) AS deviation_micro,
+       ABS(n_rows / CAST(baseline AS DOUBLE) - 1.0) > {_VOL_TOLERANCE}
+           AS anomalous
+FROM based
+WHERE n_base = {_VOL_WINDOW}
+ORDER BY day
+"""
+
+
+@query("dq_volume_anomaly", oracle=_VOLUME_ORACLE)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume monitoring — the first alarm every pipeline owner
+    wires: each day's row count against the MEDIAN of the trailing
+    {w} days (median, not mean: one bad day must not poison its own
+    baseline), flagging days outside ±{t:.0%}. Warm-up days without a
+    full baseline window are excluded.
+
+    Scale shape: the fact collapses to one row per day FIRST, so the
+    trailing frame (collect_list→sort→middle-pick, the
+    window_rolling_median device — Spark lacks ordered-set aggregates
+    over frames) runs over a table with as many rows as days. Integer
+    day counts make the median exactly representable; the deviation
+    rounds to micro-units for the hash.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    wprev = (
+        Window.orderBy("day").rowsBetween(-_VOL_WINDOW, -1)
+    )
+    arr = F.array_sort(F.collect_list("n_rows").over(wprev))
+    n = F.size(arr)
+    baseline = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int")).cast("double")
+    ).otherwise(
+        (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    based = daily.select(
+        "day",
+        "n_rows",
+        baseline.alias("baseline"),
+        n.alias("n_base"),
+    ).filter(F.col("n_base") == _VOL_WINDOW)
+    dev = F.abs(F.col("n_rows") / F.col("baseline") - 1.0)
+    return based.select(
+        "day",
+        "n_rows",
+        F.col("baseline").cast("double").alias("baseline"),
+        F.round(dev * 1_000_000).cast("long").alias("deviation_micro"),
+        (dev > _VOL_TOLERANCE).alias("anomalous"),
+    ).orderBy("day")

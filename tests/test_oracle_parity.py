@@ -103,6 +103,7 @@ TWO_SF_CASES = [
     "returns_correlation_pairs",
     "dedup_canonical_best",
     "search_diverse_topk",
+    "dq_volume_anomaly",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
