@@ -157,6 +157,7 @@ HEADLINE = [
     "dedup_canonical_best",
     "search_diverse_topk",
     "dq_volume_anomaly",
+    "sql_udf_pricing_bands",
 ]
 
 

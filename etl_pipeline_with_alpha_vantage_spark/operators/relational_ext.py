@@ -927,3 +927,65 @@ def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.max("sch").alias("variant_schema"),
     )
+
+
+# --------------------------------------------------------------------------
+# SQL-defined UDFs (scalar + table) — extensibility WITHOUT leaving codegen
+# --------------------------------------------------------------------------
+
+_SQL_UDF_ORACLE = """
+WITH banded AS (
+    SELECT CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) / 5000000)
+                AS BIGINT) AS price_band,
+           unnest(string_split(o_orderpriority, '-')) AS prio_word,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT price_band, prio_word,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) / 100.0 AS DOUBLE) AS revenue
+FROM banded
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("sql_udf_pricing_bands", oracle=_SQL_UDF_ORACLE)
+def sql_udf_pricing_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User extensibility through SQL-DEFINED functions (Spark 4
+    `CREATE FUNCTION … RETURN`): a scalar SQL UDF bands order prices
+    ($50k buckets over exact cents) and a SQL TABLE UDF fans each
+    order's priority code into words through a LATERAL join — the
+    per-band × per-word revenue rollup then runs entirely on the
+    inlined expressions.
+
+    Why this matters at 100 TB: unlike Python UDFs (a serialization
+    boundary even Arrow-batched), SQL UDFs INLINE into the optimized
+    plan — banding folds into the scan projection and the fan-out is a
+    native generator, all inside whole-stage codegen. This is the
+    extensibility tier to reach for FIRST; udtf_lateral_ngrams is the
+    escape hatch for logic SQL can't express.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) "
+        "RETURNS BIGINT "
+        "RETURN CAST(floor(CAST(round(p * 100) AS BIGINT) / 5000000) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION priority_words(s STRING) "
+        "RETURNS TABLE(prio_word STRING) "
+        "RETURN SELECT explode(split(s, '-'))"
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView("sql_udf_orders_v")
+    return spark.sql(
+        """
+        SELECT price_band(o_totalprice) AS price_band,
+               w.prio_word,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                    AS DOUBLE) AS revenue
+        FROM sql_udf_orders_v, LATERAL priority_words(o_orderpriority) w
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    )

@@ -104,6 +104,7 @@ TWO_SF_CASES = [
     "dedup_canonical_best",
     "search_diverse_topk",
     "dq_volume_anomaly",
+    "sql_udf_pricing_bands",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
