@@ -158,6 +158,7 @@ HEADLINE = [
     "search_diverse_topk",
     "dq_volume_anomaly",
     "sql_udf_pricing_bands",
+    "dim_surrogate_keys",
 ]
 
 

@@ -466,3 +466,65 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dev * 1_000_000).cast("long").alias("deviation_micro"),
         (dev > _VOL_TOLERANCE).alias("anomalous"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Hash surrogate keys — scale-safe key generation with a collision audit
+# --------------------------------------------------------------------------
+
+_SK_ORACLE = """
+WITH dim AS (
+    SELECT DISTINCT c_custkey, c_nationkey FROM customer
+),
+keyed AS (
+    SELECT c_custkey, c_nationkey,
+           substr(md5('cust:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+               AS surrogate_key
+    FROM dim
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_natural_keys,
+       CAST(COUNT(DISTINCT surrogate_key) AS BIGINT) AS n_surrogate_keys,
+       COUNT(DISTINCT surrogate_key) = COUNT(DISTINCT c_custkey)
+           AS collision_free,
+       CAST(MIN(surrogate_key) AS VARCHAR) AS min_key
+FROM keyed
+"""
+
+
+@query("dim_surrogate_keys", oracle=_SK_ORACLE)
+def dim_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key generation the way a DISTRIBUTED warehouse must do
+    it: hash of the natural key (64-bit md5 prefix), not a sequence —
+    sequences serialize through a single counter and
+    monotonically_increasing_id() is partitioning-dependent, so neither
+    is reproducible across reloads; the hash key is pure per-row work,
+    stable under any partitioning, and identical on every rebuild. The
+    audit proves the property sequences get for free: distinct
+    surrogate keys == distinct natural keys (no collisions), asserted
+    in-plan.
+
+    Scale shape: one distinct on the dimension grain, narrow key
+    derivation, one aggregate — no global coordination anywhere, which
+    is the entire argument for hash keys at 100 TB.
+    """
+    cust = table(spark, sf_dir, "customer")
+    dim = cust.select("c_custkey", "c_nationkey").distinct()
+    keyed = dim.withColumn(
+        "surrogate_key",
+        F.substring(
+            F.md5(F.concat(F.lit("cust:"), F.col("c_custkey").cast("string"))),
+            1,
+            16,
+        ),
+    )
+    return keyed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("c_custkey").alias("n_natural_keys"),
+        F.count_distinct("surrogate_key").alias("n_surrogate_keys"),
+        (
+            F.count_distinct("surrogate_key")
+            == F.count_distinct("c_custkey")
+        ).alias("collision_free"),
+        F.min("surrogate_key").alias("min_key"),
+    )

@@ -105,6 +105,7 @@ TWO_SF_CASES = [
     "search_diverse_topk",
     "dq_volume_anomaly",
     "sql_udf_pricing_bands",
+    "dim_surrogate_keys",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
