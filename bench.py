@@ -159,6 +159,8 @@ HEADLINE = [
     "dq_volume_anomaly",
     "sql_udf_pricing_bands",
     "dim_surrogate_keys",
+    "rsi_indicator",
+    "bollinger_breakouts",
 ]
 
 

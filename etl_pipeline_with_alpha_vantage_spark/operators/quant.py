@@ -374,3 +374,210 @@ def returns_correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("series_a", "series_b")
     )
+
+
+# --------------------------------------------------------------------------
+# RSI — relative strength index over the bar series
+# --------------------------------------------------------------------------
+
+_RSI_N = 14
+
+_RSI_ORACLE = f"""
+WITH bars AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS bar,
+           CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS close_c
+    FROM events GROUP BY 1, 2
+),
+moves AS (
+    SELECT event_type, bar,
+           GREATEST(close_c - lag(close_c) OVER w, 0) AS gain,
+           GREATEST(lag(close_c) OVER w - close_c, 0) AS loss
+    FROM bars
+    WINDOW w AS (PARTITION BY event_type ORDER BY bar)
+),
+framed AS (
+    SELECT event_type, bar,
+           CAST(SUM(gain) OVER f AS BIGINT) AS g,
+           CAST(SUM(loss) OVER f AS BIGINT) AS l,
+           COUNT(gain) OVER f AS n
+    FROM moves
+    WINDOW f AS (PARTITION BY event_type ORDER BY bar
+                 ROWS BETWEEN {_RSI_N - 1} PRECEDING AND CURRENT ROW)
+),
+rsi AS (
+    SELECT event_type, bar,
+           CAST(round(100.0 - 100.0 / (1.0 + CAST(g AS DOUBLE) / l)
+                      , 6) AS DOUBLE) AS rsi
+    FROM framed WHERE n = {_RSI_N} AND l > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_bars,
+       CAST(round(AVG(rsi), 6) AS DOUBLE) AS mean_rsi,
+       CAST(SUM(CASE WHEN rsi > 70 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_overbought,
+       CAST(SUM(CASE WHEN rsi < 30 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oversold
+FROM rsi
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("rsi_indicator", oracle=_RSI_ORACLE)
+def rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI ({n}-bar, simple-average form): per-bar gains/losses from the
+    close series, trailing-frame sums, RSI = 100 − 100/(1+G/L), with
+    overbought (>70) / oversold (<30) bar counts per series — the
+    momentum companion to the SMA crossover screen.
+
+    Exactness: gains/losses are integer cents (GREATEST of integer
+    differences), frame sums exact bigints; each bar's RSI is a short
+    shape-identical IEEE chain rounded 6 dp at birth, and the per-type
+    mean rounds 6 dp after an exact average of already-rounded values.
+    Degenerate frames (no losses) and warm-up bars are excluded by the
+    standard convention. Same one-fact-shuffle plan as the other quant
+    screens — everything after the bar collapse rides dust.
+    """
+    ev = table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 600_000_000).cast("long").alias("bar"),
+    ).agg(
+        F.max(F.round(F.col("value") * 100).cast("long")).alias("close_c")
+    )
+    w = Window.partitionBy("event_type").orderBy("bar")
+    prev = F.lag("close_c").over(w)
+    moves = bars.select(
+        "event_type",
+        "bar",
+        F.greatest(F.col("close_c") - prev, F.lit(0)).alias("gain"),
+        F.greatest(prev - F.col("close_c"), F.lit(0)).alias("loss"),
+    )
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("bar")
+        .rowsBetween(-(_RSI_N - 1), 0)
+    )
+    framed = moves.select(
+        "event_type",
+        "bar",
+        F.sum("gain").over(f).alias("g"),
+        F.sum("loss").over(f).alias("l"),
+        F.count("gain").over(f).alias("n"),
+    ).filter((F.col("n") == _RSI_N) & (F.col("l") > 0))
+    rsi = framed.select(
+        "event_type",
+        F.round(
+            100.0 - 100.0 / (1.0 + F.col("g").cast("double") / F.col("l")), 6
+        ).alias("rsi"),
+    )
+    return (
+        rsi.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            F.round(F.avg("rsi"), 6).cast("double").alias("mean_rsi"),
+            F.sum((F.col("rsi") > 70).cast("long")).alias("n_overbought"),
+            F.sum((F.col("rsi") < 30).cast("long")).alias("n_oversold"),
+        )
+        .orderBy("event_type")
+    )
+
+
+rsi_indicator.__doc__ = rsi_indicator.__doc__.format(n=_RSI_N)
+
+
+# --------------------------------------------------------------------------
+# Bollinger band breakouts — exact-variance bands over the bar series
+# --------------------------------------------------------------------------
+
+_BB_N = 20
+
+_BOLLINGER_ORACLE = f"""
+WITH bars AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS bar,
+           CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS close_c
+    FROM events GROUP BY 1, 2
+),
+framed AS (
+    SELECT event_type, bar, close_c,
+           CAST(SUM(close_c) OVER f AS BIGINT) AS s,
+           CAST(SUM(close_c * close_c) OVER f AS BIGINT) AS q,
+           COUNT(*) OVER f AS n
+    FROM bars
+    WINDOW f AS (PARTITION BY event_type ORDER BY bar
+                 ROWS BETWEEN {_BB_N - 1} PRECEDING AND CURRENT ROW)
+),
+banded AS (
+    SELECT event_type, close_c,
+           CAST(s AS DOUBLE) / n AS mid,
+           2.0 * sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS spread
+    FROM framed WHERE n = {_BB_N}
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_bars,
+       CAST(SUM(CASE WHEN close_c > mid + spread THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_breakout_up,
+       CAST(SUM(CASE WHEN close_c < mid - spread THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_breakout_down
+FROM banded
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("bollinger_breakouts", oracle=_BOLLINGER_ORACLE)
+def bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout counts ({n}-bar, ±2σ): closes above or
+    below the trailing mean ± 2×sample-stddev band per series — the
+    mean-reversion screen beside RSI's momentum view.
+
+    Exactness device: the frame stddev is NOT computed by the engines'
+    stddev aggregate (frame merge order differs in the last ulps);
+    instead the frame keeps exact integer Σx and Σx², and the variance
+    comes from the one-pass identity (q − s²/n)/(n−1) — the
+    embedding_class_scatter discipline applied to a window frame, so
+    both engines evaluate the identical IEEE expression and the
+    breakout comparisons agree bit-for-bit.
+    """
+    ev = table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 600_000_000).cast("long").alias("bar"),
+    ).agg(
+        F.max(F.round(F.col("value") * 100).cast("long")).alias("close_c")
+    )
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("bar")
+        .rowsBetween(-(_BB_N - 1), 0)
+    )
+    framed = bars.select(
+        "event_type",
+        "close_c",
+        F.sum("close_c").over(f).alias("s"),
+        F.sum(F.col("close_c") * F.col("close_c")).over(f).alias("q"),
+        F.count(F.lit(1)).over(f).alias("n"),
+    ).filter(F.col("n") == _BB_N)
+    mid = F.col("s").cast("double") / F.col("n")
+    spread = 2.0 * F.sqrt(
+        (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return (
+        framed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            F.sum((F.col("close_c") > mid + spread).cast("long")).alias(
+                "n_breakout_up"
+            ),
+            F.sum((F.col("close_c") < mid - spread).cast("long")).alias(
+                "n_breakout_down"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+bollinger_breakouts.__doc__ = bollinger_breakouts.__doc__.format(n=_BB_N)

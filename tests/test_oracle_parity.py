@@ -106,6 +106,8 @@ TWO_SF_CASES = [
     "dq_volume_anomaly",
     "sql_udf_pricing_bands",
     "dim_surrogate_keys",
+    "rsi_indicator",
+    "bollinger_breakouts",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
