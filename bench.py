@@ -161,6 +161,8 @@ HEADLINE = [
     "dim_surrogate_keys",
     "rsi_indicator",
     "bollinger_breakouts",
+    "sla_fulfilment_attainment",
+    "churn_rate_by_nation",
 ]
 
 

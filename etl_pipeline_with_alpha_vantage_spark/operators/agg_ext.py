@@ -1148,3 +1148,134 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# SLA attainment — fulfilment latency against tiered targets
+# --------------------------------------------------------------------------
+
+_SLA_ORACLE = """
+WITH firstship AS (
+    SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+    FROM lineitem GROUP BY 1
+),
+lat AS (
+    SELECT o.o_orderpriority,
+           date_diff('day', o.o_orderdate, f.first_ship) AS days
+    FROM orders o JOIN firstship f ON f.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+           AS met_30d,
+       CAST(SUM(CASE WHEN days <= 60 THEN 1 ELSE 0 END) AS BIGINT)
+           AS met_60d,
+       CAST(SUM(CASE WHEN days <= 90 THEN 1 ELSE 0 END) AS BIGINT)
+           AS met_90d,
+       CAST(CAST(SUM(CASE WHEN days <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS DOUBLE) AS sla_30d_rate
+FROM lat
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("sla_fulfilment_attainment", oracle=_SLA_ORACLE)
+def sla_fulfilment_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA attainment: per priority class, how many orders had their
+    FIRST shipment within 30/60/90 days of ordering — the operations
+    dashboard's headline table. First-ship latency is a per-order MIN
+    (one partial-aggregated shuffle on the fact), the orders join is
+    key-clustered, and day differences are exact integer calendar
+    arithmetic; the only double is one IEEE rate division.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    firstship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    lat = o.join(firstship, o.o_orderkey == firstship.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff("first_ship", "o_orderdate").alias("days"),
+    )
+    met = lambda d: F.sum((F.col("days") <= d).cast("long"))  # noqa: E731
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            met(30).alias("met_30d"),
+            met(60).alias("met_60d"),
+            met(90).alias("met_90d"),
+            (met(30).cast("double") / F.count(F.lit(1)))
+            .cast("double")
+            .alias("sla_30d_rate"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Churn analysis — inactive customers by nation
+# --------------------------------------------------------------------------
+
+_CHURN_ORACLE = """
+WITH lastorder AS (
+    SELECT o_custkey, MAX(o_orderdate) AS last_order FROM orders GROUP BY 1
+),
+horizon AS (
+    SELECT MAX(o_orderdate) - INTERVAL 12 MONTH AS cutoff FROM orders
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_buyers,
+       CAST(SUM(CASE WHEN lo.last_order < h.cutoff THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_churned,
+       CAST(CAST(SUM(CASE WHEN lo.last_order < h.cutoff THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*) AS DOUBLE) AS churn_rate
+FROM lastorder lo
+JOIN customer c ON c.c_custkey = lo.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+CROSS JOIN horizon h
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query("churn_rate_by_nation", oracle=_CHURN_ORACLE)
+def churn_rate_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn analysis: customers whose LAST order predates the final
+    12 months of the dataset's own horizon, rated per nation — the
+    retention health table a revenue team reviews monthly. The horizon
+    is data-derived (max order date − 12 months, one 1-row broadcast),
+    so the query needs no wall-clock and stays reproducible.
+
+    Scale shape: last-order is one custkey aggregation of the fact;
+    customer joins on its key, the 25-row nation dim broadcasts, and
+    the churn flag folds into the per-nation rollup map-side. Exact
+    integer timestamp comparison; one IEEE rate division.
+    """
+    o = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    lastorder = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order")
+    )
+    # Mirror the oracle's INTERVAL arithmetic exactly by subtracting on
+    # the TIMESTAMP (add_months would truncate to DATE semantics).
+    horizon = o.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 12 MONTH")).alias("cutoff")
+    )
+    churned = (F.col("last_order") < F.col("cutoff")).cast("long")
+    return (
+        lastorder.join(cust, lastorder.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .crossJoin(F.broadcast(horizon))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_buyers"),
+            F.sum(churned).alias("n_churned"),
+            (F.sum(churned).cast("double") / F.count(F.lit(1)))
+            .cast("double")
+            .alias("churn_rate"),
+        )
+        .orderBy("n_name")
+    )

@@ -108,6 +108,8 @@ TWO_SF_CASES = [
     "dim_surrogate_keys",
     "rsi_indicator",
     "bollinger_breakouts",
+    "sla_fulfilment_attainment",
+    "churn_rate_by_nation",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
