@@ -97,6 +97,7 @@ _NESTED_LOOP_OK = {
     "embedding_quantize_int8",  # 1-row per-dim range-arrays broadcast
     "similarity_sq8_topk",  # broadcast query vectors + 1-row range arrays
     "dq_expectations",  # crossJoin of two 1-row aggregates (FK block)
+    "churn_rate_by_nation",  # 1-row data-derived horizon broadcast
 }
 
 
