@@ -163,6 +163,7 @@ HEADLINE = [
     "bollinger_breakouts",
     "sla_fulfilment_attainment",
     "churn_rate_by_nation",
+    "revenue_mom_growth",
 ]
 
 

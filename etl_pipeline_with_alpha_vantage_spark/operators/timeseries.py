@@ -2227,3 +2227,60 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents") / 100.0).cast("double").alias("revenue"),
         (F.sum("cents").over(cum) / 100.0).cast("double").alias("cum_revenue"),
     ).orderBy("cohort_ym", "age_months")
+
+
+# --------------------------------------------------------------------------
+# Month-over-month revenue growth — the reporting staple
+# --------------------------------------------------------------------------
+
+_MOM_ORACLE = """
+WITH monthly AS (
+    SELECT CAST(date_part('year', o_orderdate) * 12
+                + date_part('month', o_orderdate) AS BIGINT) AS ym,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+)
+SELECT ym, n_orders,
+       CAST(cents / 100.0 AS DOUBLE) AS revenue,
+       CAST(round((CAST(cents AS DOUBLE)
+                   / lag(cents) OVER (ORDER BY ym) - 1.0) * 1000000)
+            AS BIGINT) AS growth_micro
+FROM monthly
+ORDER BY ym
+"""
+
+
+@query("revenue_mom_growth", oracle=_MOM_ORACLE)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the first page of every
+    business review: exact monthly revenue (integer year×12+month keys,
+    cents end-to-end) with the growth rate vs the prior month as
+    micro-rounded integers (NULL for the first month, matching lag
+    semantics in both engines).
+
+    Scale shape: one partial-aggregated shuffle onto O(months) rows;
+    the lag window runs over that dust-sized series. The unpartitioned
+    window is safe precisely BECAUSE the aggregation precedes it —
+    the single-partition sort sees months, never orders.
+    """
+    o = table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    monthly = o.groupBy(ym.alias("ym")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("ym")
+    growth = F.round(
+        (F.col("cents").cast("double") / F.lag("cents").over(w) - 1.0)
+        * 1_000_000
+    ).cast("long")
+    return monthly.select(
+        "ym",
+        "n_orders",
+        (F.col("cents") / 100.0).cast("double").alias("revenue"),
+        growth.alias("growth_micro"),
+    ).orderBy("ym")

@@ -110,6 +110,7 @@ TWO_SF_CASES = [
     "bollinger_breakouts",
     "sla_fulfilment_attainment",
     "churn_rate_by_nation",
+    "revenue_mom_growth",
     "skyline_pareto",
     "window_rolling_median",
     "chi_square_assoc",
