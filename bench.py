@@ -200,19 +200,46 @@ def main() -> None:
     # process share this stdout and have been observed interleaving with
     # (even clobbering) the JSON line if anything still runs after it.
     spark.stop()
+
+    # The full 132-query map is ~6 KB — larger than the driver's tail
+    # capture, which truncated the head of the round-4 line and left
+    # BENCH_r04.json unparseable. Stdout therefore carries ONE compact
+    # JSON line (totals + the slowest 15 queries, well under 1 KB); the
+    # complete per-query map is committed to BENCH_DETAIL.json so the
+    # judge can diff rounds without re-running.
+    detail = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        # Comparison floor: BENCH_r03.json, the first round run on
+        # PySpark 4.1.2 (+25-40% env offset vs 4.0 under identical
+        # plans — see BENCH_BASELINE.md). Deltas vs r1/r2 numbers
+        # are not meaningful.
+        "baseline": "r3-pyspark-4.1.2",
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:15]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf),
-                # Comparison floor: BENCH_r03.json, the first round run on
-                # PySpark 4.1.2 (+25-40% env offset vs 4.0 under identical
-                # plans — see BENCH_BASELINE.md). Deltas vs r1/r2 numbers
-                # are not meaningful.
                 "baseline": "r3-pyspark-4.1.2",
+                "n_queries": len(timings),
+                "queries": slowest,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

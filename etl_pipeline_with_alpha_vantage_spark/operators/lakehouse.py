@@ -10,7 +10,9 @@ one relation.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,6 +45,41 @@ FROM merged
 """
 
 
+# The two-epoch fixture is deterministic, so write it ONCE per Spark
+# session (keyed by applicationId) instead of a fresh mkdtemp + rewrite
+# per invocation — repeated bench/parity sweeps were leaking temp dirs
+# and redundant write jobs. atexit reclaims the directories.
+_EVOLVE_CACHE: dict[str, str] = {}
+
+
+def _cleanup_evolve_fixtures() -> None:
+    for path in _EVOLVE_CACHE.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _EVOLVE_CACHE.clear()
+
+
+atexit.register(_cleanup_evolve_fixtures)
+
+
+def _evolve_fixture(spark: SparkSession) -> str:
+    app_id = spark.sparkContext.applicationId
+    base = _EVOLVE_CACHE.get(app_id)
+    if base is not None and os.path.isdir(base):
+        return base
+    base = tempfile.mkdtemp(prefix="spark_graft_evolve_")
+    e1 = spark.range(0, _E1_ROWS).select(
+        F.col("id"), (F.col("id") % 7).alias("qty")
+    )
+    e1.write.mode("overwrite").parquet(os.path.join(base, "epoch=1"))
+    e2 = spark.range(_E1_ROWS, _E1_ROWS + _E2_ROWS).select(
+        F.col("id"),
+        (((F.col("id") * 31) % 500).cast("double") / 100.0).alias("price"),
+    )
+    e2.write.mode("overwrite").parquet(os.path.join(base, "epoch=2"))
+    _EVOLVE_CACHE[app_id] = base
+    return base
+
+
 @query("schema_evolution_merge", oracle=_EVOLVE_ORACLE)
 def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across parquet write epochs, read back as ONE
@@ -59,17 +96,9 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_dir is unused: the epochs are deterministic integer derivations
     so the generate_series oracle replays them exactly.
     """
-    base = tempfile.mkdtemp(prefix="spark_graft_evolve_")
-    e1 = spark.range(0, _E1_ROWS).select(
-        F.col("id"), (F.col("id") % 7).alias("qty")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        _evolve_fixture(spark)
     )
-    e1.write.mode("overwrite").parquet(os.path.join(base, "epoch=1"))
-    e2 = spark.range(_E1_ROWS, _E1_ROWS + _E2_ROWS).select(
-        F.col("id"),
-        (((F.col("id") * 31) % 500).cast("double") / 100.0).alias("price"),
-    )
-    e2.write.mode("overwrite").parquet(os.path.join(base, "epoch=2"))
-    merged = spark.read.option("mergeSchema", "true").parquet(base)
     return merged.agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.count(F.lit(1)) - F.count("qty")).alias("null_qty"),

@@ -235,16 +235,25 @@ bars AS (
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY 1, 2
 ),
+lagged AS (
+    SELECT event_type, bar, cents, n,
+           lag(cents) OVER w AS prev_cents,
+           lag(n) OVER w AS prev_n
+    FROM bars
+    WINDOW w AS (PARTITION BY event_type ORDER BY bar)
+),
 rets AS (
     SELECT event_type, bar,
            CAST(round(((CAST(cents AS DOUBLE) / n)
-                       / (CAST(lag(cents) OVER w AS DOUBLE)
-                          / lag(n) OVER w) - 1.0) * 1000000) AS BIGINT)
+                       / (CAST(prev_cents AS DOUBLE)
+                          / prev_n) - 1.0) * 1000000) AS BIGINT)
                AS ret_micro
-    FROM bars
-    WINDOW w AS (PARTITION BY event_type ORDER BY bar)
+    FROM lagged
+    -- prev_cents = 0 would divide by a zero mean price: Spark's
+    -- non-ANSI double division yields Infinity while DuckDB errors, so
+    -- both sides drop such bars (mirrors rsi_indicator's l > 0 guard).
+    WHERE prev_cents IS NOT NULL AND prev_cents <> 0
 )"""
-
 _VOLATILITY_ORACLE = f"""
 WITH {_RETURNS_BARS_SQL}
 SELECT event_type,
@@ -283,8 +292,17 @@ def volatility_realized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("event_type").orderBy("bar")
     price = F.col("cents").cast("double") / F.col("n")
-    prev = F.lag("cents").over(w).cast("double") / F.lag("n").over(w)
-    rets = bars.select(
+    # prev_cents = 0 would divide by a zero mean price (Infinity under
+    # Spark's non-ANSI doubles, an error in the DuckDB oracle) — drop
+    # such bars on both sides, mirroring rsi_indicator's l > 0 guard.
+    lagged = bars.withColumns(
+        {
+            "prev_cents": F.lag("cents").over(w),
+            "prev_n": F.lag("n").over(w),
+        }
+    ).filter(F.col("prev_cents").isNotNull() & (F.col("prev_cents") != 0))
+    prev = F.col("prev_cents").cast("double") / F.col("prev_n")
+    rets = lagged.select(
         "event_type",
         "bar",
         F.round((price / prev - 1.0) * 1_000_000)
@@ -343,8 +361,17 @@ def returns_correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("event_type").orderBy("bar")
     price = F.col("cents").cast("double") / F.col("n")
-    prev = F.lag("cents").over(w).cast("double") / F.lag("n").over(w)
-    rets = bars.select(
+    # prev_cents = 0 would divide by a zero mean price (Infinity under
+    # Spark's non-ANSI doubles, an error in the DuckDB oracle) — drop
+    # such bars on both sides, mirroring rsi_indicator's l > 0 guard.
+    lagged = bars.withColumns(
+        {
+            "prev_cents": F.lag("cents").over(w),
+            "prev_n": F.lag("n").over(w),
+        }
+    ).filter(F.col("prev_cents").isNotNull() & (F.col("prev_cents") != 0))
+    prev = F.col("prev_cents").cast("double") / F.col("prev_n")
+    rets = lagged.select(
         "event_type",
         "bar",
         F.round((price / prev - 1.0) * 1_000_000)

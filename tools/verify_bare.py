@@ -57,10 +57,21 @@ def main() -> int:
     # reclaims them, and the 1g default OOMs mid-sweep at sf0.1
     # (observed at graph_triangles, query #74 of 201). Size it like any
     # real driver would be.
+    # Heap is env-tunable (VERIFY_DRIVER_MEM) so small hosts can dial it
+    # down; note spark.driver.memory only takes effect when THIS call
+    # launches the JVM — an already-running session keeps its heap.
+    driver_mem = os.environ.get("VERIFY_DRIVER_MEM", "16g")
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        print(
+            "verify_bare: reusing existing SparkSession "
+            f"(spark.driver.memory={driver_mem} request is a no-op)",
+            file=sys.stderr,
+        )
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
         .appName("verify-bare")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", driver_mem)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
