@@ -615,6 +615,14 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("parts")
         )
     )
+    # Static plans show 7 shuffles, but only 5 execute: AQE's
+    # ReuseExchange rebuilds baskets ONCE (freq's branch becomes
+    # `ReusedExchange [okey, buf]`) and fb rides freq's broadcast. This
+    # branch is the one duplicate AQE does NOT collapse — by design:
+    # the optimizer strips collect_set and prunes it to a one-column
+    # distinct-okey count (8-byte keys, map-side partial), cheaper than
+    # re-reading the fat basket exchange. All of this is pinned by
+    # tests/test_plan_quality.py::test_basket_affinity_reuses_exchange.
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
     # In-row pair expansion straight off the sorted basket array: for
     # each index i, pair parts[i] with every later element (suffix

@@ -166,6 +166,38 @@ def test_no_row_at_a_time_python_udfs(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_basket_affinity_reuses_exchange(spark, sf_dir):
+    """basket_affinity's static plan duplicates the basket build
+    (groupBy okey) across its pairs / freq / n_orders branches — 7
+    static shuffles. At RUNTIME, AQE's ReuseExchange must collapse the
+    fat duplicates: freq's basket branch becomes a ReusedExchange of
+    the pairs branch's [okey, buf] exchange, and fb rides freq's
+    broadcast. The one branch intentionally NOT reused is n_orders,
+    which the optimizer prunes to a one-column distinct-okey count —
+    cheaper than re-reading the basket exchange. This test pins all
+    three facts on the executed adaptive plan."""
+    df = registry.QUERIES["basket_affinity"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final, final[:2000]
+    # basket exchange reused (carries the collect_set partial buffer)
+    assert re.search(r"ReusedExchange \[okey#\d+L, buf#\d+", final), final
+    # freq's broadcast reused for the part_b side
+    assert re.search(r"ReusedExchange \[part_b#\d+L, n_part_b#\d+", final), (
+        final
+    )
+    executed_okey = [
+        line
+        for line in final.splitlines()
+        if "Exchange hashpartitioning(okey" in line
+        and "ReusedExchange" not in line
+    ]
+    # exactly 2 executed okey shuffles: the shared basket build + the
+    # pruned single-column distinct count for n_orders
+    assert len(executed_okey) == 2, final
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
