@@ -108,3 +108,160 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("price_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Copy-on-write MERGE INTO on partitioned parquet (SURVEY.md §2 L2)
+# --------------------------------------------------------------------------
+
+_MERGE_SEGS = ("AUTOMOBILE", "BUILDING")  # partitions the merge touches
+
+_MERGE_ORACLE = f"""
+WITH tgt AS (
+    SELECT c_custkey, CAST(c_nationkey AS INTEGER) AS c_nationkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           c_mktsegment
+    FROM customer
+),
+src AS (
+    SELECT c_custkey, c_nationkey, acctbal_cents + 12345 AS acctbal_cents,
+           c_mktsegment, FALSE AS is_del
+    FROM tgt
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING') AND c_custkey % 7 = 3
+    UNION ALL
+    SELECT c_custkey, c_nationkey, acctbal_cents, c_mktsegment, TRUE
+    FROM tgt
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+      AND c_custkey % 13 = 0 AND c_custkey % 7 <> 3
+    UNION ALL
+    SELECT c_custkey + 1000000, CAST(0 AS INTEGER), CAST(777700 AS BIGINT),
+           'BUILDING', FALSE
+    FROM tgt
+    WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 11 = 5
+),
+merged AS (
+    SELECT t.c_custkey, t.c_nationkey, t.acctbal_cents, t.c_mktsegment
+    FROM tgt t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM src s
+        WHERE s.c_custkey = t.c_custkey
+          AND s.c_mktsegment = t.c_mktsegment
+    )
+    UNION ALL
+    SELECT c_custkey, c_nationkey, acctbal_cents, c_mktsegment
+    FROM src WHERE NOT is_del
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT)       AS n_rows,
+       CAST(SUM(acctbal_cents) AS BIGINT) AS acctbal_cents_total,
+       CAST(SUM(c_custkey) AS BIGINT) AS custkey_sum
+FROM merged
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+# One merged table per (session, sf_dir): the merge itself is the
+# expensive part of the fixture, and parity sweeps invoke the query
+# repeatedly — same memoization discipline as _evolve_fixture.
+_MERGE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _cleanup_merge_fixtures() -> None:
+    for path in _MERGE_CACHE.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _MERGE_CACHE.clear()
+
+
+atexit.register(_cleanup_merge_fixtures)
+
+
+def _merge_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build a segment-partitioned customer table, apply one
+    deterministic copy-on-write MERGE (updates + deletes in two
+    segments, inserts into one), and return the table path."""
+    from ..catalog import table  # noqa: PLC0415
+    from ..sinks.maintenance import merge_into  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    base = _MERGE_CACHE.get(key)
+    if base is not None and os.path.isdir(base):
+        return base
+    base = tempfile.mkdtemp(prefix="spark_graft_merge_")
+    tgt = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        "c_mktsegment",
+    )
+    tgt.write.mode("overwrite").partitionBy("c_mktsegment").parquet(base)
+    in_segs = F.col("c_mktsegment").isin(*_MERGE_SEGS)
+    updates = tgt.filter(in_segs & (F.col("c_custkey") % 7 == 3)).select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("acctbal_cents") + 12345).alias("acctbal_cents"),
+        "c_mktsegment",
+        F.lit(False).alias("is_del"),
+    )
+    deletes = tgt.filter(
+        in_segs
+        & (F.col("c_custkey") % 13 == 0)
+        & (F.col("c_custkey") % 7 != 3)
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        "acctbal_cents",
+        "c_mktsegment",
+        F.lit(True).alias("is_del"),
+    )
+    inserts = tgt.filter(
+        (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_custkey") % 11 == 5)
+    ).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.lit(777_700).cast("long").alias("acctbal_cents"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+        F.lit(False).alias("is_del"),
+    )
+    source = updates.unionByName(deletes).unionByName(inserts)
+    merge_into(
+        spark,
+        base,
+        source,
+        key_cols=["c_custkey"],
+        partition_col="c_mktsegment",
+        delete_col="is_del",
+    )
+    _MERGE_CACHE[key] = base
+    return base
+
+
+@query("lakehouse_merge_cow", oracle=_MERGE_ORACLE)
+def lakehouse_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE INTO (upsert + delete + insert) on a
+    hive-partitioned parquet table WITHOUT a table format — the
+    copy-on-write rewrite touches only the partitions present in the
+    change set (`sinks.maintenance.merge_into`; untouched partition
+    files stay byte-identical, proven in tests/test_layout.py). The
+    query audits the post-merge table per segment: row count, exact
+    integer-cent balance total, and the custkey checksum — any dropped
+    delete, double-applied update, or misplaced insert shifts at least
+    one of them.
+
+    Scale shape: the merge anti-joins ONLY touched-partition rows on
+    the merge key and dynamic-overwrites exactly those directories —
+    O(changed partitions), never O(table); the audit read then prunes
+    nothing (full-table aggregate) but is one partial-agg shuffle.
+    Reference parity: generalizes the reference's dedup-on-append load
+    (`/root/reference/etl.py:115-156` INSERT IGNORE) to full MERGE
+    semantics (SURVEY.md §2 L2).
+    """
+    merged = spark.read.parquet(_merge_fixture(spark, sf_dir))
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("acctbal_cents").alias("acctbal_cents_total"),
+            F.sum("c_custkey").alias("custkey_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )

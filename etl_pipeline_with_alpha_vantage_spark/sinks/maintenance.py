@@ -271,15 +271,128 @@ def _delete_day_partitions(
     """Drop ``day=<d>`` partition directories via the Hadoop FileSystem
     API (works on any Hadoop-compatible FS, unlike shutil). Returns how
     many existed and were removed."""
-    if not days:
+    return _delete_partitions(spark, rollup_path, "day", days)
+
+
+def _delete_partitions(
+    spark: SparkSession, path: str, partition_col: str, values: list[str]
+) -> int:
+    """Drop ``<col>=<value>`` partition directories via the Hadoop
+    FileSystem API (works on any Hadoop-compatible FS, unlike shutil).
+    Returns how many existed and were removed."""
+    if not values:
         return 0
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     removed = 0
-    for d in days:
-        p = jvm.org.apache.hadoop.fs.Path(os.path.join(rollup_path, f"day={d}"))
+    for v in values:
+        p = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(path, f"{partition_col}={v}")
+        )
         fs = p.getFileSystem(hconf)
         if fs.exists(p):
             fs.delete(p, True)
             removed += 1
     return removed
+
+
+def merge_into(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    delete_col: str | None = None,
+) -> dict[str, int]:
+    """Copy-on-write row-level MERGE INTO a hive-partitioned parquet
+    table — the lakehouse `MERGE` semantic (Delta/Iceberg's
+    WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT * / WHEN
+    MATCHED AND <delete_col> THEN DELETE) without a table format,
+    re-expressed at partition granularity:
+
+    - ``source`` carries full rows in the target's schema, plus an
+      optional boolean ``delete_col`` marking rows to delete. Matching
+      is on ``key_cols`` WITHIN the row's ``partition_col`` value (the
+      merge condition implicitly includes partition equality — the same
+      contract that makes Delta MERGE prune files; a key can therefore
+      not move between partitions in one merge).
+    - Only partitions PRESENT in the source are read or rewritten:
+      survivors = touched-target ANTI-JOIN source keys, then
+      survivors ∪ non-delete source rows overwrite exactly those
+      directories (``partitionOverwriteMode=dynamic``). Untouched
+      partitions are never opened — their files stay byte-identical.
+    - A partition whose merge result is EMPTY (every row deleted)
+      produces nothing for dynamic overwrite to replace, so those
+      directories are diffed out and deleted explicitly through the
+      Hadoop FileSystem API — same vanished-partition contract as
+      ``refresh_daily_rollup``.
+
+    Contract: (key_cols, partition_col) must be unique within
+    ``source`` — duplicate source keys make the update row
+    nondeterministic (Delta raises the same error at runtime).
+
+    Scale shape: cost is O(touched partitions), never O(table). The
+    anti-join shuffles only touched-partition rows keyed by the merge
+    key; at 100 TB with date partitions and a daily CDC feed this is
+    the standard upsert loop. Idempotent: re-running the same merge
+    rewrites the same partitions to the same logical content.
+
+    Returns stats: partitions touched / rewritten / deleted, and row
+    counts (before/after over the touched partitions, upserts, deletes).
+    Reference parity: the reference's load step dedups on append
+    (`/root/reference/etl.py` INSERT IGNORE); MERGE is its general
+    row-level form (SURVEY.md §2 L2).
+    """
+    join_cols = list(dict.fromkeys([*key_cols, partition_col]))
+    src = source.persist()
+    try:
+        touched = sorted(
+            str(r[0])
+            for r in src.select(partition_col).distinct().collect()
+            if r[0] is not None
+        )
+        target = spark.read.parquet(target_path)
+        tgt_touched = target.filter(F.col(partition_col).isin(touched))
+        rows_before = tgt_touched.count()
+
+        if delete_col is not None:
+            upserts = src.filter(~F.col(delete_col)).drop(delete_col)
+            n_deletes = src.filter(F.col(delete_col)).count()
+        else:
+            upserts = src
+            n_deletes = 0
+        upserts = upserts.select(*target.columns)
+
+        survivors = tgt_touched.join(
+            src.select(*join_cols).distinct(), on=join_cols, how="left_anti"
+        )
+        merged = survivors.unionByName(upserts).persist()
+        try:
+            written = {
+                str(r[0])
+                for r in merged.select(partition_col).distinct().collect()
+            }
+            rows_after = merged.count()
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(partition_col)
+                .parquet(target_path)
+            )
+        finally:
+            merged.unpersist()
+        vanished = sorted(set(touched) - written)
+        n_deleted_parts = _delete_partitions(
+            spark, target_path, partition_col, vanished
+        )
+        return {
+            "partitions_touched": len(touched),
+            "partitions_rewritten": len(written),
+            "partitions_deleted": n_deleted_parts,
+            "rows_before": rows_before,
+            "rows_after": rows_after,
+            "n_upserts": upserts.count(),
+            "n_deletes": n_deletes,
+        }
+    finally:
+        src.unpersist()

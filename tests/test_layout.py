@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from etl_pipeline_with_alpha_vantage_spark.catalog import table
 from etl_pipeline_with_alpha_vantage_spark.sinks.maintenance import (
     compact,
+    merge_into,
     write_partitioned,
 )
 
@@ -366,3 +367,164 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --------------------------------------------------------------------------
+# Copy-on-write MERGE INTO (sinks.maintenance.merge_into)
+# --------------------------------------------------------------------------
+
+
+def _file_state(path: str) -> dict[str, tuple[int, bytes]]:
+    """(size, content) per parquet file, keyed by relative path."""
+    import os
+
+    state = {}
+    for root, _d, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                with open(full, "rb") as fh:
+                    state[os.path.relpath(full, path)] = (
+                        os.path.getsize(full),
+                        fh.read(),
+                    )
+    return state
+
+
+def _merge_target(spark, sf_dir, path) -> None:
+    tgt = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        "c_mktsegment",
+    )
+    tgt.write.mode("overwrite").partitionBy("c_mktsegment").parquet(path)
+
+
+def test_merge_into_upsert_delete_semantics(spark, sf_dir, tmp_path):
+    """WHEN MATCHED UPDATE / WHEN MATCHED AND is_del DELETE / WHEN NOT
+    MATCHED INSERT — row-level results match the set-algebra spec."""
+    path = str(tmp_path / "merge_tbl")
+    _merge_target(spark, sf_dir, path)
+    before = {
+        r.c_custkey: r.acctbal_cents
+        for r in spark.read.parquet(path)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .collect()
+    }
+    keys = sorted(before)
+    upd_key, del_key = keys[0], keys[1]
+    src = spark.createDataFrame(
+        [
+            (upd_key, 999_999, "BUILDING", False),
+            (del_key, 0, "BUILDING", True),
+            (9_999_999, 777, "BUILDING", False),
+        ],
+        "c_custkey long, acctbal_cents long, c_mktsegment string, is_del boolean",
+    )
+    stats = merge_into(
+        spark, path, src, ["c_custkey"], "c_mktsegment", delete_col="is_del"
+    )
+    assert stats["partitions_touched"] == 1
+    assert stats["partitions_rewritten"] == 1
+    assert stats["n_deletes"] == 1
+    after = {
+        r.c_custkey: r.acctbal_cents
+        for r in spark.read.parquet(path)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .collect()
+    }
+    expected = dict(before)
+    expected[upd_key] = 999_999
+    del expected[del_key]
+    expected[9_999_999] = 777
+    assert after == expected
+
+
+def test_merge_into_untouched_partitions_byte_identical(
+    spark, sf_dir, tmp_path
+):
+    """A merge whose source names only BUILDING must leave every other
+    partition's files untouched — same names, sizes, and bytes."""
+    path = str(tmp_path / "merge_tbl")
+    _merge_target(spark, sf_dir, path)
+    pre = _file_state(path)
+    src = spark.createDataFrame(
+        [(8_888_888, 42, "BUILDING", False)],
+        "c_custkey long, acctbal_cents long, c_mktsegment string, is_del boolean",
+    )
+    merge_into(
+        spark, path, src, ["c_custkey"], "c_mktsegment", delete_col="is_del"
+    )
+    post = _file_state(path)
+    pre_untouched = {
+        k: v for k, v in pre.items() if "c_mktsegment=BUILDING" not in k
+    }
+    post_untouched = {
+        k: v for k, v in post.items() if "c_mktsegment=BUILDING" not in k
+    }
+    assert pre_untouched == post_untouched
+    assert pre_untouched  # the check is vacuous if nothing was untouched
+
+
+def test_merge_into_idempotent(spark, sf_dir, tmp_path):
+    """Re-running the SAME merge must be a logical no-op: every
+    partition it rewrites gets identical content, and partitions the
+    source does not name are not opened at all."""
+    path = str(tmp_path / "merge_tbl")
+    _merge_target(spark, sf_dir, path)
+    some_key = (
+        spark.read.parquet(path)
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .agg(F.min("c_custkey"))
+        .collect()[0][0]
+    )
+    src = spark.createDataFrame(
+        [
+            (some_key, 111, "AUTOMOBILE", False),
+            (7_777_777, 222, "AUTOMOBILE", False),
+        ],
+        "c_custkey long, acctbal_cents long, c_mktsegment string, is_del boolean",
+    )
+    merge_into(
+        spark, path, src, ["c_custkey"], "c_mktsegment", delete_col="is_del"
+    )
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+    stats = merge_into(
+        spark, path, src, ["c_custkey"], "c_mktsegment", delete_col="is_del"
+    )
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+    assert first == second
+    assert stats["rows_before"] == stats["rows_after"]
+
+
+def test_merge_into_vanished_partition_deleted(spark, sf_dir, tmp_path):
+    """Deleting EVERY row of a partition leaves nothing for dynamic
+    overwrite to replace — merge_into must remove the directory
+    explicitly so the table does not serve ghost rows."""
+    import os
+
+    path = str(tmp_path / "merge_tbl")
+    _merge_target(spark, sf_dir, path)
+    doomed = (
+        spark.read.parquet(path)
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_custkey", "acctbal_cents")
+        .collect()
+    )
+    src = spark.createDataFrame(
+        [(r.c_custkey, r.acctbal_cents, "MACHINERY", True) for r in doomed],
+        "c_custkey long, acctbal_cents long, c_mktsegment string, is_del boolean",
+    )
+    stats = merge_into(
+        spark, path, src, ["c_custkey"], "c_mktsegment", delete_col="is_del"
+    )
+    assert stats["partitions_deleted"] == 1
+    assert not os.path.exists(os.path.join(path, "c_mktsegment=MACHINERY"))
+    remaining = (
+        spark.read.parquet(path).select("c_mktsegment").distinct().collect()
+    )
+    assert "MACHINERY" not in {r.c_mktsegment for r in remaining}
