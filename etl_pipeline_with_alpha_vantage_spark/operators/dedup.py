@@ -565,6 +565,122 @@ def connected_components(
     return labels
 
 
+@query("dedup_cc_clusters_star", oracle=_CC_ORACLE)
+def dedup_cc_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as dedup_cc_clusters, computed by the large-star /
+    small-star contraction instead of min-label propagation — the
+    scale-safe variant for ADVERSARIAL topology. Min-label needs
+    O(diameter) sweeps, which degrades on chain-shaped dup graphs
+    (serial crawl dumps: doc N ≈ doc N+1 ≈ doc N+2 …); star contraction
+    converges in O(log² n) rounds on ANY graph (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14). Both run
+    behind the same (nodes, pairs) signature and the recursive-CTE
+    oracle adjudicates both; the 10k-node path-graph property test
+    (tests/test_properties.py) exercises exactly the topology that
+    breaks the label loop.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    return connected_components_star(nodes, pairs)
+
+
+def connected_components_star(
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star edge
+    contraction: (doc_id) × (doc_a, doc_b) → (doc_id, cluster_id) with
+    cluster_id = smallest doc_id in the component — same contract as
+    ``connected_components``.
+
+    Each round rewrites the edge set toward a star forest rooted at
+    each component's minimum node:
+
+    - large-star: per node u, connect every STRICTLY LARGER neighbor to
+      m = min(Γ(u) ∪ {u});
+    - small-star: per node u, connect u and every smaller neighbor to
+      m = min of that down-neighborhood.
+
+    Both phases are one partial-aggregated groupBy(u).min + one keyed
+    join over the current edge list — O(|E|) shuffled bytes per round,
+    no fact re-scan (edges are localCheckpoint-ed each round so plans
+    stay flat). Rounds to converge are O(log² n) on ANY topology — a
+    10k-node path needs ~12 rounds where min-label needs ~10k sweeps.
+    Convergence is detected by edge-set stability (count + commutative
+    hash checksum — two dust-sized aggregates per round).
+    """
+    spark = nodes.sparkSession
+    # canonical undirected edges (hi > lo), self-loops dropped
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            F.least("doc_a", "doc_b").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.xxhash64("hi", "lo")), F.lit(0)).alias("sig"),
+        ).collect()[0]
+        return int(row["n"]), int(row["sig"])
+
+    sig = _signature(edges)
+    for _ in range(max_iter):
+        # ---- large-star: for each u, attach neighbors v > u to
+        # m = min(neighborhood ∪ {u})
+        both = edges.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).unionAll(edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        mins = both.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        edges = (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ---- small-star: per u over its SMALLER neighbors (canonical
+        # form IS the down-directed list), attach u and each such v to
+        # the down-neighborhood min
+        down = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        dmins = down.groupBy("u").agg(F.min("v").alias("m"))
+        joined = down.join(dmins, "u")
+        edges = (
+            joined.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .unionAll(
+                joined.select(F.col("u").alias("hi"), F.col("m").alias("lo"))
+            )
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # Star forest: every non-root points at its component root. Isolated
+    # nodes label themselves.
+    roots = edges.groupBy("hi").agg(F.min("lo").alias("root"))
+    return (
+        nodes.join(roots, nodes.doc_id == roots.hi, "left")
+        .select(
+            "doc_id",
+            F.coalesce("root", "doc_id").alias("cluster_id"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # X14/X15 composition — train/test decontamination across the hash split
 # --------------------------------------------------------------------------

@@ -187,6 +187,63 @@ def test_connected_components_matches_union_find(spark, raw_edges):
     assert got == want
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw_edges=edge_strategy)
+def test_cc_star_matches_min_label(spark, raw_edges):
+    """The large-star/small-star contraction must produce the exact
+    labels of min-label propagation (itself refereed against union-find
+    above) on arbitrary random graphs."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n_nodes = 20
+    edges = [(min(a, b), max(a, b)) for a, b in raw_edges]
+    nodes_df = spark.createDataFrame(
+        [(i,) for i in range(n_nodes)], "doc_id long"
+    )
+    pairs_df = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        pairs_df = pairs_df.filter("doc_a <> doc_b")
+
+    label = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes_df, pairs_df, max_iter=25).collect()
+    }
+    star = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(nodes_df, pairs_df).collect()
+    }
+    assert star == label
+
+
+def test_cc_star_converges_on_path_graph(spark):
+    """A 10k-node PATH (0—1—2—…—9999) is the worst case for min-label
+    propagation (diameter sweeps ≈ node count); star contraction must
+    still collapse it to one component rooted at 0 within its default
+    O(log² n) round budget."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 10_000
+    nodes_df = spark.range(n).withColumnRenamed("id", "doc_id")
+    pairs_df = (
+        spark.range(n - 1)
+        .selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    )
+    labels = connected_components_star(nodes_df, pairs_df).collect()
+    assert len(labels) == n
+    assert {r.cluster_id for r in labels} == {0}
+
+
 # --------------------------------------------------------------------------
 # Greedy sequence packing (operators/packing.py)
 # --------------------------------------------------------------------------
