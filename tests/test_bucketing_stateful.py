@@ -113,3 +113,46 @@ def test_stateful_ewma_equals_batch(spark, sf_dir, tmp_path):
             final[r.user_id] = (r.rn, r.ewma)
     batch = {(u, rn, ew) for u, (rn, ew) in final.items()}
     assert streamed == batch
+
+
+def test_tws_ewma_equals_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas port of the EWMA processor: drained
+    stream equals the batch operator's final per-user row, exactly as
+    the applyInPandasWithState twin does. Skips (with the reason
+    printed) where the protobuf runtime is absent — the API imports but
+    its state-server protocol cannot run; tools/tws_probe.py documents
+    that environment defect."""
+    import pytest
+
+    from etl_pipeline_with_alpha_vantage_spark.streaming.stateful import (
+        running_user_ewma_tws,
+        tws_runtime_available,
+    )
+
+    if not tws_runtime_available():
+        pytest.skip(
+            "transformWithStateInPandas needs the google.protobuf runtime, "
+            "absent in this environment (see tools/tws_probe.py)"
+        )
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.timeseries import (
+        ewma_smoothing,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = running_user_ewma_tws(stream)
+    run_available_now(
+        out, "user_ewma_tws", checkpoint_dir=str(tmp_path), output_mode="update"
+    )
+    streamed = {
+        (r.user_id, r.n_events, r.ewma)
+        for r in spark.table("user_ewma_tws").collect()
+    }
+
+    batch_rows = ewma_smoothing(spark, sf_dir).collect()
+    final: dict[int, tuple[int, float]] = {}
+    for r in batch_rows:
+        if r.user_id not in final or r.rn > final[r.user_id][0]:
+            final[r.user_id] = (r.rn, r.ewma)
+    batch = {(u, rn, ew) for u, (rn, ew) in final.items()}
+    assert streamed == batch
