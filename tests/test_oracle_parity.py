@@ -36,98 +36,31 @@ EMPTY_OK: dict[str, str] = {}
 # and sf0.01 (the driver's SF), giving every data-dependent branch two
 # chances to surface.
 SECOND_SF_DIR = "/root/testdata/sf0.01"
-TWO_SF_CASES = [
-    "dedup_span_ngrams",
-    "ewma_smoothing",
-    "graph_triangles",
-    "agg_hll_mergeable",
-    "sample_balanced_classes",
-    "multimodal_audio_rms",
-    "stream_topk_trending",
-    "asof_join_nearest",
-    "attribution_linear",
-    "window_streak_longest",
-    "dedup_simhash_pairs",
-    "gapfill_interpolate",
-    "multimodal_image_ahash",
-    "agg_exact_median_2pass",
-    "join_point_in_time",
-    "abc_pareto_classes",
-    "text_bigram_lm",
-    "dedup_minhash_verify",
-    "multimodal_scene_cuts",
-    "embedding_quantize_int8",
-    "similarity_sq8_topk",
-    "snapshot_diff",
-    "rollup_cascade",
-    "funnel_strict_windowed",
-    "dedup_image_phash_pairs",
-    "pipeline_modality_manifest",
-    "stream_sliding_unique",
-    "orders_interarrival",
-    "agg_exact_percentiles_2pass",
-    "bpe_apply_encode",
-    "sample_domain_cap",
-    "shuffle_training_order",
-    "pack_length_buckets",
-    "agg_cms_heavy_hitters",
-    "dq_expectations",
-    "agg_winsorized_mean",
-    "search_keyword_topk",
-    "watermark_lateness_profile",
-    "observe_inflight_metrics",
-    "seasonality_weekday_index",
-    "gdpr_user_erasure",
-    "udtf_lateral_ngrams",
-    "agg_corr_matrix",
-    "ab_test_proportions",
-    "schema_evolution_merge",
-    "pipeline_curation_funnel",
-    "path_trigram_top",
-    "ohlc_resample_bars",
-    "join_bloom_semi",
-    "rollup_delta_maintenance",
-    "drift_psi_monitor",
-    "stream_ohlc_candles",
-    "text_oov_rate",
-    "dq_fd_discovery",
-    "embedding_class_scatter",
-    "embedding_fisher_ratio",
-    "text_quality_model",
-    "cohort_ltv_curve",
-    "embedding_label_outliers",
-    "export_shard_plan",
-    "sma_crossover_signals",
-    "drawdown_max",
-    "volatility_realized",
-    "returns_correlation_pairs",
-    "dedup_canonical_best",
-    "search_diverse_topk",
-    "dq_volume_anomaly",
-    "sql_udf_pricing_bands",
-    "dim_surrogate_keys",
-    "rsi_indicator",
-    "bollinger_breakouts",
-    "sla_fulfilment_attainment",
-    "churn_rate_by_nation",
-    "revenue_mom_growth",
-    "skyline_pareto",
-    "window_rolling_median",
-    "chi_square_assoc",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q16_supplier_relation",
-    "q20_excess_share_suppliers",
-    "q21_waiting_suppliers",
-    "scd2_customer_status",
-    "stream_dedup_window",
-    "stream_join_attribution",
-    "stream_session",
-    "stream_sliding",
-    "stream_stateful_totals",
-    "stream_static_enrich",
-    "stream_tumbling",
-]
+
+# Self-maintaining: the never-sampled set is EVERY oracled query minus
+# the union of names that have appeared in any committed driver sample
+# (CORRECTNESS_r*.json). New queries therefore get two-SF coverage
+# automatically from the day they are registered, and names leave this
+# list only when the driver actually checks them.
+def _driver_sampled_names() -> set[str]:
+    import glob
+    import json
+    import os
+
+    sampled: set[str] = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                record = json.load(f)
+            if isinstance(record, dict):
+                sampled |= set(record)
+        except (OSError, ValueError):
+            continue
+    return sampled
+
+
+TWO_SF_CASES = sorted(set(registry.ORACLES) - _driver_sampled_names())
 
 
 def canon(v):
