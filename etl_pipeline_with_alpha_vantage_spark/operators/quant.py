@@ -608,3 +608,396 @@ def bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 bollinger_breakouts.__doc__ = bollinger_breakouts.__doc__.format(n=_BB_N)
+
+
+# --------------------------------------------------------------------------
+# ATR — average true range (SMA form) over OHLC bars
+# --------------------------------------------------------------------------
+
+_ATR_N = 14
+
+_HLC_BARS_SQL = """
+pricked AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS bar,
+           event_id, epoch_us(ts) AS t_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+hlc AS (
+    SELECT event_type, bar,
+           CAST(MAX(cents) AS BIGINT) AS high_c,
+           CAST(MIN(cents) AS BIGINT) AS low_c,
+           CAST(MAX(CASE WHEN rn_last = 1 THEN cents END) AS BIGINT)
+               AS close_c
+    FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, bar
+                                  ORDER BY t_us DESC, event_id DESC)
+                   AS rn_last
+        FROM pricked
+    )
+    GROUP BY 1, 2
+)"""
+
+_ATR_ORACLE = f"""
+WITH {_HLC_BARS_SQL},
+tr AS (
+    SELECT event_type, bar,
+           CASE WHEN lag(close_c) OVER w IS NULL THEN high_c - low_c
+                ELSE GREATEST(high_c - low_c,
+                              abs(high_c - lag(close_c) OVER w),
+                              abs(low_c - lag(close_c) OVER w))
+           END AS tr_c
+    FROM hlc
+    WINDOW w AS (PARTITION BY event_type ORDER BY bar)
+),
+atr AS (
+    SELECT event_type, bar,
+           CAST(SUM(tr_c) OVER f AS DOUBLE) / {_ATR_N} AS atr_c,
+           COUNT(*) OVER f AS n
+    FROM tr
+    WINDOW f AS (PARTITION BY event_type ORDER BY bar
+                 ROWS BETWEEN {_ATR_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_bars,
+       CAST(round(AVG(atr_c) / 100.0, 6) AS DOUBLE) AS mean_atr,
+       CAST(round(MAX(atr_c) / 100.0, 6) AS DOUBLE) AS max_atr
+FROM atr WHERE n = {_ATR_N}
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("atr_indicator", oracle=_ATR_ORACLE)
+def atr_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATR ({n}-bar, SMA form): per-bar true range —
+    GREATEST(high−low, |high−prev_close|, |low−prev_close|), first bar
+    high−low — averaged over a trailing {n}-bar frame; per series the
+    mean and max ATR over full frames. Volatility sizing for the
+    reference's OHLCV domain (position sizing, stop placement).
+
+    Exactness: true range is integer-cent arithmetic (GREATEST/abs of
+    bigint differences), the frame sum is an exact bigint, and the
+    single division by {n} then by 100 is an IEEE chain rounded 6 dp.
+    The SMA form (not Wilder's recursive smoothing) keeps ATR a pure
+    window frame — no recurrence, so the whole indicator is one bar
+    collapse plus windows over dust. Close = last tick by (ts,
+    event_id), same convention as ohlc_resample_bars.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    bars = ev.select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 600_000_000).cast("long").alias("bar"),
+        cents.alias("cents"),
+        F.struct(F.unix_micros("ts").alias("t"), "event_id").alias("okey"),
+    ).groupBy("event_type", "bar").agg(
+        F.max("cents").alias("high_c"),
+        F.min("cents").alias("low_c"),
+        F.max_by("cents", "okey").alias("close_c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bar")
+    prev_close = F.lag("close_c").over(w)
+    tr = bars.select(
+        "event_type",
+        "bar",
+        F.when(
+            prev_close.isNull(), F.col("high_c") - F.col("low_c")
+        )
+        .otherwise(
+            F.greatest(
+                F.col("high_c") - F.col("low_c"),
+                F.abs(F.col("high_c") - prev_close),
+                F.abs(F.col("low_c") - prev_close),
+            )
+        )
+        .alias("tr_c"),
+    )
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("bar")
+        .rowsBetween(-(_ATR_N - 1), 0)
+    )
+    atr = tr.select(
+        "event_type",
+        (F.sum("tr_c").over(f).cast("double") / _ATR_N).alias("atr_c"),
+        F.count(F.lit(1)).over(f).alias("n"),
+    ).filter(F.col("n") == _ATR_N)
+    return (
+        atr.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            F.round(F.avg("atr_c") / 100.0, 6).cast("double").alias("mean_atr"),
+            F.round(F.max("atr_c") / 100.0, 6).cast("double").alias("max_atr"),
+        )
+        .orderBy("event_type")
+    )
+
+
+atr_indicator.__doc__ = atr_indicator.__doc__.format(n=_ATR_N)
+
+
+# --------------------------------------------------------------------------
+# Stochastic oscillator — %K / %D over OHLC bars
+# --------------------------------------------------------------------------
+
+_STOCH_N = 14
+_STOCH_D = 3
+
+_STOCH_ORACLE = f"""
+WITH {_HLC_BARS_SQL},
+framed AS (
+    SELECT event_type, bar, close_c,
+           CAST(MIN(low_c) OVER f AS BIGINT)  AS low_n,
+           CAST(MAX(high_c) OVER f AS BIGINT) AS high_n,
+           COUNT(*) OVER f AS n
+    FROM hlc
+    WINDOW f AS (PARTITION BY event_type ORDER BY bar
+                 ROWS BETWEEN {_STOCH_N - 1} PRECEDING AND CURRENT ROW)
+),
+k AS (
+    SELECT event_type, bar,
+           CAST(round(CAST(close_c - low_n AS DOUBLE) * 100.0
+                      / (high_n - low_n), 6) AS DOUBLE) AS pct_k
+    FROM framed WHERE n = {_STOCH_N} AND high_n > low_n
+),
+d AS (
+    SELECT event_type, bar, pct_k,
+           CAST(round(AVG(pct_k) OVER g, 6) AS DOUBLE) AS pct_d,
+           COUNT(*) OVER g AS nd
+    FROM k
+    WINDOW g AS (PARTITION BY event_type ORDER BY bar
+                 ROWS BETWEEN {_STOCH_D - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_bars,
+       CAST(round(AVG(pct_k), 6) AS DOUBLE) AS mean_k,
+       CAST(round(AVG(pct_d), 6) AS DOUBLE) AS mean_d,
+       CAST(SUM(CASE WHEN pct_k > 80 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_overbought,
+       CAST(SUM(CASE WHEN pct_k < 20 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oversold
+FROM d WHERE nd = {_STOCH_D}
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("stochastic_oscillator", oracle=_STOCH_ORACLE)
+def stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator: %K = 100·(close − lowN)/(highN − lowN)
+    over a trailing {n}-bar high/low channel, %D = {d}-bar SMA of %K;
+    per series the mean %K/%D and overbought (>80) / oversold (<20)
+    bar counts. Completes the classic indicator set (SMA crossover,
+    RSI, Bollinger, ATR, MACD) over the reference's OHLCV domain.
+
+    Exactness: channel extremes are exact bigints; each %K is one IEEE
+    division rounded 6 dp at birth; %D averages {d} already-rounded
+    doubles (exact sum, IEEE divide, 6 dp round) — both engines run the
+    identical chain. Degenerate channels (high = low) and warm-up bars
+    are excluded in both. Plan: one fact shuffle to bars, then windows
+    over types×bars dust.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    bars = ev.select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 600_000_000).cast("long").alias("bar"),
+        cents.alias("cents"),
+        F.struct(F.unix_micros("ts").alias("t"), "event_id").alias("okey"),
+    ).groupBy("event_type", "bar").agg(
+        F.max("cents").alias("high_c"),
+        F.min("cents").alias("low_c"),
+        F.max_by("cents", "okey").alias("close_c"),
+    )
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("bar")
+        .rowsBetween(-(_STOCH_N - 1), 0)
+    )
+    framed = bars.select(
+        "event_type",
+        "bar",
+        "close_c",
+        F.min("low_c").over(f).alias("low_n"),
+        F.max("high_c").over(f).alias("high_n"),
+        F.count(F.lit(1)).over(f).alias("n"),
+    ).filter(
+        (F.col("n") == _STOCH_N) & (F.col("high_n") > F.col("low_n"))
+    )
+    k = framed.select(
+        "event_type",
+        "bar",
+        F.round(
+            (F.col("close_c") - F.col("low_n")).cast("double")
+            * 100.0
+            / (F.col("high_n") - F.col("low_n")),
+            6,
+        ).alias("pct_k"),
+    )
+    g = (
+        Window.partitionBy("event_type")
+        .orderBy("bar")
+        .rowsBetween(-(_STOCH_D - 1), 0)
+    )
+    d = k.select(
+        "event_type",
+        "pct_k",
+        F.round(F.avg("pct_k").over(g), 6).alias("pct_d"),
+        F.count(F.lit(1)).over(g).alias("nd"),
+    ).filter(F.col("nd") == _STOCH_D)
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            F.round(F.avg("pct_k"), 6).cast("double").alias("mean_k"),
+            F.round(F.avg("pct_d"), 6).cast("double").alias("mean_d"),
+            F.sum((F.col("pct_k") > 80).cast("long")).alias("n_overbought"),
+            F.sum((F.col("pct_k") < 20).cast("long")).alias("n_oversold"),
+        )
+        .orderBy("event_type")
+    )
+
+
+stochastic_oscillator.__doc__ = stochastic_oscillator.__doc__.format(
+    n=_STOCH_N, d=_STOCH_D
+)
+
+
+# --------------------------------------------------------------------------
+# MACD — moving average convergence/divergence (recurrent EMAs)
+# --------------------------------------------------------------------------
+
+_MACD_FAST = 12
+_MACD_SLOW = 26
+_MACD_SIG = 9
+
+_MACD_ORACLE = f"""
+WITH RECURSIVE bars AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS bar,
+           CAST(MAX(CAST(round(value * 100) AS BIGINT)) * 1000 AS BIGINT)
+               AS mc
+    FROM events GROUP BY 1, 2
+),
+seq AS (
+    SELECT event_type, bar, mc,
+           row_number() OVER (PARTITION BY event_type ORDER BY bar) AS rn
+    FROM bars
+),
+r AS (
+    SELECT event_type, bar, rn, mc,
+           mc AS fast_mc, mc AS slow_mc, CAST(0 AS BIGINT) AS sig_mc
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.event_type, s.bar, s.rn, s.mc,
+           CAST(floor((r.fast_mc * {_MACD_FAST - 1} + 2 * s.mc)
+                      / {float(_MACD_FAST + 1)}) AS BIGINT),
+           CAST(floor((r.slow_mc * {_MACD_SLOW - 1} + 2 * s.mc)
+                      / {float(_MACD_SLOW + 1)}) AS BIGINT),
+           CAST(floor((r.sig_mc * {_MACD_SIG - 1}
+                       + 2 * (CAST(floor((r.fast_mc * {_MACD_FAST - 1}
+                                          + 2 * s.mc)
+                                         / {float(_MACD_FAST + 1)})
+                                   AS BIGINT)
+                              - CAST(floor((r.slow_mc * {_MACD_SLOW - 1}
+                                            + 2 * s.mc)
+                                           / {float(_MACD_SLOW + 1)})
+                                     AS BIGINT)))
+                      / {float(_MACD_SIG + 1)}) AS BIGINT)
+    FROM r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, bar,
+       CAST((fast_mc - slow_mc) / 100000.0 AS DOUBLE) AS macd,
+       CAST(sig_mc / 100000.0 AS DOUBLE) AS signal,
+       CAST((fast_mc - slow_mc - sig_mc) / 100000.0 AS DOUBLE) AS histogram
+FROM r
+"""
+
+
+@query("macd_indicator", oracle=_MACD_ORACLE)
+def macd_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD({f},{s},{g}): fast/slow EMAs of the close series, their
+    difference (the MACD line), a {g}-bar EMA of that difference (the
+    signal line), and the histogram — per bar, per series. The last of
+    the classic indicator set over the reference's OHLCV domain.
+
+    Exactness device: EMAs are sequential recurrences, so (like
+    ewma_smoothing) each step is an INTEGER floor recurrence in
+    milli-cents — s' = floor((s·(k−1) + 2·c) / (k+1)) — making every
+    intermediate a bigint both engines agree on bit-for-bit; the signal
+    EMA runs on the integer MACD difference (seeded 0 at the first
+    bar). The oracle replays the identical recurrence as a recursive
+    CTE.
+
+    Scale shape: one fact shuffle collapses ticks to types×bars dust;
+    the recurrences run in ONE Arrow mapInPandas sweep over bars
+    repartitioned by series and sorted in-partition — state is three
+    ints per series, rows never leave the executor. At 100 TB the cost
+    is the bar collapse; the sweep is O(bars) with bounded state,
+    exactly like the streaming EWMA twin.
+    """
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events")
+    bars = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_micros("ts") / 600_000_000)
+            .cast("long")
+            .alias("bar"),
+        )
+        .agg(
+            (F.max(F.round(F.col("value") * 100).cast("long")) * 1000).alias(
+                "mc"
+            )
+        )
+        .repartition("event_type")
+        .sortWithinPartitions("event_type", "bar")
+    )
+
+    kf, ks, kg = _MACD_FAST, _MACD_SLOW, _MACD_SIG
+
+    def sweep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prev_type, fast, slow, sig = None, 0, 0, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            types = pdf["event_type"].tolist()
+            mcs = pdf["mc"].tolist()
+            macd_o, sig_o, hist_o = [], [], []
+            for t, mc in zip(types, mcs):
+                mc = int(mc)
+                if t != prev_type:
+                    prev_type, fast, slow, sig = t, mc, mc, 0
+                else:
+                    fast = (fast * (kf - 1) + 2 * mc) // (kf + 1)
+                    slow = (slow * (ks - 1) + 2 * mc) // (ks + 1)
+                    sig = (sig * (kg - 1) + 2 * (fast - slow)) // (kg + 1)
+                macd_o.append((fast - slow) / 100000.0)
+                sig_o.append(sig / 100000.0)
+                hist_o.append((fast - slow - sig) / 100000.0)
+            yield pd.DataFrame(
+                {
+                    "event_type": types,
+                    "bar": pdf["bar"],
+                    "macd": macd_o,
+                    "signal": sig_o,
+                    "histogram": hist_o,
+                }
+            )
+
+    return bars.mapInPandas(
+        sweep,
+        "event_type string, bar long, macd double, "
+        "signal double, histogram double",
+    )
+
+
+macd_indicator.__doc__ = macd_indicator.__doc__.format(
+    f=_MACD_FAST, s=_MACD_SLOW, g=_MACD_SIG
+)
