@@ -265,3 +265,113 @@ def lakehouse_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot log: time travel + rollback (SURVEY.md §2 L2 family)
+# --------------------------------------------------------------------------
+
+_TT_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+),
+v1 AS (SELECT * FROM o WHERE o_orderkey % 4 = 0),
+v2 AS (SELECT * FROM o WHERE o_orderkey % 4 IN (0, 1)),
+v3 AS (SELECT * FROM o WHERE o_orderkey % 4 IN (2, 3)),
+v4 AS (SELECT * FROM v2),
+u AS (
+    SELECT 1 AS version, * FROM v1
+    UNION ALL SELECT 2, * FROM v2
+    UNION ALL SELECT 3, * FROM v3
+    UNION ALL SELECT 4, * FROM v4
+)
+SELECT CAST(version AS BIGINT)        AS version,
+       CAST(COUNT(*) AS BIGINT)       AS n_rows,
+       CAST(SUM(price_cents) AS BIGINT) AS price_cents_total,
+       CAST(SUM(o_orderkey) AS BIGINT)  AS orderkey_sum
+FROM u
+GROUP BY version
+ORDER BY version
+"""
+
+_TT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _cleanup_tt_fixtures() -> None:
+    for path in _TT_CACHE.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _TT_CACHE.clear()
+
+
+atexit.register(_cleanup_tt_fixtures)
+
+
+def _time_travel_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Commit four snapshot versions of an orders slice: two appends,
+    one overwrite, then a rollback to version 2."""
+    from ..catalog import table  # noqa: PLC0415
+    from ..sinks.snapshots import rollback, snapshot_commit  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    base = _TT_CACHE.get(key)
+    if base is not None and os.path.isdir(base):
+        return base
+    base = tempfile.mkdtemp(prefix="spark_graft_snap_")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    snapshot_commit(
+        spark, base, o.filter(F.col("o_orderkey") % 4 == 0), mode="append"
+    )
+    snapshot_commit(
+        spark, base, o.filter(F.col("o_orderkey") % 4 == 1), mode="append"
+    )
+    snapshot_commit(
+        spark, base, o.filter((F.col("o_orderkey") % 4).isin(2, 3)),
+        mode="overwrite",
+    )
+    rollback(spark, base, 2)
+    _TT_CACHE[key] = base
+    return base
+
+
+@query("lakehouse_time_travel", oracle=_TT_ORACLE)
+def lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-log time travel: four committed versions of an orders
+    slice (append, append, overwrite, rollback-to-v2), each read back
+    BY VERSION and audited with exact totals — append must contain its
+    parent, overwrite must not, and the rollback read must equal the
+    version-2 read although it is a distinct later commit
+    (`sinks.snapshots`: immutable data files + one JSON manifest per
+    version, Delta-RESTORE-style rollback).
+
+    Scale shape: manifests are O(files) JSON, never data-sized; a
+    versioned read plans a parquet scan over exactly the manifest's
+    files, so time travel costs the same as a plain read of that
+    version's data. At 100 TB the log is what makes "train on the
+    corpus as of version N" reproducible while ingestion keeps
+    committing.
+    """
+    base = _time_travel_fixture(spark, sf_dir)
+    from ..sinks.snapshots import read_snapshot  # noqa: PLC0415
+
+    reads = [
+        read_snapshot(spark, base, v).withColumn("version", F.lit(v))
+        for v in (1, 2, 3, 4)
+    ]
+    u = reads[0]
+    for r in reads[1:]:
+        u = u.unionByName(r)
+    return (
+        u.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_cents").alias("price_cents_total"),
+            F.sum("o_orderkey").alias("orderkey_sum"),
+        )
+        .withColumn("version", F.col("version").cast("long"))
+        .orderBy("version")
+    )

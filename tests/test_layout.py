@@ -528,3 +528,103 @@ def test_merge_into_vanished_partition_deleted(spark, sf_dir, tmp_path):
         spark.read.parquet(path).select("c_mktsegment").distinct().collect()
     )
     assert "MACHINERY" not in {r.c_mktsegment for r in remaining}
+
+
+# --------------------------------------------------------------------------
+# Snapshot log: time travel / rollback / vacuum (sinks.snapshots)
+# --------------------------------------------------------------------------
+
+
+def test_snapshot_time_travel_reads_are_stable(spark, tmp_path):
+    """A version's content must never change, no matter what is
+    committed after it — append includes the parent, overwrite resets."""
+    from etl_pipeline_with_alpha_vantage_spark.sinks.snapshots import (
+        read_snapshot,
+        snapshot_commit,
+        snapshot_history,
+    )
+
+    path = str(tmp_path / "snap")
+    d1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    d2 = spark.range(10, 15).withColumnRenamed("id", "k")
+    d3 = spark.range(100, 103).withColumnRenamed("id", "k")
+    assert snapshot_commit(spark, path, d1, mode="append") == 1
+    assert snapshot_commit(spark, path, d2, mode="append") == 2
+    assert snapshot_commit(spark, path, d3, mode="overwrite") == 3
+
+    v1 = {r.k for r in read_snapshot(spark, path, 1).collect()}
+    v2 = {r.k for r in read_snapshot(spark, path, 2).collect()}
+    v3 = {r.k for r in read_snapshot(spark, path, 3).collect()}
+    latest = {r.k for r in read_snapshot(spark, path).collect()}
+    assert v1 == set(range(10))
+    assert v2 == set(range(15))
+    assert v3 == {100, 101, 102}
+    assert latest == v3
+    hist = snapshot_history(path)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert hist[2]["mode"] == "overwrite"
+
+
+def test_snapshot_rollback_restores_without_rewrites(spark, tmp_path):
+    """Rollback commits a NEW version pointing at the old file list —
+    the restored read equals the old version and history is preserved."""
+    import os
+
+    from etl_pipeline_with_alpha_vantage_spark.sinks.snapshots import (
+        read_snapshot,
+        rollback,
+        snapshot_commit,
+        snapshot_history,
+    )
+
+    path = str(tmp_path / "snap")
+    snapshot_commit(
+        spark, path, spark.range(0, 5).withColumnRenamed("id", "k")
+    )
+    snapshot_commit(
+        spark, path, spark.range(5, 9).withColumnRenamed("id", "k")
+    )
+    files_before = {
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(os.path.join(path, "data"))
+        for f in fs
+    }
+    new_v = rollback(spark, path, 1)
+    assert new_v == 3
+    files_after = {
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(os.path.join(path, "data"))
+        for f in fs
+    }
+    assert files_before == files_after  # no data file written or removed
+    assert {r.k for r in read_snapshot(spark, path).collect()} == set(range(5))
+    assert {r.k for r in read_snapshot(spark, path, 2).collect()} == set(
+        range(9)
+    )  # bad version still readable (audit trail)
+    assert len(snapshot_history(path)) == 3
+
+
+def test_snapshot_vacuum_drops_only_unreferenced(spark, tmp_path):
+    """Vacuum with keep_last=1 removes files only older manifests
+    reference; the retained version stays fully readable."""
+    import pytest as _pytest
+
+    from etl_pipeline_with_alpha_vantage_spark.sinks.snapshots import (
+        read_snapshot,
+        snapshot_commit,
+        vacuum,
+    )
+
+    path = str(tmp_path / "snap")
+    snapshot_commit(
+        spark, path, spark.range(0, 6).withColumnRenamed("id", "k")
+    )
+    snapshot_commit(
+        spark, path, spark.range(6, 8).withColumnRenamed("id", "k"),
+        mode="overwrite",
+    )
+    removed = vacuum(spark, path, keep_last=1)
+    assert removed >= 1  # v1's files are unreferenced after the overwrite
+    assert {r.k for r in read_snapshot(spark, path).collect()} == {6, 7}
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path, 1)
