@@ -235,6 +235,59 @@ def attribution_join_stream(
     )
 
 
+def attribution_join_stream_outer(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER form of ``attribution_join_stream``: every purchase
+    emits — matched pairs as they join, and a NULL-click row once the
+    click-side watermark passes the purchase timestamp (proving no
+    in-band click can still arrive). Same constant-state envelope: both
+    watermarks plus the 6 h band let the engine expire click state at
+    6 h + watermark and purchase state at the watermark; outer state
+    additionally holds each unmatched purchase ONLY until the watermark
+    reaches it. Batch twin: windows.stream_join_attribution_outer."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS")
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "purchase_ts",
+        "click_ts",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "lag_us"
+        ),
+    )
+
+
 def run_stream_upsert(
     spark: SparkSession,
     sf_dir: str,

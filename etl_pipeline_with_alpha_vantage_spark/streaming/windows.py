@@ -253,6 +253,74 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JOIN_OUTER_ORACLE = """
+SELECT
+    p.event_id                        AS purchase_id,
+    c.event_id                        AS click_id,
+    p.user_id                         AS user_id,
+    p.ts                              AS purchase_ts,
+    c.ts                              AS click_ts,
+    CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+FROM events p
+LEFT JOIN events c
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 6 HOUR AND p.ts
+WHERE p.event_type = 'purchase'
+"""
+
+
+@query("stream_join_attribution_outer", oracle=_JOIN_OUTER_ORACLE)
+def stream_join_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18 widening: LEFT OUTER purchase↔click attribution — every
+    purchase emits, with nulls when no same-user click preceded it by
+    ≤ 6 h. The outer side is the semantics inner joins can't express:
+    "which conversions had NO attributable touchpoint".
+
+    This is the batch twin (one user_id shuffle, band as residual). The
+    streaming form (runner.attribution_join_stream_outer) is the same
+    join with how='leftOuter': matched pairs emit like the inner join,
+    and a purchase's NULL row emits only once the CLICK-side watermark
+    passes its timestamp (no in-band click can still arrive) — so on a
+    drained bounded replay the tail purchases younger than the final
+    watermark hold back their null rows, exactly the documented
+    engine semantics (tests/test_streaming.py asserts both halves).
+    """
+    from ..catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS")
+        ),
+        "left",
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "purchase_ts",
+        "click_ts",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).alias("lag_us"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Stream-static enrichment join (dimension broadcast into a stream)
 # --------------------------------------------------------------------------

@@ -147,6 +147,62 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
     assert len(streamed) > 0
 
 
+def test_stream_stream_outer_join_equals_batch(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream join, drained with AvailableNow:
+
+    - the matched half must equal the batch twin's matched pairs exactly;
+    - NULL-click rows emit only once the click-side watermark passes the
+      purchase timestamp, so every batch-NULL purchase OLDER than the
+      final watermark (max click ts − 1 h) must have emitted, and any
+      younger tail purchase must be held back (documented engine
+      semantics for outer stream-stream joins on bounded replays).
+    """
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_with_alpha_vantage_spark.streaming.runner import (
+        attribution_join_stream_outer,
+    )
+
+    joined = attribution_join_stream_outer(spark, sf_dir)
+    assert joined.isStreaming
+    run_available_now(
+        joined,
+        "join_outer_out",
+        checkpoint_dir=str(tmp_path),
+        output_mode="append",
+    )
+    streamed = spark.table("join_outer_out").collect()
+    s_matched = {
+        (r.purchase_id, r.click_id, r.lag_us)
+        for r in streamed
+        if r.click_id is not None
+    }
+    s_null = {r.purchase_id for r in streamed if r.click_id is None}
+
+    batch = QUERIES["stream_join_attribution_outer"](spark, sf_dir).collect()
+    b_matched = {
+        (r.purchase_id, r.click_id, r.lag_us)
+        for r in batch
+        if r.click_id is not None
+    }
+    b_null = {(r.purchase_id, r.purchase_ts) for r in batch if r.click_id is None}
+
+    assert s_matched == b_matched
+    assert len(s_matched) > 0
+
+    final_wm = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "click"
+    ).agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=1)
+    flushed = {pid for pid, ts in b_null if ts < final_wm}
+    assert flushed <= s_null, "watermark-passed purchases must emit NULL rows"
+    assert s_null <= {pid for pid, _ in b_null}, (
+        "streamed NULL rows must be a subset of the batch anti-join"
+    )
+    assert len(flushed) > 0
+
+
 def test_approx_percentile_rank_accuracy(spark, sf_dir):
     """approx_percentile returns an actual data point, so the right
     accuracy measure is RANK error, not value error: the empirical
