@@ -581,3 +581,205 @@ def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 export_shard_plan.__doc__ = export_shard_plan.__doc__.format(
     n=_EXPORT_SHARDS
 )
+
+
+# --------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al. 2023)
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+_DSIR_TOPK = 50
+
+_DSIR_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, lang, source,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents WHERE length(text) > 0
+),
+grams AS (
+    SELECT doc_id, lang,
+           list_concat(
+               t,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)),
+                                        i -> t[i] || '_' || t[i + 1])
+                    ELSE []::VARCHAR[] END) AS g
+    FROM docs
+),
+feats AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5('dsir:' || u.gram), 1, 8))::BIGINT
+               % {_DSIR_BUCKETS} AS bucket
+    FROM grams, UNNEST(g) AS u(gram)
+),
+tc AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+    FROM feats WHERE lang = 'en' GROUP BY 1
+),
+rc AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+    FROM feats GROUP BY 1
+),
+tot AS (
+    SELECT (SELECT SUM(c) FROM tc) AS t_n, (SELECT SUM(c) FROM rc) AS r_n
+),
+ratio AS (
+    SELECT rc.bucket,
+           CAST(round(ln((COALESCE(tc.c, 0) + 1.0)
+                         / (tot.t_n + {_DSIR_BUCKETS})) * 1000000) AS BIGINT)
+         - CAST(round(ln((rc.c + 1.0)
+                         / (tot.r_n + {_DSIR_BUCKETS})) * 1000000) AS BIGINT)
+               AS lr_micro
+    FROM rc LEFT JOIN tc USING (bucket), tot
+),
+scored AS (
+    SELECT f.doc_id, CAST(SUM(r.lr_micro) AS BIGINT) AS logw_micro
+    FROM feats f JOIN ratio r USING (bucket) GROUP BY 1
+),
+noised AS (
+    SELECT s.doc_id, d.lang, d.source, s.logw_micro,
+           CAST(round(-ln(-ln(
+               ((('0x' || substr(md5('dsir-g:' || CAST(s.doc_id AS VARCHAR)),
+                           1, 8))::BIGINT) + 0.5) / 4294967296.0))
+               * 1000000) AS BIGINT) AS gumbel_micro
+    FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, source, logw_micro, gumbel_micro,
+       logw_micro + gumbel_micro AS score_micro
+FROM noised
+ORDER BY score_micro DESC, doc_id
+LIMIT {_DSIR_TOPK}
+"""
+
+
+@query("sample_dsir_importance", oracle=_DSIR_ORACLE)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, public): pick the raw-corpus documents that look most like a
+    target corpus, by importance weight under hashed-n-gram bag models.
+
+    Recipe, exactly the paper's shape: (1) features = word unigrams +
+    bigrams hashed into {b} buckets (portable md5 family shared with
+    the oracle); (2) fit add-1-smoothed multinomials over buckets for
+    the TARGET slice (here lang='en', standing in for the quality
+    corpus) and the RAW corpus; (3) each document's log importance
+    weight is the sum over its feature occurrences of
+    ln p_target(bucket) − ln p_raw(bucket); (4) Gumbel-top-k resample:
+    add deterministic Gumbel noise −ln(−ln(u)) with u drawn from
+    md5(doc_id) and keep the top {k} by noised score — equivalent to
+    sampling without replacement ∝ the importance weights, but
+    reproducible and partitioning-independent.
+
+    Cross-engine exactness: every ln consumes an exact rational built
+    from identical bigints and is rounded to integer micro-nats BEFORE
+    any summation (the text_bigram_lm discipline), so scores are exact
+    integer sums; the Gumbel uniform is (h + 0.5)/2^32 from the md5
+    prefix — never 0 or 1, and bit-identical in both engines.
+
+    Scale shape: the bucket tables are ≤{b} rows regardless of corpus
+    size (two map-side-combined shuffles over exploded features), the
+    log-ratio table broadcasts to the per-document scoring join, and
+    the final ORDER BY runs on one row per document with a
+    constant-size global top-{k} — TakeOrderedAndProject, never a full
+    sort. No stage holds state proportional to anything but the
+    document count.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit("_"), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        "doc_id", "lang", F.explode(F.concat(toks, bigrams)).alias("gram")
+    )
+    feats = grams.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("gram"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    tc = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    rc = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tiny = Window.partitionBy()
+    ratio = (
+        rc.join(tc, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("tc"), F.lit(0)).alias("tc"),
+            "rc",
+            F.sum(F.coalesce(F.col("tc"), F.lit(0))).over(tiny).alias("t_n"),
+            F.sum("rc").over(tiny).alias("r_n"),
+        )
+        .select(
+            "bucket",
+            (
+                F.round(
+                    F.log(
+                        (F.col("tc") + 1.0)
+                        / (F.col("t_n") + _DSIR_BUCKETS)
+                    )
+                    * 1_000_000
+                ).cast("long")
+                - F.round(
+                    F.log(
+                        (F.col("rc") + 1.0)
+                        / (F.col("r_n") + _DSIR_BUCKETS)
+                    )
+                    * 1_000_000
+                ).cast("long")
+            ).alias("lr_micro"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("lr_micro").cast("long").alias("logw_micro"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsir-g:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    gumbel = F.round(-F.log(-F.log(u)) * 1_000_000).cast("long")
+    noised = scored.join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "logw_micro",
+        gumbel.alias("gumbel_micro"),
+        (F.col("logw_micro") + gumbel).alias("score_micro"),
+    )
+    return noised.orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    ).limit(_DSIR_TOPK)
+
+
+sample_dsir_importance.__doc__ = sample_dsir_importance.__doc__.format(
+    b=_DSIR_BUCKETS, k=_DSIR_TOPK
+)

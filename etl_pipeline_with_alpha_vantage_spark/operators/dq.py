@@ -528,3 +528,101 @@ def dim_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("collision_free"),
         F.min("surrogate_key").alias("min_key"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benford's-law first-digit audit — fraud/synthetic-data screen
+# --------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH cents AS (
+    SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+    FROM lineitem
+    WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0
+),
+obs AS (
+    SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+           CAST(COUNT(*) AS BIGINT) AS observed
+    FROM cents GROUP BY 1
+),
+tot AS (
+    SELECT digit, observed, SUM(observed) OVER () AS n FROM obs
+)
+SELECT digit,
+       observed,
+       CAST(round(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)
+           AS expected_ppm,
+       CAST(round(observed * 1000000.0 / n) AS BIGINT) AS observed_ppm,
+       CAST(round(
+           (observed - n * (CAST(round(log10(1.0 + 1.0 / digit) * 1000000)
+                                 AS BIGINT) / 1000000.0))
+           * (observed - n * (CAST(round(log10(1.0 + 1.0 / digit) * 1000000)
+                                   AS BIGINT) / 1000000.0))
+           / (n * (CAST(round(log10(1.0 + 1.0 / digit) * 1000000)
+                        AS BIGINT) / 1000000.0))
+           * 1000000) AS BIGINT) AS chi2_micro
+FROM tot
+ORDER BY digit
+"""
+
+
+@query("dq_benford_first_digit", oracle=_BENFORD_ORACLE)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over extended price —
+    the classic fraud / synthetic-data screen a warehouse DQ suite runs
+    on monetary columns. Emits, per digit 1–9: the observed count, the
+    Benford expectation log10(1+1/d) in ppm, the observed frequency in
+    ppm, and the digit's chi-square contribution in micro-units.
+    (TPC-H prices are list-price lookups, NOT Benford-distributed — the
+    audit's value is the exact, reproducible deviation report, which on
+    this data correctly screams "synthetic".)
+
+    Cross-engine exactness: the first digit is taken from the decimal
+    string of the exact integer cents (no float log in the digit path);
+    the Benford probability is rounded to integer ppm FIRST, so the
+    chi-square arithmetic downstream of ``log10`` consumes identical
+    exact integers in both engines, and each contribution is a fixed
+    IEEE expression ((o−e)·(o−e)/e — a literal multiply, not pow())
+    rounded to micro-units.
+
+    Scale shape: one map-side-combined groupBy producing ≤9 rows; the
+    total and the statistic run on that 9-row table (window over 9
+    rows). Pure per-row digit derivation before the shuffle — the scan
+    dominates, as it must at 100 TB.
+    """
+    from ..functions.exact import cents
+
+    li = table(spark, sf_dir, "lineitem")
+    c = cents("l_extendedprice")
+    obs = (
+        li.select(c.alias("c"))
+        .filter(F.col("c") > 0)
+        .select(
+            F.substring(F.col("c").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    n = F.sum("observed").over(Window.partitionBy())
+    expected_ppm = F.round(
+        F.log10(1.0 + 1.0 / F.col("digit")) * 1_000_000
+    ).cast("long")
+    tot = obs.select(
+        "digit", "observed", n.alias("n"), expected_ppm.alias("expected_ppm")
+    )
+    p = F.col("expected_ppm") / 1_000_000.0
+    exp_cnt = F.col("n") * p
+    dev = F.col("observed") - exp_cnt
+    return tot.select(
+        "digit",
+        "observed",
+        "expected_ppm",
+        F.round(F.col("observed") * 1_000_000.0 / F.col("n"))
+        .cast("long")
+        .alias("observed_ppm"),
+        F.round(dev * dev / exp_cnt * 1_000_000).cast("long").alias(
+            "chi2_micro"
+        ),
+    ).orderBy("digit")
