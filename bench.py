@@ -164,6 +164,11 @@ HEADLINE = [
     "sla_fulfilment_attainment",
     "churn_rate_by_nation",
     "revenue_mom_growth",
+    "dq_benford_first_digit",
+    "sample_dsir_importance",
+    "search_bm25_topk",
+    "churn_survival_km",
+    "stream_join_attribution_outer",
 ]
 
 

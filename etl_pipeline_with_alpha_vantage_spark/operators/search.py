@@ -148,3 +148,157 @@ def search_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 search_diverse_topk.__doc__ = search_diverse_topk.__doc__.format(
     k=_DIVERSE_K, c=_DIVERSE_PER_SOURCE
 )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval — the production ranking function
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ["window", "merge", "shuffle"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 10
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_ORACLE = f"""
+WITH lens AS (
+    SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS BIGINT) AS dl
+    FROM documents
+),
+corpus AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS n_toks
+    FROM lens
+),
+postings AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+    WHERE tok IN ({_BM25_TERMS_SQL})
+    GROUP BY 1, 2
+),
+idf AS (
+    SELECT tok,
+           CAST(round(ln(1.0 + (c.n_docs - df + 0.5) / (df + 0.5))
+                      * 1000000) AS BIGINT) AS idf_micro
+    FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+          FROM postings GROUP BY 1), corpus c
+),
+contrib AS (
+    SELECT p.doc_id,
+           CAST(round(
+               i.idf_micro
+               * (p.tf * ({_BM25_K1} + 1.0))
+               / (p.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B}
+                     + {_BM25_B} * l.dl * c.n_docs / c.n_toks))
+           ) AS BIGINT) AS c_micro
+    FROM postings p
+    JOIN idf i USING (tok)
+    JOIN lens l USING (doc_id), corpus c
+)
+SELECT doc_id, CAST(SUM(c_micro) AS BIGINT) AS bm25_micro
+FROM contrib
+GROUP BY doc_id
+ORDER BY bm25_micro DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
+@query("search_bm25_topk", oracle=_BM25_ORACLE)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck-Jones, the production
+    default everywhere Lucene runs): disjunctive query over {terms},
+    scored with idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), k1={k1},
+    b={b}, idf = ln(1+(N−df+0.5)/(df+0.5)) — the full length-normalized
+    ranking the tf-only `search_keyword_topk` approximates.
+
+    Cross-engine exactness: idf is rounded to integer micro-nats per
+    term FIRST; every other input (tf, dl, N, Σdl) is an exact bigint,
+    so each posting's contribution is one identical IEEE expression
+    (dl/avgdl written as dl·N/Σdl — one multiply, one divide, no
+    intermediate rounding) rounded to micro-units before the exact
+    integer sum per document.
+
+    Scale shape: the term filter prunes postings BEFORE any shuffle —
+    only the query's ≤{nt} terms' postings move. Document lengths are a
+    narrow per-row derivation (no shuffle); corpus totals are one 1-row
+    aggregate broadcast everywhere; df/idf is a ≤{nt}-row broadcast.
+    One doc_id shuffle builds (doc, term, tf); the final per-document
+    sum rides the same clustering, and the top-{k} compiles to
+    TakeOrderedAndProject. At 100 TB the posting filter is the whole
+    game — the plan never materializes anything wider than the query's
+    own postings.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    lens = docs.select("doc_id", F.size(toks).cast("long").alias("dl"))
+    corpus = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("n_toks"),
+    )
+    postings = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isin(_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        postings.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "tok",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("idf_micro"),
+            "n_docs",
+            "n_toks",
+        )
+    )
+    contrib = (
+        postings.join(F.broadcast(idf), "tok")
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf_micro")
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (
+                        1.0
+                        - _BM25_B
+                        + _BM25_B
+                        * F.col("dl")
+                        * F.col("n_docs")
+                        / F.col("n_toks")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("c_micro"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c_micro").cast("long").alias("bm25_micro"))
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(_BM25_K)
+    )
+
+
+search_bm25_topk.__doc__ = search_bm25_topk.__doc__.format(
+    terms=_BM25_TERMS, k1=_BM25_K1, b=_BM25_B,
+    nt=len(_BM25_TERMS), k=_BM25_K,
+)

@@ -83,6 +83,7 @@ def load_all() -> None:
         similarity,
         skew,
         stats,
+        survival,
         text,
         timeseries,
         tokenizer,
