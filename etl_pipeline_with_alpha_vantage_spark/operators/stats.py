@@ -477,3 +477,261 @@ def drift_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Mutual information — nonlinear dependence screen for feature selection
+# --------------------------------------------------------------------------
+
+_MI_ORACLE = """
+WITH cells AS (
+    SELECT event_type, user_id % 4 AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_xy
+    FROM events GROUP BY 1, 2
+),
+marg AS (
+    SELECT event_type, segment, n_xy,
+           CAST(SUM(n_xy) OVER (PARTITION BY event_type) AS BIGINT) AS n_x,
+           CAST(SUM(n_xy) OVER (PARTITION BY segment) AS BIGINT) AS n_y,
+           CAST(SUM(n_xy) OVER () AS BIGINT) AS n
+    FROM cells
+)
+SELECT event_type, CAST(segment AS BIGINT) AS segment, n_xy,
+       CAST(round(ln(CAST(n_xy * n AS DOUBLE) / (CAST(n_x AS DOUBLE) * n_y))
+                  * 1000000) AS BIGINT) AS pmi_micro,
+       CAST(round(
+           n_xy
+           * (CAST(round(ln(CAST(n_xy * n AS DOUBLE)
+                            / (CAST(n_x AS DOUBLE) * n_y)) * 1000000)
+                   AS BIGINT))
+           * 1.0 / n) AS BIGINT) AS mi_contrib_micro
+FROM marg
+ORDER BY event_type, segment
+"""
+
+
+@query("stats_mutual_information", oracle=_MI_ORACLE)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and user segment
+    (user_id mod 4) — the information-theoretic dependence screen
+    feature-selection pipelines run beside chi-square: per contingency
+    cell, PMI = ln(p_xy/(p_x·p_y)) and the cell's MI contribution
+    (n_xy/N)·PMI, both in micro-nats; the contributions sum to the MI
+    of the pair. Unlike chi-square this is the exact quantity mutual-
+    information-based selectors (mRMR etc.) threshold on.
+
+    Cross-engine exactness: PMI's log consumes one ratio assembled from
+    exact bigint counts (n_xy·N as an exact integer product, divided by
+    the exact product of marginals — fixed expression shape, single
+    IEEE divide) and rounds to integer micro-nats; the contribution
+    multiplies that INTEGER by exact counts before its own rounding, so
+    no float ever feeds another float. Integer headroom: n_xy·N tops
+    out at N² ≈ 1e17 « 2^63 even at petabyte row counts per cell
+    family.
+
+    Scale shape: identical to chi_square_assoc — ONE partial-aggregated
+    shuffle collapses the fact table to #types × #segments cells;
+    marginals are windows over that ~20-row table. The 100 TB cost is
+    the scan, as it must be.
+    """
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("segment")
+    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    marg = cells.select(
+        "*",
+        F.sum("n_xy").over(Window.partitionBy("event_type")).alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("segment")).alias("n_y"),
+        F.sum("n_xy").over(Window.partitionBy()).alias("n"),
+    )
+    pmi_micro = F.round(
+        F.log(
+            (F.col("n_xy") * F.col("n")).cast("double")
+            / (F.col("n_x").cast("double") * F.col("n_y"))
+        )
+        * 1_000_000
+    ).cast("long")
+    return marg.select(
+        "event_type",
+        F.col("segment").cast("long").alias("segment"),
+        "n_xy",
+        pmi_micro.alias("pmi_micro"),
+        F.round(F.col("n_xy") * pmi_micro * 1.0 / F.col("n"))
+        .cast("long")
+        .alias("mi_contrib_micro"),
+    ).orderBy("event_type", "segment")
+
+
+# --------------------------------------------------------------------------
+# CUPED — variance-reduced experiment readout (Deng et al. 2013)
+# --------------------------------------------------------------------------
+
+_CUPED_ORACLE = """
+WITH span AS (
+    SELECT epoch_us(MIN(ts)) + (epoch_us(MAX(ts)) - epoch_us(MIN(ts)) // 1)
+               // 2 AS mid_us
+    FROM events
+),
+per_user AS (
+    SELECT user_id,
+           ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+               ::BIGINT % 2 AS arm,
+           CAST(SUM(CASE WHEN epoch_us(ts) < s.mid_us
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS x_c,
+           CAST(SUM(CASE WHEN epoch_us(ts) >= s.mid_us
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS y_c
+    FROM events, span s
+    GROUP BY 1
+),
+pooled AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x_c) AS BIGINT) AS sx,
+           CAST(SUM(y_c) AS BIGINT) AS sy,
+           CAST(SUM(x_c * x_c) AS BIGINT) AS sxx,
+           CAST(SUM(x_c * y_c) AS BIGINT) AS sxy,
+           CAST(SUM(y_c * y_c) AS BIGINT) AS syy
+    FROM per_user
+),
+theta AS (
+    SELECT n, sx, sy,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS th,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS rho2
+    FROM pooled
+)
+SELECT p.arm,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       round(SUM(p.x_c) / 100.0 / COUNT(*), 6) AS mean_x,
+       round(SUM(p.y_c) / 100.0 / COUNT(*), 6) AS mean_y,
+       round(SUM(p.y_c) / 100.0 / COUNT(*)
+             - t.th * (SUM(p.x_c) / 100.0 / COUNT(*)
+                       - t.sx / 100.0 / t.n), 6) AS mean_y_adj,
+       round(t.th, 6) AS theta,
+       round(t.rho2, 6) AS var_reduction
+FROM per_user p, theta t
+GROUP BY p.arm, t.th, t.rho2, t.sx, t.n
+ORDER BY p.arm
+"""
+
+
+@query("ab_cuped_adjustment", oracle=_CUPED_ORACLE)
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    Walker 2013, public): per-user post-period spend Y adjusted by the
+    pre-period covariate X via Y′ = Y − θ(X − E[X]), θ = cov(X,Y)/var(X)
+    fitted POOLED across arms (so the adjustment cannot bias the
+    treatment contrast). The pre/post split is the midpoint of the
+    dataset's time span in exact epoch-micros; arms ride the same
+    reproducible md5 assignment as ab_test_proportions. Emits, per arm:
+    user count, raw means, the CUPED-adjusted mean, pooled θ, and ρ² —
+    the fraction of metric variance the covariate removes, i.e. how
+    much smaller the experiment could have been.
+
+    Cross-engine exactness: per-user X and Y aggregate as exact cents
+    (functions/exact.py discipline), so the pooled co-moments are exact
+    bigint sums; θ and ρ² assemble from those integers with fixed-shape
+    IEEE arithmetic and every emitted double rounds at 6 dp. Headroom:
+    Σx² of per-user cents clears bigint through ~1e8 users at this
+    activity level; beyond that the co-moments move to DECIMAL(38).
+
+    Scale shape: ONE user_id shuffle builds per-user (arm, X, Y) with
+    map-side partial sums; the co-moments collapse to a 1-row pooled
+    frame (broadcast); the per-arm readout is a ≤2-row aggregate over
+    the same per-user frame. Nothing downstream of the first shuffle
+    touches fact-table volume — CUPED at 100 TB costs exactly one scan
+    plus one shuffle, same as the unadjusted readout.
+    """
+    from ..functions.exact import cents
+
+    ev = table(spark, sf_dir, "events")
+    span = ev.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+            / F.lit(2).cast("long")
+        )
+        .cast("long")
+        .alias("mid_us")
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.first(arm).alias("arm"),
+            F.sum(
+                F.when(
+                    F.unix_micros("ts") < F.col("mid_us"),
+                    cents("value"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("x_c"),
+            F.sum(
+                F.when(
+                    F.unix_micros("ts") >= F.col("mid_us"),
+                    cents("value"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("y_c"),
+        )
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_c").cast("long").alias("sx"),
+        F.sum("y_c").cast("long").alias("sy"),
+        F.sum(F.col("x_c") * F.col("x_c")).cast("long").alias("sxx"),
+        F.sum(F.col("x_c") * F.col("y_c")).cast("long").alias("sxy"),
+        F.sum(F.col("y_c") * F.col("y_c")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    theta = pooled.select(
+        "n",
+        "sx",
+        (cov_n / varx_n).alias("th"),
+        (cov_n * cov_n / (varx_n * vary_n)).alias("rho2"),
+    )
+    mean_x = F.sum("x_c") / 100.0 / F.count(F.lit(1))
+    mean_y = F.sum("y_c") / 100.0 / F.count(F.lit(1))
+    return (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(mean_x, 6).cast("double").alias("mean_x"),
+            F.round(mean_y, 6).cast("double").alias("mean_y"),
+            F.round(
+                mean_y
+                - F.first("th")
+                * (mean_x - F.first("sx") / 100.0 / F.first("n")),
+                6,
+            )
+            .cast("double")
+            .alias("mean_y_adj"),
+            F.round(F.first("th"), 6).cast("double").alias("theta"),
+            F.round(F.first("rho2"), 6).cast("double").alias(
+                "var_reduction"
+            ),
+        )
+        .orderBy("arm")
+    )
