@@ -1360,3 +1360,200 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_label_outliers.__doc__ = embedding_label_outliers.__doc__.format(
     k=_OUTLIER_TOPK
 )
+
+
+# --------------------------------------------------------------------------
+# Product quantization + asymmetric distance computation (PQ-ADC)
+# --------------------------------------------------------------------------
+
+_PQ_M = 4        # subspaces
+_PQ_SUBDIM = 16  # dims per subspace (4 × 16 = the 64-dim embedding)
+_PQ_K = 16       # centroids per sub-codebook → 4 bits/subspace
+
+# Deterministic like the IVF path: sub-codebooks seed from the first
+# _PQ_K vectors' subvectors (no Lloyd refinement — the k-means seam is
+# already demonstrated distributed in similarity_ivf_topk and would
+# compose here per-subspace unchanged), encode ties break on lowest
+# centroid id (np.argmin ≡ ORDER BY d2, c), ADC scores round to 6 dp
+# before ranking. Double-summation drift across engines sits far below
+# both the argmin margins and the rounding grain on the test data.
+_PQ_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
+    FROM embeddings
+),
+n AS (SELECT vec_id, emb, sqrt(list_sum([x*x for x in emb])) AS norm FROM e),
+u AS (SELECT vec_id, list_transform(emb, x -> x / norm) AS unit FROM n),
+subs AS (SELECT m FROM generate_series(0, {_PQ_M - 1}) t(m)),
+dims AS (SELECT d FROM generate_series(0, {_PQ_SUBDIM - 1}) t(d)),
+cb AS (
+    SELECT s.m, seeds.vec_id AS c, d.d,
+           seeds.unit[s.m * {_PQ_SUBDIM} + d.d + 1] AS w
+    FROM u seeds CROSS JOIN subs s CROSS JOIN dims d
+    WHERE seeds.vec_id < {_PQ_K}
+),
+dist AS (
+    SELECT uu.vec_id, cb.m, cb.c,
+           SUM((uu.unit[cb.m * {_PQ_SUBDIM} + cb.d + 1] - cb.w)
+               * (uu.unit[cb.m * {_PQ_SUBDIM} + cb.d + 1] - cb.w)) AS d2
+    FROM u uu CROSS JOIN cb GROUP BY 1, 2, 3
+),
+codes AS (
+    SELECT vec_id, m, c AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d2, c) AS rn
+        FROM dist) WHERE rn = 1
+),
+lut AS (
+    SELECT q.vec_id AS query_id, cb.m, cb.c,
+           SUM(q.unit[cb.m * {_PQ_SUBDIM} + cb.d + 1] * cb.w) AS dp
+    FROM u q CROSS JOIN cb
+    WHERE q.vec_id < {N_QUERIES}
+    GROUP BY 1, 2, 3
+)
+SELECT query_id, neighbor_id, adc_score FROM (
+    SELECT l.query_id, cd.vec_id AS neighbor_id,
+           round(SUM(l.dp), 6) AS adc_score,
+           row_number() OVER (PARTITION BY l.query_id
+                              ORDER BY round(SUM(l.dp), 6) DESC, cd.vec_id)
+               AS rn
+    FROM codes cd
+    JOIN lut l ON l.m = cd.m AND l.c = cd.code
+    WHERE cd.vec_id <> l.query_id
+    GROUP BY l.query_id, cd.vec_id
+)
+WHERE rn <= {TOP_K}
+"""
+
+
+@query("similarity_pq_adc_topk", oracle=_PQ_ORACLE)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16, product-quantization tier (Jégou, Douze & Schmid 2011,
+    public): each unit vector compresses to {m} sub-codes of
+    log2({k}) bits — {bits} bits per vector instead of {full} bytes —
+    and queries score candidates with ASYMMETRIC distance computation:
+    the exact query subvector dotted against each sub-centroid once
+    into a {m}×{k} lookup table, so scoring a candidate is {m} table
+    lookups + adds, never a {d}-dim float op. This is the memory tier
+    between SQ8 (1 byte/dim) and IVF cell pruning, and composes with
+    IVF in production (IVF-PQ) — the cell stage is similarity_ivf_topk
+    unchanged.
+
+    Scale shape: the sub-codebook is {k}×{d} floats collected once from
+    a vec_id-pushdown scan (never the corpus) and broadcast inside the
+    encode UDF — one Arrow/BLAS pass over the corpus emits the codes,
+    zero shuffles. Scoring joins the code column against the per-query
+    LUT — here a literal nested-array expression compiled into the
+    plan (320 doubles), so candidate scoring is whole-stage-codegen
+    lookups with a 5-row broadcast fan-out, and the per-query top-{tk}
+    is the standard bounded window. At 100 TB the corpus never
+    materializes anything wider than {m} bytes of codes per row —
+    that IS product quantization's contract.
+    """
+    import numpy as np
+
+    from functools import reduce as _reduce
+
+    raw = table(spark, sf_dir, "embeddings")
+
+    def units(df):
+        return df.select("vec_id", _unit_udf()("embedding").alias("unit"))
+
+    head = {
+        int(r["vec_id"]): np.array(r["unit"], dtype=np.float64)
+        for r in units(
+            raw.filter(F.col("vec_id") < max(_PQ_K, N_QUERIES))
+        ).collect()
+    }
+    seeds = np.stack([head[i] for i in range(_PQ_K)])
+    # cb[m]: _PQ_K × _PQ_SUBDIM sub-codebook for subspace m
+    cb = [
+        seeds[:, m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
+        for m in range(_PQ_M)
+    ]
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def encode(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        out = np.empty((mat.shape[0], _PQ_M), dtype=np.int64)
+        for m in range(_PQ_M):
+            sub = mat[:, m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
+            # ||x−c||² argmin; np.argmin takes the FIRST minimum,
+            # matching the oracle's ORDER BY d2, c tie-break.
+            d2 = (
+                (sub[:, None, :] - cb[m][None, :, :]) ** 2
+            ).sum(axis=2)
+            out[:, m] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    codes = units(raw).select("vec_id", encode("unit").alias("codes"))
+
+    # LUT[q][m][c] = dot(query subvector, sub-centroid) — 5×4×16 doubles,
+    # compiled into the plan as a literal nested array.
+    lut_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(
+                        *[
+                            F.lit(float(head[q][m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM] @ cb[m][c]))
+                            for c in range(_PQ_K)
+                        ]
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+            for q in range(N_QUERIES)
+        ]
+    )
+    queries = spark.createDataFrame(
+        [(q,) for q in range(N_QUERIES)], "query_id long"
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _reduce(
+                    lambda a, b: a + b,
+                    [
+                        F.element_at(
+                            F.element_at(
+                                F.element_at(
+                                    lut_lit,
+                                    (F.col("query_id") + 1).cast("int"),
+                                ),
+                                m + 1,
+                            ),
+                            (F.element_at("codes", m + 1) + 1).cast("int"),
+                        )
+                        for m in range(_PQ_M)
+                    ],
+                ),
+                6,
+            ).alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_score")
+    )
+
+
+similarity_pq_adc_topk.__doc__ = similarity_pq_adc_topk.__doc__.format(
+    m=_PQ_M,
+    k=_PQ_K,
+    bits=_PQ_M * 4,
+    full=64 * 4,
+    d=_PQ_SUBDIM,
+    tk=TOP_K,
+)
