@@ -169,6 +169,9 @@ HEADLINE = [
     "search_bm25_topk",
     "churn_survival_km",
     "stream_join_attribution_outer",
+    "stats_mutual_information",
+    "ab_cuped_adjustment",
+    "similarity_pq_adc_topk",
 ]
 
 

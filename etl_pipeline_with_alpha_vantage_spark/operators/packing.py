@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -103,3 +103,127 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("est_tokens"),
     )
     return pack_greedy(docs, ["source"], "doc_id", "est_tokens")
+
+
+# --------------------------------------------------------------------------
+# Contrastive training batches — two-view positives, in-batch negatives
+# --------------------------------------------------------------------------
+
+_CONTRASTIVE_BATCH = 8
+
+_CONTRASTIVE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents WHERE length(text) > 0
+),
+views AS (
+    SELECT doc_id,
+           CAST(len(t) // 2 AS BIGINT) AS a_tokens,
+           CAST(len(t) - len(t) // 2 AS BIGINT) AS b_tokens
+    FROM toks WHERE len(t) >= 2
+),
+batched AS (
+    SELECT *,
+           CAST((row_number() OVER (
+                     ORDER BY md5('cbatch:' || CAST(doc_id AS VARCHAR)),
+                              doc_id) - 1)
+                // {_CONTRASTIVE_BATCH} AS BIGINT) AS batch_id
+    FROM views
+),
+full_b AS (
+    SELECT batch_id FROM batched GROUP BY 1
+    HAVING COUNT(*) = {_CONTRASTIVE_BATCH}
+)
+SELECT a.batch_id,
+       a.doc_id AS anchor_id,
+       b.doc_id AS cand_id,
+       a.doc_id = b.doc_id AS is_positive,
+       a.a_tokens AS anchor_tokens,
+       b.b_tokens AS cand_tokens
+FROM batched a
+JOIN batched b USING (batch_id)
+JOIN full_b USING (batch_id)
+ORDER BY a.batch_id, anchor_id, cand_id
+"""
+
+
+@query("pack_contrastive_batches", oracle=_CONTRASTIVE_ORACLE)
+def pack_contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training batch construction with IN-BATCH NEGATIVES —
+    the standard data layout for retriever/embedding training (SimCSE,
+    DPR; public): each document yields two views (front half / back
+    half of its token stream — the augmentation seam), documents are
+    dealt into batches of {b} by a reproducible md5 shuffle, and within
+    a batch every anchor view pairs against every candidate view: its
+    own back half as the positive, the other {bm1} back halves as
+    negatives. Ragged tail batches are dropped (training wants fixed
+    shapes). Emits one row per (anchor, candidate) pair with the
+    positive flag and both views' token counts.
+
+    Scale shape: the batch deal is the salted-md5 shuffle-order device
+    (reproducible, partitioning-independent); the pair fan-out is an
+    equi-join ON batch_id, so each batch's {b}×{b} expansion happens
+    where the batch lives — candidate volume is rows×{b}, NEVER rows².
+    The full-batch filter is a {b}-row-group aggregate riding the same
+    batch_id clustering. At 100 TB batch assembly is one shuffle plus a
+    bounded in-batch join, the same shape the distributed trainer's
+    data loader needs the pairs in.
+
+    The global row_number over the md5 ordering is the one
+    scale caveat — at real scale the deal becomes (shard, md5-rank
+    within shard) exactly like shuffle_training_order's documented
+    segmented form; semantics per batch are unchanged.
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    views = docs.select(
+        "doc_id",
+        (F.size(toks) / 2).cast("long").alias("a_tokens"),
+        (F.size(toks) - (F.size(toks) / 2).cast("long"))
+        .cast("long")
+        .alias("b_tokens"),
+    ).filter(F.size(toks) >= 2)
+    rn = F.row_number().over(
+        Window.orderBy(
+            F.md5(F.concat(F.lit("cbatch:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    batched = views.select(
+        "*", ((rn - 1) / _CONTRASTIVE_BATCH).cast("long").alias("batch_id")
+    )
+    full_b = (
+        batched.groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == _CONTRASTIVE_BATCH)
+        .select("batch_id")
+    )
+    a = batched.select(
+        "batch_id",
+        F.col("doc_id").alias("anchor_id"),
+        F.col("a_tokens").alias("anchor_tokens"),
+    )
+    b = batched.select(
+        "batch_id",
+        F.col("doc_id").alias("cand_id"),
+        F.col("b_tokens").alias("cand_tokens"),
+    )
+    return (
+        a.join(b, "batch_id")
+        .join(full_b, "batch_id")
+        .select(
+            "batch_id",
+            "anchor_id",
+            "cand_id",
+            (F.col("anchor_id") == F.col("cand_id")).alias("is_positive"),
+            "anchor_tokens",
+            "cand_tokens",
+        )
+        .orderBy("batch_id", "anchor_id", "cand_id")
+    )
+
+
+pack_contrastive_batches.__doc__ = pack_contrastive_batches.__doc__.format(
+    b=_CONTRASTIVE_BATCH, bm1=_CONTRASTIVE_BATCH - 1
+)
