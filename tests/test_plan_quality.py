@@ -98,6 +98,10 @@ _NESTED_LOOP_OK = {
     "similarity_sq8_topk",  # broadcast query vectors + 1-row range arrays
     "dq_expectations",  # crossJoin of two 1-row aggregates (FK block)
     "churn_rate_by_nation",  # 1-row data-derived horizon broadcast
+    "search_bm25_topk",  # 1-row corpus-stats (N, Σdl) broadcast
+    "churn_survival_km",  # 1-row data-derived max-date broadcast
+    "ab_cuped_adjustment",  # 1-row midpoint + 1-row pooled-θ broadcasts
+    "similarity_pq_adc_topk",  # 5-row query-id fan-out (ADC scoring)
 }
 
 
