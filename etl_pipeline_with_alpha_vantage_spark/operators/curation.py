@@ -676,28 +676,36 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums; the Gumbel uniform is (h + 0.5)/2^32 from the md5
     prefix — never 0 or 1, and bit-identical in both engines.
 
-    Scale shape: the bucket tables are ≤{b} rows regardless of corpus
-    size (two map-side-combined shuffles over exploded features), the
-    log-ratio table broadcasts to the per-document scoring join, and
-    the final ORDER BY runs on one row per document with a
-    constant-size global top-{k} — TakeOrderedAndProject, never a full
-    sort. No stage holds state proportional to anything but the
-    document count.
+    Scale shape: the exploded+hashed feature stream collapses to
+    per-(doc, bucket) counts in ONE map-side-combined shuffle and is
+    lineage-truncated there, so the expensive scan runs exactly once;
+    both multinomial fits are re-aggregations of that bounded table
+    (≤ docs × {b} rows), the ≤{b}-row log-ratio table broadcasts to the
+    scoring join (weighted by the stored counts), and the final ORDER
+    BY runs on one row per document with a constant-size global
+    top-{k} — TakeOrderedAndProject, never a full sort.
     """
     docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
-    n = F.size(toks)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("t"),
+    )
+    # zip_with over two slices, not transform(sequence)+element_at: the
+    # latter re-evaluates the inlined token array per element (see
+    # text_bigrams_top — quadratic in tokens, measured ~5×).
     bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit("_"), F.element_at(toks, i + 1)
-            ),
+        F.size("t") >= 2,
+        F.zip_with(
+            F.slice("t", 1, F.size("t") - 1),
+            F.slice("t", 2, F.size("t") - 1),
+            lambda a, b: F.concat(a, F.lit("_"), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = docs.select(
-        "doc_id", "lang", F.explode(F.concat(toks, bigrams)).alias("gram")
+    grams = base.select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat(F.col("t"), bigrams)).alias("gram"),
     )
     feats = grams.select(
         "doc_id",
@@ -711,20 +719,29 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_BUCKETS
         ).alias("bucket"),
     )
-    tc = (
-        feats.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    # Collapse the exploded+hashed feature stream to per-(doc, bucket)
+    # counts ONCE and truncate lineage: both model fits and the scoring
+    # pass read this bounded table (≤ docs × buckets rows), so the
+    # explode/md5 scan — the expensive part — runs exactly once instead
+    # of once per downstream branch. Same device as the CC sweeps.
+    cnts = (
+        feats.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    rc = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    bucket_tab = cnts.groupBy("bucket").agg(
+        F.sum("cnt").alias("rc"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)
+        ).alias("tc"),
+    )
     tiny = Window.partitionBy()
     ratio = (
-        rc.join(tc, "bucket", "left")
-        .select(
+        bucket_tab.select(
             "bucket",
-            F.coalesce(F.col("tc"), F.lit(0)).alias("tc"),
+            "tc",
             "rc",
-            F.sum(F.coalesce(F.col("tc"), F.lit(0))).over(tiny).alias("t_n"),
+            F.sum("tc").over(tiny).alias("t_n"),
             F.sum("rc").over(tiny).alias("r_n"),
         )
         .select(
@@ -748,9 +765,13 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        feats.join(F.broadcast(ratio), "bucket")
+        cnts.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
-        .agg(F.sum("lr_micro").cast("long").alias("logw_micro"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("lr_micro"))
+            .cast("long")
+            .alias("logw_micro")
+        )
     )
     u = (
         F.conv(
