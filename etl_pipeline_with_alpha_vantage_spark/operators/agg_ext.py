@@ -1287,3 +1287,292 @@ def churn_rate_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (theta-style) sketch with SET OPERATIONS — what HLL cannot do
+# --------------------------------------------------------------------------
+
+_KMV_K = 128
+_KMV_TYPES = ("click", "view", "purchase")
+_KMV_PAIRS = (("click", "purchase"), ("view", "purchase"))
+_KMV_SCALE = float(2**52)  # 13 hex digits → 52-bit hashes, double-exact
+
+_KMV_TYPES_SQL = ", ".join(f"'{t}'" for t in _KMV_TYPES)
+_KMV_PAIRS_SQL = " UNION ALL ".join(
+    f"SELECT '{a}' AS set_a, '{b}' AS set_b" for a, b in _KMV_PAIRS
+)
+
+_KMV_ORACLE = f"""
+WITH el AS (
+    SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS day
+    FROM events WHERE event_type IN ({_KMV_TYPES_SQL})
+),
+hs AS (
+    SELECT DISTINCT event_type,
+           ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR) || ':'
+                            || CAST(day AS VARCHAR)), 1, 13))::BIGINT AS h
+    FROM el
+),
+sk AS (
+    SELECT event_type, h FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h)
+            AS rn
+        FROM hs) WHERE rn <= {_KMV_K}
+),
+est AS (
+    SELECT event_type,
+           CAST(round(({_KMV_K} - 1) * CAST({_KMV_SCALE} AS DOUBLE) / MAX(h)) AS BIGINT)
+               AS est_n
+    FROM (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM sk) WHERE rn = {_KMV_K}
+    GROUP BY event_type
+),
+exact AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_n
+    FROM el GROUP BY 1
+),
+pairs AS ({_KMV_PAIRS_SQL}),
+merged AS (
+    SELECT p.set_a, p.set_b, s.h,
+           row_number() OVER (PARTITION BY p.set_a, p.set_b ORDER BY s.h)
+               AS rn
+    FROM pairs p
+    JOIN (SELECT DISTINCT sk2.h, p2.set_a AS sa, p2.set_b AS sb
+          FROM pairs p2
+          JOIN sk sk2 ON sk2.event_type IN (p2.set_a, p2.set_b)) s
+      ON s.sa = p.set_a AND s.sb = p.set_b
+),
+mk AS (SELECT set_a, set_b, h FROM merged WHERE rn <= {_KMV_K}),
+u_est AS (
+    SELECT set_a, set_b,
+           CAST(round(({_KMV_K} - 1) * CAST({_KMV_SCALE} AS DOUBLE) / MAX(h)) AS BIGINT)
+               AS est_union
+    FROM merged WHERE rn = {_KMV_K} GROUP BY 1, 2
+),
+inter_k AS (
+    SELECT m.set_a, m.set_b, CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM mk m
+    WHERE EXISTS (SELECT 1 FROM sk WHERE event_type = m.set_a AND h = m.h)
+      AND EXISTS (SELECT 1 FROM sk WHERE event_type = m.set_b AND h = m.h)
+    GROUP BY 1, 2
+),
+exact_inter AS (
+    SELECT p.set_a, p.set_b, CAST(COUNT(*) AS BIGINT) AS exact_inter
+    FROM pairs p
+    JOIN el a ON a.event_type = p.set_a
+    JOIN el b ON b.event_type = p.set_b
+             AND b.user_id = a.user_id AND b.day = a.day
+    GROUP BY 1, 2
+),
+exact_union AS (
+    SELECT p.set_a, p.set_b, CAST(COUNT(*) AS BIGINT) AS exact_union
+    FROM pairs p
+    JOIN (SELECT DISTINCT e2.user_id, e2.day, p3.set_a AS sa, p3.set_b AS sb
+          FROM pairs p3
+          JOIN el e2 ON e2.event_type IN (p3.set_a, p3.set_b)) x
+      ON x.sa = p.set_a AND x.sb = p.set_b
+    GROUP BY 1, 2
+)
+SELECT p.set_a, p.set_b,
+       ea.exact_n AS exact_a, sa.est_n AS est_a,
+       eb.exact_n AS exact_b, sb.est_n AS est_b,
+       eu.exact_union, ue.est_union,
+       ei.exact_inter,
+       CAST(round(ik.n_both * 1.0 / {_KMV_K} * ue.est_union) AS BIGINT)
+           AS est_inter
+FROM pairs p
+JOIN exact ea ON ea.event_type = p.set_a
+JOIN exact eb ON eb.event_type = p.set_b
+JOIN est sa ON sa.event_type = p.set_a
+JOIN est sb ON sb.event_type = p.set_b
+JOIN exact_union eu USING (set_a, set_b)
+JOIN u_est ue USING (set_a, set_b)
+JOIN exact_inter ei USING (set_a, set_b)
+JOIN inter_k ik USING (set_a, set_b)
+ORDER BY set_a, set_b
+"""
+
+
+@query("agg_kmv_set_ops", oracle=_KMV_ORACLE)
+def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-style bottom-k sketch with SET OPERATIONS — the
+    sketch tier HLL cannot provide: audience UNION and INTERSECTION
+    estimates (Beyer et al. 2007; the Theta sketch in Apache
+    DataSketches). Elements are daily-active (user, day) pairs per
+    event type; each set keeps its k={k} smallest 52-bit md5 hashes.
+    Union of two sketches = bottom-k of the merged samples (the
+    sketches are a mergeable monoid, like the HLL/CMS tiers);
+    intersection via the standard Jaccard device — the fraction of the
+    merged bottom-k present in BOTH input sketches, scaled by the union
+    estimate. Exact companions ride along for every estimate, the
+    agg_approx_distinct audit discipline.
+
+    Cross-engine exactness: hashes are 13-hex md5 prefixes (52 bits —
+    inside double mantissa, so (k−1)·2^52/h_k is exact-input IEEE in
+    both engines), ranks break ties on the hash value itself (distinct
+    → no ties), and every estimate rounds to an integer.
+
+    Scale shape: one distinct collapses facts to elements; a salted
+    per-(type, salt) bottom-k prunes each partition to ≤{k} rows BEFORE
+    the per-type rank (bottom-k of bottom-ks ≡ global bottom-k — the
+    sketch's own merge property, so the unsalted oracle formulation is
+    provably identical), leaving every later stage on ≤ types×{k}
+    rows of dust. The exact companions are the only corpus-sized
+    aggregations — at 100 TB they are the cost the sketch removes, and
+    the pattern deletes them once calibrated.
+    """
+    ev = table(spark, sf_dir, "events")
+    el = (
+        ev.filter(F.col("event_type").isin(*_KMV_TYPES))
+        .select(
+            "event_type", "user_id", F.to_date("ts").alias("day")
+        )
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("kmv:"),
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("day").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hs = el.select("event_type", h.alias("h")).distinct()
+    # Two-stage bottom-k: per-(type, salt) prune first so no partition
+    # ever sorts more than its own slice; provably equal to the global
+    # bottom-k (any global bottom-k member is in its salt's bottom-k).
+    pre_w = Window.partitionBy("event_type", F.col("h") % 8).orderBy("h")
+    pruned = (
+        hs.withColumn("prn", F.row_number().over(pre_w))
+        .filter(F.col("prn") <= _KMV_K)
+        .drop("prn")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    est = (
+        sk.filter(F.col("rn") == _KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.round((_KMV_K - 1) * _KMV_SCALE / F.max("h"))
+            .cast("long")
+            .alias("est_n")
+        )
+    )
+    exact = el.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    pairs = spark.createDataFrame(
+        list(_KMV_PAIRS), "set_a string, set_b string"
+    )
+    sk_h = sk.select("event_type", "h")
+    merged_in = (
+        pairs.join(
+            sk_h,
+            (F.col("event_type") == F.col("set_a"))
+            | (F.col("event_type") == F.col("set_b")),
+        )
+        .select("set_a", "set_b", "h")
+        .distinct()
+    )
+    mw = Window.partitionBy("set_a", "set_b").orderBy("h")
+    merged = merged_in.withColumn("rn", F.row_number().over(mw))
+    u_est = (
+        merged.filter(F.col("rn") == _KMV_K)
+        .groupBy("set_a", "set_b")
+        .agg(
+            F.round((_KMV_K - 1) * _KMV_SCALE / F.max("h"))
+            .cast("long")
+            .alias("est_union")
+        )
+    )
+    mk = merged.filter(F.col("rn") <= _KMV_K).select("set_a", "set_b", "h")
+    in_a = sk_h.select(
+        F.col("event_type").alias("set_a"), F.col("h").alias("h")
+    )
+    in_b = sk_h.select(
+        F.col("event_type").alias("set_b"), F.col("h").alias("h")
+    )
+    inter_k = (
+        mk.join(in_a, ["set_a", "h"], "semi")
+        .join(in_b, ["set_b", "h"], "semi")
+        .groupBy("set_a", "set_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    el_a = el.select(
+        F.col("event_type").alias("set_a"), "user_id", "day"
+    )
+    el_b = el.select(
+        F.col("event_type").alias("set_b"), "user_id", "day"
+    )
+    exact_inter = (
+        pairs.join(el_a, "set_a")
+        .join(el_b, ["set_b", "user_id", "day"])
+        .groupBy("set_a", "set_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    exact_union = (
+        pairs.join(
+            el.select("event_type", "user_id", "day"),
+            (F.col("event_type") == F.col("set_a"))
+            | (F.col("event_type") == F.col("set_b")),
+        )
+        .select("set_a", "set_b", "user_id", "day")
+        .distinct()
+        .groupBy("set_a", "set_b")
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+    )
+    ea = exact.select(
+        F.col("event_type").alias("set_a"), F.col("exact_n").alias("exact_a")
+    )
+    eb = exact.select(
+        F.col("event_type").alias("set_b"), F.col("exact_n").alias("exact_b")
+    )
+    sa = est.select(
+        F.col("event_type").alias("set_a"), F.col("est_n").alias("est_a")
+    )
+    sb = est.select(
+        F.col("event_type").alias("set_b"), F.col("est_n").alias("est_b")
+    )
+    return (
+        pairs.join(ea, "set_a")
+        .join(eb, "set_b")
+        .join(sa, "set_a")
+        .join(sb, "set_b")
+        .join(exact_union, ["set_a", "set_b"])
+        .join(u_est, ["set_a", "set_b"])
+        .join(exact_inter, ["set_a", "set_b"])
+        .join(inter_k, ["set_a", "set_b"])
+        .select(
+            "set_a",
+            "set_b",
+            "exact_a",
+            "est_a",
+            "exact_b",
+            "est_b",
+            "exact_union",
+            "est_union",
+            "exact_inter",
+            F.round(
+                F.col("n_both") * 1.0 / _KMV_K * F.col("est_union")
+            )
+            .cast("long")
+            .alias("est_inter"),
+        )
+        .orderBy("set_a", "set_b")
+    )
+
+
+agg_kmv_set_ops.__doc__ = agg_kmv_set_ops.__doc__.format(k=_KMV_K)

@@ -254,3 +254,25 @@ def test_shard_plan_covers_corpus_with_bounded_skew(spark, sf_dir, duck):
     assert sum(r["n_docs"] for r in rows) == n_docs
     mean = sum(r["skew_vs_mean"] for r in rows) / len(rows)
     assert abs(mean - 1.0) < 1e-9  # skews average to exactly 1 by construction
+
+
+def test_kmv_estimates_bounded_and_set_algebra_sane(spark, sf_dir):
+    """KMV invariants hash-parity can't pin: every estimate within the
+    k=128 error envelope of its exact companion, and the set algebra
+    holds (union ≥ both inputs' exacts, intersection ≤ both, inclusion-
+    exclusion consistent on the exact side)."""
+    rows = registry.QUERIES["agg_kmv_set_ops"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for est, exact in (
+            (r.est_a, r.exact_a),
+            (r.est_b, r.exact_b),
+            (r.est_union, r.exact_union),
+        ):
+            assert abs(est - exact) <= max(0.35 * exact, 5), r
+        assert r.exact_union >= max(r.exact_a, r.exact_b)
+        assert r.exact_inter <= min(r.exact_a, r.exact_b)
+        assert r.exact_union == r.exact_a + r.exact_b - r.exact_inter
+        assert abs(r.est_inter - r.exact_inter) <= max(
+            0.5 * r.exact_inter, 10
+        ), r
