@@ -172,6 +172,8 @@ HEADLINE = [
     "stats_mutual_information",
     "ab_cuped_adjustment",
     "similarity_pq_adc_topk",
+    "pack_contrastive_batches",
+    "agg_kmv_set_ops",
 ]
 
 

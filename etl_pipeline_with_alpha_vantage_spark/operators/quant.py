@@ -1001,3 +1001,111 @@ def macd_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
 macd_indicator.__doc__ = macd_indicator.__doc__.format(
     f=_MACD_FAST, s=_MACD_SLOW, g=_MACD_SIG
 )
+
+
+# --------------------------------------------------------------------------
+# Value-at-Risk / CVaR — the tail-risk numbers next to volatility
+# --------------------------------------------------------------------------
+
+_VAR_ORACLE = f"""
+WITH {_RETURNS_BARS_SQL},
+ranked AS (
+    SELECT event_type, bar, ret_micro,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ret_micro, bar) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM rets WHERE ret_micro IS NOT NULL
+),
+tail AS (
+    SELECT event_type, n, ret_micro, rn,
+           CAST((n + 19) // 20 AS BIGINT) AS k
+    FROM ranked
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_returns,
+       CAST(MAX(k) AS BIGINT) AS n_tail,
+       CAST(MAX(CASE WHEN rn = k THEN ret_micro END) AS BIGINT)
+           AS var95_micro,
+       CAST(round(SUM(CASE WHEN rn <= k THEN ret_micro END) * 1.0
+                  / MAX(k)) AS BIGINT) AS cvar95_micro
+FROM tail
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("quant_var_cvar", oracle=_VAR_ORACLE)
+def quant_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Value-at-Risk and Conditional VaR (expected shortfall) per
+    series — the tail-risk pair every risk desk reports beside realized
+    volatility. VaR is the EXACT k-th smallest per-bar return with
+    k = ⌈0.05·n⌉ (lower order statistic, no interpolation — the
+    conservative regulatory convention), CVaR the exact mean of that
+    worst-k tail; ties at the boundary break on the bar id so the
+    statistic is deterministic.
+
+    Exactness: returns are integer micro-units at birth (the shared
+    bars CTE), so VaR is an integer pick and CVaR an exact integer
+    ratio rounded once — no float order-sensitivity anywhere.
+
+    Scale shape: the ONE fact shuffle builds the 10-minute bars;
+    returns, the per-series rank, and both tail statistics all ride
+    the dust-sized bar table (bars ≤ minutes of history / 10 per
+    series). Identical cost envelope to volatility_realized.
+    """
+    ev = table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 600_000_000).cast("long").alias("bar"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bar")
+    price = F.col("cents").cast("double") / F.col("n")
+    lagged = bars.withColumns(
+        {
+            "prev_cents": F.lag("cents").over(w),
+            "prev_n": F.lag("n").over(w),
+        }
+    ).filter(F.col("prev_cents").isNotNull() & (F.col("prev_cents") != 0))
+    prev = F.col("prev_cents").cast("double") / F.col("prev_n")
+    rets = lagged.select(
+        "event_type",
+        "bar",
+        F.round((price / prev - 1.0) * 1_000_000)
+        .cast("long")
+        .alias("ret_micro"),
+    ).filter(F.col("ret_micro").isNotNull())
+    rw = Window.partitionBy("event_type").orderBy("ret_micro", "bar")
+    cw = Window.partitionBy("event_type")
+    ranked = rets.select(
+        "event_type",
+        "ret_micro",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    ).withColumn(
+        "k", ((F.col("n") + 19) / 20).cast("long")
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_returns"),
+            F.max("k").cast("long").alias("n_tail"),
+            F.max(
+                F.when(F.col("rn") == F.col("k"), F.col("ret_micro"))
+            )
+            .cast("long")
+            .alias("var95_micro"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rn") <= F.col("k"), F.col("ret_micro"))
+                )
+                * 1.0
+                / F.max("k")
+            )
+            .cast("long")
+            .alias("cvar95_micro"),
+        )
+        .orderBy("event_type")
+    )
