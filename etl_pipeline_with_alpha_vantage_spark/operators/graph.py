@@ -15,7 +15,7 @@ the identical recurrence as chained CTEs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import spread, table
@@ -341,3 +341,136 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_b"),
         hi.cast("long").alias("doc_c"),
     )
+
+
+# --------------------------------------------------------------------------
+# Label propagation communities — fixed-iteration, deterministic
+# --------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    """Chained-CTE replay of the synchronous LPA recurrence."""
+    its = []
+    prev = "l0"
+    for k in range(1, _LPA_ITERS + 1):
+        its.append(
+            f"""c{k} AS (
+    SELECT e.dst AS node_id, p.label, COUNT(*) AS cnt
+    FROM edges e JOIN {prev} p ON p.node_id = e.src
+    GROUP BY 1, 2
+),
+l{k} AS (
+    SELECT node_id, label FROM (
+        SELECT node_id, label,
+               row_number() OVER (PARTITION BY node_id
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM c{k}) WHERE rn = 1
+)"""
+        )
+        prev = f"l{k}"
+    chained = ",\n".join(its)
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT l_suppkey AS suppkey, l_partkey AS partkey FROM lineitem
+),
+edges AS (
+    SELECT suppkey * 2 AS src, partkey * 2 + 1 AS dst FROM pairs
+    UNION ALL
+    SELECT partkey * 2 + 1 AS src, suppkey * 2 AS dst FROM pairs
+),
+l0 AS (
+    SELECT DISTINCT src AS node_id, src AS label FROM edges
+),
+{chained},
+sized AS (
+    SELECT node_id, label,
+           COUNT(*) OVER (PARTITION BY label) AS community_size
+    FROM {prev}
+)
+SELECT node_id,
+       CASE WHEN node_id % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
+       CAST(node_id // 2 AS BIGINT) AS entity_key,
+       CAST(label AS BIGINT) AS label,
+       CAST(community_size AS BIGINT) AS community_size
+FROM sized
+"""
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the supplier↔part co-supply graph: {it} fixed
+    sweeps, each node adopting the most frequent label among its
+    neighbors with ties broken to the SMALLEST label — both choices
+    exactly the determinism discipline graph_pagerank set (fixed
+    iterations, integer labels, total tie order), so the chained-CTE
+    oracle replays the recurrence bit-for-bit where classic
+    random-order LPA is irreproducible by construction.
+
+    Scale shape: the edge list shuffles once and is lineage-truncated;
+    each sweep is join(edges, labels on src) → one partial-aggregated
+    (dst, label) count → a per-node window argmax — two keyed
+    exchanges per sweep, state bounded by nodes × distinct incident
+    labels. Undirected doubling keeps every node in every sweep's
+    keyset (no isolated-node patch-up join), and the fixed sweep count
+    bounds the plan like PageRank's — no convergence detection, no
+    driver round-trips.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_partkey").alias("partkey"),
+    ).distinct()
+    edges = (
+        pairs.select(
+            (F.col("suppkey") * 2).alias("src"),
+            (F.col("partkey") * 2 + 1).alias("dst"),
+        )
+        .unionAll(
+            pairs.select(
+                (F.col("partkey") * 2 + 1).alias("src"),
+                (F.col("suppkey") * 2).alias("dst"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("src").alias("node_id")).distinct().select(
+        "node_id", F.col("node_id").alias("label")
+    )
+    for _ in range(_LPA_ITERS):
+        counts = (
+            edges.join(labels.withColumnRenamed("node_id", "src"), "src")
+            .groupBy(F.col("dst").alias("node_id"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("node_id").orderBy(
+            F.col("cnt").desc(), F.col("label")
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node_id", "label")
+        )
+    sized = labels.select(
+        "node_id",
+        "label",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("community_size"),
+    )
+    return sized.select(
+        "node_id",
+        F.when(F.col("node_id") % 2 == 0, "supplier")
+        .otherwise("part")
+        .alias("node_type"),
+        (F.col("node_id") / 2).cast("long").alias("entity_key"),
+        F.col("label").cast("long").alias("label"),
+        F.col("community_size").cast("long").alias("community_size"),
+    )
+
+
+graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
+    it=_LPA_ITERS
+)
