@@ -2323,3 +2323,115 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents") / 100.0).cast("double").alias("revenue"),
         growth.alias("growth_micro"),
     ).orderBy("ym")
+
+
+# --------------------------------------------------------------------------
+# Additive seasonal decomposition — trend / seasonal / residual
+# --------------------------------------------------------------------------
+
+_DECOMP_HALF = 3  # centered 7-day trend window
+
+_DECOMP_ORACLE = """
+WITH daily AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+trended AS (
+    SELECT epoch_day, n_rows,
+           SUM(n_rows) OVER w AS s7,
+           COUNT(*) OVER w AS c7
+    FROM daily
+    WINDOW w AS (ORDER BY epoch_day ROWS BETWEEN 3 PRECEDING
+                 AND 3 FOLLOWING)
+),
+det AS (
+    SELECT epoch_day, n_rows,
+           CAST(round(s7 * 1000000.0 / 7) AS BIGINT) AS trend_micro,
+           CAST(n_rows * 1000000 - round(s7 * 1000000.0 / 7) AS BIGINT)
+               AS detrended_micro,
+           epoch_day % 7 AS weekday
+    FROM trended WHERE c7 = 7
+),
+seas AS (
+    SELECT weekday,
+           CAST(round(SUM(detrended_micro) * 1.0 / COUNT(*)) AS BIGINT)
+               AS seasonal_micro
+    FROM det GROUP BY 1
+)
+SELECT d.epoch_day, d.n_rows, d.trend_micro, s.seasonal_micro,
+       CAST(d.detrended_micro - s.seasonal_micro AS BIGINT)
+           AS residual_micro
+FROM det d JOIN seas s USING (weekday)
+ORDER BY d.epoch_day
+"""
+
+
+@query("seasonal_decompose_additive", oracle=_DECOMP_ORACLE)
+def seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily ingest
+    series: value = trend + seasonal + residual. Trend is the centered
+    7-day moving average (full windows only — the textbook edge
+    convention), the seasonal component is the per-weekday mean of the
+    detrended series (weekday = epoch-day mod 7, the engine-portable
+    device from seasonality_weekday_index), and the residual is what
+    anomaly screens should actually test — the series with calendar
+    structure removed, the STL decomposition's additive
+    little sibling.
+
+    Exactness: counts are integers; the trend is an exact-integer
+    ratio rounded to micro-units ONCE, the seasonal means are exact
+    integer ratios of those micro-ints, and the residual is pure
+    integer subtraction — no float ever meets another float.
+
+    Scale shape: the fact collapses to one row per day FIRST; the
+    centered frame, the 7-cell weekday aggregate, and the join back
+    all run on the dust-sized day table. The unpartitioned ORDER BY
+    sees days, never events — the accepted post-agg global-window
+    shape.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            (F.unix_micros("ts") / 86_400_000_000)
+            .cast("long")
+            .alias("epoch_day")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = Window.orderBy("epoch_day").rowsBetween(-_DECOMP_HALF, _DECOMP_HALF)
+    trended = daily.select(
+        "epoch_day",
+        "n_rows",
+        F.sum("n_rows").over(w).alias("s7"),
+        F.count(F.lit(1)).over(w).alias("c7"),
+    )
+    trend_micro = F.round(F.col("s7") * 1_000_000.0 / 7).cast("long")
+    det = trended.filter(F.col("c7") == 7).select(
+        "epoch_day",
+        "n_rows",
+        trend_micro.alias("trend_micro"),
+        (F.col("n_rows") * 1_000_000 - trend_micro)
+        .cast("long")
+        .alias("detrended_micro"),
+        (F.col("epoch_day") % 7).alias("weekday"),
+    )
+    seas = det.groupBy("weekday").agg(
+        F.round(F.sum("detrended_micro") * 1.0 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("seasonal_micro")
+    )
+    return (
+        det.join(F.broadcast(seas), "weekday")
+        .select(
+            "epoch_day",
+            "n_rows",
+            "trend_micro",
+            "seasonal_micro",
+            (F.col("detrended_micro") - F.col("seasonal_micro"))
+            .cast("long")
+            .alias("residual_micro"),
+        )
+        .orderBy("epoch_day")
+    )
