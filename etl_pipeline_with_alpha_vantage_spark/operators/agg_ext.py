@@ -1365,20 +1365,13 @@ exact_inter AS (
     JOIN el b ON b.event_type = p.set_b
              AND b.user_id = a.user_id AND b.day = a.day
     GROUP BY 1, 2
-),
-exact_union AS (
-    SELECT p.set_a, p.set_b, CAST(COUNT(*) AS BIGINT) AS exact_union
-    FROM pairs p
-    JOIN (SELECT DISTINCT e2.user_id, e2.day, p3.set_a AS sa, p3.set_b AS sb
-          FROM pairs p3
-          JOIN el e2 ON e2.event_type IN (p3.set_a, p3.set_b)) x
-      ON x.sa = p.set_a AND x.sb = p.set_b
-    GROUP BY 1, 2
 )
 SELECT p.set_a, p.set_b,
        ea.exact_n AS exact_a, sa.est_n AS est_a,
        eb.exact_n AS exact_b, sb.est_n AS est_b,
-       eu.exact_union, ue.est_union,
+       CAST(ea.exact_n + eb.exact_n - ei.exact_inter AS BIGINT)
+           AS exact_union,
+       ue.est_union,
        ei.exact_inter,
        CAST(round(ik.n_both * 1.0 / {_KMV_K} * ue.est_union) AS BIGINT)
            AS est_inter
@@ -1387,7 +1380,6 @@ JOIN exact ea ON ea.event_type = p.set_a
 JOIN exact eb ON eb.event_type = p.set_b
 JOIN est sa ON sa.event_type = p.set_a
 JOIN est sb ON sb.event_type = p.set_b
-JOIN exact_union eu USING (set_a, set_b)
 JOIN u_est ue USING (set_a, set_b)
 JOIN exact_inter ei USING (set_a, set_b)
 JOIN inter_k ik USING (set_a, set_b)
@@ -1523,17 +1515,6 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("set_a", "set_b")
         .agg(F.count(F.lit(1)).alias("exact_inter"))
     )
-    exact_union = (
-        pairs.join(
-            el.select("event_type", "user_id", "day"),
-            (F.col("event_type") == F.col("set_a"))
-            | (F.col("event_type") == F.col("set_b")),
-        )
-        .select("set_a", "set_b", "user_id", "day")
-        .distinct()
-        .groupBy("set_a", "set_b")
-        .agg(F.count(F.lit(1)).alias("exact_union"))
-    )
     ea = exact.select(
         F.col("event_type").alias("set_a"), F.col("exact_n").alias("exact_a")
     )
@@ -1551,7 +1532,6 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eb, "set_b")
         .join(sa, "set_a")
         .join(sb, "set_b")
-        .join(exact_union, ["set_a", "set_b"])
         .join(u_est, ["set_a", "set_b"])
         .join(exact_inter, ["set_a", "set_b"])
         .join(inter_k, ["set_a", "set_b"])
@@ -1562,7 +1542,9 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_a",
             "exact_b",
             "est_b",
-            "exact_union",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
+            .cast("long")
+            .alias("exact_union"),
             "est_union",
             "exact_inter",
             F.round(
