@@ -174,6 +174,9 @@ HEADLINE = [
     "similarity_pq_adc_topk",
     "pack_contrastive_batches",
     "agg_kmv_set_ops",
+    "quant_var_cvar",
+    "graph_label_propagation",
+    "seasonal_decompose_additive",
 ]
 
 

@@ -143,3 +143,32 @@ def test_q21_rewrite_equals_selfjoins_at_volume(spark):
     want_rows = sorted(map(tuple, want.collect()))
     assert got_rows == want_rows
     assert len(got_rows) == 500  # every supplier appears at this density
+
+
+def test_kmv_bottom_k_merge_property_at_volume(spark, big_events):
+    """The KMV sketch's merge property at 5M rows: the bottom-k of
+    per-salt bottom-ks equals the global bottom-k EXACTLY — the identity
+    agg_kmv_set_ops' two-stage prune relies on — and the resulting
+    distinct estimate lands within the k=128 error envelope."""
+    k = 128
+    h = F.pmod(F.xxhash64("user_id", F.lit(7)), F.lit(2**52)).alias("h")
+    hs = big_events.select(h).distinct()
+    pre = Window.partitionBy(F.col("h") % 8).orderBy("h")
+    pruned = (
+        hs.withColumn("prn", F.row_number().over(pre))
+        .filter(F.col("prn") <= k)
+        .drop("prn")
+    )
+    glob = Window.orderBy("h")
+    two_stage = [
+        r.h
+        for r in pruned.withColumn("rn", F.row_number().over(glob))
+        .filter(F.col("rn") <= k)
+        .select("h")
+        .collect()
+    ]
+    single = [r.h for r in hs.orderBy("h").limit(k).collect()]
+    assert two_stage == single
+    exact = hs.count()
+    est = (k - 1) * float(2**52) / max(single)
+    assert abs(est - exact) <= 0.35 * exact, (est, exact)
