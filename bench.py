@@ -177,6 +177,7 @@ HEADLINE = [
     "quant_var_cvar",
     "graph_label_propagation",
     "seasonal_decompose_additive",
+    "ml_logistic_gd",
 ]
 
 

@@ -1,0 +1,217 @@
+"""In-engine ML training: fixed-iteration logistic regression by
+batch gradient descent, deterministic across engines.
+
+The rest of the suite SERVES models (quality scorer, PQ/IVF codebooks,
+BPE merges); this module TRAINS one inside the engine — the MLlib-shaped
+workload expressed as pure DataFrame dataflow: per-row gradient
+contributions, one partial-aggregated global sum per iteration, a 1-row
+broadcast weight update. The same shape a parameter-server-free
+distributed GD sweep has at any scale.
+
+Determinism discipline (the pagerank/perplexity combination): features
+are exact integer-derived rationals with FIXED scaling constants (no
+data-dependent standardization — that would put an order-sensitive
+stddev in front of every gradient), each row's gradient contribution is
+rounded to integer micro-units BEFORE the sum (exact bigint reduction,
+any partitioning), and the weight update divides exact integers. The
+only cross-engine float risk is libm's exp in the sigmoid, bounded by
+the same micro-rounding argument text_perplexity_proxy documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+_GD_ITERS = 3
+_GD_LR = 1.0  # learning rate; gradients are means, so 1.0 is stable
+
+
+def _gd_oracle() -> str:
+    its = []
+    prev = "w0"
+    for k in range(1, _GD_ITERS + 1):
+        its.append(
+            f"""g{k} AS (
+    SELECT
+        CAST(SUM(CAST(round((1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1
+                                               + w.w2 * f.x2))) - f.y)
+                            * 1000000) AS BIGINT)) AS BIGINT) AS gb,
+        CAST(SUM(CAST(round((1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1
+                                               + w.w2 * f.x2))) - f.y)
+                            * f.x1 * 1000000) AS BIGINT)) AS BIGINT) AS g1,
+        CAST(SUM(CAST(round((1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1
+                                               + w.w2 * f.x2))) - f.y)
+                            * f.x2 * 1000000) AS BIGINT)) AS BIGINT) AS g2,
+        CAST(COUNT(*) AS BIGINT) AS n
+    FROM feats f, {prev} w
+),
+w{k} AS (
+    SELECT w.b - {_GD_LR} * round(g.gb * 1.0 / g.n) / 1000000.0 AS b,
+           w.w1 - {_GD_LR} * round(g.g1 * 1.0 / g.n) / 1000000.0 AS w1,
+           w.w2 - {_GD_LR} * round(g.g2 * 1.0 / g.n) / 1000000.0 AS w2
+    FROM {prev} w, g{k} g
+)"""
+        )
+        prev = f"w{k}"
+    chained = ",\n".join(its)
+    return f"""
+WITH per_ud AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type <> 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+           CAST(SUM(CASE WHEN event_type <> 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS cents_other,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+    FROM events GROUP BY 1, 2
+),
+feats AS (
+    SELECT y,
+           n_other / 10.0 AS x1,
+           cents_other / 10000.0 AS x2
+    FROM per_ud
+),
+w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2),
+{chained},
+final AS (
+    SELECT f.y,
+           1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2))) AS p
+    FROM feats f, {prev} w
+)
+SELECT
+    CAST((SELECT COUNT(*) FROM feats) AS BIGINT) AS n_rows,
+    CAST(round(w.b * 1000000) AS BIGINT) AS b_micro,
+    CAST(round(w.w1 * 1000000) AS BIGINT) AS w1_micro,
+    CAST(round(w.w2 * 1000000) AS BIGINT) AS w2_micro,
+    CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_correct
+FROM final, {prev} w
+GROUP BY w.b, w.w1, w.w2
+"""
+
+
+@query("ml_logistic_gd", oracle=_gd_oracle())
+def ml_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained IN the engine: {it} fixed
+    batch-gradient-descent iterations predicting whether a
+    (user, day) converts to a purchase from that day's NON-purchase
+    activity (event count, spend — fixed scaling constants,
+    exact-integer features; ~40% positive class, so the fit is a real
+    decision boundary, not a constant). Emits the learned weights in
+    micro-units plus training accuracy at the 0.5 threshold.
+
+    Each iteration is the canonical distributed-GD dataflow: per-row
+    sigmoid → per-row gradient contribution rounded to integer
+    MICRO-units at birth (the perplexity discipline — the global sum
+    becomes an exact bigint reduction, order-insensitive on any
+    partitioning), one map-side-combined aggregate to a 1-row gradient,
+    and a 1-row broadcast weight update. The chained-CTE oracle replays
+    the identical recurrence; no data-dependent standardization sits in
+    front of the gradient because a stddev there would be
+    order-sensitive.
+
+    Scale shape: the fact collapses to per-(user, day) features ONCE
+    (one shuffle); each of the {it} iterations re-scans only that feature
+    frame with a broadcast 1-row weight join — at 100 TB this is {it}
+    feature-frame passes and {it} single-row exchanges, the minimum any
+    full-batch GD does, with lineage bounded by the fixed iteration
+    count.
+    """
+    ev = table(spark, sf_dir, "events")
+    other = F.col("event_type") != "purchase"
+    per_ud = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(other.cast("long")).alias("n_other"),
+        F.sum(
+            F.when(other, F.round(F.col("value") * 100).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("cents_other"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("y"),
+    )
+    feats = per_ud.select(
+        "y",
+        (F.col("n_other") / 10.0).alias("x1"),
+        (F.col("cents_other") / 10_000.0).alias("x2"),
+    ).localCheckpoint(eager=False)
+
+    b, w1, w2 = 0.0, 0.0, 0.0
+    weights = spark.createDataFrame(
+        [(0.0, 0.0, 0.0)], "b double, w1 double, w2 double"
+    )
+    for _ in range(_GD_ITERS):
+        j = feats.crossJoin(F.broadcast(weights))
+        resid = (
+            1.0
+            / (
+                1.0
+                + F.exp(
+                    -(
+                        F.col("b")
+                        + F.col("w1") * F.col("x1")
+                        + F.col("w2") * F.col("x2")
+                    )
+                )
+            )
+            - F.col("y")
+        )
+        g = j.agg(
+            F.sum(F.round(resid * 1_000_000).cast("long")).alias("gb"),
+            F.sum(
+                F.round(resid * F.col("x1") * 1_000_000).cast("long")
+            ).alias("g1"),
+            F.sum(
+                F.round(resid * F.col("x2") * 1_000_000).cast("long")
+            ).alias("g2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        weights = weights.crossJoin(F.broadcast(g)).select(
+            (
+                F.col("b")
+                - _GD_LR
+                * F.round(F.col("gb") * 1.0 / F.col("n"))
+                / 1_000_000.0
+            ).alias("b"),
+            (
+                F.col("w1")
+                - _GD_LR
+                * F.round(F.col("g1") * 1.0 / F.col("n"))
+                / 1_000_000.0
+            ).alias("w1"),
+            (
+                F.col("w2")
+                - _GD_LR
+                * F.round(F.col("g2") * 1.0 / F.col("n"))
+                / 1_000_000.0
+            ).alias("w2"),
+        )
+    final = feats.crossJoin(F.broadcast(weights))
+    p = 1.0 / (
+        1.0
+        + F.exp(
+            -(
+                F.col("b")
+                + F.col("w1") * F.col("x1")
+                + F.col("w2") * F.col("x2")
+            )
+        )
+    )
+    return final.groupBy("b", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            ((p >= 0.5) == (F.col("y") == 1)).cast("long")
+        ).alias("n_correct"),
+    ).select(
+        "n_rows",
+        F.round(F.col("b") * 1_000_000).cast("long").alias("b_micro"),
+        F.round(F.col("w1") * 1_000_000).cast("long").alias("w1_micro"),
+        F.round(F.col("w2") * 1_000_000).cast("long").alias("w2_micro"),
+        "n_correct",
+    )
+
+
+ml_logistic_gd.__doc__ = ml_logistic_gd.__doc__.format(it=_GD_ITERS)

@@ -71,6 +71,7 @@ def load_all() -> None:
         dq,
         graph,
         lakehouse,
+        ml,
         multimodal,
         observe,
         packing,
