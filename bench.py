@@ -178,6 +178,7 @@ HEADLINE = [
     "graph_label_propagation",
     "seasonal_decompose_additive",
     "ml_logistic_gd",
+    "sql_recursive_hierarchy",
 ]
 
 

@@ -989,3 +989,56 @@ def sql_udf_pricing_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY 1, 2
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE — Spark 4's WITH RECURSIVE, same SQL text as the oracle
+# --------------------------------------------------------------------------
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE edges AS (
+    SELECT user_id AS child,
+           CAST(floor(user_id / 2.0) AS BIGINT) AS parent
+    FROM (SELECT DISTINCT user_id FROM events)
+    WHERE user_id > 0
+),
+walk(node, anc, depth) AS (
+    SELECT child, parent, 1 FROM edges
+    UNION ALL
+    SELECT w.node, e.parent, w.depth + 1
+    FROM walk w JOIN edges e ON e.child = w.anc
+)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes,
+       CAST(SUM(CASE WHEN anc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rooted
+FROM walk
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+@query("sql_recursive_hierarchy", oracle=_RECURSIVE_SQL)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through Spark 4's native recursive-CTE support —
+    the LAST major ANSI surface the engine gained, run AS-IS: the
+    identical SQL text executes on Spark and DuckDB (the
+    subquery_exists discipline). The walk is a true transitive closure
+    (anchor ∪ self-join step), not a linear recursion: every user
+    ancestor-chains to the root through a derived binary-tree hierarchy
+    (parent = ⌊user/2⌋ — written floor(x/2.0) because bare `/` is
+    integer division in one engine and true division in the other),
+    and the readout profiles the closure per hop: path count, distinct
+    nodes still walking, and how many chains reached the root.
+
+    Scale shape: Catalyst unrolls the recursion into iterative
+    UnionLoop steps — each hop is one equi-join of the frontier
+    against the edge table plus a union, exactly the iterative-join
+    dataflow graph_pagerank hand-writes; depth is bounded by log₂(max
+    user id), so the loop terminates in ~20 hops at any user-count
+    scale. Recursion-depth guards (spark.sql.cteRecursionLevelLimit)
+    apply where a cyclic edge set could loop forever.
+    """
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_RECURSIVE_SQL)
