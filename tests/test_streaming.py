@@ -704,3 +704,49 @@ def test_watermark_actually_drops_late_rows(spark, tmp_path):
     after = {(r.win.start, r.n) for r in spark.table("wmk_out").collect()}
     # The late row contributed to NO window update.
     assert sum(n for _, n in after) == sum(n for _, n in before)
+
+
+def test_statestore_reader_exposes_operator_state(spark, sf_dir, tmp_path):
+    """Spark 4 state-store READER surface (X19 ops): after a drained
+    run, `spark.read.format("state-metadata")` must list both stateful
+    operators (window save + dedupe), and `format("statestore")` must
+    expose the dedupe operator's keys — every event younger than the
+    final watermark must still be in state (eviction only drops keys
+    older than the watermark), and no key may be unknown."""
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_with_alpha_vantage_spark.streaming.runner import (
+        dedup_hourly_counts,
+    )
+
+    out = dedup_hourly_counts(read_events_stream(spark, sf_dir))
+    run_available_now(out, "ss_read_probe", checkpoint_dir=str(tmp_path))
+    ckpt = os.path.join(str(tmp_path), "ss_read_probe")
+
+    meta = spark.read.format("state-metadata").load(ckpt)
+    ops = {r.operatorName for r in meta.collect()}
+    assert ops == {"stateStoreSave", "dedupe"}
+
+    dedupe_id = next(
+        r.operatorId for r in meta.collect() if r.operatorName == "dedupe"
+    )
+    state = (
+        spark.read.format("statestore")
+        .option("operatorId", dedupe_id)
+        .load(ckpt)
+    )
+    state_ids = {r.key.event_id for r in state.collect()}
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    all_ids = {r.event_id for r in ev.select("event_id").collect()}
+    assert state_ids <= all_ids
+    wm = ev.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=1)
+    young = {
+        r.event_id
+        for r in ev.filter(F.col("ts") > wm).select("event_id").collect()
+    }
+    assert young <= state_ids, "watermark-young keys must survive in state"
+    assert len(state_ids) > 0
