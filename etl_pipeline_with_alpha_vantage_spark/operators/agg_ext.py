@@ -1416,12 +1416,18 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pattern deletes them once calibrated.
     """
     ev = table(spark, sf_dir, "events")
+    # The element and sketch tables feed many downstream branches
+    # (estimates, merges, membership probes, exact companions); truncate
+    # lineage at each so the fact scan and the bottom-k ranks run ONCE
+    # instead of once per branch (el ≤ distinct user-days — bounded;
+    # sk ≤ types × k rows of dust).
     el = (
         ev.filter(F.col("event_type").isin(*_KMV_TYPES))
         .select(
             "event_type", "user_id", F.to_date("ts").alias("day")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     h = F.conv(
         F.substring(
@@ -1453,6 +1459,7 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = (
         pruned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KMV_K)
+        .localCheckpoint(eager=False)
     )
     est = (
         sk.filter(F.col("rn") == _KMV_K)
