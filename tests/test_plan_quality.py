@@ -102,6 +102,8 @@ _NESTED_LOOP_OK = {
     "churn_survival_km",  # 1-row data-derived max-date broadcast
     "ab_cuped_adjustment",  # 1-row midpoint + 1-row pooled-θ broadcasts
     "similarity_pq_adc_topk",  # 5-row query-id fan-out (ADC scoring)
+    "agg_kmv_set_ops",  # 2-row pair frame joined on a disjunctive key
+    "ml_logistic_gd",  # 1-row weight/gradient broadcasts per iteration
 }
 
 
