@@ -186,7 +186,20 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     registry.load_all()
-    spark = get_spark(app_name="bench")
+    # Heap sized like verify_bare's: a 149-query × 3-run session
+    # accumulates localCheckpoint blocks (DSIR/KMV/graph/ML lineage
+    # truncation) faster than the ContextCleaner reclaims them, and the
+    # PySpark-default heap OOMed mid-bench once the checkpointing query
+    # count grew in round 5. Env-tunable for small hosts; only takes
+    # effect when THIS process launches the JVM.
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "BENCH_DRIVER_MEM", "16g"
+            )
+        },
+    )
 
     # Warm the JVM, parquet footers, and file indexes of every table with
     # one cheap action each so per-query numbers measure the plan, not
@@ -201,7 +214,13 @@ def main() -> None:
     # ±20% run-to-run and whole-bench load spikes of >2× have been
     # observed; min-of-3 reports the plan's cost, not the noise.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi and qi % 25 == 0:
+            # verify_bare's ContextCleaner nudge: drop dangling
+            # cached/checkpointed blocks so heap stays flat (outside the
+            # timed region — amortized, not attributed to any query).
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
         fn = registry.QUERIES[name]
         best = float("inf")
         for _ in range(3):
