@@ -179,6 +179,7 @@ HEADLINE = [
     "seasonal_decompose_additive",
     "ml_logistic_gd",
     "sql_recursive_hierarchy",
+    "text_zipf_fit",
 ]
 
 

@@ -1214,3 +1214,126 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf-law fit — does the corpus frequency distribution look natural?
+# --------------------------------------------------------------------------
+
+_ZIPF_TOP_R = 100
+
+_ZIPF_ORACLE = f"""
+WITH counts AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY 1
+),
+ranked AS (
+    SELECT cnt,
+           row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+    FROM counts
+),
+pts AS (
+    SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+           CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
+    FROM ranked WHERE rank <= {_ZIPF_TOP_R}
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM pts
+)
+SELECT n AS n_points,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+           AS zipf_slope,
+       round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy
+                                     - CAST(sx AS DOUBLE) * sy)
+                                    / (CAST(n AS DOUBLE) * sxx
+                                       - CAST(sx AS DOUBLE) * sx)) * sx)
+             / n / 1000000.0, 6) AS ln_c,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+           AS r2
+FROM mom
+"""
+
+
+@query("text_zipf_fit", oracle=_ZIPF_ORACLE)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequency distribution: the
+    log-log regression of frequency on rank for the top {r} ranks.
+    Natural language sits near slope −1; synthetic or boilerplate-heavy
+    corpora flatten toward 0 — a one-row corpus-health diagnostic data
+    curation runs beside the quality scores (and which correctly reads
+    "synthetic" on this near-uniform test vocabulary).
+
+    Exactness: ln(rank) and ln(count) round to integer micro-nats at
+    birth, the regression co-moments are exact bigint sums of those
+    integers, and slope/intercept/r² assemble with fixed-shape IEEE
+    arithmetic rounded at 6 dp — the ab_cuped/agg_regression
+    discipline.
+
+    Scale shape: ONE map-side-combined shuffle builds the vocabulary
+    counts; the rank window runs over the vocabulary (dimension-sized,
+    documented segmented form at extreme vocab), and the fit consumes
+    {r} points. The corpus is scanned once.
+    """
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = counts.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("tok")))
+        .alias("rank"),
+    ).filter(F.col("rank") <= _ZIPF_TOP_R)
+    pts = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    slope = cov_n / varx_n
+    return mom.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).cast("double").alias("zipf_slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / F.col("n")
+            / 1_000_000.0,
+            6,
+        )
+        .cast("double")
+        .alias("ln_c"),
+        F.round(cov_n * cov_n / (varx_n * vary_n), 6)
+        .cast("double")
+        .alias("r2"),
+    )
+
+
+text_zipf_fit.__doc__ = text_zipf_fit.__doc__.format(r=_ZIPF_TOP_R)
