@@ -139,7 +139,6 @@ def ml_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents_other") / 10_000.0).alias("x2"),
     ).localCheckpoint(eager=False)
 
-    b, w1, w2 = 0.0, 0.0, 0.0
     weights = spark.createDataFrame(
         [(0.0, 0.0, 0.0)], "b double, w1 double, w2 double"
     )
