@@ -180,6 +180,7 @@ HEADLINE = [
     "ml_logistic_gd",
     "sql_recursive_hierarchy",
     "text_zipf_fit",
+    "forecast_ses_backtest",
 ]
 
 

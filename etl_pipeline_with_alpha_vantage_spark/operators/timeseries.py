@@ -2435,3 +2435,121 @@ def seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch_day")
     )
+
+
+# --------------------------------------------------------------------------
+# SES forecast + walk-forward backtest — forecasting with honest scoring
+# --------------------------------------------------------------------------
+
+_SES_ORACLE = """
+WITH RECURSIVE daily AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+seq AS (
+    SELECT event_type, x,
+           row_number() OVER (PARTITION BY event_type ORDER BY epoch_day)
+               AS rn,
+           lag(x) OVER (PARTITION BY event_type ORDER BY epoch_day)
+               AS prev_x
+    FROM daily
+),
+r AS (
+    SELECT event_type, rn, x, CAST(NULL AS BIGINT) AS forecast, x AS s
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT e.event_type, e.rn, e.x, r.s,
+           CAST(floor((r.s + e.x) / 2.0) AS BIGINT)
+    FROM r JOIN seq e ON e.event_type = r.event_type AND e.rn = r.rn + 1
+)
+SELECT r.event_type,
+       CAST(COUNT(r.forecast) AS BIGINT) AS n_forecasts,
+       CAST(SUM(abs(r.x - r.forecast)) AS BIGINT) AS ses_abs_err,
+       CAST(round(SUM(abs(r.x - r.forecast)) * 1000.0
+                  / COUNT(r.forecast)) AS BIGINT) AS ses_mae_milli,
+       CAST(SUM(abs(s.x - s.prev_x)) AS BIGINT) AS naive_abs_err,
+       CAST(round(SUM(abs(s.x - s.prev_x)) * 1000.0
+                  / COUNT(s.prev_x)) AS BIGINT) AS naive_mae_milli,
+       SUM(abs(r.x - r.forecast)) < SUM(abs(s.x - s.prev_x))
+           AS ses_beats_naive
+FROM r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn
+WHERE r.forecast IS NOT NULL
+GROUP BY r.event_type
+ORDER BY r.event_type
+"""
+
+
+@query("forecast_ses_backtest", oracle=_SES_ORACLE)
+def forecast_ses_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead forecasting with a WALK-FORWARD backtest: simple
+    exponential smoothing (α = 1/2, the ewma_smoothing integer-floor
+    recurrence, so state stays bit-exact) over each series' daily
+    counts, where day t's forecast is the state BEFORE t was seen —
+    never trained on its own target. Scored per series as MAE against
+    the naive persistence baseline (forecast = yesterday), which is the
+    honesty check every forecast eval needs: a model that can't beat
+    persistence has no signal.
+
+    Scale shape: the fact collapses to the types×days dust table FIRST
+    (one partial-aggregated shuffle); the sequential recurrence then
+    runs as one grouped Arrow sweep per series — bounded state (one
+    int64), series independent, the sessionize/ewma clustering
+    discipline — and the scoring is a ≤types-row aggregate. The DuckDB
+    oracle replays the identical recurrence as a recursive CTE.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / 86_400_000_000)
+            .cast("long")
+            .alias("epoch_day"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+
+    out_schema = (
+        "event_type string, n_forecasts long, ses_abs_err long, "
+        "naive_abs_err long"
+    )
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("epoch_day")
+        xs = pdf["x"].to_numpy()
+        s = int(xs[0])
+        ses_err = naive_err = 0
+        for t in range(1, len(xs)):
+            x = int(xs[t])
+            ses_err += abs(x - s)
+            naive_err += abs(x - int(xs[t - 1]))
+            s = (s + x) // 2
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_forecasts": [len(xs) - 1],
+                "ses_abs_err": [ses_err],
+                "naive_abs_err": [naive_err],
+            }
+        )
+
+    scored = daily.groupBy("event_type").applyInPandas(sweep, out_schema)
+    return scored.select(
+        "event_type",
+        "n_forecasts",
+        "ses_abs_err",
+        F.round(F.col("ses_abs_err") * 1000.0 / F.col("n_forecasts"))
+        .cast("long")
+        .alias("ses_mae_milli"),
+        "naive_abs_err",
+        F.round(F.col("naive_abs_err") * 1000.0 / F.col("n_forecasts"))
+        .cast("long")
+        .alias("naive_mae_milli"),
+        (F.col("ses_abs_err") < F.col("naive_abs_err")).alias(
+            "ses_beats_naive"
+        ),
+    ).orderBy("event_type")
