@@ -189,3 +189,55 @@ def test_rolling_median_randomized_vs_pandas(spark, tmp_path):
     # holds the original row position == event_id, so align through it
     for eid, w in want.items():
         assert got[eid] == w, (eid, got[eid], w)
+
+
+def test_logistic_gd_matches_numpy_replay(spark, sf_dir):
+    """Third-implementation agreement for ml_logistic_gd: replay the
+    3-iteration micro-rounded GD recurrence in numpy from the same
+    per-(user, day) features and require the SAME final weights to the
+    micro-unit — Spark, DuckDB (oracle), and numpy must all land on
+    identical integers, which pins both the feature derivation and the
+    round-before-sum gradient discipline."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_with_alpha_vantage_spark import registry
+    from etl_pipeline_with_alpha_vantage_spark.catalog import table
+
+    registry.load_all()
+    ev = table(spark, sf_dir, "events")
+    other = F.col("event_type") != "purchase"
+    rows = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(other.cast("long")).alias("n_other"),
+            F.sum(
+                F.when(other, F.round(F.col("value") * 100).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("cents_other"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "y"
+            ),
+        )
+        .collect()
+    )
+    y = np.array([r.y for r in rows], dtype=np.float64)
+    x1 = np.array([r.n_other for r in rows], dtype=np.float64) / 10.0
+    x2 = np.array([r.cents_other for r in rows], dtype=np.float64) / 1e4
+    n = len(rows)
+    b = w1 = w2 = 0.0
+    for _ in range(3):
+        p = 1.0 / (1.0 + np.exp(-(b + w1 * x1 + w2 * x2)))
+        resid = p - y
+        gb = int(np.rint(resid * 1e6).sum())
+        g1 = int(np.rint(resid * x1 * 1e6).sum())
+        g2 = int(np.rint(resid * x2 * 1e6).sum())
+        b -= round(gb / n) / 1e6
+        w1 -= round(g1 / n) / 1e6
+        w2 -= round(g2 / n) / 1e6
+    got = registry.QUERIES["ml_logistic_gd"](spark, sf_dir).collect()[0]
+    assert got.n_rows == n
+    assert got.b_micro == round(b * 1e6)
+    assert got.w1_micro == round(w1 * 1e6)
+    assert got.w2_micro == round(w2 * 1e6)
