@@ -14,14 +14,24 @@ Layout:
     <table>/_snapshots/v00000001.json   one manifest per committed version
     <table>/data/v00000001/part-*.parquet   immutable data files
 
-Manifests are written via temp-file + atomic rename, and the committed
-version is the MAX manifest present — a crashed writer leaves either no
-manifest (invisible partial data, cleaned by vacuum) or a complete one.
-Concurrency: the rename makes a duplicate-version race visible (the
-second rename overwrites); a real multi-writer deployment would front
-this with a lock service or conditional-put object store, which is
-exactly what Delta's commit protocol does — out of scope here, noted
-per the single-writer contract of this repo's sinks.
+Manifests are published via temp-file + atomic PUT-IF-ABSENT (hard
+link, which fails with EEXIST if the version is already taken — the
+filesystem twin of a conditional put on an object store), and the
+committed version is the MAX manifest present — a crashed writer
+leaves either no manifest (invisible partial data, cleaned by vacuum)
+or a complete one.
+
+Concurrency (Delta-style optimistic protocol): each writer stages its
+data files under a UNIQUE directory, then tries to publish manifest
+version N = latest+1. Exactly one concurrent writer wins the
+put-if-absent; the loser re-reads the log and retries against the new
+latest — an ``append`` rebases its file list on the winner's manifest
+(blind appends commute, as under Delta's WriteSerializable), an
+``overwrite`` simply replaces the newer state. A writer that pinned
+``expected_parent`` (read-modify-write, e.g. MERGE) instead raises
+``SnapshotConflictError`` when the parent moved, because its staged
+files were derived from a stale read — the caller must re-derive and
+retry, exactly Delta's ConcurrentModificationException contract.
 
 Reference parity: the reference keeps one mutable MySQL table with no
 history (`/root/reference/etl.py:110-156`); the snapshot log is what a
@@ -34,11 +44,18 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
+
+
+class SnapshotConflictError(RuntimeError):
+    """A concurrent writer committed first and the commit could not be
+    (or was asked not to be) rebased — re-derive from the new latest
+    version and retry."""
 
 
 def _manifest_dir(path: str) -> str:
@@ -68,30 +85,67 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _write_manifest(path: str, manifest: dict) -> None:
+def _try_publish(path: str, manifest: dict) -> bool:
+    """Atomically publish a manifest IF its version is still free.
+
+    Full content goes to a temp file first, then ``os.link`` claims the
+    final name — a hard link either creates the name or fails with
+    EEXIST, never exposing partial content and never overwriting a
+    concurrent winner (the put-if-absent every log-structured commit
+    protocol needs; on an object store this is a conditional PUT).
+    Returns False when a concurrent writer took the version first.
+    """
     d = _manifest_dir(path)
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-        f.write("\n")
-    os.rename(tmp, _manifest_path(path, manifest["version"]))
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+            f.write("\n")
+        try:
+            os.link(tmp, _manifest_path(path, manifest["version"]))
+            return True
+        except FileExistsError:
+            return False
+    finally:
+        os.unlink(tmp)
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    if not _try_publish(path, manifest):
+        raise SnapshotConflictError(
+            f"version {manifest['version']} at {path} was committed by a "
+            "concurrent writer"
+        )
 
 
 def snapshot_commit(
-    spark: SparkSession, path: str, df: DataFrame, mode: str = "append"
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    mode: str = "append",
+    expected_parent: int | None = None,
+    max_retries: int = 10,
 ) -> int:
     """Commit ``df`` as a new snapshot version; returns the version.
 
     ``mode="append"`` adds the new files to the parent version's file
     list; ``mode="overwrite"`` starts the list fresh. Either way, no
     existing file is touched — history stays readable.
+
+    Optimistic concurrency: data files are staged under a unique
+    directory, then the manifest is published put-if-absent. Losing a
+    version race is recoverable for blind writes, so the commit rebases
+    on the winner and retries (append keeps both writers' files;
+    overwrite replaces the newer state). Passing ``expected_parent``
+    declares the write DERIVED from that version (read-modify-write,
+    e.g. MERGE): if any other writer commits first, the staged result
+    is stale and ``SnapshotConflictError`` is raised instead — the
+    caller re-reads and re-derives, Delta's conflict contract.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    versions = _list_versions(path)
-    version = (versions[-1] + 1) if versions else 1
-    data_sub = os.path.join(_DATA_DIR, f"v{version:08d}")
+    data_sub = os.path.join(_DATA_DIR, f"w-{uuid.uuid4().hex[:16]}")
     df.write.mode("overwrite").parquet(os.path.join(path, data_sub))
     new_files = sorted(
         os.path.join(data_sub, f)
@@ -99,19 +153,34 @@ def snapshot_commit(
         if f.endswith(".parquet") or f.startswith("part-")
     )
     new_files = [f for f in new_files if not f.endswith(".crc")]
-    files = list(new_files)
-    if mode == "append" and versions:
-        files = _read_manifest(path, versions[-1])["files"] + files
-    _write_manifest(
-        path,
-        {
-            "version": version,
-            "parent": versions[-1] if versions else None,
-            "mode": mode,
-            "files": files,
-        },
+    for _attempt in range(max_retries + 1):
+        versions = _list_versions(path)
+        parent = versions[-1] if versions else None
+        if expected_parent is not None and parent != expected_parent:
+            raise SnapshotConflictError(
+                f"expected parent version {expected_parent} at {path} but "
+                f"latest is {parent} — a concurrent writer committed; "
+                "re-derive from the new latest and retry"
+            )
+        version = (parent + 1) if parent is not None else 1
+        files = list(new_files)
+        if mode == "append" and parent is not None:
+            files = _read_manifest(path, parent)["files"] + files
+        if _try_publish(
+            path,
+            {
+                "version": version,
+                "parent": parent,
+                "mode": mode,
+                "files": files,
+            },
+        ):
+            return version
+        # Lost the put-if-absent: rebase on the winner and go again.
+    raise SnapshotConflictError(
+        f"gave up after {max_retries} rebase retries at {path} — "
+        "writer contention too high"
     )
-    return version
 
 
 def read_snapshot(
@@ -162,17 +231,19 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
     if version not in versions:
         raise FileNotFoundError(f"version {version} not in {versions}")
     old = _read_manifest(path, version)
-    new_version = versions[-1] + 1
-    _write_manifest(
-        path,
-        {
-            "version": new_version,
-            "parent": versions[-1],
-            "mode": f"rollback:{version}",
-            "files": old["files"],
-        },
-    )
-    return new_version
+    for _attempt in range(10):
+        latest = _list_versions(path)[-1]
+        if _try_publish(
+            path,
+            {
+                "version": latest + 1,
+                "parent": latest,
+                "mode": f"rollback:{version}",
+                "files": old["files"],
+            },
+        ):
+            return latest + 1
+    raise SnapshotConflictError(f"rollback lost 10 version races at {path}")
 
 
 def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> int:
@@ -200,4 +271,9 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> int:
                 removed += 1
     for v in versions[:-keep_last]:
         os.remove(_manifest_path(path, v))
+    # Temp manifests from crashed writers (fsync'd but never linked).
+    d = _manifest_dir(path)
+    for f in os.listdir(d):
+        if f.endswith(".tmp"):
+            os.remove(os.path.join(d, f))
     return removed

@@ -628,3 +628,101 @@ def test_snapshot_vacuum_drops_only_unreferenced(spark, tmp_path):
     assert {r.k for r in read_snapshot(spark, path).collect()} == {6, 7}
     with _pytest.raises(FileNotFoundError):
         read_snapshot(spark, path, 1)
+
+
+def test_snapshot_concurrent_appends_both_commit(spark, tmp_path):
+    """Two writers racing to append must BOTH land (blind appends
+    commute): exactly one wins each put-if-absent, the loser rebases on
+    the winner's manifest and retries, and the final version contains
+    both writers' rows plus the base."""
+    import threading
+
+    from etl_pipeline_with_alpha_vantage_spark.sinks.snapshots import (
+        read_snapshot,
+        snapshot_commit,
+        snapshot_history,
+    )
+
+    path = str(tmp_path / "snap")
+    snapshot_commit(
+        spark, path, spark.range(0, 4).withColumnRenamed("id", "k")
+    )
+
+    barrier = threading.Barrier(2)
+    results: dict[str, int | Exception] = {}
+
+    def writer(tag: str, lo: int, hi: int) -> None:
+        df = spark.range(lo, hi).withColumnRenamed("id", "k")
+        try:
+            barrier.wait(timeout=60)
+            results[tag] = snapshot_commit(spark, path, df, mode="append")
+        except Exception as exc:  # pragma: no cover - surfaced below
+            results[tag] = exc
+
+    threads = [
+        threading.Thread(target=writer, args=("a", 10, 14)),
+        threading.Thread(target=writer, args=("b", 20, 23)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+
+    assert all(isinstance(v, int) for v in results.values()), results
+    assert sorted(results.values()) == [2, 3]  # distinct versions, no gap
+    latest = {r.k for r in read_snapshot(spark, path).collect()}
+    assert latest == set(range(4)) | set(range(10, 14)) | set(range(20, 23))
+    hist = snapshot_history(path)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert [h["parent"] for h in hist] == [None, 1, 2]  # linear log
+    # The intermediate version holds base + exactly the v2 winner's rows.
+    v2 = {r.k for r in read_snapshot(spark, path, 2).collect()}
+    winner = min(results, key=results.__getitem__)
+    expected_v2 = set(range(4)) | (
+        set(range(10, 14)) if winner == "a" else set(range(20, 23))
+    )
+    assert v2 == expected_v2
+
+
+def test_snapshot_expected_parent_conflict_loses_cleanly(spark, tmp_path):
+    """A read-modify-write pinned to ``expected_parent`` must FAIL when
+    any other writer commits first (its staged result is stale), and
+    succeed after re-deriving against the new latest."""
+    import pytest as _pytest
+
+    from etl_pipeline_with_alpha_vantage_spark.sinks.snapshots import (
+        SnapshotConflictError,
+        read_snapshot,
+        snapshot_commit,
+    )
+
+    path = str(tmp_path / "snap")
+    snapshot_commit(
+        spark, path, spark.range(0, 4).withColumnRenamed("id", "k")
+    )
+
+    # Writer B derives an overwrite from version 1 (e.g. a MERGE)...
+    derived = read_snapshot(spark, path, 1).withColumn("k", F.col("k") + 100)
+    # ...but writer A commits first, moving the latest to version 2.
+    snapshot_commit(
+        spark, path, spark.range(50, 52).withColumnRenamed("id", "k")
+    )
+    with _pytest.raises(SnapshotConflictError, match="expected parent"):
+        snapshot_commit(
+            spark, path, derived, mode="overwrite", expected_parent=1
+        )
+    # Version 2 (A's append) is intact — the loser published nothing.
+    assert {r.k for r in read_snapshot(spark, path).collect()} == set(
+        range(4)
+    ) | {50, 51}
+    # B re-derives from the new latest and wins cleanly.
+    rederived = read_snapshot(spark, path, 2).withColumn(
+        "k", F.col("k") + 100
+    )
+    v = snapshot_commit(
+        spark, path, rederived, mode="overwrite", expected_parent=2
+    )
+    assert v == 3
+    assert {r.k for r in read_snapshot(spark, path).collect()} == {
+        100, 101, 102, 103, 150, 151,
+    }
