@@ -1,0 +1,99 @@
+"""Regenerate BENCH_FLOOR.json — each query's authoritative isolated
+floor at sf0.1, i.e. the per-query MINIMUM across every committed bench
+generation (BENCH_r03's parsed payload + all git generations of
+BENCH_DETAIL.json + the working-tree copy), with explicit overrides for
+queries whose plan intentionally changed so a stale floor can't flag a
+deliberate rework.
+
+Usage:
+    python tools/bench_floor.py          # writes BENCH_FLOOR.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Floors that must NOT be taken from history because the plan changed
+# deliberately (documented in BENCH_BASELINE.md). Value = the isolated
+# minimum measured on the new plan.
+OVERRIDES: dict[str, float] = {
+    # round 3: demo filter loosened %29 -> %5 (~6x the rows)
+    "interval_overlap_join": 0.41,
+    # round 6: grouping-sets rework (10 -> 4 exchanges); isolated n=5 min
+    "dq_fd_discovery": 1.398,
+}
+
+
+def _generations() -> list[dict[str, float]]:
+    gens: list[dict[str, float]] = []
+    r3 = json.load(open(os.path.join(REPO, "BENCH_r03.json")))
+    parsed = r3.get("parsed") or {}
+    if parsed.get("queries"):
+        gens.append(parsed["queries"])
+    hashes = subprocess.run(
+        ["git", "log", "--all", "--format=%H", "--", "BENCH_DETAIL.json"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    for h in hashes:
+        blob = subprocess.run(
+            ["git", "show", f"{h}:BENCH_DETAIL.json"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        )
+        if blob.returncode == 0:
+            try:
+                d = json.loads(blob.stdout)
+            except json.JSONDecodeError:
+                continue
+            # Floors are sf0.1 numbers only — one early generation was
+            # produced by a fast sf0.01 run and must not pollute them.
+            if d.get("sf") == 0.1:
+                gens.append(d.get("queries", {}))
+    wt = os.path.join(REPO, "BENCH_DETAIL.json")
+    if os.path.exists(wt):
+        d = json.load(open(wt))
+        if d.get("sf") == 0.1:
+            gens.append(d.get("queries", {}))
+    return gens
+
+
+def main() -> int:
+    floors: dict[str, float] = {}
+    for gen in _generations():
+        for name, sec in gen.items():
+            if not isinstance(sec, (int, float)):
+                continue
+            if name not in floors or sec < floors[name]:
+                floors[name] = float(sec)
+    floors.update(OVERRIDES)
+    out = {
+        "sf": 0.1,
+        "unit": "sec",
+        "note": (
+            "Per-query minimum across all committed sf0.1 bench "
+            "generations (r3 onward, PySpark 4.1.2), plus overrides for "
+            "intentional plan changes — see BENCH_BASELINE.md. Compare "
+            "with tools/bench_guard.py; >2x a floor = investigate."
+        ),
+        "overrides": sorted(OVERRIDES),
+        "floors": dict(sorted(floors.items())),
+    }
+    path = os.path.join(REPO, "BENCH_FLOOR.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {path}: {len(floors)} floors")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
