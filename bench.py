@@ -188,6 +188,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     registry.load_all()
+    # BENCH_SCOPE=all times EVERY registered query (detail lands in
+    # BENCH_FULL.json) so each has a committed wall-time on record; the
+    # curated HEADLINE list stays the round-over-round comparison set.
+    scope = os.environ.get("BENCH_SCOPE", "headline")
+    names = sorted(registry.QUERIES) if scope == "all" else HEADLINE
+    detail_name = "BENCH_FULL.json" if scope == "all" else "BENCH_DETAIL.json"
     # Heap sized like verify_bare's: a 149-query × 3-run session
     # accumulates localCheckpoint blocks (DSIR/KMV/graph/ML lineage
     # truncation) faster than the ContextCleaner reclaims them, and the
@@ -228,7 +234,7 @@ def main() -> None:
     # ±20% run-to-run and whole-bench load spikes of >2× have been
     # observed; min-of-3 reports the plan's cost, not the noise.
     timings: dict[str, float] = {}
-    for qi, name in enumerate(HEADLINE):
+    for qi, name in enumerate(names):
         if qi and qi % 25 == 0:
             # verify_bare's ContextCleaner nudge: drop dangling
             # cached/checkpointed blocks so heap stays flat (outside the
@@ -268,7 +274,7 @@ def main() -> None:
         "baseline": "r3-pyspark-4.1.2",
     }
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -287,7 +293,7 @@ def main() -> None:
                 "baseline": "r3-pyspark-4.1.2",
                 "n_queries": len(timings),
                 "queries": slowest,
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
             }
         )
     )

@@ -19,6 +19,8 @@ is computed with built-in integer ops (no Python in the hot path).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -812,13 +814,28 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups it displaced.
 
     Composition: candidate pairs (inverted-index shingle join) →
-    connected components (min-label propagation) → keep rows where the
-    component label IS the doc — a filter on the label table, no extra
-    shuffle — then one join back to documents for payload columns. At
-    100 TB the join-back is key-partitioned on doc_id and the label
-    table is orders of magnitude smaller than the corpus (only cluster
-    representatives survive the groupBy)."""
-    labels = dedup_cc_clusters(spark, sf_dir)
+    connected components → keep rows where the component label IS the
+    doc — a filter on the label table, no extra shuffle — then one join
+    back to documents for payload columns. At 100 TB the join-back is
+    key-partitioned on doc_id and the label table is orders of
+    magnitude smaller than the corpus (only cluster representatives
+    survive the groupBy).
+
+    The CC stage is switchable behind the same signature via
+    SPARK_GRAFT_CC_ALGO: "label" (default — min-label propagation,
+    O(diameter) sweeps, ideal for the shallow clusters shingle joins
+    produce) or "star" (large-star/small-star contraction, O(log² n)
+    rounds on ANY topology — the safety valve when a crawl produces
+    chain-shaped dup graphs). Both land on identical labels (cluster id
+    = component min), so the oracle adjudicates either engine."""
+    algo = os.environ.get("SPARK_GRAFT_CC_ALGO", "label")
+    if algo not in ("label", "star"):
+        raise ValueError(
+            f"SPARK_GRAFT_CC_ALGO must be label|star, got {algo!r}"
+        )
+    labels = (
+        dedup_cc_clusters_star if algo == "star" else dedup_cc_clusters
+    )(spark, sf_dir)
     kept = (
         labels.groupBy("cluster_id")
         .agg((F.count(F.lit(1)) - 1).alias("n_dups_removed"))

@@ -244,6 +244,124 @@ def test_cc_star_converges_on_path_graph(spark):
     assert {r.cluster_id for r in labels} == {0}
 
 
+def _cc_referee(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find ground truth: node -> component minimum."""
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for i in range(n_nodes):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    return {i: comp_min[find(i)] for i in range(n_nodes)}
+
+
+def _broom(handle: int, bristles: int) -> tuple[int, list[tuple[int, int]]]:
+    """Path 0—…—(handle-1) with `bristles` leaves hanging off its far
+    end — long diameter AND a high-degree hub at the deep end, the
+    union of both star phases' bad cases."""
+    edges = [(i, i + 1) for i in range(handle - 1)]
+    edges += [(handle - 1, handle + j) for j in range(bristles)]
+    return handle + bristles, edges
+
+
+def _caterpillar(spine: int) -> tuple[int, list[tuple[int, int]]]:
+    """Path of `spine` nodes with one leaf per spine node; leaves get
+    the HIGH ids so every leaf's only neighbor is far below it."""
+    edges = [(i, i + 1) for i in range(spine - 1)]
+    edges += [(i, spine + i) for i in range(spine)]
+    return 2 * spine, edges
+
+
+def _two_cluster_bridge() -> tuple[int, list[tuple[int, int]]]:
+    """Two 500-leaf stars whose id ranges are far apart, joined by a
+    single leaf-to-leaf bridge edge — the merge must propagate through
+    the bridge, not through either hub."""
+    edges = [(0, 1 + j) for j in range(500)]  # star A: hub 0
+    edges += [(1000, 1001 + j) for j in range(500)]  # star B: hub 1000
+    edges += [(400, 1400)]  # leaf-to-leaf bridge
+    return 1501, edges
+
+
+@pytest.mark.parametrize(
+    "builder",
+    [
+        lambda: _broom(3000, 300),
+        lambda: _caterpillar(2000),
+        _two_cluster_bridge,
+    ],
+    ids=["broom", "caterpillar", "two_cluster_bridge"],
+)
+def test_cc_star_adversarial_topologies(spark, builder):
+    """Star contraction must match union-find on topologies that stress
+    both phases: brooms (long diameter + deep high-degree hub),
+    caterpillars (every node alternates spine/leaf roles), and two far
+    clusters joined by one bridge edge (round-5 verdict task)."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n_nodes, edges = builder()
+    want = _cc_referee(n_nodes, edges)
+    nodes_df = spark.range(n_nodes).withColumnRenamed("id", "doc_id")
+    pairs_df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(nodes_df, pairs_df).collect()
+    }
+    assert got == want
+
+
+def test_two_cluster_bridge_splits_without_the_bridge(spark):
+    """Sanity inverse of the bridge case: removing the single bridge
+    edge must yield exactly two components (no spurious merging)."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n_nodes, edges = _two_cluster_bridge()
+    edges = [e for e in edges if e != (400, 1400)]
+    nodes_df = spark.range(n_nodes).withColumnRenamed("id", "doc_id")
+    pairs_df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(nodes_df, pairs_df).collect()
+    }
+    assert got == _cc_referee(n_nodes, edges)
+    assert {got[i] for i in range(501)} == {0}  # star A
+    assert {got[i] for i in range(1000, 1501)} == {1000}  # star B
+    assert all(got[i] == i for i in range(501, 1000))  # isolated ids
+
+
+def test_canonical_corpus_star_engine_matches_label_engine(
+    spark, sf_dir, monkeypatch
+):
+    """dedup_canonical_corpus behind SPARK_GRAFT_CC_ALGO=star must emit
+    the exact survivor set of the default min-label engine."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.dedup import (
+        dedup_canonical_corpus,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_CC_ALGO", raising=False)
+    base = sorted(
+        tuple(r) for r in dedup_canonical_corpus(spark, sf_dir).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CC_ALGO", "star")
+    star = sorted(
+        tuple(r) for r in dedup_canonical_corpus(spark, sf_dir).collect()
+    )
+    assert star == base
+
+
 # --------------------------------------------------------------------------
 # Greedy sequence packing (operators/packing.py)
 # --------------------------------------------------------------------------
