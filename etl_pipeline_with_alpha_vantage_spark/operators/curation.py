@@ -804,3 +804,101 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 sample_dsir_importance.__doc__ = sample_dsir_importance.__doc__.format(
     b=_DSIR_BUCKETS, k=_DSIR_TOPK
 )
+
+
+# --------------------------------------------------------------------------
+# Corpus novelty decay across crawl batches
+# --------------------------------------------------------------------------
+
+_NOVELTY_BATCHES = 8
+
+_NOVELTY_ORACLE = f"""
+WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+),
+grams AS (
+    SELECT DISTINCT
+           CAST(FLOOR(doc_id * {_NOVELTY_BATCHES}.0 / m) AS BIGINT) AS batch,
+           concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS gram
+    FROM toks, mx, unnest(generate_series(1, len(t) - 2)) AS u(i)
+),
+firsts AS (SELECT gram, MIN(batch) AS first_batch FROM grams GROUP BY gram)
+SELECT g.batch,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_batch = g.batch THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(ROUND(1000000.0 * SUM(CASE WHEN f.first_batch = g.batch
+                                       THEN 1 ELSE 0 END) / COUNT(*))
+            AS BIGINT) AS novelty_micro
+FROM grams g JOIN firsts f USING (gram)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("corpus_novelty_decay", oracle=_NOVELTY_ORACLE)
+def corpus_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How fast a growing crawl stops contributing new content: split
+    the corpus into {b} ordered batches (by doc_id — crawl order), and
+    per batch report how many of its distinct word-trigrams were never
+    seen in ANY earlier batch. The novelty_micro curve is the signal
+    dataset teams use to decide when further crawling stops paying for
+    itself (and the same first-occurrence machinery powers
+    incremental-dedup bookkeeping between snapshot ingests).
+
+    Scale shape: one distinct over (batch, gram) pairs (map-side
+    combined), one groupBy(gram) for first-occurrence, and a join back
+    that reuses the gram partitioning — ~3 keyed exchanges over the
+    gram table regardless of corpus size, final report is {b} rows.
+    Trigrams come from zip_with over three slices (the measured-fast
+    idiom from the MinHash tier).
+    """
+    docs = table(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    n2 = F.size("t") - 2
+    tri = F.zip_with(
+        F.slice("t", 1, n2),
+        F.zip_with(
+            F.slice("t", 2, n2),
+            F.slice("t", 3, n2),
+            lambda b, c: F.concat(b, F.lit(" "), c),
+        ),
+        lambda a, bc: F.concat(a, F.lit(" "), bc),
+    )
+    grams = (
+        toks.crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(
+                F.col("doc_id") * float(_NOVELTY_BATCHES) / F.col("m")
+            )
+            .cast("long")
+            .alias("batch"),
+            F.explode(F.array_distinct(tri)).alias("gram"),
+        )
+        .distinct()
+    )
+    firsts = grams.groupBy("gram").agg(F.min("batch").alias("first_batch"))
+    novel = (F.col("first_batch") == F.col("batch")).cast("long")
+    return (
+        grams.join(firsts, "gram")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.lit(1000000.0) * F.sum(novel) / F.count(F.lit(1)))
+            .cast("long")
+            .alias("novelty_micro"),
+        )
+        .orderBy("batch")
+    )
+
+
+corpus_novelty_decay.__doc__ = corpus_novelty_decay.__doc__.format(
+    b=_NOVELTY_BATCHES
+)

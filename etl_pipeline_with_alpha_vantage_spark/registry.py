@@ -71,6 +71,7 @@ def load_all() -> None:
         dq,
         graph,
         lakehouse,
+        linkage,
         ml,
         multimodal,
         observe,

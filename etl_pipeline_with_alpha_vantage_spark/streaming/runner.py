@@ -288,6 +288,59 @@ def attribution_join_stream_outer(
     )
 
 
+def attribution_join_stream_full(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """FULL OUTER form of ``attribution_join_stream``: matched pairs
+    emit on join; a purchase's NULL-click row emits once the click
+    watermark passes its timestamp; a click's NULL-purchase row emits
+    once the purchase watermark passes click_ts + 6 h (no future
+    purchase can still have it in band). State stays bounded on BOTH
+    sides by watermark + band, the same envelope as the left join plus
+    the symmetric click-side hold. Batch twin:
+    windows.stream_join_attribution_full."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS")
+        ),
+        "fullOuter",
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("p_user_id", "c_user_id").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "lag_us"
+        ),
+    )
+
+
 def run_stream_upsert(
     spark: SparkSession,
     sf_dir: str,

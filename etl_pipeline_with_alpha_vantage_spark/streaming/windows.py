@@ -321,6 +321,81 @@ def stream_join_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_JOIN_FULL_ORACLE = """
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id AS p_user_id,
+           ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT event_id AS click_id, user_id AS c_user_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+)
+SELECT purchase_id,
+       click_id,
+       COALESCE(p_user_id, c_user_id) AS user_id,
+       purchase_ts,
+       click_ts,
+       CAST(epoch_us(purchase_ts) - epoch_us(click_ts) AS BIGINT) AS lag_us
+FROM p
+FULL JOIN c
+  ON p.p_user_id = c.c_user_id
+ AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 6 HOUR AND p.purchase_ts
+"""
+
+
+@query("stream_join_attribution_full", oracle=_JOIN_FULL_ORACLE)
+def stream_join_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18 completion: FULL OUTER purchase↔click attribution — the last
+    stream-stream join type. Beyond the left join's "conversions with
+    no touchpoint", the full join also surfaces the reverse residual:
+    clicks that converted NOTHING within the 6 h band (wasted-spend
+    analysis reads exactly this side).
+
+    This is the batch twin (one user_id shuffle, band as residual).
+    The streaming form (runner.attribution_join_stream_full) uses
+    how='fullOuter': matched pairs emit on join; a purchase's
+    NULL-click row emits once the click watermark passes purchase_ts;
+    a click's NULL-purchase row emits once the purchase watermark
+    passes click_ts + 6 h (only then can no future purchase land in
+    its band) — drained-replay semantics asserted in
+    tests/test_streaming.py.
+    """
+    from ..catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS")
+        ),
+        "full",
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("p_user_id", "c_user_id").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).alias("lag_us"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Stream-static enrichment join (dimension broadcast into a stream)
 # --------------------------------------------------------------------------

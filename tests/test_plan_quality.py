@@ -104,6 +104,7 @@ _NESTED_LOOP_OK = {
     "similarity_pq_adc_topk",  # 5-row query-id fan-out (ADC scoring)
     "agg_kmv_set_ops",  # 2-row pair frame joined on a disjunctive key
     "ml_logistic_gd",  # 1-row weight/gradient broadcasts per iteration
+    "corpus_novelty_decay",  # 1-row max-doc-id broadcast (batch bounds)
 }
 
 

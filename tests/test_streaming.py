@@ -220,6 +220,89 @@ def test_stream_stream_outer_join_equals_batch(spark, sf_dir, tmp_path):
     assert len(flushed) > 0
 
 
+def test_stream_stream_full_outer_join_equals_batch(spark, sf_dir, tmp_path):
+    """FULL OUTER stream-stream join, drained with AvailableNow:
+
+    - matched pairs must equal the batch twin's matched pairs exactly;
+    - NULL-click purchase rows follow the left-join rule (emit once the
+      click watermark passes purchase_ts);
+    - NULL-purchase click rows emit once the watermark passes
+      click_ts + 6 h (only then is the click provably unmatchable).
+      Spark keeps ONE global watermark per query — the MIN across both
+      inputs' event-time columns — so the flush bound is
+      min(max click ts, max purchase ts) − 1 h.
+    """
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_with_alpha_vantage_spark.streaming.runner import (
+        attribution_join_stream_full,
+    )
+
+    joined = attribution_join_stream_full(spark, sf_dir)
+    assert joined.isStreaming
+    run_available_now(
+        joined,
+        "join_full_out",
+        checkpoint_dir=str(tmp_path),
+        output_mode="append",
+    )
+    streamed = spark.table("join_full_out").collect()
+    s_matched = {
+        (r.purchase_id, r.click_id, r.lag_us)
+        for r in streamed
+        if r.click_id is not None and r.purchase_id is not None
+    }
+    s_null_click = {
+        r.purchase_id for r in streamed if r.click_id is None
+    }
+    s_null_purchase = {
+        r.click_id for r in streamed if r.purchase_id is None
+    }
+
+    batch = QUERIES["stream_join_attribution_full"](spark, sf_dir).collect()
+    b_matched = {
+        (r.purchase_id, r.click_id, r.lag_us)
+        for r in batch
+        if r.click_id is not None and r.purchase_id is not None
+    }
+    b_null_click = {
+        (r.purchase_id, r.purchase_ts)
+        for r in batch
+        if r.click_id is None
+    }
+    b_null_purchase = {
+        (r.click_id, r.click_ts) for r in batch if r.purchase_id is None
+    }
+
+    assert s_matched == b_matched
+    assert len(s_matched) > 0
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    click_max = events.filter(F.col("event_type") == "click").agg(
+        F.max("ts")
+    ).collect()[0][0]
+    purchase_max = events.filter(F.col("event_type") == "purchase").agg(
+        F.max("ts")
+    ).collect()[0][0]
+    # One global watermark per query: min over both inputs, minus delay.
+    global_wm = min(click_max, purchase_max) - datetime.timedelta(hours=1)
+
+    flushed_p = {pid for pid, ts in b_null_click if ts < global_wm}
+    assert flushed_p <= s_null_click
+    assert s_null_click <= {pid for pid, _ in b_null_click}
+
+    flushed_c = {
+        cid
+        for cid, ts in b_null_purchase
+        if ts + datetime.timedelta(hours=6) < global_wm
+    }
+    assert flushed_c <= s_null_purchase
+    assert s_null_purchase <= {cid for cid, _ in b_null_purchase}
+    assert len(flushed_p) > 0 and len(flushed_c) > 0
+
+
 def test_approx_percentile_rank_accuracy(spark, sf_dir):
     """approx_percentile returns an actual data point, so the right
     accuracy measure is RANK error, not value error: the empirical

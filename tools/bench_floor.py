@@ -35,34 +35,36 @@ def _generations() -> list[dict[str, float]]:
     parsed = r3.get("parsed") or {}
     if parsed.get("queries"):
         gens.append(parsed["queries"])
-    hashes = subprocess.run(
-        ["git", "log", "--all", "--format=%H", "--", "BENCH_DETAIL.json"],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-        check=True,
-    ).stdout.split()
-    for h in hashes:
-        blob = subprocess.run(
-            ["git", "show", f"{h}:BENCH_DETAIL.json"],
+    for fname in ("BENCH_DETAIL.json", "BENCH_FULL.json"):
+        hashes = subprocess.run(
+            ["git", "log", "--all", "--format=%H", "--", fname],
             cwd=REPO,
             capture_output=True,
             text=True,
-        )
-        if blob.returncode == 0:
-            try:
-                d = json.loads(blob.stdout)
-            except json.JSONDecodeError:
-                continue
-            # Floors are sf0.1 numbers only — one early generation was
-            # produced by a fast sf0.01 run and must not pollute them.
+            check=True,
+        ).stdout.split()
+        for h in hashes:
+            blob = subprocess.run(
+                ["git", "show", f"{h}:{fname}"],
+                cwd=REPO,
+                capture_output=True,
+                text=True,
+            )
+            if blob.returncode == 0:
+                try:
+                    d = json.loads(blob.stdout)
+                except json.JSONDecodeError:
+                    continue
+                # Floors are sf0.1 numbers only — one early generation
+                # was produced by a fast sf0.01 run and must not
+                # pollute them.
+                if d.get("sf") == 0.1:
+                    gens.append(d.get("queries", {}))
+        wt = os.path.join(REPO, fname)
+        if os.path.exists(wt):
+            d = json.load(open(wt))
             if d.get("sf") == 0.1:
                 gens.append(d.get("queries", {}))
-    wt = os.path.join(REPO, "BENCH_DETAIL.json")
-    if os.path.exists(wt):
-        d = json.load(open(wt))
-        if d.get("sf") == 0.1:
-            gens.append(d.get("queries", {}))
     return gens
 
 
