@@ -181,6 +181,15 @@ HEADLINE = [
     "sql_recursive_hierarchy",
     "text_zipf_fit",
     "forecast_ses_backtest",
+    # round-6 additions: entity resolution, privacy, NB training, graph
+    # core, novelty curve, full-outer stream join, bucketed cogroup asof
+    "linkage_fellegi_sunter",
+    "corpus_novelty_decay",
+    "stream_join_attribution_full",
+    "ml_naive_bayes_langid",
+    "privacy_k_anonymity",
+    "graph_kcore_peel",
+    "udf_cogrouped_asof",
 ]
 
 

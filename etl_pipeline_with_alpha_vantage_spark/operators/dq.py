@@ -691,3 +691,65 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_micro"
         ),
     ).orderBy("digit")
+
+
+# --------------------------------------------------------------------------
+# Privacy audit: k-anonymity + l-diversity over quasi-identifiers
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+_KANON_L = 2
+
+_KANON_ORACLE = f"""
+SELECT c_nationkey AS nation,
+       CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS balance_band,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+       COUNT(*) >= {_KANON_K} AS k_anonymous,
+       COUNT(DISTINCT c_mktsegment) >= {_KANON_L} AS l_diverse
+FROM customer
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("privacy_k_anonymity", oracle=_KANON_ORACLE)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-readiness privacy audit, the gate a 100 TB warehouse runs
+    before exporting a "de-identified" extract: group records by their
+    quasi-identifier tuple (nation, coarse balance band — the columns an
+    attacker can link externally) and flag every group that is not
+    {k}-anonymous (fewer than {k} records share the QI tuple → linkage
+    re-identifies) or not {l}-diverse in the sensitive attribute
+    (market segment constant within the group → attribute disclosure
+    even at k). Sweeney 2002 / Machanavajjhala 2007, as one groupBy.
+
+    Scale shape: a single partial-aggregated shuffle on the QI tuple
+    (COUNT collapses map-side; the distinct-sensitive count is the only
+    expand) — the audit costs one pass no matter how wide the table.
+    GDPR erasure (gdpr_user_erasure) handles the deletion side; this
+    handles the disclosure side.
+    """
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.floor(F.col("c_acctbal") / 1000.0)
+            .cast("long")
+            .alias("balance_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.count_distinct("c_mktsegment").alias("n_sensitive"),
+            (F.count(F.lit(1)) >= _KANON_K).alias("k_anonymous"),
+            (F.count_distinct("c_mktsegment") >= _KANON_L).alias(
+                "l_diverse"
+            ),
+        )
+        .orderBy("nation", "balance_band")
+    )
+
+
+privacy_k_anonymity.__doc__ = privacy_k_anonymity.__doc__.format(
+    k=_KANON_K, l=_KANON_L
+)

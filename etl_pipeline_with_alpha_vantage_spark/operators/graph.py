@@ -474,3 +474,111 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
     it=_LPA_ITERS
 )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition by fixed-round peeling
+# --------------------------------------------------------------------------
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Chained-CTE replay of the fixed-round k-core peel."""
+    its = []
+    prev = "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        its.append(
+            f"""k{r} AS (
+    SELECT src FROM {prev} GROUP BY src HAVING COUNT(*) >= {_KCORE_K}
+),
+e{r} AS (
+    SELECT e.src, e.dst
+    FROM {prev} e
+    JOIN k{r} a ON a.src = e.src
+    JOIN k{r} b ON b.src = e.dst
+)"""
+        )
+        prev = f"e{r}"
+    chained = ",\n".join(its)
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT l_suppkey AS suppkey, l_partkey AS partkey FROM lineitem
+),
+e0 AS (
+    SELECT suppkey * 2 AS src, partkey * 2 + 1 AS dst FROM pairs
+    UNION ALL
+    SELECT partkey * 2 + 1 AS src, suppkey * 2 AS dst FROM pairs
+),
+{chained}
+SELECT src AS node_id,
+       CASE WHEN src % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
+       CAST(src // 2 AS BIGINT) AS entity_key,
+       CAST(COUNT(*) AS BIGINT) AS degree
+FROM {prev}
+GROUP BY src
+ORDER BY node_id
+"""
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core of the supplier–part bipartite graph by {r} fixed
+    peeling rounds: each round drops every node whose CURRENT degree is
+    below {k}, then removes edges touching dropped nodes — the cascade
+    (dropping weak parts starves suppliers, and vice versa) is exactly
+    why k-core needs iteration. Community/abuse pipelines run this to
+    isolate the densely-engaged core before further graph work.
+
+    Determinism: pure counting — no floats anywhere. Fixed round count
+    (the PageRank discipline) so the chained-CTE oracle replays the
+    identical dataflow; on this graph the peel is stable well before
+    round {r}.
+
+    Scale shape: per round, one partial-aggregated degree count plus
+    two semi-join-shaped edge filters, all keyed on node id; edges are
+    localCheckpoint-ed per round so plans stay flat. O(rounds × |E|)
+    shuffled bytes, no driver materialization.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("src")
+        )
+        edges = (
+            edges.join(keep, "src")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst"
+            )
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(
+            F.col("src").alias("node_id"),
+            F.when(F.col("src") % 2 == 0, F.lit("supplier"))
+            .otherwise(F.lit("part"))
+            .alias("node_type"),
+            (F.col("src") / 2).cast("long").alias("entity_key"),
+            F.col("degree").cast("long").alias("degree"),
+        )
+        .orderBy("node_id")
+    )
+
+
+graph_kcore_peel.__doc__ = graph_kcore_peel.__doc__.format(
+    k=_KCORE_K, r=_KCORE_ROUNDS
+)

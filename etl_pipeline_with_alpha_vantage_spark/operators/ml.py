@@ -214,3 +214,192 @@ def ml_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ml_logistic_gd.__doc__ = ml_logistic_gd.__doc__.format(it=_GD_ITERS)
+
+
+# --------------------------------------------------------------------------
+# Multinomial Naive Bayes: train + score + per-doc predictions in-engine
+# --------------------------------------------------------------------------
+
+_NB_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+),
+train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+test_tok AS (
+    SELECT doc_id, lang AS actual, tok, CAST(COUNT(*) AS BIGINT) AS k
+    FROM toks WHERE doc_id % 5 = 0
+    GROUP BY 1, 2, 3
+),
+n_train AS (
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM train
+),
+vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM train),
+cls AS (
+    SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS tot
+    FROM train GROUP BY 1
+),
+priors AS (
+    SELECT lang,
+           CAST(ROUND(1000000.0 * LN(n_docs * 1.0 / n)) AS BIGINT)
+               AS prior_micro,
+           CAST(ROUND(1000000.0 * LN(1.0 / (tot + v))) AS BIGINT)
+               AS def_micro,
+           tot
+    FROM cls, n_train, vocab
+),
+model AS (
+    SELECT t.lang, t.tok,
+           CAST(ROUND(1000000.0 * LN((t.cnt + 1.0) / (c.tot + vb.v)))
+                AS BIGINT) AS logp_micro
+    FROM (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM train GROUP BY 1, 2) t
+    JOIN cls c USING (lang), vocab vb
+),
+scored AS (
+    SELECT tt.doc_id, tt.actual, p.lang,
+           p.prior_micro
+           + SUM(tt.k * COALESCE(m.logp_micro, p.def_micro)) AS score
+    FROM test_tok tt
+    CROSS JOIN priors p
+    LEFT JOIN model m ON m.lang = p.lang AND m.tok = tt.tok
+    GROUP BY 1, 2, 3, p.prior_micro
+),
+best AS (
+    SELECT doc_id, actual, lang AS predicted,
+           CAST(score AS BIGINT) AS score_micro,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang) AS rn
+    FROM scored
+)
+SELECT doc_id, actual, predicted, score_micro,
+       actual = predicted AS correct
+FROM best WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@query("ml_naive_bayes_langid", oracle=_NB_ORACLE)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language-ID, trained AND evaluated
+    in-engine: docs split 80/20 by doc_id % 5, add-one-smoothed token
+    likelihoods learned from the train split, every held-out doc scored
+    against all classes and argmax-predicted. The second trained model
+    in the suite (after ml_logistic_gd), and the counts-only training
+    shape that made NB the canonical map-reduce classifier.
+
+    Determinism: every log-likelihood is micro-nat-rounded to a bigint
+    BEFORE any summation (the perplexity discipline), scores are exact
+    integer sums, argmax ties break on class name. Unseen (class,
+    token) pairs take the smoothed default via the left-join coalesce.
+
+    Scale shape: training is two partial-aggregated count passes (per
+    (class, token) and per class) — the model is vocab-sized, never
+    corpus-sized; scoring joins test tokens to the model on (class,
+    token) and the 5-row prior table rides as a broadcast fan-out. One
+    window on the types×docs score table picks predictions.
+    """
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+        )
+    )
+    train = toks.filter(F.col("doc_id") % 5 != 0)
+    test_tok = (
+        toks.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("doc_id", F.col("lang").alias("actual"), "tok")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    n_train = train.agg(
+        F.count_distinct("doc_id").alias("n")
+    )
+    vocab = train.agg(F.count_distinct("tok").alias("v"))
+    cls = train.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("tot"),
+    )
+    priors = (
+        cls.crossJoin(F.broadcast(n_train))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            F.round(
+                F.lit(1000000.0)
+                * F.log(F.col("n_docs") * 1.0 / F.col("n"))
+            )
+            .cast("long")
+            .alias("prior_micro"),
+            F.round(
+                F.lit(1000000.0)
+                * F.log(F.lit(1.0) / (F.col("tot") + F.col("v")))
+            )
+            .cast("long")
+            .alias("def_micro"),
+        )
+    )
+    model = (
+        train.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(cls.select("lang", "tot"), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "tok",
+            F.round(
+                F.lit(1000000.0)
+                * F.log((F.col("cnt") + 1.0) / (F.col("tot") + F.col("v")))
+            )
+            .cast("long")
+            .alias("logp_micro"),
+        )
+    )
+    priors = priors.select(
+        F.col("lang").alias("cls_lang"), "prior_micro", "def_micro"
+    )
+    model = model.select(
+        F.col("lang").alias("m_lang"),
+        F.col("tok").alias("m_tok"),
+        "logp_micro",
+    )
+    scored = (
+        test_tok.crossJoin(F.broadcast(priors))
+        .join(
+            model,
+            (F.col("m_lang") == F.col("cls_lang"))
+            & (F.col("m_tok") == F.col("tok")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "actual",
+            "cls_lang",
+            "prior_micro",
+            (
+                F.col("k")
+                * F.coalesce(F.col("logp_micro"), F.col("def_micro"))
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id", "actual", "cls_lang", "prior_micro")
+        .agg(
+            (F.col("prior_micro") + F.sum("contrib")).alias("score")
+        )
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "cls_lang"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "actual",
+            F.col("cls_lang").alias("predicted"),
+            F.col("score").cast("long").alias("score_micro"),
+            (F.col("actual") == F.col("cls_lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )

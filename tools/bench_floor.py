@@ -26,6 +26,9 @@ OVERRIDES: dict[str, float] = {
     "interval_overlap_join": 0.41,
     # round 6: grouping-sets rework (10 -> 4 exchanges); isolated n=5 min
     "dq_fd_discovery": 1.398,
+    # round 6: bucketed cogroup rework (per-user -> 256 hash buckets);
+    # the only committed generation predates it
+    "udf_cogrouped_asof": 2.399,
 }
 
 
