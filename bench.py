@@ -190,6 +190,8 @@ HEADLINE = [
     "privacy_k_anonymity",
     "graph_kcore_peel",
     "udf_cogrouped_asof",
+    "privacy_dp_release",
+    "lakehouse_merge_mor",
 ]
 
 

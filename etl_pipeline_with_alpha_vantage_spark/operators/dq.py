@@ -753,3 +753,96 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 privacy_k_anonymity.__doc__ = privacy_k_anonymity.__doc__.format(
     k=_KANON_K, l=_KANON_L
 )
+
+
+# --------------------------------------------------------------------------
+# Differentially-private release: per-group counts + deterministic Laplace
+# --------------------------------------------------------------------------
+
+_DP_EPS_INV = 2  # b = sensitivity/epsilon = 1/0.5 (integer so noise stays exact)
+
+_DP_ORACLE = f"""
+WITH counts AS (
+    SELECT c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS true_n
+    FROM customer GROUP BY 1
+),
+seeded AS (
+    SELECT nation, true_n,
+           (CAST(('0x' || substr(md5('dp:' || CAST(nation AS VARCHAR)), 1, 8))
+                 AS BIGINT) + 0.5) / 4294967296.0 AS u
+    FROM counts
+),
+noised AS (
+    SELECT nation, true_n,
+           CASE WHEN u < 0.5
+                THEN  {_DP_EPS_INV} * CAST(ROUND(1000000.0 * LN(2.0 * u))
+                                           AS BIGINT)
+                ELSE -{_DP_EPS_INV} * CAST(ROUND(1000000.0 * LN(2.0 - 2.0 * u))
+                                           AS BIGINT)
+           END AS noise_micro
+    FROM seeded
+)
+SELECT nation, true_n, noise_micro,
+       GREATEST(CAST(0 AS BIGINT),
+                true_n + CAST(ROUND(noise_micro / 1000000.0) AS BIGINT))
+           AS released_n
+FROM noised
+ORDER BY nation
+"""
+
+
+@query("privacy_dp_release", oracle=_DP_ORACLE)
+def privacy_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism,
+    sensitivity 1, ε = 1/{b}): per-nation customer counts plus
+    Laplace(0, {b}) noise, clamped at zero — what the privacy team
+    publishes after privacy_k_anonymity's audit. The noise draw is the
+    suite's deterministic-randomness device (md5-seeded uniform →
+    inverse CDF, the DSIR Gumbel trick), so releases are reproducible
+    and the oracle replays them bit-for-bit; ln() is micro-nat-rounded
+    to a bigint BEFORE scaling so the released integers are exact
+    integer arithmetic in both engines. true_n rides along as the
+    audit companion (the published artifact would drop it), the
+    approx-sketch discipline.
+
+    Scale shape: one partial-aggregated count shuffle; the noise is a
+    narrow per-row expression on the 25-row result.
+    """
+    counts = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp:"), F.col("nation").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    ln_lo = F.round(F.lit(1000000.0) * F.log(2.0 * u)).cast("long")
+    ln_hi = F.round(F.lit(1000000.0) * F.log(2.0 - 2.0 * u)).cast("long")
+    noise_micro = F.when(u < 0.5, F.lit(_DP_EPS_INV) * ln_lo).otherwise(
+        F.lit(-_DP_EPS_INV) * ln_hi
+    )
+    return (
+        counts.select(
+            "nation",
+            "true_n",
+            noise_micro.alias("noise_micro"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("true_n")
+                + F.round(noise_micro / 1000000.0).cast("long"),
+            ).alias("released_n"),
+        )
+        .orderBy("nation")
+    )
+
+
+privacy_dp_release.__doc__ = privacy_dp_release.__doc__.format(b=_DP_EPS_INV)

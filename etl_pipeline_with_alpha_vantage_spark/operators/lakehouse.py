@@ -375,3 +375,125 @@ def lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("version", F.col("version").cast("long"))
         .orderBy("version")
     )
+
+
+# --------------------------------------------------------------------------
+# Merge-on-read twin: deletion vector + delta files, zero base rewrites
+# --------------------------------------------------------------------------
+
+_MOR_CACHE: dict[tuple[str, str], tuple[str, str, str]] = {}
+
+
+def _cleanup_mor_fixtures() -> None:
+    for paths in _MOR_CACHE.values():
+        for path in paths:
+            shutil.rmtree(path, ignore_errors=True)
+    _MOR_CACHE.clear()
+
+
+atexit.register(_cleanup_mor_fixtures)
+
+
+def _mor_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Stage the SAME change set as _merge_fixture, but merge-on-read
+    style: (base, deletion-vector, delta) directories. The base is
+    never rewritten — updates become DV-delete + delta-append, deletes
+    only a DV entry, inserts only a delta row."""
+    from ..catalog import table  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MOR_CACHE.get(key)
+    if cached is not None and all(os.path.isdir(p) for p in cached):
+        return cached
+    base = tempfile.mkdtemp(prefix="spark_graft_mor_base_")
+    dv = tempfile.mkdtemp(prefix="spark_graft_mor_dv_")
+    delta = tempfile.mkdtemp(prefix="spark_graft_mor_delta_")
+    tgt = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        "c_mktsegment",
+    )
+    tgt.write.mode("overwrite").partitionBy("c_mktsegment").parquet(base)
+    in_segs = F.col("c_mktsegment").isin(*_MERGE_SEGS)
+    updates = tgt.filter(in_segs & (F.col("c_custkey") % 7 == 3)).select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("acctbal_cents") + 12345).alias("acctbal_cents"),
+        "c_mktsegment",
+        F.lit(False).alias("is_del"),
+    )
+    deletes = tgt.filter(
+        in_segs
+        & (F.col("c_custkey") % 13 == 0)
+        & (F.col("c_custkey") % 7 != 3)
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        "acctbal_cents",
+        "c_mktsegment",
+        F.lit(True).alias("is_del"),
+    )
+    inserts = tgt.filter(
+        (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_custkey") % 11 == 5)
+    ).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.lit(777_700).cast("long").alias("acctbal_cents"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+        F.lit(False).alias("is_del"),
+    )
+    source = updates.unionByName(deletes).unionByName(inserts)
+    # DV: every source key invalidates its base row (an update is
+    # delete + re-append under MOR); delta: the surviving new rows.
+    source.select("c_custkey", "c_mktsegment").write.mode(
+        "overwrite"
+    ).parquet(dv)
+    source.filter(~F.col("is_del")).drop("is_del").write.mode(
+        "overwrite"
+    ).parquet(delta)
+    _MOR_CACHE[key] = (base, dv, delta)
+    return base, dv, delta
+
+
+def mor_read(
+    spark: SparkSession, base: str, dv: str, delta: str
+) -> DataFrame:
+    """The merge-on-read scan: base rows minus the deletion vector,
+    plus the delta files. The DV is change-set-sized, so it broadcasts;
+    the anti-join never shuffles the base."""
+    base_df = spark.read.parquet(base)
+    dv_df = spark.read.parquet(dv)
+    delta_df = spark.read.parquet(delta)
+    return base_df.join(
+        F.broadcast(dv_df), ["c_custkey", "c_mktsegment"], "left_anti"
+    ).unionByName(delta_df)
+
+
+@query("lakehouse_merge_mor", oracle=_MERGE_ORACLE)
+def lakehouse_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE-ON-READ twin of lakehouse_merge_cow: the identical
+    change set lands as a deletion vector + delta files and NO base
+    file is rewritten (Iceberg position/equality deletes, Delta
+    deletion vectors) — write cost O(changes) instead of O(changed
+    partitions), read cost one broadcast anti-join until compaction
+    folds the DV in. The audit aggregate is identical to the COW
+    query's and shares its oracle verbatim, proving COW ≡ MOR on the
+    same changes (also asserted row-for-row in tests/test_layout.py).
+
+    Scale shape: the DV is change-set-sized → broadcast anti-join, the
+    base never shuffles on read; the trade is per-read work for
+    zero-rewrite ingest — exactly when streaming upserts outpace
+    compaction at 100 TB.
+    """
+    base, dv, delta = _mor_fixture(spark, sf_dir)
+    return (
+        mor_read(spark, base, dv, delta)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("acctbal_cents").alias("acctbal_cents_total"),
+            F.sum("c_custkey").alias("custkey_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -726,3 +726,38 @@ def test_snapshot_expected_parent_conflict_loses_cleanly(spark, tmp_path):
     assert {r.k for r in read_snapshot(spark, path).collect()} == {
         100, 101, 102, 103, 150, 151,
     }
+
+
+def test_mor_read_equals_cow_merge_and_never_rewrites_base(spark, sf_dir):
+    """The merge-on-read path (deletion vector + delta) must produce
+    row-for-row the COW-merged table from the identical change set,
+    and reading it must leave every base file byte-untouched."""
+    import os
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.lakehouse import (
+        _merge_fixture,
+        _mor_fixture,
+        mor_read,
+    )
+
+    cow = spark.read.parquet(_merge_fixture(spark, sf_dir))
+    base, dv, delta = _mor_fixture(spark, sf_dir)
+
+    def fingerprint(root):
+        out = {}
+        for r, _d, fs in os.walk(root):
+            for f in fs:
+                p = os.path.join(r, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = fingerprint(base)
+    mor = mor_read(spark, base, dv, delta)
+    cols = sorted(cow.columns)
+    assert sorted(mor.columns) == cols
+    cow_rows = sorted(tuple(r[c] for c in cols) for r in cow.collect())
+    mor_rows = sorted(tuple(r[c] for c in cols) for r in mor.collect())
+    assert mor_rows == cow_rows
+    assert len(mor_rows) > 0
+    assert fingerprint(base) == before  # zero-rewrite ingest
