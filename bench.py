@@ -192,6 +192,9 @@ HEADLINE = [
     "udf_cogrouped_asof",
     "privacy_dp_release",
     "lakehouse_merge_mor",
+    "source_csv_roundtrip",
+    "source_jsonl_nested",
+    "source_orc_roundtrip",
 ]
 
 

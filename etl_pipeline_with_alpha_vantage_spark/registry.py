@@ -94,7 +94,7 @@ def load_all() -> None:
         windows,
     )
     from .pipeline import alpha_vantage  # noqa: F401
-    from .sources import python_datasource  # noqa: F401
+    from .sources import files, python_datasource  # noqa: F401
     from .streaming import windows as stream_windows  # noqa: F401
 
     _LOADED = True

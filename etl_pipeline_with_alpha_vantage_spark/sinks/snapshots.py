@@ -126,6 +126,7 @@ def snapshot_commit(
     mode: str = "append",
     expected_parent: int | None = None,
     max_retries: int = 10,
+    txn: str | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot version; returns the version.
 
@@ -142,9 +143,18 @@ def snapshot_commit(
     e.g. MERGE): if any other writer commits first, the staged result
     is stale and ``SnapshotConflictError`` is raised instead — the
     caller re-reads and re-derives, Delta's conflict contract.
+
+    ``txn`` is an idempotence token (Delta's txnAppId/txnVersion): if
+    ANY retained manifest already carries it, the commit is a no-op
+    returning that manifest's version — a retried writer (foreachBatch
+    replay, restarted job) can never double-append.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if txn is not None:
+        for v in _list_versions(path):
+            if _read_manifest(path, v).get("txn") == txn:
+                return v
     data_sub = os.path.join(_DATA_DIR, f"w-{uuid.uuid4().hex[:16]}")
     df.write.mode("overwrite").parquet(os.path.join(path, data_sub))
     new_files = sorted(
@@ -156,6 +166,13 @@ def snapshot_commit(
     for _attempt in range(max_retries + 1):
         versions = _list_versions(path)
         parent = versions[-1] if versions else None
+        if txn is not None:
+            # Re-check per attempt: a concurrent retry carrying the same
+            # token may have won a version race we are about to rebase
+            # over.
+            for v in versions:
+                if _read_manifest(path, v).get("txn") == txn:
+                    return v
         if expected_parent is not None and parent != expected_parent:
             raise SnapshotConflictError(
                 f"expected parent version {expected_parent} at {path} but "
@@ -166,15 +183,15 @@ def snapshot_commit(
         files = list(new_files)
         if mode == "append" and parent is not None:
             files = _read_manifest(path, parent)["files"] + files
-        if _try_publish(
-            path,
-            {
-                "version": version,
-                "parent": parent,
-                "mode": mode,
-                "files": files,
-            },
-        ):
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "mode": mode,
+            "files": files,
+        }
+        if txn is not None:
+            manifest["txn"] = txn
+        if _try_publish(path, manifest):
             return version
         # Lost the put-if-absent: rebase on the winner and go again.
     raise SnapshotConflictError(

@@ -529,3 +529,62 @@ def run_stream_rollup(
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+
+
+# --------------------------------------------------------------------------
+# Exactly-once stream → snapshot-log sink (foreachBatch + txn-tagged commit)
+# --------------------------------------------------------------------------
+
+
+def snapshot_commit_stream_batch(
+    spark: SparkSession, path: str, batch_df, batch_id: int
+) -> int:
+    """Idempotently commit one micro-batch to the snapshot log: the
+    manifest carries a txn token derived from the batch id, and
+    snapshot_commit returns the existing version without writing when
+    the token is already in the log — so a foreachBatch retry (task
+    failure, query restart replaying the last un-committed offset
+    range, even a deleted checkpoint re-reading from scratch) can never
+    double-append. Delta's txnAppId/txnVersion device on the
+    hand-rolled log. Returns the (new or pre-existing) version.
+    """
+    from ..sinks.snapshots import snapshot_commit as _commit
+
+    return _commit(
+        spark,
+        path,
+        batch_df,
+        mode="append",
+        txn=f"stream-batch:{batch_id}",
+    )
+
+
+def run_stream_snapshot_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Stream events into the versioned snapshot log EXACTLY-ONCE: the
+    file-source checkpoint deduplicates input, and the batch-id tag in
+    each manifest deduplicates output commits across foreachBatch
+    retries and checkpoint loss. Every micro-batch becomes one
+    time-travelable version; readers get snapshot isolation for free.
+    """
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def load_batch(batch_df, batch_id: int) -> None:
+        snapshot_commit_stream_batch(spark, table_path, batch_df, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(load_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()

@@ -833,3 +833,51 @@ def test_statestore_reader_exposes_operator_state(spark, sf_dir, tmp_path):
     }
     assert young <= state_ids, "watermark-young keys must survive in state"
     assert len(state_ids) > 0
+
+
+def test_stream_snapshot_sink_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming into the versioned snapshot log must be exactly-once
+    under every replay mode: a second AvailableNow run on the same
+    checkpoint adds nothing (input dedupe), and a run with a FRESH
+    checkpoint over the same input also adds nothing (the txn token in
+    each manifest dedupes output commits). Final content must equal the
+    batch read of the source."""
+    from etl_pipeline_with_alpha_vantage_spark.sinks.snapshots import (
+        read_snapshot,
+        snapshot_history,
+    )
+    from etl_pipeline_with_alpha_vantage_spark.streaming.runner import (
+        run_stream_snapshot_sink,
+    )
+
+    table_path = str(tmp_path / "snaptbl")
+    ckpt1 = str(tmp_path / "ckpt1")
+    run_stream_snapshot_sink(spark, sf_dir, table_path, ckpt1)
+    hist = snapshot_history(table_path)
+    assert len(hist) >= 1
+
+    got = {
+        (r.event_id, r.user_id, r.event_type)
+        for r in read_snapshot(spark, table_path).collect()
+    }
+    want = {
+        (r.event_id, r.user_id, r.event_type)
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "event_type")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # Same checkpoint: the file source has nothing pending.
+    run_stream_snapshot_sink(spark, sf_dir, table_path, ckpt1)
+    assert snapshot_history(table_path) == hist
+
+    # Fresh checkpoint: every batch replays, every commit is skipped by
+    # its txn token.
+    ckpt2 = str(tmp_path / "ckpt2")
+    run_stream_snapshot_sink(spark, sf_dir, table_path, ckpt2)
+    assert snapshot_history(table_path) == hist
+    assert {
+        (r.event_id, r.user_id, r.event_type)
+        for r in read_snapshot(spark, table_path).collect()
+    } == want
