@@ -105,6 +105,7 @@ _NESTED_LOOP_OK = {
     "agg_kmv_set_ops",  # 2-row pair frame joined on a disjunctive key
     "ml_logistic_gd",  # 1-row weight/gradient broadcasts per iteration
     "corpus_novelty_decay",  # 1-row max-doc-id broadcast (batch bounds)
+    "ml_naive_bayes_langid",  # 1-row n/vocab + 5-row class-prior broadcasts
 }
 
 
