@@ -195,6 +195,8 @@ HEADLINE = [
     "source_csv_roundtrip",
     "source_jsonl_nested",
     "source_orc_roundtrip",
+    "ab_offpolicy_ips",
+    "sql_bfs_distances",
 ]
 
 

@@ -735,3 +735,130 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# --------------------------------------------------------------------------
+# Off-policy evaluation: IPS / SNIPS over logged interactions
+# --------------------------------------------------------------------------
+
+_OPE_ACTIONS = ("click", "purchase", "view")  # 3-arm logged bandit
+_OPE_K = len(_OPE_ACTIONS)
+
+_OPE_ORACLE = f"""
+WITH logs AS (
+    SELECT user_id % 4 AS ctx,
+           event_type AS action,
+           CAST(round(value * 100) AS BIGINT) AS reward_cents
+    FROM events
+    WHERE event_type IN ('click', 'purchase', 'view')
+),
+arm_stats AS (
+    SELECT ctx, action,
+           CAST(SUM(reward_cents) AS BIGINT) AS cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM logs GROUP BY 1, 2
+),
+target AS (
+    SELECT ctx, action AS target_action
+    FROM (
+        SELECT ctx, action,
+               row_number() OVER (
+                   PARTITION BY ctx
+                   ORDER BY cents * 1.0 / n DESC, action
+               ) AS rn
+        FROM arm_stats
+    ) WHERE rn = 1
+),
+weighted AS (
+    SELECT l.ctx,
+           t.target_action,
+           CAST(COUNT(*) AS BIGINT) AS n_logged,
+           CAST(SUM(CASE WHEN l.action = t.target_action
+                         THEN {_OPE_K} * l.reward_cents ELSE 0 END)
+                AS BIGINT) AS wsum_cents,
+           CAST(SUM(CASE WHEN l.action = t.target_action
+                         THEN {_OPE_K} ELSE 0 END) AS BIGINT) AS wsum
+    FROM logs l JOIN target t ON t.ctx = l.ctx
+    GROUP BY 1, 2
+)
+SELECT ctx, target_action, n_logged,
+       CAST(ROUND(wsum_cents * 1000000.0 / n_logged) AS BIGINT)
+           AS ips_micro_cents,
+       CAST(ROUND(wsum_cents * 1000000.0 / wsum) AS BIGINT)
+           AS snips_micro_cents
+FROM weighted
+ORDER BY ctx
+"""
+
+
+@query("ab_offpolicy_ips", oracle=_OPE_ORACLE)
+def ab_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation of a greedy target policy from logged
+    bandit data (inverse-propensity scoring, Horvitz–Thompson 1952 →
+    IPS, plus the self-normalized SNIPS estimator that kills IPS's
+    variance blow-up): contexts are user hash buckets, the logging
+    policy is uniform over {k} actions (propensity 1/{k} → weight {k}),
+    the target policy plays each context's empirically-best arm, and
+    both estimators read ONLY the logs — the counterfactual readout an
+    experimentation platform runs before shipping a policy, without an
+    online test.
+
+    Determinism: rewards are exact cents, weights exact integers, so
+    both numerators and denominators are exact bigint sums on any
+    partitioning; the two final divisions micro-round identically
+    cross-engine; argmax ties break on action name.
+
+    Scale shape: one partial-aggregated shuffle builds the per-(ctx,
+    arm) stats (dust-sized), the target policy is a window over that
+    dust, and the estimate pass is one more keyed aggregation with the
+    4-row policy table broadcast into the probe — two fact-sized
+    passes total, no row-level Python.
+    """
+    ev = table(spark, sf_dir, "events")
+    logs = ev.filter(F.col("event_type").isin(*_OPE_ACTIONS)).select(
+        (F.col("user_id") % 4).alias("ctx"),
+        F.col("event_type").alias("action"),
+        F.round(F.col("value") * 100).cast("long").alias("reward_cents"),
+    )
+    arm_stats = logs.groupBy("ctx", "action").agg(
+        F.sum("reward_cents").alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy("ctx").orderBy(
+        (F.col("cents") * 1.0 / F.col("n")).desc(), "action"
+    )
+    target = (
+        arm_stats.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("ctx", F.col("action").alias("target_action"))
+    )
+    hit = F.col("action") == F.col("target_action")
+    weighted = (
+        logs.join(F.broadcast(target), "ctx")
+        .groupBy("ctx", "target_action")
+        .agg(
+            F.count(F.lit(1)).alias("n_logged"),
+            F.sum(
+                F.when(hit, F.lit(_OPE_K) * F.col("reward_cents")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("wsum_cents"),
+            F.sum(F.when(hit, F.lit(_OPE_K)).otherwise(F.lit(0))).alias(
+                "wsum"
+            ),
+        )
+    )
+    return weighted.select(
+        "ctx",
+        "target_action",
+        "n_logged",
+        F.round(F.col("wsum_cents") * 1000000.0 / F.col("n_logged"))
+        .cast("long")
+        .alias("ips_micro_cents"),
+        F.round(F.col("wsum_cents") * 1000000.0 / F.col("wsum"))
+        .cast("long")
+        .alias("snips_micro_cents"),
+    ).orderBy("ctx")
+
+
+ab_offpolicy_ips.__doc__ = ab_offpolicy_ips.__doc__.format(k=_OPE_K)
