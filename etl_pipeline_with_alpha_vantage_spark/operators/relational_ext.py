@@ -1049,17 +1049,16 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _BFS_SQL = """
-WITH RECURSIVE edges AS (
-    SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
-    FROM lineitem
+WITH RECURSIVE pairs AS (
+    SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+edges AS (
+    SELECT s * 2 AS src, p * 2 + 1 AS dst FROM pairs
     UNION ALL
-    SELECT DISTINCT l_partkey * 2 + 1 AS src, l_suppkey * 2 AS dst
-    FROM lineitem
+    SELECT p * 2 + 1 AS src, s * 2 AS dst FROM pairs
 ),
 walk(node, depth) AS (
-    SELECT src, 0 FROM (
-        SELECT DISTINCT src FROM edges WHERE src % 200 = 0
-    )
+    SELECT DISTINCT s * 2, 0 FROM pairs WHERE s % 100 = 0
     UNION ALL
     SELECT e.dst, w.depth + 1
     FROM walk w JOIN edges e ON e.src = w.node
@@ -1091,7 +1090,10 @@ def sql_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound is also the cost bound (the frontier multiplies by the mean
     degree per hop; the hand-written iterative twin with per-hop
     frontier dedup is connected_components / graph_pagerank's loop
-    shape, which is where to go when hops must be deep). Spark
+    shape, which is where to go when hops must be deep — also because
+    Catalyst re-evaluates the non-recursive CTEs on every UnionLoop
+    iteration, so the distinct-edge scan here runs once per hop where
+    the hand-written loop pays it once, checkpointed). Spark
     additionally enforces spark.sql.cteRecursionRowLimit as a runaway
     guard — raised here because the two-hop path multiset is the
     intended (bounded) workload, exactly what the limit exists to make
