@@ -651,3 +651,125 @@ def test_symdel_spark_candidates_superset_of_true_pairs(spark):
     }
     missing = true_pairs - cand
     assert not missing, f"blocking missed true pairs: {sorted(missing)}"
+
+
+# --------------------------------------------------------------------------
+# Round-6 operators: referee / invariant tests
+# --------------------------------------------------------------------------
+
+
+def test_linkage_bands_are_the_constructed_classes(spark, sf_dir):
+    """The dirtying scheme is deterministic, so the decision bands must
+    be exactly the constructed classes: reversed names (custkey % 13)
+    land in non_match, partial records (% 7, not % 13) in possible,
+    everything else in match — and every 'match' resolves to its true
+    twin."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.linkage import (
+        linkage_fellegi_sunter,
+    )
+
+    rows = linkage_fellegi_sunter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.dirty_key % 13 == 0:
+            want = "non_match"
+        elif r.dirty_key % 7 == 0:
+            want = "possible"
+        else:
+            want = "match"
+        assert r.decision == want, (r.dirty_key, r.decision, want)
+        if r.decision == "match":
+            assert r.matched_key == r.dirty_key, r
+    # all three bands genuinely exercised
+    assert {r.decision for r in rows} == {"match", "possible", "non_match"}
+
+
+def test_naive_bayes_beats_chance_and_scores_every_heldout_doc(
+    spark, sf_dir
+):
+    """NB language-ID must score every held-out doc exactly once and
+    beat the 1/5 random baseline (the synthetic corpus carries weak but
+    real language signal; the pipeline is deterministic, so accuracy is
+    a fixed number per scale factor — 0.30 @ sf0.001, 0.42 @ sf0.01)."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.ml import (
+        ml_naive_bayes_langid,
+    )
+    from etl_pipeline_with_alpha_vantage_spark.catalog import table
+
+    rows = ml_naive_bayes_langid(spark, sf_dir).collect()
+    heldout = (
+        table(spark, sf_dir, "documents")
+        .filter("doc_id % 5 = 0")
+        .count()
+    )
+    assert len(rows) == heldout
+    assert len({r.doc_id for r in rows}) == heldout  # one prediction each
+    acc = sum(1 for r in rows if r.correct) / len(rows)
+    assert acc > 0.25, f"accuracy {acc:.3f} not above chance"
+
+
+def _kcore_referee(
+    edges: list[tuple[int, int]], k: int, rounds: int
+) -> dict[int, int]:
+    """Python replay of the fixed-round peel: per round drop nodes with
+    degree < k, then edges touching them; returns survivor → degree."""
+    es = set()
+    for a, b in edges:
+        es.add((a, b))
+        es.add((b, a))
+    for _ in range(rounds):
+        deg: dict[int, int] = {}
+        for s, _d in es:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        es = {(s, d) for s, d in es if s in keep and d in keep}
+    deg = {}
+    for s, _d in es:
+        deg[s] = deg.get(s, 0) + 1
+    return deg
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw_edges=edge_strategy)
+def test_kcore_peel_matches_python_referee(spark, raw_edges):
+    """The distributed fixed-round peel must agree with a plain Python
+    replay on arbitrary random graphs (same k and round budget as the
+    registered query)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.graph import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+    )
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    want = _kcore_referee(edges, _KCORE_K, _KCORE_ROUNDS)
+
+    pairs = spark.createDataFrame(edges, "src long, dst long")
+    e = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("src")
+        )
+        e = (
+            e.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    got = {
+        r.src: r.deg
+        for r in e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).collect()
+    }
+    assert got == want
