@@ -197,6 +197,8 @@ HEADLINE = [
     "source_orc_roundtrip",
     "ab_offpolicy_ips",
     "sql_bfs_distances",
+    "stats_bootstrap_ci_poisson",
+    "anomaly_cusum_changepoint",
 ]
 
 

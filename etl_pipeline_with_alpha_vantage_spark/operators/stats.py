@@ -862,3 +862,161 @@ def ab_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ab_offpolicy_ips.__doc__ = ab_offpolicy_ips.__doc__.format(k=_OPE_K)
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap: distributed confidence intervals without resampling
+# --------------------------------------------------------------------------
+
+_BOOT_B = 32  # bootstrap replicates
+
+# Cumulative Poisson(1) thresholds for the inverse-CDF draw; identical
+# decimal literals in the Spark expression and the SQL oracle, compared
+# against an exact md5-derived uniform, so every weight matches
+# cross-engine.
+_POIS = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.919698602928606",
+    "0.9810118431238462",
+    "0.9963401531726563",
+)
+
+_BOOT_ORACLE = f"""
+WITH base AS (
+    SELECT c_mktsegment AS segment, c_custkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer
+),
+fan AS (
+    SELECT segment, cents, b,
+           (CAST(('0x' || substr(md5('boot:' || CAST(c_custkey AS VARCHAR)
+                                  || ':' || CAST(b AS VARCHAR)), 1, 8))
+                 AS BIGINT) + 0.5) / 4294967296.0 AS u
+    FROM base, unnest(generate_series(0, {_BOOT_B - 1})) AS t(b)
+),
+weighted AS (
+    SELECT segment, b,
+           CASE WHEN u < {_POIS[0]} THEN 0
+                WHEN u < {_POIS[1]} THEN 1
+                WHEN u < {_POIS[2]} THEN 2
+                WHEN u < {_POIS[3]} THEN 3
+                WHEN u < {_POIS[4]} THEN 4
+                ELSE 5 END AS w,
+           cents
+    FROM fan
+),
+reps AS (
+    SELECT segment, b,
+           SUM(w * cents) * 1.0 / SUM(w) AS rep_mean_cents
+    FROM weighted
+    GROUP BY 1, 2
+    HAVING SUM(w) > 0
+),
+cis AS (
+    SELECT segment, list_sort(list(rep_mean_cents)) AS means,
+           CAST(COUNT(*) AS BIGINT) AS n_reps
+    FROM reps GROUP BY 1
+)
+SELECT segment, n_reps,
+       CAST(round(means[2]) AS BIGINT) AS ci_lo_cents,
+       CAST(round(means[CAST(n_reps AS INTEGER) - 1]) AS BIGINT)
+           AS ci_hi_cents
+FROM cis
+ORDER BY segment
+"""
+
+
+@query("stats_bootstrap_ci_poisson", oracle=_BOOT_ORACLE)
+def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence intervals the way a distributed engine can
+    actually afford them: the POISSON bootstrap — instead of drawing B
+    resamples (impossible without materializing the dataset B times),
+    every row carries B independent Poisson(1) weights, and each
+    replicate's statistic is a weighted aggregate. One fan-out + one
+    partial-aggregated shuffle replaces B passes; the approximation to
+    multinomial resampling is exact as n→∞ (Chamandy et al., Google,
+    2012 — "Estimating uncertainty for massive data streams").
+
+    Determinism: weights come from md5-seeded uniforms through an
+    explicit inverse-CDF threshold chain (identical decimal literals in
+    both engines), replicate means are exact-bigint ratios, and the CI
+    is an order statistic over the sorted replicate means (2nd smallest
+    / 2nd largest of {b} ≈ 94% interval).
+
+    Scale shape: explode ×{b} collapses map-side into per-(segment,
+    replicate) partials — shuffled rows = segments×{b}, independent of
+    corpus size; the CI step sorts {b} doubles per segment.
+    """
+    base = table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    fan = base.select(
+        "segment",
+        "cents",
+        "c_custkey",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_BOOT_B - 1))
+        ).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("c_custkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    w = (
+        F.when(u < float(_POIS[0]), 0)
+        .when(u < float(_POIS[1]), 1)
+        .when(u < float(_POIS[2]), 2)
+        .when(u < float(_POIS[3]), 3)
+        .when(u < float(_POIS[4]), 4)
+        .otherwise(5)
+    )
+    reps = (
+        fan.select("segment", "b", w.alias("w"), "cents")
+        .groupBy("segment", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("wc"),
+            F.sum("w").alias("wsum"),
+        )
+        .filter(F.col("wsum") > 0)
+        .select(
+            "segment",
+            (F.col("wc") * 1.0 / F.col("wsum")).alias("rep_mean_cents"),
+        )
+    )
+    cis = reps.groupBy("segment").agg(
+        F.sort_array(F.collect_list("rep_mean_cents")).alias("means"),
+        F.count(F.lit(1)).alias("n_reps"),
+    )
+    return cis.select(
+        "segment",
+        "n_reps",
+        F.round(F.element_at("means", 2)).cast("long").alias("ci_lo_cents"),
+        F.round(
+            F.element_at("means", (F.col("n_reps") - 1).cast("int"))
+        )
+        .cast("long")
+        .alias("ci_hi_cents"),
+    ).orderBy("segment")
+
+
+stats_bootstrap_ci_poisson.__doc__ = stats_bootstrap_ci_poisson.__doc__.format(
+    b=_BOOT_B
+)

@@ -2553,3 +2553,90 @@ def forecast_ses_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ses_beats_naive"
         ),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint screen — integer-exact cumulative drift detection
+# --------------------------------------------------------------------------
+
+_CUSUM_THRESH_PCT = 10  # flag when |scaled cusum| > 10% of total*days
+
+_CUSUM_ORACLE = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type,
+           CAST(SUM(n) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS days
+    FROM daily GROUP BY 1
+),
+cusum AS (
+    SELECT d.event_type, d.day, d.n,
+           SUM(d.n * t.days - t.total) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+           ) AS cusum_scaled,
+           t.total, t.days
+    FROM daily d JOIN tot t USING (event_type)
+)
+SELECT event_type, day, n,
+       CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+       ABS(cusum_scaled) * 100 > {_CUSUM_THRESH_PCT} * total * days
+           AS changepoint
+FROM cusum
+ORDER BY event_type, day
+"""
+
+
+@query("anomaly_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def anomaly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen over daily ingest volumes (Page 1954):
+    the cumulative sum of deviations from the series mean stays near
+    zero under a stable rate and runs away linearly after a level
+    shift — the detector ops teams run on ingest counters where a
+    rolling z-score (dq_volume_anomaly) only sees single-day spikes.
+
+    Integer-exact device: deviations are scaled by the day count
+    (n·days − total), making every cumulative sum an EXACT bigint on
+    both engines — no float accumulation order to disagree about — and
+    the threshold compares scaled integers (|cusum|·100 >
+    {p}·total·days).
+
+    Scale shape: one partial-aggregated collapse to (type, day) dust,
+    a broadcast-sized totals join, and one ordered window per type
+    over the day table.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("days")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cusum = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "cusum_scaled",
+            F.sum(
+                F.col("n") * F.col("days") - F.col("total")
+            ).over(w),
+        )
+    )
+    return cusum.select(
+        "event_type",
+        "day",
+        "n",
+        F.col("cusum_scaled").cast("long").alias("cusum_scaled"),
+        (
+            F.abs(F.col("cusum_scaled")) * 100
+            > _CUSUM_THRESH_PCT * F.col("total") * F.col("days")
+        ).alias("changepoint"),
+    ).orderBy("event_type", "day")
+
+
+anomaly_cusum_changepoint.__doc__ = anomaly_cusum_changepoint.__doc__.format(
+    p=_CUSUM_THRESH_PCT
+)
