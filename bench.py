@@ -199,6 +199,8 @@ HEADLINE = [
     "sql_bfs_distances",
     "stats_bootstrap_ci_poisson",
     "anomaly_cusum_changepoint",
+    "catalog_table_stats",
+    "ab_tost_equivalence",
 ]
 
 

@@ -1565,3 +1565,68 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 agg_kmv_set_ops.__doc__ = agg_kmv_set_ops.__doc__.format(k=_KMV_K)
+
+
+# --------------------------------------------------------------------------
+# ANALYZE-style cross-table column statistics (CBO food)
+# --------------------------------------------------------------------------
+
+_TSTATS_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_custkey", "o_orderstatus", "o_orderpriority"),
+    "lineitem": ("l_orderkey", "l_returnflag", "l_linestatus"),
+    "customer": ("c_nationkey", "c_mktsegment"),
+    "documents": ("lang", "source"),
+}
+
+_TSTATS_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{tbl}' AS table_name, '{col}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv
+FROM {tbl}"""
+    for tbl, cols in _TSTATS_COLS.items()
+    for col in cols
+) + "\nORDER BY table_name, column_name"
+
+
+@query("catalog_table_stats", oracle=_TSTATS_ORACLE)
+def catalog_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, as a query:
+    per tracked column, row count, null count, and exact NDV — the
+    statistics a cost-based optimizer feeds on (join reordering,
+    broadcast thresholds, selectivity estimates) and a data catalog
+    publishes next to every table. Q1-parity companion to
+    catalog_columns (names) and profile_orders (one table, deep).
+
+    Scale shape: one partial-aggregated pass PER TABLE computes all of
+    its columns' counts together (count_distinct per column rides the
+    same scan; the distinct rewrite keys each on its own column), then
+    an in-row unpivot emits one report row per column — columns add
+    aggregates, not scans, and the report is O(columns).
+    """
+    parts = []
+    for tbl, cols in _TSTATS_COLS.items():
+        df = table(spark, sf_dir, tbl)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, c in enumerate(cols):
+            aggs.append(F.count(c).alias(f"nn{i}"))
+            aggs.append(F.count_distinct(c).alias(f"nd{i}"))
+        one = df.agg(*aggs)
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(tbl).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    F.col("__n").alias("n_rows"),
+                    (F.col("__n") - F.col(f"nn{i}")).alias("n_nulls"),
+                    F.col(f"nd{i}").alias("ndv"),
+                )
+                for i, c in enumerate(cols)
+            ]
+        )
+        parts.append(one.select(F.explode(rows).alias("r")).select("r.*"))
+    from functools import reduce as _reduce
+
+    return _reduce(DataFrame.unionByName, parts).orderBy(
+        "table_name", "column_name"
+    )

@@ -1020,3 +1020,130 @@ def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
 stats_bootstrap_ci_poisson.__doc__ = stats_bootstrap_ci_poisson.__doc__.format(
     b=_BOOT_B
 )
+
+
+# --------------------------------------------------------------------------
+# TOST equivalence test — "statistically the same", not just "not different"
+# --------------------------------------------------------------------------
+
+_TOST_MARGIN_CENTS = 500  # ±δ: arms equivalent within 5.00 value units
+_TOST_Z = 1.6448536269514722  # z_{0.95}; identical literal both engines
+
+_TOST_ORACLE = f"""
+WITH assign AS (
+    SELECT event_type,
+           user_id % 2 AS arm,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+arms AS (
+    SELECT event_type, arm,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS s,
+           CAST(SUM(cents * cents) AS BIGINT) AS ss
+    FROM assign GROUP BY 1, 2
+),
+wide AS (
+    SELECT event_type,
+           MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+           MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+           MAX(CASE WHEN arm = 0 THEN ss END) AS ss0,
+           MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+           MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+           MAX(CASE WHEN arm = 1 THEN ss END) AS ss1
+    FROM arms GROUP BY 1
+),
+calc AS (
+    SELECT event_type, n0, n1,
+           s0 * 1.0 / n0 - s1 * 1.0 / n1 AS diff,
+           sqrt((ss0 - s0 * 1.0 / n0 * s0) / (n0 - 1) / n0
+                + (ss1 - s1 * 1.0 / n1 * s1) / (n1 - 1) / n1) AS se
+    FROM wide
+)
+SELECT event_type, n0 AS n_arm0, n1 AS n_arm1,
+       CAST(ROUND(diff * 1000000) AS BIGINT) AS diff_micro_cents,
+       CAST(ROUND(se * 1000000) AS BIGINT) AS se_micro_cents,
+       CAST(ROUND((diff + {_TOST_MARGIN_CENTS}) / se * 1000000) AS BIGINT)
+           AS t_lower_micro,
+       CAST(ROUND((diff - {_TOST_MARGIN_CENTS}) / se * 1000000) AS BIGINT)
+           AS t_upper_micro,
+       (diff + {_TOST_MARGIN_CENTS}) / se > {_TOST_Z}
+           AND (diff - {_TOST_MARGIN_CENTS}) / se < -{_TOST_Z}
+           AS equivalent
+FROM calc
+ORDER BY event_type
+"""
+
+
+@query("ab_tost_equivalence", oracle=_TOST_ORACLE)
+def ab_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test per event type (Schuirmann 1987): two
+    one-sided Welch z-tests against the margin ±{d} cents — the readout
+    a platform needs when the CLAIM is "the treatment changed nothing"
+    (a plain t-test's non-significance is absence of evidence, not
+    equivalence). Completes the experimentation family next to
+    ab_test_proportions (difference) and ab_cuped_adjustment (variance
+    reduction).
+
+    Determinism: per-arm n/Σx/Σx² are exact bigints (cents), so means,
+    Welch SE, and both t statistics are fixed double expressions with
+    identical literals cross-engine; outputs micro-rounded, verdict a
+    boolean on the same expressions.
+
+    Scale shape: one partial-aggregated shuffle to (type, arm) — six
+    integers per arm — then dust arithmetic.
+    """
+    ev = table(spark, sf_dir, "events")
+    assign = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    arms = assign.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    wide = arms.groupBy("event_type").agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("arm") == 0, F.col("ss"))).alias("ss0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("arm") == 1, F.col("ss"))).alias("ss1"),
+    )
+    diff = F.col("s0") * 1.0 / F.col("n0") - F.col("s1") * 1.0 / F.col("n1")
+    se = F.sqrt(
+        (F.col("ss0") - F.col("s0") * 1.0 / F.col("n0") * F.col("s0"))
+        / (F.col("n0") - 1)
+        / F.col("n0")
+        + (F.col("ss1") - F.col("s1") * 1.0 / F.col("n1") * F.col("s1"))
+        / (F.col("n1") - 1)
+        / F.col("n1")
+    )
+    calc = wide.select(
+        "event_type",
+        F.col("n0").alias("n_arm0"),
+        F.col("n1").alias("n_arm1"),
+        diff.alias("diff"),
+        se.alias("se"),
+    )
+    t_lo = (F.col("diff") + _TOST_MARGIN_CENTS) / F.col("se")
+    t_hi = (F.col("diff") - _TOST_MARGIN_CENTS) / F.col("se")
+    return calc.select(
+        "event_type",
+        "n_arm0",
+        "n_arm1",
+        F.round(F.col("diff") * 1000000).cast("long").alias(
+            "diff_micro_cents"
+        ),
+        F.round(F.col("se") * 1000000).cast("long").alias("se_micro_cents"),
+        F.round(t_lo * 1000000).cast("long").alias("t_lower_micro"),
+        F.round(t_hi * 1000000).cast("long").alias("t_upper_micro"),
+        ((t_lo > _TOST_Z) & (t_hi < -_TOST_Z)).alias("equivalent"),
+    ).orderBy("event_type")
+
+
+ab_tost_equivalence.__doc__ = ab_tost_equivalence.__doc__.format(
+    d=_TOST_MARGIN_CENTS
+)
