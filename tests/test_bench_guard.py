@@ -1,0 +1,98 @@
+"""Unit tests for the executable bench-floor guard (tools/bench_guard.py,
+tools/bench_floor.py) — the round-6 drift gate. Pure-Python: no Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_guard(tmp_path, floors: dict, run: dict, ratio: str | None = None):
+    floor_path = tmp_path / "BENCH_FLOOR.json"
+    run_path = tmp_path / "run.json"
+    floor_path.write_text(json.dumps({"floors": floors}))
+    run_path.write_text(json.dumps({"queries": run, "sf": 0.1}))
+    # bench_guard resolves BENCH_FLOOR.json relative to the repo root, so
+    # run it from a copy pointed at the temp fixture via cwd shim: the
+    # script reads REPO/BENCH_FLOOR.json — patch by importing instead.
+    env = dict(os.environ)
+    if ratio is not None:
+        env["BENCH_GUARD_RATIO"] = ratio
+    src = open(os.path.join(REPO, "tools", "bench_guard.py")).read()
+    src = src.replace(
+        "REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))",
+        f"REPO = {str(tmp_path)!r}",
+    )
+    script = tmp_path / "guard_patched.py"
+    script.write_text(src)
+    proc = subprocess.run(
+        [sys.executable, str(script), str(run_path)],
+        capture_output=True,
+        text=True,
+        env=env,
+    )
+    return proc
+
+
+def test_guard_passes_within_ratio(tmp_path):
+    proc = _run_guard(
+        tmp_path,
+        floors={"q1": 1.0, "q2": 0.5},
+        run={"q1": 1.9, "q2": 0.6},
+    )
+    assert proc.returncode == 0
+    assert "OK" in proc.stdout
+
+
+def test_guard_flags_and_ranks_drift(tmp_path):
+    proc = _run_guard(
+        tmp_path,
+        floors={"q1": 1.0, "q2": 0.5, "q3": 0.1},
+        run={"q1": 2.5, "q2": 0.4, "q3": 0.5},
+    )
+    assert proc.returncode == 1
+    # ranked most-drifted first: q3 at 5x before q1 at 2.5x
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("  ")]
+    assert lines[0].startswith("  q3:") and lines[1].startswith("  q1:")
+    assert "q2" not in proc.stdout
+
+
+def test_guard_reports_unfloored_queries(tmp_path):
+    proc = _run_guard(
+        tmp_path,
+        floors={"q1": 1.0},
+        run={"q1": 1.0, "brand_new": 0.3},
+    )
+    assert proc.returncode == 0
+    assert "brand_new" in proc.stdout and "no floor" in proc.stdout
+
+
+def test_guard_ratio_env_override(tmp_path):
+    proc = _run_guard(
+        tmp_path,
+        floors={"q1": 1.0},
+        run={"q1": 1.9},
+        ratio="1.5",
+    )
+    assert proc.returncode == 1
+
+
+def test_committed_floor_file_consistent_with_generator():
+    """The committed BENCH_FLOOR.json must regenerate identically from
+    the committed bench history (catches a forgotten regen after a
+    bench commit)."""
+    committed = json.load(open(os.path.join(REPO, "BENCH_FLOOR.json")))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_floor.py")],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr
+    regenerated = json.load(open(os.path.join(REPO, "BENCH_FLOOR.json")))
+    assert regenerated == committed
