@@ -761,3 +761,93 @@ def test_mor_read_equals_cow_merge_and_never_rewrites_base(spark, sf_dir):
     assert mor_rows == cow_rows
     assert len(mor_rows) > 0
     assert fingerprint(base) == before  # zero-rewrite ingest
+
+
+def test_snapshot_txn_token_commit_is_idempotent(spark, tmp_path):
+    """A commit carrying a txn token already present in the log must be
+    a no-op returning the existing version — even when handed different
+    data (the retry-after-partial-failure contract); a fresh token
+    commits normally."""
+    from etl_pipeline_with_alpha_vantage_spark.sinks.snapshots import (
+        read_snapshot,
+        snapshot_commit,
+        snapshot_history,
+    )
+
+    path = str(tmp_path / "snap")
+    v1 = snapshot_commit(
+        spark,
+        path,
+        spark.range(0, 5).withColumnRenamed("id", "k"),
+        txn="batch:0",
+    )
+    assert v1 == 1
+    # Same token, different data: must not publish anything.
+    v_again = snapshot_commit(
+        spark,
+        path,
+        spark.range(100, 200).withColumnRenamed("id", "k"),
+        txn="batch:0",
+    )
+    assert v_again == 1
+    assert len(snapshot_history(path)) == 1
+    assert {r.k for r in read_snapshot(spark, path).collect()} == set(
+        range(5)
+    )
+    # Fresh token: normal append.
+    v2 = snapshot_commit(
+        spark,
+        path,
+        spark.range(5, 8).withColumnRenamed("id", "k"),
+        txn="batch:1",
+    )
+    assert v2 == 2
+    assert {r.k for r in read_snapshot(spark, path).collect()} == set(
+        range(8)
+    )
+
+
+def test_snapshot_four_writer_race_is_linear_and_lossless(spark, tmp_path):
+    """Four concurrent appends: every writer must land exactly once,
+    versions form a gap-free linear chain, and the final read holds all
+    four writers' rows plus the base."""
+    import threading
+
+    from etl_pipeline_with_alpha_vantage_spark.sinks.snapshots import (
+        read_snapshot,
+        snapshot_commit,
+        snapshot_history,
+    )
+
+    path = str(tmp_path / "snap")
+    snapshot_commit(
+        spark, path, spark.range(0, 3).withColumnRenamed("id", "k")
+    )
+    barrier = threading.Barrier(4)
+    results: dict[int, int | Exception] = {}
+
+    def writer(i: int) -> None:
+        df = spark.range(100 * (i + 1), 100 * (i + 1) + 3).withColumnRenamed(
+            "id", "k"
+        )
+        try:
+            barrier.wait(timeout=60)
+            results[i] = snapshot_commit(spark, path, df, mode="append")
+        except Exception as exc:  # pragma: no cover - surfaced below
+            results[i] = exc
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+
+    assert all(isinstance(v, int) for v in results.values()), results
+    assert sorted(results.values()) == [2, 3, 4, 5]
+    hist = snapshot_history(path)
+    assert [h["version"] for h in hist] == [1, 2, 3, 4, 5]
+    assert [h["parent"] for h in hist] == [None, 1, 2, 3, 4]
+    want = set(range(3))
+    for i in range(4):
+        want |= set(range(100 * (i + 1), 100 * (i + 1) + 3))
+    assert {r.k for r in read_snapshot(spark, path).collect()} == want
