@@ -7,6 +7,7 @@ deliberate rework.
 
 Usage:
     python tools/bench_floor.py          # writes BENCH_FLOOR.json
+    python tools/bench_floor.py PATH     # writes PATH (read-only checks)
 """
 
 from __future__ import annotations
@@ -71,7 +72,7 @@ def _generations() -> list[dict[str, float]]:
     return gens
 
 
-def main() -> int:
+def main(out_path: str | None = None) -> int:
     floors: dict[str, float] = {}
     for gen in _generations():
         for name, sec in gen.items():
@@ -92,7 +93,7 @@ def main() -> int:
         "overrides": sorted(OVERRIDES),
         "floors": dict(sorted(floors.items())),
     }
-    path = os.path.join(REPO, "BENCH_FLOOR.json")
+    path = out_path or os.path.join(REPO, "BENCH_FLOOR.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -101,4 +102,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else None))
