@@ -134,7 +134,8 @@ src AS (
     WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
       AND c_custkey % 13 = 0 AND c_custkey % 7 <> 3
     UNION ALL
-    SELECT c_custkey + 1000000, CAST(0 AS INTEGER), CAST(777700 AS BIGINT),
+    SELECT c_custkey + (SELECT MAX(c_custkey) FROM tgt),
+           CAST(0 AS INTEGER), CAST(777700 AS BIGINT),
            'BUILDING', FALSE
     FROM tgt
     WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 11 = 5
@@ -159,6 +160,13 @@ FROM merged
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+def _max_custkey(tgt: DataFrame) -> int:
+    """MAX(c_custkey) of the fixture target — the offset that keeps
+    synthetic insert keys disjoint from every real key at ANY scale
+    factor. Bounded 1-row collect."""
+    return int(tgt.agg(F.max("c_custkey")).collect()[0][0])
+
 
 # One merged table per (session, sf_dir): the merge itself is the
 # expensive part of the fixture, and parity sweeps invoke the query
@@ -216,7 +224,12 @@ def _merge_fixture(spark: SparkSession, sf_dir: str) -> str:
     inserts = tgt.filter(
         (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_custkey") % 11 == 5)
     ).select(
-        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        # Synthetic insert keys sit ABOVE the table's real key range —
+        # a fixed +1M offset would collide with genuine custkeys at
+        # sf>=10 and make the delete path eat innocent base rows.
+        # 1-row scalar collect (bounded), mirrored by the oracle's
+        # scalar subquery.
+        (F.col("c_custkey") + _max_custkey(tgt)).alias("c_custkey"),
         F.lit(0).cast("int").alias("c_nationkey"),
         F.lit(777_700).cast("long").alias("acctbal_cents"),
         F.lit("BUILDING").alias("c_mktsegment"),
@@ -437,7 +450,10 @@ def _mor_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     inserts = tgt.filter(
         (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_custkey") % 11 == 5)
     ).select(
-        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        # Same above-MAX key derivation as _merge_fixture — the DV
+        # deletes by key, so a colliding synthetic key would delete an
+        # innocent base row and diverge MOR from COW at sf>=10.
+        (F.col("c_custkey") + _max_custkey(tgt)).alias("c_custkey"),
         F.lit(0).cast("int").alias("c_nationkey"),
         F.lit(777_700).cast("long").alias("acctbal_cents"),
         F.lit("BUILDING").alias("c_mktsegment"),

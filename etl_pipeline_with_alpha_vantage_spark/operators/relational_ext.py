@@ -1097,8 +1097,23 @@ def sql_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally enforces spark.sql.cteRecursionRowLimit as a runaway
     guard — raised here because the two-hop path multiset is the
     intended (bounded) workload, exactly what the limit exists to make
-    explicit.
+    explicit. The raise is SCOPED: the recursion executes eagerly (the
+    readout is a ≤3-row aggregate, so the localCheckpoint materializes
+    dust) and the previous limit is restored before returning, so the
+    weakened runaway guard never leaks into subsequent queries on the
+    shared session. Production path for deep/repeated traversals:
+    graph_bfs_distances (operators/graph.py) — the iterative-join twin
+    with per-hop frontier dedup and localCheckpoint, which pays the
+    edge scan once instead of once per hop.
     """
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", "20000000")
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_BFS_SQL)
+    try:
+        table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+        # Eager: the recursion must run while the raised limit is live.
+        return spark.sql(_BFS_SQL).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)

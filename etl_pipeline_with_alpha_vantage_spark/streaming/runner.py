@@ -537,16 +537,25 @@ def run_stream_rollup(
 
 
 def snapshot_commit_stream_batch(
-    spark: SparkSession, path: str, batch_df, batch_id: int
+    spark: SparkSession, path: str, batch_df, batch_id: int, app_id: str
 ) -> int:
     """Idempotently commit one micro-batch to the snapshot log: the
-    manifest carries a txn token derived from the batch id, and
+    manifest carries a txn token derived from (app_id, batch_id), and
     snapshot_commit returns the existing version without writing when
     the token is already in the log — so a foreachBatch retry (task
     failure, query restart replaying the last un-committed offset
     range, even a deleted checkpoint re-reading from scratch) can never
     double-append. Delta's txnAppId/txnVersion device on the
     hand-rolled log. Returns the (new or pre-existing) version.
+
+    ``app_id`` is the Delta ``txnAppId`` analogue: a stable name for the
+    LOGICAL streaming pipeline (not the checkpoint path — the whole
+    point is surviving checkpoint loss). Two different queries writing
+    the same table must use different app_ids or their batch 0s collide
+    and one is silently skipped. Conversely the idempotence contract is:
+    identical (app_id, batch_id) MUST carry identical data — true for
+    AvailableNow replays over unchanged input, where batch planning is
+    deterministic.
     """
     from ..sinks.snapshots import snapshot_commit as _commit
 
@@ -555,7 +564,7 @@ def snapshot_commit_stream_batch(
         path,
         batch_df,
         mode="append",
-        txn=f"stream-batch:{batch_id}",
+        txn=f"stream-batch:{app_id}:{batch_id}",
     )
 
 
@@ -565,19 +574,25 @@ def run_stream_snapshot_sink(
     table_path: str,
     checkpoint_dir: str,
     timeout_sec: int = 120,
+    app_id: str = "events-snapshot-ingest",
 ) -> None:
     """Stream events into the versioned snapshot log EXACTLY-ONCE: the
-    file-source checkpoint deduplicates input, and the batch-id tag in
-    each manifest deduplicates output commits across foreachBatch
+    file-source checkpoint deduplicates input, and the (app_id, batch_id)
+    tag in each manifest deduplicates output commits across foreachBatch
     retries and checkpoint loss. Every micro-batch becomes one
     time-travelable version; readers get snapshot isolation for free.
+    ``app_id`` must be unique per logical query targeting this table but
+    stable across restarts of the same query (see
+    snapshot_commit_stream_batch).
     """
     stream = read_events_stream(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
     )
 
     def load_batch(batch_df, batch_id: int) -> None:
-        snapshot_commit_stream_batch(spark, table_path, batch_df, batch_id)
+        snapshot_commit_stream_batch(
+            spark, table_path, batch_df, batch_id, app_id
+        )
 
     q = (
         stream.writeStream.foreachBatch(load_batch)

@@ -881,3 +881,42 @@ def test_stream_snapshot_sink_exactly_once(spark, sf_dir, tmp_path):
         (r.event_id, r.user_id, r.event_type)
         for r in read_snapshot(spark, table_path).collect()
     } == want
+
+
+def test_stream_snapshot_sink_app_id_discriminates_queries(
+    spark, sf_dir, tmp_path
+):
+    """Two DIFFERENT logical streaming queries writing the same snapshot
+    table must not collide on batch ids: their txn tokens carry distinct
+    app_ids (Delta txnAppId analogue), so query B's batch 0 commits even
+    though query A already committed a batch 0 — while a replay of
+    query A itself (fresh checkpoint, same app_id) is still skipped."""
+    from etl_pipeline_with_alpha_vantage_spark.sinks.snapshots import (
+        read_snapshot,
+        snapshot_history,
+    )
+    from etl_pipeline_with_alpha_vantage_spark.streaming.runner import (
+        run_stream_snapshot_sink,
+    )
+
+    table_path = str(tmp_path / "snaptbl")
+    run_stream_snapshot_sink(
+        spark, sf_dir, table_path, str(tmp_path / "ckA"), app_id="query-A"
+    )
+    hist_a = snapshot_history(table_path)
+    n_a = read_snapshot(spark, table_path).count()
+    assert n_a > 0
+
+    # A distinct query (different app_id) over the same source doubles
+    # the rows — its batch 0 must NOT be swallowed by query A's token.
+    run_stream_snapshot_sink(
+        spark, sf_dir, table_path, str(tmp_path / "ckB"), app_id="query-B"
+    )
+    assert len(snapshot_history(table_path)) == 2 * len(hist_a)
+    assert read_snapshot(spark, table_path).count() == 2 * n_a
+
+    # Replaying query A on a fresh checkpoint is still idempotent.
+    run_stream_snapshot_sink(
+        spark, sf_dir, table_path, str(tmp_path / "ckA2"), app_id="query-A"
+    )
+    assert read_snapshot(spark, table_path).count() == 2 * n_a
