@@ -12,14 +12,24 @@ vacuum explicitly drops files no retained manifest references.
 Layout:
 
     <table>/_snapshots/v00000001.json   one manifest per committed version
+    <table>/_snapshots/_last            latest-version pointer (hint)
     <table>/data/v00000001/part-*.parquet   immutable data files
 
 Manifests are published via temp-file + atomic PUT-IF-ABSENT (hard
 link, which fails with EEXIST if the version is already taken — the
-filesystem twin of a conditional put on an object store), and the
-committed version is the MAX manifest present — a crashed writer
-leaves either no manifest (invisible partial data, cleaned by vacuum)
-or a complete one.
+filesystem twin of a conditional put on an object store); a crashed
+writer leaves either no manifest (invisible partial data, cleaned by an
+age-gated vacuum) or a complete one.
+
+Latest resolution is O(1), not O(total versions): the ``_last`` pointer
+(Delta's ``_last_checkpoint`` device, refreshed best-effort after every
+publish) names a committed version, and because versions are dense the
+reader probes forward from the hint until the next manifest is absent.
+A missing/stale/corrupt pointer degrades safely to the full listing.
+Idempotence tokens are likewise O(1): each manifest inherits a
+cumulative ``txns`` token→version map from its parent, so a duplicate
+commit is detected from the latest manifest alone and tokens survive
+overwrites AND vacuum.
 
 Concurrency (Delta-style optimistic protocol): each writer stages its
 data files under a UNIQUE directory, then tries to publish manifest
@@ -44,12 +54,14 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
+_LAST_PTR = "_last"
 
 
 class SnapshotConflictError(RuntimeError):
@@ -83,6 +95,84 @@ def _list_versions(path: str) -> list[int]:
 def _read_manifest(path: str, version: int) -> dict:
     with open(_manifest_path(path, version)) as f:
         return json.load(f)
+
+
+def _last_ptr_path(path: str) -> str:
+    return os.path.join(_manifest_dir(path), _LAST_PTR)
+
+
+def _read_last_ptr(path: str) -> int | None:
+    try:
+        with open(_last_ptr_path(path)) as f:
+            v = json.load(f).get("version")
+    except (OSError, ValueError):
+        return None
+    return v if isinstance(v, int) and v >= 1 else None
+
+
+def _write_last_ptr(path: str, version: int) -> None:
+    """Best-effort refresh of the ``_last`` pointer (Delta's
+    ``_last_checkpoint`` device). Atomic replace, last-writer-wins: a
+    racing older writer may briefly regress the hint, which only costs
+    the next reader a forward probe — never correctness, because
+    ``_latest_version`` verifies the hinted manifest exists and probes
+    forward from it."""
+    d = _manifest_dir(path)
+    try:
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, _last_ptr_path(path))
+    except OSError:
+        pass  # the pointer is a hint; losing an update is harmless
+
+
+def _latest_version(path: str) -> int | None:
+    """Resolve the latest committed version in O(1) + a short forward
+    probe: versions are dense (each commit is parent+1), so from a
+    valid pointer hint we stat successive manifests until one is
+    absent. A missing, corrupt, regressed-then-vacuumed, or ahead-of-log
+    pointer degrades safely to the full directory listing."""
+    hint = _read_last_ptr(path)
+    if hint is not None and os.path.exists(_manifest_path(path, hint)):
+        v = hint
+        while os.path.exists(_manifest_path(path, v + 1)):
+            v += 1
+        return v
+    versions = _list_versions(path)
+    return versions[-1] if versions else None
+
+
+def _txn_version(path: str, latest: int, txn: str) -> int | None:
+    """Version that already committed ``txn``, or None. O(1) via the
+    cumulative token map the latest manifest carries; legacy manifests
+    without a map fall back to the full history scan."""
+    m = _read_manifest(path, latest)
+    if "txns" in m:
+        v = m["txns"].get(txn)
+        return int(v) if v is not None else None
+    for v in _list_versions(path):
+        if _read_manifest(path, v).get("txn") == txn:
+            return v
+    return None
+
+
+def _parent_txns(path: str, parent: int | None) -> dict[str, int]:
+    """The cumulative token map to inherit: the parent's ``txns`` when
+    present, else (legacy chain) rebuilt from a one-time history scan."""
+    if parent is None:
+        return {}
+    pm = _read_manifest(path, parent)
+    if "txns" in pm:
+        return dict(pm["txns"])
+    out: dict[str, int] = {}
+    for v in _list_versions(path):
+        if v > parent:
+            continue
+        t = _read_manifest(path, v).get("txn")
+        if t is not None:
+            out[t] = v
+    return out
 
 
 def _try_publish(path: str, manifest: dict) -> bool:
@@ -145,15 +235,26 @@ def snapshot_commit(
     caller re-reads and re-derives, Delta's conflict contract.
 
     ``txn`` is an idempotence token (Delta's txnAppId/txnVersion): if
-    ANY retained manifest already carries it, the commit is a no-op
-    returning that manifest's version — a retried writer (foreachBatch
-    replay, restarted job) can never double-append.
+    the log already carries it, the commit is a no-op returning the
+    version that committed it — a retried writer (foreachBatch replay,
+    restarted job) can never double-append. Tokens live in a cumulative
+    ``txns`` map each manifest inherits from its parent, so the check
+    is one manifest read (not a history scan) and tokens SURVIVE both
+    overwrites and vacuum — the map grows with the token count, the
+    same O(commits) class as an append chain's file list, and is the
+    per-appId compaction Delta does in its checkpoints.
+
+    Every operation resolves the latest version through the ``_last``
+    pointer + dense forward probe (O(1), never a full directory
+    listing); the pointer is refreshed best-effort after each publish.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if txn is not None:
-        for v in _list_versions(path):
-            if _read_manifest(path, v).get("txn") == txn:
+        latest = _latest_version(path)
+        if latest is not None:
+            v = _txn_version(path, latest, txn)
+            if v is not None:
                 return v
     data_sub = os.path.join(_DATA_DIR, f"w-{uuid.uuid4().hex[:16]}")
     df.write.mode("overwrite").parquet(os.path.join(path, data_sub))
@@ -164,15 +265,14 @@ def snapshot_commit(
     )
     new_files = [f for f in new_files if not f.endswith(".crc")]
     for _attempt in range(max_retries + 1):
-        versions = _list_versions(path)
-        parent = versions[-1] if versions else None
-        if txn is not None:
+        parent = _latest_version(path)
+        if txn is not None and parent is not None:
             # Re-check per attempt: a concurrent retry carrying the same
             # token may have won a version race we are about to rebase
             # over.
-            for v in versions:
-                if _read_manifest(path, v).get("txn") == txn:
-                    return v
+            v = _txn_version(path, parent, txn)
+            if v is not None:
+                return v
         if expected_parent is not None and parent != expected_parent:
             raise SnapshotConflictError(
                 f"expected parent version {expected_parent} at {path} but "
@@ -183,15 +283,20 @@ def snapshot_commit(
         files = list(new_files)
         if mode == "append" and parent is not None:
             files = _read_manifest(path, parent)["files"] + files
+        txns = _parent_txns(path, parent)
+        if txn is not None:
+            txns[txn] = version
         manifest = {
             "version": version,
             "parent": parent,
             "mode": mode,
             "files": files,
+            "txns": txns,
         }
         if txn is not None:
             manifest["txn"] = txn
         if _try_publish(path, manifest):
+            _write_last_ptr(path, version)
             return version
         # Lost the put-if-absent: rebase on the winner and go again.
     raise SnapshotConflictError(
@@ -205,13 +310,21 @@ def read_snapshot(
 ) -> DataFrame:
     """Read a snapshot — the latest by default, or any retained
     historical ``version`` (time travel). Scans exactly the manifest's
-    files, so a version's result never changes after commit."""
-    versions = _list_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no snapshots at {path}")
-    v = versions[-1] if version is None else version
-    if v not in versions:
-        raise FileNotFoundError(f"version {v} not in {versions}")
+    files, so a version's result never changes after commit. Latest
+    resolves through the ``_last`` pointer in O(1); an explicit
+    ``version`` is a single manifest stat — neither lists the log
+    directory."""
+    if version is None:
+        v = _latest_version(path)
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+    else:
+        v = version
+        if not os.path.exists(_manifest_path(path, v)):
+            raise FileNotFoundError(
+                f"version {v} not retained at {path} (never committed, "
+                "or dropped by vacuum)"
+            )
     manifest = _read_manifest(path, v)
     if not manifest["files"]:
         raise ValueError(
@@ -244,12 +357,13 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
     whose file list is the old one (Delta RESTORE semantics): history
     including the bad commits is preserved, readers see the restored
     data, and no file is rewritten. Returns the new version."""
-    versions = _list_versions(path)
-    if version not in versions:
-        raise FileNotFoundError(f"version {version} not in {versions}")
+    if not os.path.exists(_manifest_path(path, version)):
+        raise FileNotFoundError(
+            f"version {version} not retained at {path}"
+        )
     old = _read_manifest(path, version)
     for _attempt in range(10):
-        latest = _list_versions(path)[-1]
+        latest = _latest_version(path)
         if _try_publish(
             path,
             {
@@ -257,17 +371,42 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
                 "parent": latest,
                 "mode": f"rollback:{version}",
                 "files": old["files"],
+                "txns": _parent_txns(path, latest),
             },
         ):
+            _write_last_ptr(path, latest + 1)
             return latest + 1
     raise SnapshotConflictError(f"rollback lost 10 version races at {path}")
 
 
-def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> int:
+def vacuum(
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 1,
+    min_age_sec: float = 3600.0,
+) -> int:
     """Drop data files referenced ONLY by manifests older than the last
-    ``keep_last`` versions (and those orphaned by crashed commits).
-    Returns the number of files deleted. Time travel remains valid for
-    the retained versions; older manifests are removed."""
+    ``keep_last`` versions, plus SUFFICIENTLY OLD orphans from crashed
+    commits. Returns the number of files deleted.
+
+    Retention contract (Delta VACUUM semantics): time travel remains
+    valid for exactly the retained versions — a reader pinned to an
+    older version fails once its manifest is dropped, so readers must
+    either finish within the vacuum cadence or pin a version inside
+    ``keep_last``. Idempotence tokens are NOT lost: they live in the
+    cumulative ``txns`` map of every retained manifest.
+
+    Concurrency: files whose manifests are being dropped are deleted
+    immediately (they were durably committed and aged out of
+    retention), but files referenced by NO manifest are only deleted
+    when older than ``min_age_sec`` — a younger unreferenced file is an
+    IN-FLIGHT writer's staged data whose manifest hasn't published yet,
+    and unlinking it would crash that writer mid-commit. The same age
+    gate covers ``*.tmp`` manifest staging files. With the gate at its
+    default, vacuum is safe to run concurrently with writers whose
+    stage-to-publish window is under an hour; ``min_age_sec=0`` restores
+    the aggressive cleanup and requires writer exclusivity.
+    """
     versions = _list_versions(path)
     if not versions:
         return 0
@@ -275,22 +414,50 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> int:
     keep_files = set()
     for v in keep_versions:
         keep_files.update(_read_manifest(path, v)["files"])
+    dropped_files = set()
+    for v in versions[:-keep_last]:
+        dropped_files.update(_read_manifest(path, v)["files"])
+    dropped_files -= keep_files
+    now = time.time()
     removed = 0
     data_root = os.path.join(path, _DATA_DIR)
     for root, _dirs, files in os.walk(data_root):
         for f in files:
             full = os.path.join(root, f)
             rel = os.path.relpath(full, path)
-            if rel not in keep_files and (
+            if rel in keep_files or not (
                 f.endswith(".parquet") or f.startswith("part-")
             ):
+                continue
+            if rel not in dropped_files:
+                # Referenced by no manifest at all: possibly a live
+                # writer's staged data — only remove when aged out.
+                try:
+                    if now - os.path.getmtime(full) < min_age_sec:
+                        continue
+                except OSError:
+                    continue  # vanished: its writer just published/cleaned
+            try:
                 os.remove(full)
                 removed += 1
+            except OSError:
+                pass
     for v in versions[:-keep_last]:
         os.remove(_manifest_path(path, v))
-    # Temp manifests from crashed writers (fsync'd but never linked).
+    # Temp manifests from crashed writers (fsync'd but never linked) —
+    # age-gated for the same reason: a fresh .tmp belongs to a writer
+    # between mkstemp and os.link, and os.link on a vanished source
+    # raises FileNotFoundError instead of a clean conflict.
     d = _manifest_dir(path)
     for f in os.listdir(d):
         if f.endswith(".tmp"):
-            os.remove(os.path.join(d, f))
+            full = os.path.join(d, f)
+            try:
+                if now - os.path.getmtime(full) >= min_age_sec:
+                    os.remove(full)
+            except OSError:
+                pass
+    # Repair the latest pointer if it referenced a dropped version.
+    if _read_last_ptr(path) not in keep_versions:
+        _write_last_ptr(path, keep_versions[-1])
     return removed

@@ -851,3 +851,148 @@ def test_snapshot_four_writer_race_is_linear_and_lossless(spark, tmp_path):
     for i in range(4):
         want |= set(range(100 * (i + 1), 100 * (i + 1) + 3))
     assert {r.k for r in read_snapshot(spark, path).collect()} == want
+
+
+def test_snapshot_last_pointer_resolves_and_degrades_safely(spark, tmp_path):
+    """The _last pointer must (a) track the latest version, (b) survive
+    a STALE hint via the dense forward probe, and (c) degrade to the
+    full listing when corrupt or pointing past the log — never a wrong
+    answer, only a slower one."""
+    import json
+    import os
+
+    from etl_pipeline_with_alpha_vantage_spark.sinks.snapshots import (
+        _read_last_ptr,
+        read_snapshot,
+        snapshot_commit,
+    )
+
+    path = str(tmp_path / "snap")
+    for lo in (0, 10, 20):
+        snapshot_commit(
+            spark, path, spark.range(lo, lo + 5).withColumnRenamed("id", "k")
+        )
+    _ptr_want = {k for lo in (0, 10, 20) for k in range(lo, lo + 5)}
+    ptr = os.path.join(path, "_snapshots", "_last")
+    assert _read_last_ptr(path) == 3
+    assert {r.k for r in read_snapshot(spark, path).collect()} == _ptr_want
+
+    # Stale (regressed) pointer: forward probe still finds version 3.
+    with open(ptr, "w") as f:
+        json.dump({"version": 1}, f)
+    assert {r.k for r in read_snapshot(spark, path).collect()} == _ptr_want
+
+    # Pointer past the log (no such manifest): fallback listing wins.
+    with open(ptr, "w") as f:
+        json.dump({"version": 99}, f)
+    assert {r.k for r in read_snapshot(spark, path).collect()} == _ptr_want
+
+    # Corrupt pointer: same.
+    with open(ptr, "w") as f:
+        f.write("not json{")
+    assert {r.k for r in read_snapshot(spark, path).collect()} == _ptr_want
+
+    # Missing pointer: same, and the next commit restores it.
+    os.remove(ptr)
+    assert snapshot_commit(
+        spark, path, spark.range(30, 31).withColumnRenamed("id", "k")
+    ) == 4
+    assert _read_last_ptr(path) == 4
+
+
+def test_snapshot_vacuum_pinned_reader_retention_contract(spark, tmp_path):
+    """A reader pinned to an old version succeeds IFF vacuum retained
+    that version's manifest (the documented Delta-style retention
+    contract), and idempotence tokens survive vacuum via the cumulative
+    txns map in retained manifests."""
+    import pytest as _pytest
+
+    from etl_pipeline_with_alpha_vantage_spark.sinks.snapshots import (
+        read_snapshot,
+        snapshot_commit,
+        snapshot_history,
+        vacuum,
+    )
+
+    path = str(tmp_path / "snap")
+    v1 = snapshot_commit(
+        spark,
+        path,
+        spark.range(0, 6).withColumnRenamed("id", "k"),
+        txn="app:0",
+    )
+    snapshot_commit(
+        spark,
+        path,
+        spark.range(6, 9).withColumnRenamed("id", "k"),
+        mode="overwrite",
+        txn="app:1",
+    )
+    pinned = read_snapshot(spark, path, v1)  # lazy plan over v1's files
+
+    # keep_last=2 retains v1: the pinned reader still succeeds.
+    vacuum(spark, path, keep_last=2)
+    assert {r.k for r in pinned.collect()} == set(range(6))
+
+    # keep_last=1 drops v1: a new pin fails cleanly.
+    vacuum(spark, path, keep_last=1)
+    with _pytest.raises(FileNotFoundError, match="not retained"):
+        read_snapshot(spark, path, v1)
+
+    # The already-committed token is still honored after vacuum: a
+    # replay carrying app:0 is a no-op even though v1's manifest is gone.
+    before = len(snapshot_history(path))
+    v_replay = snapshot_commit(
+        spark,
+        path,
+        spark.range(100, 200).withColumnRenamed("id", "k"),
+        txn="app:0",
+    )
+    assert v_replay == v1
+    assert len(snapshot_history(path)) == before
+    assert {r.k for r in read_snapshot(spark, path).collect()} == {6, 7, 8}
+
+
+def test_snapshot_vacuum_age_gates_inflight_writer_files(spark, tmp_path):
+    """Vacuum must NOT unlink a live writer's staged (not yet
+    manifested) data files or fresh .tmp manifests — they are only
+    reclaimed past min_age_sec; min_age_sec=0 restores aggressive
+    cleanup for exclusive maintenance windows."""
+    import os
+
+    from etl_pipeline_with_alpha_vantage_spark.sinks.snapshots import (
+        read_snapshot,
+        snapshot_commit,
+        vacuum,
+    )
+
+    path = str(tmp_path / "snap")
+    snapshot_commit(
+        spark, path, spark.range(0, 4).withColumnRenamed("id", "k")
+    )
+    # Simulate an in-flight writer: staged parquet with no manifest yet,
+    # and a manifest .tmp between mkstemp and os.link.
+    staged_dir = os.path.join(path, "data", "w-inflight000000")
+    os.makedirs(staged_dir)
+    staged = os.path.join(staged_dir, "part-00000.parquet")
+    with open(staged, "wb") as f:
+        f.write(b"PAR1fake")
+    tmp_manifest = os.path.join(path, "_snapshots", "wip123.tmp")
+    with open(tmp_manifest, "w") as f:
+        f.write("{}")
+
+    vacuum(spark, path, keep_last=1)  # default 1h age gate
+    assert os.path.exists(staged), "fresh staged file must survive vacuum"
+    assert os.path.exists(tmp_manifest), "fresh .tmp manifest must survive"
+    assert {r.k for r in read_snapshot(spark, path).collect()} == set(
+        range(4)
+    )
+
+    # Exclusive-mode cleanup reclaims both.
+    removed = vacuum(spark, path, keep_last=1, min_age_sec=0.0)
+    assert removed >= 1
+    assert not os.path.exists(staged)
+    assert not os.path.exists(tmp_manifest)
+    assert {r.k for r in read_snapshot(spark, path).collect()} == set(
+        range(4)
+    )
