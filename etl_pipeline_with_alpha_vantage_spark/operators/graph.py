@@ -582,3 +582,84 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_kcore_peel.__doc__ = graph_kcore_peel.__doc__.format(
     k=_KCORE_K, r=_KCORE_ROUNDS
 )
+
+
+# --------------------------------------------------------------------------
+# BFS distances — the ITERATIVE production twin of sql_bfs_distances
+# --------------------------------------------------------------------------
+
+_BFS_HOPS = 2  # must match relational_ext._BFS_SQL's depth bound
+
+
+def _bfs_oracle() -> str:
+    # Shared verbatim with the recursive-CTE form: both engines and both
+    # dataflow shapes must produce the identical distance histogram.
+    from .relational_ext import _BFS_SQL  # noqa: PLC0415
+
+    return _BFS_SQL
+
+
+@query("graph_bfs_distances", oracle=_bfs_oracle())
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances by ITERATIVE frontier joins — the production
+    twin of ``sql_bfs_distances`` (same cyclic supplier–part graph, same
+    seeds, same depth bound, same oracle SQL, cross-checked equal in
+    tests/test_graph_bfs.py). Use THIS form when hops are deep or the
+    traversal repeats: the recursive-CTE form re-evaluates the
+    edge-building CTE on every UnionLoop iteration and enumerates the
+    path MULTISET (frontier × mean-degree growth per hop, reduced to
+    MIN(depth) only at the end), while this loop pays the edge scan
+    once (localCheckpoint) and dedups the frontier EVERY hop — per-hop
+    state is O(|V|), never O(paths). The CTE form remains the
+    SQL-surface demonstration for ad-hoc bounded walks.
+
+    Scale shape: one distinct-edge build, then per hop one keyed
+    equi-join (frontier ⋈ edges, both shuffled on node id) + one
+    left-anti against the visited set + a frontier distinct; edges are
+    checkpointed so the plan stays flat across rounds. First-visit
+    depth IS the min-hop distance (BFS layer property), so no terminal
+    re-aggregation over paths exists at any scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    fwd = pairs.select(
+        (F.col("s") * 2).alias("src"), (F.col("p") * 2 + 1).alias("dst")
+    )
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    visited = (
+        pairs.filter(F.col("s") % 100 == 0)
+        .select((F.col("s") * 2).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for depth in range(1, _BFS_HOPS + 1):
+        reached = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = (
+            reached.join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh.select("node")
+    return (
+        visited.groupBy("hops")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum((F.col("node") % 2 == 0).cast("long"))
+            .cast("long")
+            .alias("n_suppliers"),
+        )
+        .select(F.col("hops").cast("int").alias("hops"), "n_nodes", "n_suppliers")
+        .orderBy("hops")
+    )
