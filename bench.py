@@ -225,7 +225,13 @@ def main() -> None:
         extra_conf={
             "spark.driver.memory": os.environ.get(
                 "BENCH_DRIVER_MEM", "16g"
-            )
+            ),
+            # Stage-progress bars go to stderr, but the driver's bounded
+            # tail capture interleaves them with stdout — round 6's tail
+            # was progress-bar spam that nearly crowded out the JSON
+            # result line. A bench session has no interactive observer;
+            # drop the bars entirely.
+            "spark.ui.showConsoleProgress": "false",
         },
     )
 

@@ -161,8 +161,10 @@ _BM25_K = 10
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
-_BM25_ORACLE = f"""
-WITH lens AS (
+# Shared CTE chain: full BM25 score table (doc_id, bm25_micro) —
+# search_bm25_topk takes its top-k; search_rrf_fusion fuses it with the
+# embedding ranking.
+_BM25_SCORE_CTES = f"""lens AS (
     SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),
                                         x -> x <> '')) AS BIGINT) AS dl
     FROM documents
@@ -198,40 +200,25 @@ contrib AS (
     FROM postings p
     JOIN idf i USING (tok)
     JOIN lens l USING (doc_id), corpus c
-)
-SELECT doc_id, CAST(SUM(c_micro) AS BIGINT) AS bm25_micro
-FROM contrib
-GROUP BY doc_id
+),
+bm25 AS (
+    SELECT doc_id, CAST(SUM(c_micro) AS BIGINT) AS bm25_micro
+    FROM contrib
+    GROUP BY doc_id
+)"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_SCORE_CTES}
+SELECT doc_id, bm25_micro
+FROM bm25
 ORDER BY bm25_micro DESC, doc_id
 LIMIT {_BM25_K}
 """
 
 
-@query("search_bm25_topk", oracle=_BM25_ORACLE)
-def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval (Robertson/Sparck-Jones, the production
-    default everywhere Lucene runs): disjunctive query over {terms},
-    scored with idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), k1={k1},
-    b={b}, idf = ln(1+(N−df+0.5)/(df+0.5)) — the full length-normalized
-    ranking the tf-only `search_keyword_topk` approximates.
-
-    Cross-engine exactness: idf is rounded to integer micro-nats per
-    term FIRST; every other input (tf, dl, N, Σdl) is an exact bigint,
-    so each posting's contribution is one identical IEEE expression
-    (dl/avgdl written as dl·N/Σdl — one multiply, one divide, no
-    intermediate rounding) rounded to micro-units before the exact
-    integer sum per document.
-
-    Scale shape: the term filter prunes postings BEFORE any shuffle —
-    only the query's ≤{nt} terms' postings move. Document lengths are a
-    narrow per-row derivation (no shuffle); corpus totals are one 1-row
-    aggregate broadcast everywhere; df/idf is a ≤{nt}-row broadcast.
-    One doc_id shuffle builds (doc, term, tf); the final per-document
-    sum rides the same clustering, and the top-{k} compiles to
-    TakeOrderedAndProject. At 100 TB the posting filter is the whole
-    game — the plan never materializes anything wider than the query's
-    own postings.
-    """
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 score table (doc_id, bm25_micro) over _BM25_TERMS — the
+    shared scorer behind search_bm25_topk and search_rrf_fusion."""
     docs = table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     lens = docs.select("doc_id", F.size(toks).cast("long").alias("dl"))
@@ -290,9 +277,38 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c_micro"),
         )
     )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("c_micro").cast("long").alias("bm25_micro")
+    )
+
+
+@query("search_bm25_topk", oracle=_BM25_ORACLE)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck-Jones, the production
+    default everywhere Lucene runs): disjunctive query over {terms},
+    scored with idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), k1={k1},
+    b={b}, idf = ln(1+(N−df+0.5)/(df+0.5)) — the full length-normalized
+    ranking the tf-only `search_keyword_topk` approximates.
+
+    Cross-engine exactness: idf is rounded to integer micro-nats per
+    term FIRST; every other input (tf, dl, N, Σdl) is an exact bigint,
+    so each posting's contribution is one identical IEEE expression
+    (dl/avgdl written as dl·N/Σdl — one multiply, one divide, no
+    intermediate rounding) rounded to micro-units before the exact
+    integer sum per document.
+
+    Scale shape: the term filter prunes postings BEFORE any shuffle —
+    only the query's ≤{nt} terms' postings move. Document lengths are a
+    narrow per-row derivation (no shuffle); corpus totals are one 1-row
+    aggregate broadcast everywhere; df/idf is a ≤{nt}-row broadcast.
+    One doc_id shuffle builds (doc, term, tf); the final per-document
+    sum rides the same clustering, and the top-{k} compiles to
+    TakeOrderedAndProject. At 100 TB the posting filter is the whole
+    game — the plan never materializes anything wider than the query's
+    own postings.
+    """
     return (
-        contrib.groupBy("doc_id")
-        .agg(F.sum("c_micro").cast("long").alias("bm25_micro"))
+        _bm25_scores(spark, sf_dir)
         .orderBy(F.col("bm25_micro").desc(), "doc_id")
         .limit(_BM25_K)
     )
@@ -301,4 +317,147 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 search_bm25_topk.__doc__ = search_bm25_topk.__doc__.format(
     terms=_BM25_TERMS, k1=_BM25_K1, b=_BM25_B,
     nt=len(_BM25_TERMS), k=_BM25_K,
+)
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ⊕ embedding ranking via Reciprocal Rank Fusion
+# --------------------------------------------------------------------------
+
+_RRF_K = 60        # the standard RRF smoothing constant (Cormack et al.)
+_RRF_DEPTH = 50    # fuse the top-50 of each ranking
+_RRF_OUT = 10
+_RRF_QUERY_VEC = 0  # vec_id whose embedding is the dense query
+
+_RRF_ORACLE = f"""
+WITH {_BM25_SCORE_CTES},
+bm_rank AS (
+    SELECT doc_id, CAST(rn AS BIGINT) AS bm25_rank
+    FROM (SELECT doc_id, row_number() OVER (
+              ORDER BY bm25_micro DESC, doc_id) AS rn
+          FROM bm25 WHERE doc_id <> {_RRF_QUERY_VEC})
+    WHERE rn <= {_RRF_DEPTH}
+),
+e AS (
+    SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
+    FROM embeddings
+),
+nrm AS (
+    SELECT vec_id, emb, sqrt(list_sum([x * x for x in emb])) AS norm FROM e
+),
+qv AS (SELECT emb AS qemb, norm AS qnorm
+       FROM nrm WHERE vec_id = {_RRF_QUERY_VEC}),
+cosines AS (
+    SELECT nrm.vec_id AS doc_id,
+           round(list_sum(list_transform(list_zip(qv.qemb, nrm.emb),
+                                         p -> p[1] * p[2]))
+                 / (qv.qnorm * nrm.norm), 6) AS cosine
+    FROM nrm, qv
+    WHERE nrm.vec_id <> {_RRF_QUERY_VEC}
+),
+vec_rank AS (
+    SELECT doc_id, CAST(rn AS BIGINT) AS vec_rank
+    FROM (SELECT doc_id, row_number() OVER (
+              ORDER BY cosine DESC, doc_id) AS rn
+          FROM cosines)
+    WHERE rn <= {_RRF_DEPTH}
+)
+SELECT doc_id, bm25_rank, vec_rank,
+       COALESCE(CAST(round(1000000.0 / ({_RRF_K} + bm25_rank)) AS BIGINT), 0)
+       + COALESCE(CAST(round(1000000.0 / ({_RRF_K} + vec_rank)) AS BIGINT), 0)
+           AS rrf_micro
+FROM bm_rank FULL OUTER JOIN vec_rank USING (doc_id)
+ORDER BY rrf_micro DESC, doc_id
+LIMIT {_RRF_OUT}
+"""
+
+
+@query("search_rrf_fusion", oracle=_RRF_ORACLE)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the RAG-serving default: fuse a SPARSE ranking
+    (BM25 over the query terms) with a DENSE ranking (cosine against a
+    query embedding, here vec {qv}'s) by Reciprocal Rank Fusion:
+    score(d) = Σ_lists 1/(k + rank_list(d)), k={k}, over each list's
+    top-{depth}. RRF needs no score calibration between the lists —
+    only ranks — which is exactly why it is the standard hybrid
+    combiner (Cormack/Clarke/Buettcher, SIGIR'09; every vector-DB
+    hybrid mode ships it).
+
+    Cross-engine exactness: ranks are integers with deterministic ties
+    (score DESC, doc_id); each list contribution is rounded to integer
+    micro-units before the sum, so fusion is exact bigint arithmetic.
+
+    Scale shape: each ranking bounds itself FIRST (BM25 postings are
+    term-pruned then TakeOrderedAndProject top-{depth}; the dense side
+    is one broadcast-query corpus scan, same as similarity_topk_brute,
+    with its own top-{depth}) — the fusion then full-outer-joins two
+    {depth}-row dust tables. At 100 TB the dense side swaps in the
+    IVF/LSH candidate path; the fusion stage is size-invariant.
+    """
+    bm50 = (
+        _bm25_scores(spark, sf_dir)
+        .filter(F.col("doc_id") != _RRF_QUERY_VEC)
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    bm_rank = bm50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_micro").desc(), "doc_id"))
+        .cast("long")
+        .alias("bm25_rank"),
+    )
+
+    from .similarity import _as_double, _dot, with_norm  # noqa: PLC0415
+
+    emb = with_norm(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("emb")
+        )
+    )
+    qv = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("emb").alias("qemb"), F.col("norm").alias("qnorm")
+    )
+    cosines = (
+        emb.filter(F.col("vec_id") != _RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot("qemb", "emb") / (F.col("qnorm") * F.col("norm")), 6
+            ).alias("cosine"),
+        )
+    )
+    vec50 = cosines.orderBy(F.col("cosine").desc(), "doc_id").limit(
+        _RRF_DEPTH
+    )
+    vec_rank = vec50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), "doc_id"))
+        .cast("long")
+        .alias("vec_rank"),
+    )
+
+    def _contrib(rank_col):
+        return F.coalesce(
+            F.round(1_000_000.0 / (_RRF_K + F.col(rank_col))).cast("long"),
+            F.lit(0).cast("long"),
+        )
+
+    return (
+        bm_rank.join(vec_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "vec_rank",
+            (_contrib("bm25_rank") + _contrib("vec_rank")).alias("rrf_micro"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(_RRF_OUT)
+    )
+
+
+search_rrf_fusion.__doc__ = search_rrf_fusion.__doc__.format(
+    qv=_RRF_QUERY_VEC, k=_RRF_K, depth=_RRF_DEPTH
 )

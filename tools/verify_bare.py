@@ -11,6 +11,11 @@ CORRECTNESS_r{N}.json records.
 Usage:
     python tools/verify_bare.py [sf_dir]            # default /root/testdata/sf0.01
     python tools/verify_bare.py sf_dir name1 name2  # subset of queries
+    python tools/verify_bare.py sf_dir --names a,b,c
+    python tools/verify_bare.py sf_dir --never-sampled   # registry minus every
+                                        # name any CORRECTNESS_r*.json sampled
+    ... --json OUT.json   # also write driver-format per-query records
+                          # ({rows,schema,hash}_match, spark/oracle_rows, err)
 """
 
 from __future__ import annotations
@@ -43,9 +48,38 @@ def canon(v):
     return str(v)
 
 
+def _driver_sampled_names() -> set[str]:
+    """Every query name any driver CORRECTNESS_r*.json has ever sampled."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            out.update(json.load(open(path)))
+        except (OSError, ValueError):
+            continue
+    return out
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out: str | None = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    never_sampled = "--never-sampled" in args
+    if never_sampled:
+        args.remove("--never-sampled")
+    names_arg: set[str] = set()
+    if "--names" in args:
+        i = args.index("--names")
+        names_arg = {n for n in args[i + 1].split(",") if n}
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = names_arg | set(args[1:])
 
     from pyspark.sql import SparkSession
 
@@ -91,9 +125,30 @@ def main() -> int:
     import __spark_entry__ as e
 
     queries, oracles = e.queries(), e.oracle_sql()
+    if never_sampled:
+        only = (set(queries) - _driver_sampled_names()) | only
     names = sorted(only or queries)
     n_pass = n_rows_only = 0
     failures: list[tuple[str, str]] = []
+    records: dict[str, dict] = {}
+
+    def record(
+        name,
+        rows_match=False,
+        schema_match=False,
+        hash_match=False,
+        spark_rows=None,
+        oracle_rows=None,
+        err=None,
+    ):
+        records[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "err": err,
+        }
 
     for qi, name in enumerate(names):
         if qi and qi % 25 == 0:
@@ -108,6 +163,7 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
             if name not in oracles:
                 n_rows_only += 1
+                record(name, rows_match=len(srows) > 0, spark_rows=len(srows))
                 print(f"  rows-only  {name}: {len(srows)} rows")
                 continue
             rel = con.sql(oracles[name])
@@ -117,10 +173,24 @@ def main() -> int:
                 failures.append(
                     (name, f"columns spark={spark_cols} duck={duck_cols}")
                 )
+                record(
+                    name,
+                    rows_match=len(srows) == len(drows),
+                    spark_rows=len(srows),
+                    oracle_rows=len(drows),
+                    err="schema mismatch",
+                )
                 continue
             if len(srows) != len(drows):
                 failures.append(
                     (name, f"rowcount spark={len(srows)} duck={len(drows)}")
+                )
+                record(
+                    name,
+                    schema_match=True,
+                    spark_rows=len(srows),
+                    oracle_rows=len(drows),
+                    err="rowcount mismatch",
                 )
                 continue
             s_ord = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
@@ -130,10 +200,28 @@ def main() -> int:
             if s_set != d_set:
                 diff = next((a, b) for a, b in zip(s_set, d_set) if a != b)
                 failures.append((name, f"values first-diff {diff}"))
+                record(
+                    name,
+                    rows_match=True,
+                    schema_match=True,
+                    spark_rows=len(srows),
+                    oracle_rows=len(drows),
+                    err="value hash mismatch",
+                )
                 continue
             n_pass += 1
+            record(
+                name,
+                rows_match=True,
+                schema_match=True,
+                hash_match=True,
+                spark_rows=len(srows),
+                oracle_rows=len(drows),
+            )
         except Exception:
-            failures.append((name, traceback.format_exc(limit=3)))
+            tb = traceback.format_exc(limit=3)
+            failures.append((name, tb))
+            record(name, err=tb.strip().splitlines()[-1])
 
     print(
         f"\n{n_pass} hash-match, {n_rows_only} rows-only, "
@@ -141,6 +229,13 @@ def main() -> int:
     )
     for name, why in failures:
         print(f"FAIL {name}: {why}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(dict(sorted(records.items())), f, indent=1)
+            f.write("\n")
+        print(f"wrote {json_out}: {len(records)} records")
     return 1 if failures else 0
 
 
