@@ -513,3 +513,205 @@ def lakehouse_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering + file-skipping audit (Delta OPTIMIZE ZORDER device)
+# --------------------------------------------------------------------------
+
+_Z_BITS = 8          # 8 bits per dimension -> 16-bit z-values
+_Z_FILES = 16        # target file count per layout
+_Z_BOX = (64, 127)   # the query box, in bucket space, on BOTH dimensions
+
+
+def _interleave_sql(bx: str, by: str, div: str) -> str:
+    """Bit-interleave two {0..255} bucket ids into a 16-bit Morton
+    z-value using PURE integer arithmetic (div/mod/multiply) so the
+    identical formula runs on Spark (`div`) and DuckDB (`//`) — bit i
+    of bx lands at 2i+1, bit i of by at 2i."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({bx} {div} {1 << i}) % 2) * {1 << (2 * i + 1)})")
+        terms.append(f"((({by} {div} {1 << i}) % 2) * {1 << (2 * i)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_sql(div: str, epoch_day: str) -> str:
+    """The whole audit as one SQL text, parameterized by the
+    integer-division operator and the days-since-epoch spelling (Spark
+    ``datediff(d, DATE '1970-01-01')`` vs DuckDB date subtraction);
+    everything else is identical bigint arithmetic."""
+    lo, hi = _Z_BOX
+    z = _interleave_sql("bx", "by", div)
+    zdiv = 1 << (2 * _Z_BITS)  # 65536
+    bdiv = 1 << _Z_BITS        # 256
+    day = epoch_day.format(col="CAST(o_orderdate AS DATE)")
+    day_o = epoch_day.format(col="CAST(o.o_orderdate AS DATE)")
+    return f"""
+WITH bounds AS (
+    SELECT MIN(o_custkey) AS ck_lo, MAX(o_custkey) AS ck_hi,
+           MIN({day}) AS d_lo, MAX({day}) AS d_hi
+    FROM orders
+),
+bucketed AS (
+    SELECT
+        ((o.o_custkey - b.ck_lo) * {bdiv})
+            {div} (b.ck_hi - b.ck_lo + 1) AS bx,
+        (({day_o} - b.d_lo)
+            * {bdiv}) {div} (b.d_hi - b.d_lo + 1) AS by
+    FROM orders o, bounds b
+),
+assigned AS (
+    SELECT 'zorder' AS layout,
+           ({z} * {_Z_FILES}) {div} {zdiv} AS file_id, bx, by
+    FROM bucketed
+    UNION ALL
+    SELECT 'linear' AS layout,
+           (by * {_Z_FILES}) {div} {bdiv} AS file_id, bx, by
+    FROM bucketed
+),
+files AS (
+    SELECT layout, file_id,
+           MIN(bx) AS min_bx, MAX(bx) AS max_bx,
+           MIN(by) AS min_by, MAX(by) AS max_by,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN bx BETWEEN {lo} AND {hi}
+                          AND by BETWEEN {lo} AND {hi}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+    FROM assigned
+    GROUP BY layout, file_id
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS files_total,
+       CAST(SUM(CASE WHEN max_bx >= {lo} AND min_bx <= {hi}
+                      AND max_by >= {lo} AND min_by <= {hi}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+       CAST(SUM(CASE WHEN max_bx >= {lo} AND min_bx <= {hi}
+                      AND max_by >= {lo} AND min_by <= {hi}
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(SUM(n_match) AS BIGINT) AS rows_matching
+FROM files
+GROUP BY layout
+ORDER BY layout
+"""
+
+
+@query(
+    "layout_zorder_skipping",
+    oracle=_zorder_sql("//", "({col} - DATE '1970-01-01')"),
+)
+def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering audit — Delta OPTIMIZE ZORDER / Iceberg
+    sort-order's device, measured: bucket orders on two dimensions
+    (custkey, order day) into 256 equi-width bins each, interleave the
+    bits into a 16-bit Morton z-value, split the table into {nf} files
+    by z-range, and compare against a LINEAR layout (sorted by date
+    only) how many files a rectangular predicate (both dims in
+    [{lo},{hi}] bucket space — a quarter of each) must scan given
+    per-file min/max statistics. Z-ordering keeps BOTH dimensions'
+    ranges tight per file, so the box prunes most files; the linear
+    layout prunes on date but every surviving file spans the full
+    custkey range — the exact reason multi-dimensional query workloads
+    z-order at 100 TB (file-level min/max pruning is the first and
+    cheapest filter a lakehouse applies).
+
+    Cross-engine exactness: bucketing, bit interleave (pure div/mod
+    arithmetic — no engine bitwise ops), file assignment and the
+    min/max hit test are all bigint; the oracle is the SAME SQL text
+    modulo the integer-division spelling (Spark ``div``, DuckDB
+    ``//``).
+
+    Scale shape: one scan + a 1-row bounds broadcast, a rows×2 narrow
+    fan-out (one tuple per layout), one partial-aggregated shuffle to
+    2×{nf} file-stat rows, and a dust aggregate. At production scale
+    the file stats already exist in the table format's manifests, so
+    only the final dust aggregation runs per query.
+    """
+    from ..catalog import table  # noqa: PLC0415
+
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        _zorder_sql("div", "datediff({col}, DATE '1970-01-01')")
+    )
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction planning (Delta OPTIMIZE / Iceberg rewrite_data_files)
+# --------------------------------------------------------------------------
+
+_COMPACT_TARGET = 2000   # target rows per output file (the 128MB analogue)
+_COMPACT_FILES = 8       # synthetic files per partition (suppkey mod)
+
+
+def _compact_sql(div: str) -> str:
+    """Identical SQL text on both engines modulo the integer-division
+    operator: build a synthetic file inventory (one 'file' per
+    (ship-month, suppkey mod {f}) with its row count as the size), then
+    plan compaction per partition by size-descending sequential fill —
+    bin = (running_total - size) DIV target — and report the plan."""
+    return f"""
+WITH inventory AS (
+    SELECT EXTRACT(YEAR FROM l_shipdate) * 100
+               + EXTRACT(MONTH FROM l_shipdate) AS part_month,
+           l_suppkey % {_COMPACT_FILES} AS file_key,
+           CAST(COUNT(*) AS BIGINT) AS size_rows
+    FROM lineitem
+    GROUP BY 1, 2
+),
+planned AS (
+    SELECT part_month, file_key, size_rows,
+           (SUM(size_rows) OVER (
+                PARTITION BY part_month
+                ORDER BY size_rows DESC, file_key
+                ROWS UNBOUNDED PRECEDING) - size_rows)
+               {div} {_COMPACT_TARGET} AS bin_id
+    FROM inventory
+)
+SELECT CAST(part_month AS BIGINT) AS part_month,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins,
+       CAST(SUM(size_rows) AS BIGINT) AS rows_total,
+       CAST(MAX(size_rows) AS BIGINT) AS largest_file,
+       CAST(SUM(CASE WHEN size_rows < {_COMPACT_TARGET // 2}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS small_files
+FROM planned
+GROUP BY part_month
+ORDER BY part_month
+"""
+
+
+@query("lakehouse_compact_plan", oracle=_compact_sql("//"))
+def lakehouse_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION PLANNING — Delta OPTIMIZE / Iceberg
+    rewrite_data_files' first phase, run as a query: from a per-
+    partition file inventory (file → size), group files into output
+    bins of ~{t} rows by size-descending sequential fill, and report
+    per partition how many input files collapse into how many output
+    bins plus the small-file count driving the rewrite. The inventory
+    here is synthesized from lineitem ((ship-month, suppkey mod {f}) →
+    row count) so the plan is scale-factor-reproducible and exactly
+    DuckDB-oracled; against a real table format the same query runs
+    off the manifest's (partition, file, size) listing directly.
+
+    The fill rule — running-total-before-me DIV target — is
+    deterministic (unique (size, file_key) sort), assigns oversized
+    files their own bins, and is the associative kernel inside every
+    production compactor; true first-fit-decreasing differs only on
+    pathological size mixes while needing sequential state.
+
+    Scale shape: one partial-aggregated shuffle builds the inventory
+    (files, not rows, from then on); the planning window partitions by
+    table-partition and orders BOUNDED file lists (≤{f} here, ≤O(10⁴)
+    for a real day-partition) — never a global sort; the readout is a
+    dust aggregate. At 100 TB the inventory comes from manifests, so
+    planning cost is O(files), independent of data bytes.
+    """
+    from ..catalog import table  # noqa: PLC0415
+
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_compact_sql("div"))
+
+
+lakehouse_compact_plan.__doc__ = lakehouse_compact_plan.__doc__.format(
+    t=_COMPACT_TARGET, f=_COMPACT_FILES
+)
