@@ -403,3 +403,183 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# k-means (Lloyd) trained in-engine over the embedding table
+# --------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ITERS = 2
+
+
+def _km_oracle() -> str:
+    """Chained-CTE replay of the fixed-iteration Lloyd loop in long
+    (vec, dim, micro-int) form — assignment by exact integer squared
+    distance, centroid update by round(sum/count) micro-units."""
+    its = []
+    prev = "c0"
+    for k in range(1, _KM_ITERS + 1):
+        its.append(
+            f"""d{k} AS (
+    SELECT p.vec_id, c.cid,
+           CAST(SUM((p.e - c.e) * (p.e - c.e)) AS BIGINT) AS dist
+    FROM pts p JOIN {prev} c USING (dim)
+    GROUP BY 1, 2
+),
+a{k} AS (
+    SELECT d.vec_id, MIN(d.cid) AS cid
+    FROM d{k} d
+    JOIN (SELECT vec_id, MIN(dist) AS md FROM d{k} GROUP BY 1) m
+      ON m.vec_id = d.vec_id AND d.dist = m.md
+    GROUP BY 1
+),
+c{k} AS (
+    SELECT a.cid, p.dim,
+           CAST(round(SUM(p.e) * 1.0 / COUNT(*)) AS BIGINT) AS e
+    FROM a{k} a JOIN pts p USING (vec_id)
+    GROUP BY 1, 2
+)"""
+        )
+        prev = f"c{k}"
+    chained = ",\n".join(its)
+    return f"""
+WITH pts AS (
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                AS BIGINT) AS e
+    FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, dim, e FROM pts WHERE vec_id < {_KM_K}),
+{chained},
+df AS (
+    SELECT p.vec_id, c.cid,
+           CAST(SUM((p.e - c.e) * (p.e - c.e)) AS BIGINT) AS dist
+    FROM pts p JOIN {prev} c USING (dim)
+    GROUP BY 1, 2
+),
+af AS (
+    SELECT d.vec_id, MIN(d.cid) AS cid, MIN(d.dist) AS md
+    FROM df d
+    JOIN (SELECT vec_id, MIN(dist) AS md FROM df GROUP BY 1) m
+      ON m.vec_id = d.vec_id AND d.dist = m.md
+    GROUP BY 1
+)
+SELECT s.cid,
+       a.n_points,
+       a.inertia,
+       s.checksum
+FROM (SELECT cid, CAST(SUM(dim * e) AS BIGINT) AS checksum
+      FROM {prev} GROUP BY 1) s
+JOIN (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(SUM(md) AS BIGINT) AS inertia
+      FROM af GROUP BY 1) a USING (cid)
+ORDER BY s.cid
+"""
+
+
+@query("ml_kmeans_lloyd", oracle=_km_oracle())
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means trained IN the engine — {it} fixed Lloyd iterations over
+    the embedding table (k={k}, seeds = vectors 0..{k1}), completing the
+    in-engine ML trio (logistic GD, naive Bayes, and now the canonical
+    unsupervised workhorse behind IVF codebooks, SemDeDup cells, and
+    embedding-space curation). Emits per final cluster: size, exact
+    inertia (Σ min squared distance), and a per-dimension centroid
+    checksum.
+
+    Cross-engine exactness (the graph_pagerank discipline): vectors are
+    cast to integer MICRO-units at birth, so squared distances and
+    inertia are exact bigints (order-insensitive on any partitioning);
+    argmin ties break to the lowest centroid id; each centroid update
+    rounds sum·1.0/count once — the identical IEEE expression on both
+    engines. The chained-CTE oracle replays the exact recurrence.
+
+    Scale shape: points live long-form (vec, dim, micro) — the
+    assignment join keys on dim against a centroids table of k×dims
+    rows (broadcast-sized at any corpus scale), partially aggregates
+    (vec, cid) distances map-side, and the update is one keyed
+    aggregation to k×dims rows; per iteration that is two shuffles
+    whose reduce state is bounded by points and codebook, never
+    points×points. localCheckpoint truncates lineage between the {it}
+    rounds, exactly the pagerank/kcore loop hygiene.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("long").alias("dim"),
+        F.round(F.col("x").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("e"),
+    ).localCheckpoint(eager=True)
+    cent = pts.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), "dim", "e"
+    )
+
+    def _assign(centroids):
+        d = (
+            pts.join(
+                centroids.select(
+                    "cid", "dim", F.col("e").alias("ce")
+                ),
+                "dim",
+            )
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("e") - F.col("ce")) * (F.col("e") - F.col("ce"))
+                )
+                .cast("long")
+                .alias("dist")
+            )
+        )
+        m = (
+            d.groupBy("vec_id")
+            .agg(F.min("dist").alias("md"))
+            .withColumnRenamed("vec_id", "m_vec")
+        )
+        return (
+            d.join(
+                m,
+                (F.col("vec_id") == F.col("m_vec"))
+                & (F.col("dist") == F.col("md")),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("cid").alias("cid"), F.min("md").alias("md"))
+        )
+
+    for _ in range(_KM_ITERS):
+        assign = _assign(cent)
+        cent = (
+            assign.select("vec_id", "cid")
+            .join(pts, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(
+                F.round(F.sum("e") * 1.0 / F.count(F.lit(1)))
+                .cast("long")
+                .alias("e")
+            )
+            .localCheckpoint(eager=True)
+        )
+    final = _assign(cent)
+    stats = final.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("md").cast("long").alias("inertia"),
+    )
+    checksum = cent.groupBy("cid").agg(
+        F.sum(F.col("dim") * F.col("e")).cast("long").alias("checksum")
+    )
+    return (
+        checksum.join(stats, "cid")
+        .select("cid", "n_points", "inertia", "checksum")
+        .orderBy("cid")
+    )
+
+
+ml_kmeans_lloyd.__doc__ = ml_kmeans_lloyd.__doc__.format(
+    it=_KM_ITERS, k=_KM_K, k1=_KM_K - 1
+)

@@ -1377,8 +1377,7 @@ _PQ_K = 16       # centroids per sub-codebook → 4 bits/subspace
 # centroid id (np.argmin ≡ ORDER BY d2, c), ADC scores round to 6 dp
 # before ranking. Double-summation drift across engines sits far below
 # both the argmin margins and the rounding grain on the test data.
-_PQ_ORACLE = f"""
-WITH e AS (
+_PQ_CTES = f"""e AS (
     SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
     FROM embeddings
 ),
@@ -1410,18 +1409,22 @@ lut AS (
     FROM u q CROSS JOIN cb
     WHERE q.vec_id < {N_QUERIES}
     GROUP BY 1, 2, 3
-)
-SELECT query_id, neighbor_id, adc_score FROM (
+),
+adc AS (
     SELECT l.query_id, cd.vec_id AS neighbor_id,
-           round(SUM(l.dp), 6) AS adc_score,
-           row_number() OVER (PARTITION BY l.query_id
-                              ORDER BY round(SUM(l.dp), 6) DESC, cd.vec_id)
-               AS rn
+           round(SUM(l.dp), 6) AS adc_score
     FROM codes cd
     JOIN lut l ON l.m = cd.m AND l.c = cd.code
     WHERE cd.vec_id <> l.query_id
     GROUP BY l.query_id, cd.vec_id
-)
+)"""
+
+_PQ_ORACLE = f"""
+WITH {_PQ_CTES}
+SELECT query_id, neighbor_id, adc_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_score DESC, neighbor_id) AS rn
+    FROM adc)
 WHERE rn <= {TOP_K}
 """
 
@@ -1450,6 +1453,21 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes anything wider than {m} bytes of codes per row —
     that IS product quantization's contract.
     """
+    scored = _pq_adc_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_score")
+    )
+
+
+def _pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (query_id, neighbor_id, adc_score) PQ-ADC candidate scores —
+    the shared stage behind similarity_pq_adc_topk (top-k directly) and
+    similarity_pq_rerank_topk (ADC shortlist -> exact re-rank)."""
     import numpy as np
 
     from functools import reduce as _reduce
@@ -1539,14 +1557,7 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc_score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_score").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "adc_score")
-    )
+    return scored
 
 
 similarity_pq_adc_topk.__doc__ = similarity_pq_adc_topk.__doc__.format(
@@ -1556,4 +1567,105 @@ similarity_pq_adc_topk.__doc__ = similarity_pq_adc_topk.__doc__.format(
     full=64 * 4,
     d=_PQ_SUBDIM,
     tk=TOP_K,
+)
+
+
+# --------------------------------------------------------------------------
+# PQ shortlist → exact re-rank (FAISS's IVFPQ + refine recipe)
+# --------------------------------------------------------------------------
+
+_RERANK_DEPTH = 30  # ADC shortlist size per query fed to the exact stage
+
+_PQ_RERANK_ORACLE = f"""
+WITH {_PQ_CTES},
+shortlist AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_score DESC, neighbor_id)
+            AS rn
+        FROM adc)
+    WHERE rn <= {_RERANK_DEPTH}
+),
+exact AS (
+    SELECT s.query_id, s.neighbor_id,
+           round(list_sum(list_transform(list_zip(qu.unit, nu.unit),
+                 p -> p[1] * p[2])), 6) AS cosine
+    FROM shortlist s
+    JOIN u qu ON qu.vec_id = s.query_id
+    JOIN u nu ON nu.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM exact)
+WHERE rn <= {TOP_K}
+"""
+
+
+@query("similarity_pq_rerank_topk", oracle=_PQ_RERANK_ORACLE)
+def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN — the FAISS IVFPQ+refine recipe that production
+    vector search actually ships: the compressed PQ-ADC index proposes
+    a per-query shortlist of {depth} candidates cheaply ({m} table
+    lookups per candidate), then ONLY the shortlist is re-scored with
+    exact full-precision cosine and the final top-{tk} ranks on the
+    exact score. The refine stage repairs quantization error at a cost
+    of queries×{depth} exact dot products — independent of corpus
+    size — which is why every serving stack pairs a compressed
+    first-pass with an exact (or higher-precision) re-rank.
+
+    Determinism: both stages rank with explicit (score DESC, id) ties,
+    so shortlist membership and the final order replay exactly in the
+    oracle (the shared _PQ_CTES fragment ensures the ADC stage IS the
+    similarity_pq_adc_topk pipeline, not a reimplementation).
+
+    Scale shape: stage 1 is the PQ plan unchanged (codes-only corpus
+    scan, LUT lookups in codegen, bounded per-query window); stage 2
+    joins the queries×{depth} shortlist — dust at any corpus size —
+    against the unit vectors by id (one keyed lookup join that touches
+    {depth} rows per query, NOT a corpus scan) and re-ranks in a
+    bounded window. At 100 TB the exact stage reads only the
+    shortlisted vectors' rows.
+    """
+    scored = _pq_adc_scored(spark, sf_dir)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= _RERANK_DEPTH)
+        .select("query_id", "neighbor_id")
+    )
+
+    raw = table(spark, sf_dir, "embeddings")
+    units = raw.select("vec_id", _unit_udf()("embedding").alias("unit"))
+    q_units = units.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("unit").alias("qunit")
+    )
+    exact = (
+        shortlist.join(F.broadcast(q_units), "query_id")
+        .join(
+            units.select(
+                F.col("vec_id").alias("neighbor_id"), "unit"
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("qunit", "unit"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+similarity_pq_rerank_topk.__doc__ = similarity_pq_rerank_topk.__doc__.format(
+    depth=_RERANK_DEPTH, m=_PQ_M, tk=TOP_K
 )

