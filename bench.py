@@ -201,6 +201,14 @@ HEADLINE = [
     "anomaly_cusum_changepoint",
     "catalog_table_stats",
     "ab_tost_equivalence",
+    # round 7 additions
+    "graph_bfs_distances",
+    "search_rrf_fusion",
+    "layout_zorder_skipping",
+    "lakehouse_compact_plan",
+    "trend_mann_kendall",
+    "ml_kmeans_lloyd",
+    "similarity_pq_rerank_topk",
 ]
 
 

@@ -106,6 +106,9 @@ _NESTED_LOOP_OK = {
     "ml_logistic_gd",  # 1-row weight/gradient broadcasts per iteration
     "corpus_novelty_decay",  # 1-row max-doc-id broadcast (batch bounds)
     "ml_naive_bayes_langid",  # 1-row n/vocab + 5-row class-prior broadcasts
+    "layout_zorder_skipping",  # 1-row min/max bounds broadcast (bucketing)
+    "search_rrf_fusion",  # 1-row query-vector broadcast (dense ranking arm)
+    "similarity_pq_rerank_topk",  # PQ stage's 5-row query fan-out (shared)
 }
 
 
