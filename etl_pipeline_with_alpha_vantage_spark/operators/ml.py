@@ -500,10 +500,11 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment join keys on dim against a centroids table of k×dims
     rows (broadcast-sized at any corpus scale), partially aggregates
     (vec, cid) distances map-side, and the update is one keyed
-    aggregation to k×dims rows; per iteration that is two shuffles
-    whose reduce state is bounded by points and codebook, never
-    points×points. localCheckpoint truncates lineage between the {it}
-    rounds, exactly the pagerank/kcore loop hygiene.
+    aggregation to k×dims rows; per iteration that is three keyed
+    exchanges (distance partial-agg, per-vector argmin, centroid
+    update), every one with reduce state bounded by points or
+    codebook, never points×points. localCheckpoint truncates lineage
+    between the {it} rounds, exactly the pagerank/kcore loop hygiene.
     """
     emb = table(spark, sf_dir, "embeddings")
     pts = emb.select(

@@ -1153,8 +1153,12 @@ ab_tost_equivalence.__doc__ = ab_tost_equivalence.__doc__.format(
 # Mann–Kendall trend test — nonparametric monotone-trend monitor
 # --------------------------------------------------------------------------
 
-_MK_SQL = """
-WITH monthly AS (
+# Split into the raw->monthly reduction and the readout so Spark can
+# materialize `monthly` ONCE (localCheckpoint): Spark inlines CTEs, and
+# the readout references monthly four times — inlined, that re-scanned
+# orders x customer 4x. Both fragments are the identical text DuckDB
+# runs (the oracle stitches them back into one WITH chain).
+_MK_MONTHLY_SQL = """
     SELECT c.c_nationkey AS nation,
            EXTRACT(YEAR FROM o.o_orderdate) * 100
                + EXTRACT(MONTH FROM o.o_orderdate) AS ym,
@@ -1163,8 +1167,10 @@ WITH monthly AS (
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     WHERE c.c_nationkey < 5
     GROUP BY 1, 2
-),
-pairs AS (
+"""
+
+_MK_READOUT_SQL = """
+WITH pairs AS (
     SELECT a.nation,
            CASE WHEN b.rev_cents > a.rev_cents THEN 1
                 WHEN b.rev_cents < a.rev_cents THEN -1
@@ -1200,8 +1206,15 @@ JOIN ties t ON t.nation = c.nation
 ORDER BY c.nation
 """
 
+_MK_ORACLE = (
+    "WITH monthly AS ("
+    + _MK_MONTHLY_SQL
+    + "), "
+    + _MK_READOUT_SQL.lstrip()[len("WITH ") :]
+)
 
-@query("trend_mann_kendall", oracle=_MK_SQL)
+
+@query("trend_mann_kendall", oracle=_MK_ORACLE)
 def trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann–Kendall monotone-trend test per nation over the monthly
     revenue series — the standard nonparametric drift monitor for
@@ -1224,4 +1237,10 @@ def trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     for t in ("orders", "customer"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_MK_SQL)
+    # Materialize the months dust table ONCE (~5 nations x ~80 months);
+    # the four readout references then read checkpointed blocks instead
+    # of re-scanning orders x customer per CTE reference.
+    spark.sql(_MK_MONTHLY_SQL).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("monthly")
+    return spark.sql(_MK_READOUT_SQL)
