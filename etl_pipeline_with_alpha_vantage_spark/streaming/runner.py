@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -596,6 +596,133 @@ def run_stream_snapshot_sink(
 
     q = (
         stream.writeStream.foreachBatch(load_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+
+
+# --------------------------------------------------------------------------
+# Streaming CDC → MERGE (foreachBatch upsert-apply with tombstones)
+# --------------------------------------------------------------------------
+
+_CDC_BUCKETS = 16
+
+
+def cdc_apply_batch(
+    spark: SparkSession,
+    target_path: str,
+    batch_df,
+    n_buckets: int = _CDC_BUCKETS,
+) -> None:
+    """Apply one micro-batch of change events to a bucketed state table
+    via copy-on-write MERGE — the Debezium/binlog → lakehouse upsert
+    loop (Delta's foreachBatch-merge idiom) on plain parquet.
+
+    Order robustness is the whole design: file-source batches carry no
+    ts ordering, so last-writer-wins by arrival would corrupt state.
+    Instead (a) the batch reduces to its per-key LATEST change by
+    (ts, event_id), (b) the reduced batch ARBITRATES against the
+    current target row for each touched key by the same total order,
+    and (c) deletes are TOMBSTONES (deleted=true rows kept in the
+    table), never physical removals — so a late out-of-order upsert
+    for a deleted key loses the arbitration instead of resurrecting
+    the key. The composite is associative and commutative across
+    batches: any batch arrival order converges to the same state
+    (tested in tests/test_streaming.py). Tombstone GC is a retention
+    policy (vacuum after the max expected lateness), exactly the
+    Cassandra/Delta contract.
+
+    Scale shape: one per-batch key shuffle for the reduction; the
+    arbitration semi-joins ONLY touched keys against the target; the
+    merge rewrites only touched buckets (merge_into is O(touched
+    partitions)). State cost per batch is O(batch ∪ touched rows),
+    never O(table).
+    """
+    from ..sinks.maintenance import merge_into  # noqa: PLC0415
+
+    order = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        batch_df.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            (F.col("event_type") == "error").alias("deleted"),
+        )
+        .withColumn("rn", F.row_number().over(order))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn(
+            "bucket", F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("int")
+        )
+    )
+    if _cdc_target_exists(target_path):
+        current = spark.read.parquet(target_path).join(
+            latest.select("user_id"), "user_id", "left_semi"
+        )
+        winner = (
+            current.unionByName(latest)
+            .withColumn("rn", F.row_number().over(order))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        merge_into(
+            spark,
+            target_path,
+            winner,
+            key_cols=["user_id"],
+            partition_col="bucket",
+        )
+    else:
+        latest.write.mode("overwrite").partitionBy("bucket").parquet(
+            target_path
+        )
+
+
+def _cdc_target_exists(target_path: str) -> bool:
+    if not os.path.isdir(target_path):
+        return False
+    return any(
+        f.startswith("bucket=") for f in os.listdir(target_path)
+    )
+
+
+def read_cdc_state(spark: SparkSession, target_path: str):
+    """The CURRENT state: tombstoned keys excluded (their rows remain
+    in the table for out-of-order arbitration until a retention vacuum
+    drops them)."""
+    return spark.read.parquet(target_path).filter(~F.col("deleted"))
+
+
+def run_stream_cdc_merge(
+    spark: SparkSession,
+    sf_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 180,
+) -> None:
+    """Stream the events change feed into a bucketed state table by
+    per-batch MERGE (cdc_apply_batch): the streaming half of
+    cdc_latest_state — same collapse semantics, but applied
+    incrementally with O(batch) work instead of recomputing state from
+    all history. Replays are safe: re-merging identical winners
+    rewrites identical logical content (merge_into idempotence), so a
+    foreachBatch retry cannot corrupt state."""
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value", "event_type"
+    )
+
+    def load(batch_df, batch_id: int) -> None:
+        cdc_apply_batch(spark, target_path, batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(load)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

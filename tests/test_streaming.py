@@ -5,6 +5,8 @@ the streamed result must equal its batch twin on the same data.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
 
 from etl_pipeline_with_alpha_vantage_spark.registry import QUERIES, load_all
 from etl_pipeline_with_alpha_vantage_spark.streaming.runner import (
@@ -942,3 +944,115 @@ def test_stream_snapshot_sink_app_id_discriminates_queries(
         spark, sf_dir, table_path, str(tmp_path / "ckA2"), app_id="query-A"
     )
     assert read_snapshot(spark, table_path).count() == 2 * n_a
+
+
+def _expected_cdc_state(spark, sf_dir):
+    """Batch recompute of the CDC collapse: per-user latest change by
+    (ts, event_id); latest op 'error' => key absent from current state."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("event_type") != "error")
+    )
+    return {
+        (r.user_id, r.event_id) for r in latest.select(
+            "user_id", "event_id"
+        ).collect()
+    }
+
+
+def test_stream_cdc_merge_matches_batch_latest_state(spark, sf_dir, tmp_path):
+    """The streaming CDC MERGE must converge to exactly the batch CDC
+    collapse (cdc_latest_state semantics): current state = per-key
+    latest non-delete change; delete-latest keys are tombstoned out;
+    replays (same or fresh checkpoint) change nothing."""
+    from etl_pipeline_with_alpha_vantage_spark.streaming.runner import (
+        read_cdc_state,
+        run_stream_cdc_merge,
+    )
+
+    target = str(tmp_path / "cdc_state")
+    ck1 = str(tmp_path / "ck1")
+    run_stream_cdc_merge(spark, sf_dir, target, ck1)
+    want = _expected_cdc_state(spark, sf_dir)
+    got = {
+        (r.user_id, r.event_id)
+        for r in read_cdc_state(spark, target)
+        .select("user_id", "event_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # Tombstones exist for keys whose latest change is a delete.
+    all_rows = spark.read.parquet(target)
+    n_tomb = all_rows.filter(F.col("deleted")).count()
+    n_deleted_latest = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter((F.col("rn") == 1) & (F.col("event_type") == "error"))
+        .count()
+    )
+    assert n_tomb == n_deleted_latest
+
+    # Same checkpoint: nothing pending. Fresh checkpoint: same winners
+    # re-merge to identical content.
+    run_stream_cdc_merge(spark, sf_dir, target, ck1)
+    run_stream_cdc_merge(spark, sf_dir, target, str(tmp_path / "ck2"))
+    got2 = {
+        (r.user_id, r.event_id)
+        for r in read_cdc_state(spark, target)
+        .select("user_id", "event_id")
+        .collect()
+    }
+    assert got2 == want
+
+
+def test_cdc_apply_batch_is_order_independent(spark, sf_dir, tmp_path):
+    """Applying the change feed as two batches must converge to the
+    same state REGARDLESS of batch order — the tombstone + (ts,
+    event_id) arbitration makes the apply associative/commutative,
+    which is what protects state when file-source batches arrive out
+    of event-time order."""
+    from etl_pipeline_with_alpha_vantage_spark.streaming.runner import (
+        cdc_apply_batch,
+        read_cdc_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "value", "event_type"
+    )
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+
+    t_ab = str(tmp_path / "ab")
+    cdc_apply_batch(spark, t_ab, half_a)
+    cdc_apply_batch(spark, t_ab, half_b)
+    t_ba = str(tmp_path / "ba")
+    cdc_apply_batch(spark, t_ba, half_b)
+    cdc_apply_batch(spark, t_ba, half_a)
+
+    def snap(path):
+        return {
+            (r.user_id, r.event_id, r.deleted)
+            for r in spark.read.parquet(path)
+            .select("user_id", "event_id", "deleted")
+            .collect()
+        }
+
+    assert snap(t_ab) == snap(t_ba)
+    assert snap(t_ab) and {
+        (r.user_id, r.event_id)
+        for r in read_cdc_state(spark, t_ab)
+        .select("user_id", "event_id")
+        .collect()
+    } == _expected_cdc_state(spark, sf_dir)
