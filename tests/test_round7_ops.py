@@ -10,10 +10,7 @@ import pyarrow.parquet as pq
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from etl_pipeline_with_alpha_vantage_spark.operators.lakehouse import (
-    _COMPACT_TARGET,
-    _Z_BITS,
-)
+from etl_pipeline_with_alpha_vantage_spark.operators.lakehouse import _Z_BITS
 from etl_pipeline_with_alpha_vantage_spark.operators.ml import (
     _KM_ITERS,
     _KM_K,
