@@ -209,6 +209,8 @@ HEADLINE = [
     "trend_mann_kendall",
     "ml_kmeans_lloyd",
     "similarity_pq_rerank_topk",
+    "trend_theil_sen",
+    "sample_coreset_kcenter",
 ]
 
 

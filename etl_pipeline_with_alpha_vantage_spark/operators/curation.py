@@ -902,3 +902,138 @@ def corpus_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_novelty_decay.__doc__ = corpus_novelty_decay.__doc__.format(
     b=_NOVELTY_BATCHES
 )
+
+
+# --------------------------------------------------------------------------
+# k-center coreset: farthest-first traversal over the embedding table
+# --------------------------------------------------------------------------
+
+_KC_K = 6        # selections (incl. the seed)
+_KC_SEED = 0     # vec_id of the first center
+
+
+def _kc_oracle() -> str:
+    """Chained-CTE replay of the farthest-first traversal: d{r} is the
+    running min squared distance to the selected set; each pick is the
+    argmax (ties to lowest vec_id), all in exact micro-int bigints."""
+    blocks = []
+    for r in range(2, _KC_K + 1):
+        prev_d = f"d{r - 1}"
+        blocks.append(
+            f"""p{r} AS (
+    SELECT vec_id, dd FROM {prev_d} ORDER BY dd DESC, vec_id LIMIT 1
+),
+nd{r} AS (
+    SELECT p.vec_id,
+           CAST(SUM((p.e - s.e) * (p.e - s.e)) AS BIGINT) AS dd
+    FROM pts p
+    JOIN pts s ON s.vec_id = (SELECT vec_id FROM p{r}) AND s.dim = p.dim
+    GROUP BY p.vec_id
+),
+d{r} AS (
+    SELECT a.vec_id, LEAST(a.dd, b.dd) AS dd
+    FROM {prev_d} a JOIN nd{r} b ON b.vec_id = a.vec_id
+)"""
+        )
+    chained = ",\n".join(blocks)
+    picks = "\nUNION ALL\n".join(
+        f"SELECT {r} AS step, vec_id, dd AS radius_sq FROM p{r}"
+        for r in range(2, _KC_K + 1)
+    )
+    return f"""
+WITH pts AS (
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                AS BIGINT) AS e
+    FROM embeddings
+),
+d1 AS (
+    SELECT p.vec_id,
+           CAST(SUM((p.e - s.e) * (p.e - s.e)) AS BIGINT) AS dd
+    FROM pts p
+    JOIN pts s ON s.vec_id = {_KC_SEED} AND s.dim = p.dim
+    GROUP BY p.vec_id
+),
+{chained}
+SELECT CAST(step AS BIGINT) AS step, vec_id, radius_sq FROM (
+    SELECT 1 AS step, CAST({_KC_SEED} AS BIGINT) AS vec_id,
+           CAST(0 AS BIGINT) AS radius_sq
+    UNION ALL
+    {picks}
+)
+ORDER BY step
+"""
+
+
+@query("sample_coreset_kcenter", oracle=_kc_oracle())
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity coreset by FARTHEST-FIRST traversal (Gonzalez 1985) —
+    the k-center selection data-curation stacks use to pick a maximally
+    spread exemplar subset from an embedding space (diverse eval sets,
+    coverage-first fine-tuning subsets, dedup canaries): seed with
+    vector {seed}, then {k1} times select the point farthest from the
+    already-selected set. Emits (step, vec_id, radius_sq); each pick's
+    radius_sq is the 2-approximation guarantee's k-center radius before
+    that pick — the curve quantifies how fast coverage saturates.
+
+    Cross-engine exactness: micro-int coordinates make every distance
+    an exact bigint; argmax ties break to the lowest vec_id; the
+    chained-CTE oracle replays the traversal verbatim.
+
+    Scale shape: the running min-distance column is maintained
+    INCREMENTALLY — each round joins the corpus long-form against ONE
+    new center (a dims-sized broadcast), takes LEAST with the previous
+    round's column, and localCheckpoints; the pick itself is a global
+    top-1 (TakeOrderedAndProject) whose result is a bounded 1-row
+    collect. Total cost is k corpus passes with O(1) driver state —
+    never a k×corpus or corpus² materialization.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    pts = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos0", "x"))
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).cast("long").alias("dim"),
+            F.round(F.col("x").cast("double") * 1_000_000)
+            .cast("long")
+            .alias("e"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def dist_to(center_id: int) -> DataFrame:
+        center = pts.filter(F.col("vec_id") == center_id).select(
+            "dim", F.col("e").alias("ce")
+        )
+        return (
+            pts.join(F.broadcast(center), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    (F.col("e") - F.col("ce")) * (F.col("e") - F.col("ce"))
+                )
+                .cast("long")
+                .alias("dd")
+            )
+        )
+
+    picks = [(1, _KC_SEED, 0)]
+    dcur = dist_to(_KC_SEED).localCheckpoint(eager=True)
+    for step in range(2, _KC_K + 1):
+        far = dcur.orderBy(F.col("dd").desc(), "vec_id").limit(1).collect()[0]
+        picks.append((step, int(far["vec_id"]), int(far["dd"])))
+        nd = dist_to(int(far["vec_id"])).withColumnRenamed("dd", "nd")
+        dcur = (
+            dcur.join(nd, "vec_id")
+            .select("vec_id", F.least("dd", "nd").alias("dd"))
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        picks, "step long, vec_id long, radius_sq long"
+    ).orderBy("step")
+
+
+sample_coreset_kcenter.__doc__ = sample_coreset_kcenter.__doc__.format(
+    seed=_KC_SEED, k1=_KC_K - 1
+)
