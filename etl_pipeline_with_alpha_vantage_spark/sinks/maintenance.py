@@ -362,6 +362,11 @@ def merge_into(
             upserts = src
             n_deletes = 0
         upserts = upserts.select(*target.columns)
+        # Count BEFORE the overwrite: when the source derives from the
+        # target (a self-merge, e.g. CDC tombstone GC), any post-write
+        # scan of it can recompute over the rewritten files and fail on
+        # the vanished parts.
+        n_upserts = upserts.count()
 
         survivors = tgt_touched.join(
             src.select(*join_cols).distinct(), on=join_cols, how="left_anti"
@@ -385,13 +390,18 @@ def merge_into(
         n_deleted_parts = _delete_partitions(
             spark, target_path, partition_col, vanished
         )
+        # Dynamic overwrite replaced files under target_path: drop the
+        # session's shared file-status/plan cache entries for the path
+        # so a reader holding (or newly building) a plan over the old
+        # listing doesn't FAILED_READ_FILE on the vanished parts.
+        spark.catalog.refreshByPath(target_path)
         return {
             "partitions_touched": len(touched),
             "partitions_rewritten": len(written),
             "partitions_deleted": n_deleted_parts,
             "rows_before": rows_before,
             "rows_after": rows_after,
-            "n_upserts": upserts.count(),
+            "n_upserts": n_upserts,
             "n_deletes": n_deletes,
         }
     finally:

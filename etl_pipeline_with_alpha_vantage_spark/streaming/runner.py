@@ -730,3 +730,40 @@ def run_stream_cdc_merge(
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+
+
+def cdc_vacuum_tombstones(
+    spark: SparkSession, target_path: str, older_than_ts
+) -> int:
+    """Retention GC for the CDC state table: drop tombstone rows whose
+    change timestamp is older than ``older_than_ts``. Returns the
+    number of tombstones removed.
+
+    The retention CONTRACT (Cassandra gc_grace / Delta retention): a
+    tombstone protects its key against out-of-order resurrection only
+    while it exists — after GC, a change event older than the horizon
+    that is still in flight WOULD re-insert the key. Set the horizon
+    beyond the maximum expected event lateness. Live rows are never
+    touched; the rewrite is a per-bucket MERGE-shaped overwrite of
+    only the buckets that actually hold expired tombstones.
+    """
+    from ..sinks.maintenance import merge_into  # noqa: PLC0415
+
+    if not _cdc_target_exists(target_path):
+        return 0
+    cur = spark.read.parquet(target_path)
+    expired = cur.filter(
+        F.col("deleted") & (F.col("ts") < F.lit(older_than_ts))
+    )
+    n = expired.count()
+    if n == 0:
+        return 0
+    merge_into(
+        spark,
+        target_path,
+        expired.withColumn("is_del", F.lit(True)),
+        key_cols=["user_id"],
+        partition_col="bucket",
+        delete_col="is_del",
+    )
+    return n

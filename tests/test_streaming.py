@@ -1056,3 +1056,71 @@ def test_cdc_apply_batch_is_order_independent(spark, sf_dir, tmp_path):
         .select("user_id", "event_id")
         .collect()
     } == _expected_cdc_state(spark, sf_dir)
+
+
+def test_cdc_vacuum_tombstones_retention_contract(spark, sf_dir, tmp_path):
+    """Tombstone GC drops only expired tombstones (live rows and young
+    tombstones survive), and documents the contract's edge: after GC, a
+    sufficiently late out-of-order change CAN resurrect the key — which
+    is exactly why the horizon must exceed max event lateness."""
+    from etl_pipeline_with_alpha_vantage_spark.streaming.runner import (
+        cdc_apply_batch,
+        cdc_vacuum_tombstones,
+        read_cdc_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "value", "event_type"
+    )
+    target = str(tmp_path / "cdc_state")
+    cdc_apply_batch(spark, target, ev)
+    all_rows = spark.read.parquet(target)
+    n_live = all_rows.filter(~F.col("deleted")).count()
+    tombs = all_rows.filter(F.col("deleted"))
+    n_tomb = tombs.count()
+    assert n_tomb > 0, "fixture needs delete-latest keys"
+
+    # Horizon at the median tombstone ts: only the older half expires.
+    cut = tombs.selectExpr(
+        "percentile_approx(ts, 0.5) AS c"
+    ).collect()[0]["c"]
+    expired = tombs.filter(F.col("ts") < F.lit(cut)).count()
+    # Capture the resurrection victim BEFORE vacuum rewrites the files
+    # this DataFrame's plan points at.
+    victim = (
+        tombs.filter(F.col("ts") < F.lit(cut))
+        .orderBy("user_id")
+        .limit(1)
+        .collect()
+    )
+    removed = cdc_vacuum_tombstones(spark, target, cut)
+    assert removed == expired
+    after = spark.read.parquet(target)
+    assert after.filter(~F.col("deleted")).count() == n_live
+    assert after.filter(F.col("deleted")).count() == n_tomb - expired
+    assert read_cdc_state(spark, target).count() == n_live
+
+    # The documented edge: a GC'd key resurrects on an out-of-order
+    # change OLDER than its (now gone) tombstone.
+    if victim:
+        v = victim[0]
+        stale = spark.createDataFrame(
+            [
+                (
+                    v.user_id,
+                    v.ts,  # same ts as the vanished tombstone
+                    v.event_id - 1,  # older event id -> would have LOST
+                    1.0,
+                    "purchase",
+                )
+            ],
+            "user_id long, ts timestamp, event_id long, value double, "
+            "event_type string",
+        )
+        cdc_apply_batch(spark, target, stale)
+        assert (
+            read_cdc_state(spark, target)
+            .filter(F.col("user_id") == v.user_id)
+            .count()
+            == 1
+        ), "post-GC resurrection is the documented retention tradeoff"
