@@ -996,3 +996,65 @@ def test_snapshot_vacuum_age_gates_inflight_writer_files(spark, tmp_path):
     assert {r.k for r in read_snapshot(spark, path).collect()} == set(
         range(4)
     )
+
+
+def test_snapshot_reads_and_commits_never_list_log_with_pointer(
+    spark, tmp_path, monkeypatch
+):
+    """With a live _last pointer, resolving latest (reads AND the txn
+    dedupe check in commits) must never list the _snapshots directory —
+    the O(1) contract that keeps the log usable at a million commits.
+    Only the fallback path may list."""
+    from etl_pipeline_with_alpha_vantage_spark.sinks import snapshots as S
+
+    path = str(tmp_path / "snap")
+    S.snapshot_commit(
+        spark, path, spark.range(0, 4).withColumnRenamed("id", "k"),
+        txn="t:0",
+    )
+    S.snapshot_commit(
+        spark, path, spark.range(4, 6).withColumnRenamed("id", "k"),
+        txn="t:1",
+    )
+
+    real_listdir = S.os.listdir
+
+    def guarded(p):
+        if str(p).rstrip("/").endswith("_snapshots"):
+            raise AssertionError(f"log directory listed: {p}")
+        return real_listdir(p)
+
+    monkeypatch.setattr(S.os, "listdir", guarded)
+
+    # Latest read: pointer + probe only.
+    assert {
+        r.k for r in S.read_snapshot(spark, path).collect()
+    } == set(range(6))
+    # Explicit-version read: single manifest stat.
+    assert {
+        r.k for r in S.read_snapshot(spark, path, 1).collect()
+    } == set(range(4))
+    # Idempotent replay: token found via the latest manifest's txns map.
+    assert (
+        S.snapshot_commit(
+            spark,
+            path,
+            spark.range(99, 100).withColumnRenamed("id", "k"),
+            txn="t:0",
+        )
+        == 1
+    )
+    # A fresh commit publishes without listing the log either.
+    assert (
+        S.snapshot_commit(
+            spark,
+            path,
+            spark.range(6, 8).withColumnRenamed("id", "k"),
+            txn="t:2",
+        )
+        == 3
+    )
+    monkeypatch.setattr(S.os, "listdir", real_listdir)
+    assert {
+        r.k for r in S.read_snapshot(spark, path).collect()
+    } == set(range(8))
