@@ -329,7 +329,12 @@ def merge_into(
 
     Contract: (key_cols, partition_col) must be unique within
     ``source`` — duplicate source keys make the update row
-    nondeterministic (Delta raises the same error at runtime).
+    nondeterministic (Delta raises the same error at runtime). A merge
+    that deletes EVERY row leaves a directory with no parquet files:
+    plain parquet cannot represent a schema'd empty table (table
+    formats keep the schema in their log; the snapshot log documents
+    the same empty-commit limit), so readers must treat a fileless
+    table dir as empty.
 
     Scale shape: cost is O(touched partitions), never O(table). The
     anti-join shuffles only touched-partition rows keyed by the merge
