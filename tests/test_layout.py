@@ -1058,3 +1058,68 @@ def test_snapshot_reads_and_commits_never_list_log_with_pointer(
     assert {
         r.k for r in S.read_snapshot(spark, path).collect()
     } == set(range(8))
+
+
+def test_snapshot_racing_writers_same_txn_token_commit_exactly_once(
+    spark, tmp_path
+):
+    """Four writers race the SAME txn token (a replayed micro-batch
+    retried concurrently) while four more race unique tokens: the
+    shared token must commit EXACTLY once — every carrier returns the
+    same version — and each unique token exactly once, with a gap-free
+    linear history."""
+    import threading
+
+    from etl_pipeline_with_alpha_vantage_spark.sinks.snapshots import (
+        read_snapshot,
+        snapshot_commit,
+        snapshot_history,
+    )
+
+    path = str(tmp_path / "snap")
+    snapshot_commit(
+        spark, path, spark.range(0, 2).withColumnRenamed("id", "k")
+    )
+    barrier = threading.Barrier(8)
+    results: dict[str, int | Exception] = {}
+
+    def writer(tag: str, lo: int, txn: str) -> None:
+        df = spark.range(lo, lo + 2).withColumnRenamed("id", "k")
+        try:
+            barrier.wait(timeout=60)
+            results[tag] = snapshot_commit(
+                spark, path, df, mode="append", txn=txn
+            )
+        except Exception as exc:  # pragma: no cover - surfaced below
+            results[tag] = exc
+
+    threads = [
+        threading.Thread(target=writer, args=(f"dup{i}", 100 + 10 * i, "tok:dup"))
+        for i in range(4)
+    ] + [
+        threading.Thread(
+            target=writer, args=(f"uniq{i}", 500 + 10 * i, f"tok:{i}")
+        )
+        for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+
+    assert all(isinstance(v, int) for v in results.values()), results
+    dup_versions = {results[f"dup{i}"] for i in range(4)}
+    assert len(dup_versions) == 1, "shared token must resolve to ONE version"
+    # 1 base + exactly one dup commit + 4 unique commits = 6 versions,
+    # gap-free and linear.
+    hist = snapshot_history(path)
+    assert [h["version"] for h in hist] == list(range(1, 7))
+    assert [h["parent"] for h in hist] == [None, 1, 2, 3, 4, 5]
+    rows = {r.k for r in read_snapshot(spark, path).collect()}
+    # Exactly one dup payload present...
+    dup_payloads = [set(range(100 + 10 * i, 100 + 10 * i + 2)) for i in range(4)]
+    present = [p for p in dup_payloads if p <= rows]
+    assert len(present) == 1, (rows, dup_payloads)
+    # ...and every unique-token payload present.
+    for i in range(4):
+        assert set(range(500 + 10 * i, 500 + 10 * i + 2)) <= rows
