@@ -217,3 +217,57 @@ def test_rrf_fusion_scores_consistent(spark, sf_dir):
     # descending fused score with deterministic doc_id ties
     scores = [(r.rrf_micro, -r.doc_id) for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+# --------------------------------------------------------------------------
+# as-of join: pandas merge_asof third opinion (Spark ≡ DuckDB ≡ pandas)
+# --------------------------------------------------------------------------
+
+
+def test_asof_join_matches_pandas_merge_asof(spark, sf_dir):
+    """The backward as-of join must agree with pandas.merge_asof
+    (direction='backward', allow_exact_matches=True) — an independent
+    third implementation beside the DuckDB ASOF JOIN oracle. Ties on
+    identical click timestamps resolve to the highest event_id in both
+    (last row in (ts, event_id) sort order)."""
+    import pandas as pd
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.asof import (
+        asof_join,
+    )
+
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in asof_join(spark, sf_dir)
+        .select("purchase_id", "click_id")
+        .collect()
+    }
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    ev["ts"] = pd.to_datetime(ev.ts)
+    clicks = (
+        ev[ev.event_type == "click"][["user_id", "ts", "event_id"]]
+        .rename(columns={"event_id": "click_id"})
+        .sort_values(["ts", "click_id"], kind="stable")
+        .reset_index(drop=True)
+    )
+    purchases = (
+        ev[ev.event_type == "purchase"][["user_id", "ts", "event_id"]]
+        .rename(columns={"event_id": "purchase_id"})
+        .sort_values(["ts", "purchase_id"], kind="stable")
+        .reset_index(drop=True)
+    )
+    merged = pd.merge_asof(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    want = {
+        (int(r.purchase_id), None if pd.isna(r.click_id) else int(r.click_id))
+        for r in merged.itertuples()
+    }
+    assert got == want
+    assert len(got) > 0
