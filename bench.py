@@ -211,6 +211,7 @@ HEADLINE = [
     "similarity_pq_rerank_topk",
     "trend_theil_sen",
     "sample_coreset_kcenter",
+    "ab_mann_whitney",
 ]
 
 

@@ -1314,3 +1314,138 @@ def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     ).createOrReplaceTempView("monthly")
     return spark.sql(_TS_READOUT_SQL)
+
+
+# --------------------------------------------------------------------------
+# Mann–Whitney U — rank-based two-sample test without a global sort
+# --------------------------------------------------------------------------
+
+_MW_BUCKET_CENTS = 100_000  # $1000 segments for the two-pass prefix sum
+
+# Identical final-arithmetic expression on both engines (exact bigint
+# inputs, one IEEE expression, micro-rounded once). u2 = 2U.
+_MW_Z_EXPR = (
+    "CAST(round((u2 - na * nb) / (2 * sqrt(na * 1.0 * nb * "
+    "((na + nb) * (na + nb - 1.0) * (na + nb + 1) - tie) "
+    "/ (12.0 * (na + nb) * (na + nb - 1)))) * 1000000) AS BIGINT)"
+)
+
+_MW_ORACLE = f"""
+WITH base AS (
+    SELECT o_orderpriority AS grp,
+           o_orderkey % 2 AS arm,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+g AS (
+    SELECT grp, cents,
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+    FROM base GROUP BY 1, 2
+),
+p AS (
+    SELECT grp, n_a, n_b,
+           COALESCE(SUM(n_b) OVER (
+               PARTITION BY grp ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS cum_b
+    FROM g
+),
+agg AS (
+    SELECT grp,
+           CAST(SUM(n_a) AS BIGINT) AS na,
+           CAST(SUM(n_b) AS BIGINT) AS nb,
+           CAST(SUM(2 * n_a * cum_b + n_a * n_b) AS BIGINT) AS u2,
+           CAST(SUM((n_a + n_b) * (n_a + n_b) * (n_a + n_b)
+                    - (n_a + n_b)) AS BIGINT) AS tie
+    FROM p GROUP BY grp
+)
+SELECT grp, na, nb, u2, tie, {_MW_Z_EXPR} AS z_micro
+FROM agg
+ORDER BY grp
+"""
+
+
+@query("ab_mann_whitney", oracle=_MW_ORACLE)
+def ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U per order priority (arms = order key parity) —
+    the RANK-based two-sample test that completes the experimentation
+    family (proportions z, CUPED, TOST, IPS are all mean/ratio-shaped;
+    this one detects distributional shift with no normality assumption,
+    the standard test for skewed revenue-per-unit metrics). Emits exact
+    2U (so ties' half-steps stay integer), the exact tie term Σ(t³−t),
+    and the normal-approximation z in micro-units.
+
+    Cross-engine exactness: U is assembled from exact bigint counts —
+    2U = Σ_groups (2·n_a·cumB_before + n_a·n_b) — and the z expression
+    is ONE shared arithmetic string ({z}) evaluated on exact integers
+    by both engines.
+
+    Scale shape — the interesting part is computing a RANK statistic
+    with no global sort: the value-group table (one partial-aggregated
+    shuffle) gets its B-count prefix sums via the segmented two-pass
+    device (skyline_pareto / concurrency_peak): a window INSIDE each
+    $1000 value bucket plus a running total over the per-bucket dust
+    table, so no window ever spans more than one bucket of one
+    priority group. The oracle uses the naive full-partition window —
+    proving the segmented decomposition exact, not merely plausible.
+    """
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_orderkey") % 2).alias("arm"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = base.groupBy("grp", "cents").agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+    )
+    bucketed = g.withColumn(
+        "bucket", (F.col("cents") / _MW_BUCKET_CENTS).cast("long")
+    )
+    w_local = (
+        Window.partitionBy("grp", "bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "local_prev", F.sum("n_b").over(w_local)
+    )
+    bucket_tots = bucketed.groupBy("grp", "bucket").agg(
+        F.sum("n_b").alias("bucket_b")
+    )
+    w_buckets = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = bucket_tots.select(
+        "grp",
+        "bucket",
+        F.sum("bucket_b").over(w_buckets).alias("prior_b"),
+    )
+    p = local.join(prior, ["grp", "bucket"]).select(
+        "grp",
+        "n_a",
+        "n_b",
+        (
+            F.coalesce("local_prev", F.lit(0))
+            + F.coalesce("prior_b", F.lit(0))
+        ).alias("cum_b"),
+    )
+    t = F.col("n_a") + F.col("n_b")
+    agg = p.groupBy("grp").agg(
+        F.sum("n_a").cast("long").alias("na"),
+        F.sum("n_b").cast("long").alias("nb"),
+        F.sum(2 * F.col("n_a") * F.col("cum_b") + F.col("n_a") * F.col("n_b"))
+        .cast("long")
+        .alias("u2"),
+        F.sum(t * t * t - t).cast("long").alias("tie"),
+    )
+    return agg.select(
+        "grp", "na", "nb", "u2", "tie",
+        F.expr(_MW_Z_EXPR).alias("z_micro"),
+    ).orderBy("grp")
+
+
+ab_mann_whitney.__doc__ = ab_mann_whitney.__doc__.format(z=_MW_Z_EXPR)
