@@ -212,6 +212,7 @@ HEADLINE = [
     "trend_theil_sen",
     "sample_coreset_kcenter",
     "ab_mann_whitney",
+    "eval_langid_prf",
 ]
 
 

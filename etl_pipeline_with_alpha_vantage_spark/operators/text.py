@@ -155,6 +155,29 @@ _MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _langid_scores() -> tuple[dict, Column]:
+    """Marker-hit columns and the deterministic argmax prediction —
+    shared by text_langid (per-doc readout) and eval_langid_prf
+    (precision/recall scoring against the gold label)."""
+    toks = F.split("text", " ")
+
+    def hits(lang: str) -> Column:
+        arr = F.array(*[F.lit(w) for w in _MARKERS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    h = {lang: hits(lang) for lang in _MARKERS}
+    predicted = (
+        F.when(
+            (h["en"] >= h["de"]) & (h["en"] >= h["es"]) & (h["en"] >= h["fr"]),
+            F.lit("en"),
+        )
+        .when((h["de"] >= h["es"]) & (h["de"] >= h["fr"]), F.lit("de"))
+        .when(h["es"] >= h["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return h, predicted
+
+
 def _marker_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in _MARKERS[lang])
     return f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
@@ -188,22 +211,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     document scores independently; a real model swaps in as a pandas UDF
     with the identical surrounding plan."""
     docs = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-
-    def hits(lang: str) -> Column:
-        arr = F.array(*[F.lit(w) for w in _MARKERS[lang]])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-
-    h = {lang: hits(lang) for lang in _MARKERS}
-    predicted = (
-        F.when(
-            (h["en"] >= h["de"]) & (h["en"] >= h["es"]) & (h["en"] >= h["fr"]),
-            F.lit("en"),
-        )
-        .when((h["de"] >= h["es"]) & (h["de"] >= h["fr"]), F.lit("de"))
-        .when(h["es"] >= h["fr"], F.lit("es"))
-        .otherwise(F.lit("fr"))
-    )
+    h, predicted = _langid_scores()
     return docs.select(
         "doc_id",
         F.col("lang").alias("lang_actual"),
@@ -1337,3 +1345,120 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_zipf_fit.__doc__ = text_zipf_fit.__doc__.format(r=_ZIPF_TOP_R)
+
+
+# --------------------------------------------------------------------------
+# X17 eval — precision/recall/F1 of the language-ID heuristic vs gold
+# --------------------------------------------------------------------------
+
+# One shared metric-arithmetic expression per metric (exact bigint
+# inputs, single round) so Spark and DuckDB emit identical micro-units.
+_PRF_P = (
+    "CASE WHEN tp + fp = 0 THEN NULL "
+    "ELSE CAST(round(tp * 1000000.0 / (tp + fp)) AS BIGINT) END"
+)
+_PRF_R = (
+    "CASE WHEN tp + fn = 0 THEN NULL "
+    "ELSE CAST(round(tp * 1000000.0 / (tp + fn)) AS BIGINT) END"
+)
+_PRF_F1 = (
+    "CASE WHEN 2 * tp + fp + fn = 0 THEN NULL "
+    "ELSE CAST(round(2 * tp * 1000000.0 / (2 * tp + fp + fn)) AS BIGINT) END"
+)
+
+_EVAL_PRF_ORACLE = f"""
+WITH pred AS (
+    SELECT lang AS actual,
+           CASE
+               WHEN {_marker_sql('en')} >= {_marker_sql('de')}
+                AND {_marker_sql('en')} >= {_marker_sql('es')}
+                AND {_marker_sql('en')} >= {_marker_sql('fr')} THEN 'en'
+               WHEN {_marker_sql('de')} >= {_marker_sql('es')}
+                AND {_marker_sql('de')} >= {_marker_sql('fr')} THEN 'de'
+               WHEN {_marker_sql('es')} >= {_marker_sql('fr')} THEN 'es'
+               ELSE 'fr'
+           END AS predicted
+    FROM documents
+),
+classes AS (SELECT * FROM (VALUES ('en'), ('de'), ('es'), ('fr')) t(lang)),
+counts AS (
+    SELECT c.lang,
+           CAST(SUM(CASE WHEN p.actual = c.lang AND p.predicted = c.lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN p.actual <> c.lang AND p.predicted = c.lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN p.actual = c.lang AND p.predicted <> c.lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fn
+    FROM classes c CROSS JOIN pred p
+    GROUP BY c.lang
+)
+SELECT lang, tp, fp, fn,
+       {_PRF_P} AS precision_micro,
+       {_PRF_R} AS recall_micro,
+       {_PRF_F1} AS f1_micro
+FROM counts
+ORDER BY lang
+"""
+
+
+@query("eval_langid_prf", oracle=_EVAL_PRF_ORACLE)
+def eval_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION in-engine: per-class precision / recall /
+    F1 of the language-ID heuristic against the gold ``lang`` label —
+    the eval half every model-in-the-pipeline needs next to its
+    predictions (text_langid shares the exact scorer via
+    _langid_scores, so this measures the deployed predictor, not a
+    reimplementation). TP/FP/FN are exact bigints; each metric is one
+    shared arithmetic expression micro-rounded once, NULL when its
+    denominator is empty (no engine-specific 0/0 behavior).
+
+    Scale shape: predictions are a narrow per-row derivation; ONE
+    partial-aggregated shuffle reduces the corpus to the ≤(classes²)
+    confusion table, and every metric derives from that dust — the
+    oracle's classes×corpus cross join is the naive replay, not the
+    plan. At 100 TB this is the same single confusion-matrix reduction.
+    """
+    docs = table(spark, sf_dir, "documents")
+    _h, predicted = _langid_scores()
+    pred = docs.select(
+        F.col("lang").alias("actual"), predicted.alias("predicted")
+    )
+    conf = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    classes = spark.createDataFrame(
+        [(lang,) for lang in _MARKERS], "lang string"
+    )
+    tp = conf.filter(F.col("actual") == F.col("predicted")).select(
+        F.col("actual").alias("lang"), F.col("n").alias("tp")
+    )
+    fp = (
+        conf.filter(F.col("actual") != F.col("predicted"))
+        .groupBy(F.col("predicted").alias("lang"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    fn = (
+        conf.filter(F.col("actual") != F.col("predicted"))
+        .groupBy(F.col("actual").alias("lang"))
+        .agg(F.sum("n").alias("fn"))
+    )
+    counts = (
+        classes.join(tp, "lang", "left")
+        .join(fp, "lang", "left")
+        .join(fn, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("fp", F.lit(0)).cast("long").alias("fp"),
+            F.coalesce("fn", F.lit(0)).cast("long").alias("fn"),
+        )
+    )
+    return counts.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(_PRF_P).alias("precision_micro"),
+        F.expr(_PRF_R).alias("recall_micro"),
+        F.expr(_PRF_F1).alias("f1_micro"),
+    ).orderBy("lang")
