@@ -213,6 +213,7 @@ HEADLINE = [
     "sample_coreset_kcenter",
     "ab_mann_whitney",
     "eval_langid_prf",
+    "eval_retrieval_ndcg",
 ]
 
 

@@ -461,3 +461,125 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 search_rrf_fusion.__doc__ = search_rrf_fusion.__doc__.format(
     qv=_RRF_QUERY_VEC, k=_RRF_K, depth=_RRF_DEPTH
 )
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation: nDCG@k of the BM25 ranking vs graded relevance
+# --------------------------------------------------------------------------
+
+_NDCG_K = 10
+# Graded gold: relevance = number of DISTINCT query terms the document
+# contains (0..3) — the deterministic proxy every offline eval starts
+# from when no click log exists.
+# One shared per-position expression: (2^rel - 1) / log2(pos + 1),
+# micro-rounded at the position before the exact integer sum.
+_NDCG_CONTRIB = (
+    "CAST(round((pow(2.0, rel) - 1) * 1000000.0"
+    " / (ln(pos + 1.0) / ln(2.0))) AS BIGINT)"
+)
+
+_NDCG_ORACLE = f"""
+WITH {_BM25_SCORE_CTES},
+rel AS (
+    SELECT doc_id, CAST(COUNT(DISTINCT tok) AS BIGINT) AS rel
+    FROM postings GROUP BY doc_id
+),
+ranked AS (
+    SELECT doc_id, CAST(rn AS BIGINT) AS pos
+    FROM (SELECT doc_id, row_number() OVER (
+              ORDER BY bm25_micro DESC, doc_id) AS rn
+          FROM bm25)
+    WHERE rn <= {_NDCG_K}
+),
+dcg AS (
+    SELECT CAST(SUM({_NDCG_CONTRIB}) AS BIGINT) AS dcg_micro
+    FROM (SELECT r.pos, COALESCE(g.rel, 0) AS rel
+          FROM ranked r LEFT JOIN rel g USING (doc_id))
+),
+ideal AS (
+    SELECT CAST(rn AS BIGINT) AS pos, rel
+    FROM (SELECT rel, row_number() OVER (
+              ORDER BY rel DESC, doc_id) AS rn
+          FROM rel)
+    WHERE rn <= {_NDCG_K}
+),
+idcg AS (
+    SELECT CAST(SUM({_NDCG_CONTRIB}) AS BIGINT) AS idcg_micro FROM ideal
+)
+SELECT dcg_micro, idcg_micro,
+       CAST(round(dcg_micro * 1000000.0 / idcg_micro) AS BIGINT)
+           AS ndcg_micro
+FROM dcg, idcg
+"""
+
+
+@query("eval_retrieval_ndcg", oracle=_NDCG_ORACLE)
+def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval EVALUATION in-engine: nDCG@{k} of the deployed BM25
+    ranking (shared _bm25_scores stage) against graded relevance
+    (distinct query terms present, 0..{nt}) — the metric that closes
+    the search loop (index → rank → fuse → EVALUATE) exactly the way
+    eval_langid_prf closes the classifier loop. Emits exact DCG / IDCG
+    in micro-units and their ratio.
+
+    Cross-engine exactness: each position's (2^rel−1)/log2(pos+1)
+    contribution is one shared arithmetic expression micro-rounded at
+    the position (the perplexity discipline), so both DCG sums are
+    exact bigints; ideal-ranking ties break on doc_id.
+
+    Scale shape: relevance is the term-pruned postings table reduced
+    per doc (one partial-aggregated shuffle shared with BM25's own
+    df counts); both rankings are TakeOrderedAndProject top-{k}; every
+    DCG computation runs on ≤{k}-row dust. At 100 TB, judged/graded
+    pairs replace the term-count proxy and the plan is unchanged.
+    """
+    scores = _bm25_scores(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    rel = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok").isin(_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tok").cast("long").alias("rel"))
+    )
+    top = scores.orderBy(F.col("bm25_micro").desc(), "doc_id").limit(
+        _NDCG_K
+    )
+    ranked = top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_micro").desc(), "doc_id"))
+        .cast("long")
+        .alias("pos"),
+    )
+    dcg = (
+        ranked.join(rel, "doc_id", "left")
+        .select(
+            "pos", F.coalesce("rel", F.lit(0)).cast("long").alias("rel")
+        )
+        .agg(F.sum(F.expr(_NDCG_CONTRIB)).cast("long").alias("dcg_micro"))
+    )
+    ideal_top = rel.orderBy(F.col("rel").desc(), "doc_id").limit(_NDCG_K)
+    ideal = ideal_top.select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.col("rel").desc(), "doc_id"))
+        .cast("long")
+        .alias("pos"),
+    )
+    idcg = ideal.agg(
+        F.sum(F.expr(_NDCG_CONTRIB)).cast("long").alias("idcg_micro")
+    )
+    return dcg.crossJoin(idcg).select(
+        "dcg_micro",
+        "idcg_micro",
+        F.expr(
+            "CAST(round(dcg_micro * 1000000.0 / idcg_micro) AS BIGINT)"
+        ).alias("ndcg_micro"),
+    )
+
+
+eval_retrieval_ndcg.__doc__ = eval_retrieval_ndcg.__doc__.format(
+    k=_NDCG_K, nt=len(_BM25_TERMS)
+)
