@@ -109,6 +109,7 @@ _NESTED_LOOP_OK = {
     "layout_zorder_skipping",  # 1-row min/max bounds broadcast (bucketing)
     "search_rrf_fusion",  # 1-row query-vector broadcast (dense ranking arm)
     "similarity_pq_rerank_topk",  # PQ stage's 5-row query fan-out (shared)
+    "eval_retrieval_ndcg",  # BM25 corpus-stats + 1-row DCG x IDCG joins
 }
 
 
