@@ -214,6 +214,7 @@ HEADLINE = [
     "ab_mann_whitney",
     "eval_langid_prf",
     "eval_retrieval_ndcg",
+    "drift_ks_two_sample",
 ]
 
 

@@ -1449,3 +1449,146 @@ def ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ab_mann_whitney.__doc__ = ab_mann_whitney.__doc__.format(z=_MW_Z_EXPR)
+
+
+# --------------------------------------------------------------------------
+# Kolmogorov–Smirnov two-sample test — exact integer D, no global sort
+# --------------------------------------------------------------------------
+
+# D's argmax compares |cumA/na - cumB/nb| — cross-multiplied to the
+# exact bigint |cumA*nb - cumB*na| so the max needs no float compares.
+_KS_LAMBDA_EXPR = (
+    "CAST(round(d_num * 1.0 / (na * nb) "
+    "* sqrt(na * 1.0 * nb / (na + nb)) * 1000000) AS BIGINT)"
+)
+
+_KS_ORACLE = f"""
+WITH base AS (
+    SELECT o_orderpriority AS grp,
+           o_orderkey % 2 AS arm,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+g AS (
+    SELECT grp, cents,
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+    FROM base GROUP BY 1, 2
+),
+p AS (
+    SELECT grp, cents,
+           SUM(n_a) OVER (PARTITION BY grp ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+           SUM(n_b) OVER (PARTITION BY grp ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+    FROM g
+),
+tot AS (
+    SELECT grp, CAST(SUM(n_a) AS BIGINT) AS na, CAST(SUM(n_b) AS BIGINT) AS nb
+    FROM g GROUP BY grp
+),
+agg AS (
+    SELECT p.grp, t.na, t.nb,
+           CAST(MAX(ABS(p.cum_a * t.nb - p.cum_b * t.na)) AS BIGINT)
+               AS d_num
+    FROM p JOIN tot t ON t.grp = p.grp
+    GROUP BY p.grp, t.na, t.nb
+)
+SELECT grp, na, nb, d_num,
+       CAST(round(d_num * 1000000.0 / (na * nb)) AS BIGINT) AS d_micro,
+       {_KS_LAMBDA_EXPR} AS lambda_micro
+FROM agg
+ORDER BY grp
+"""
+
+
+@query("drift_ks_two_sample", oracle=_KS_ORACLE)
+def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov two-sample statistic per order priority —
+    the distribution-level drift test that pairs with the binned
+    drift_psi_monitor (PSI needs bucket choices; KS is the
+    supremum-CDF-gap test with none) and with ab_mann_whitney
+    (location shift vs ANY distributional difference). Emits the exact
+    integer numerator D·na·nb = max|cumA·nb − cumB·na| — the argmax
+    involves NO float comparisons — plus D and the asymptotic
+    λ = D·√(na·nb/(na+nb)) in micro-units from one shared expression.
+
+    Scale shape: identical to ab_mann_whitney's rank device — one
+    partial-aggregated shuffle to per-value arm counts, then BOTH
+    inclusive prefix sums via the segmented two-pass trick ($1000
+    value buckets: in-bucket windows + per-bucket running totals), so
+    no window spans more than one bucket of one group; the oracle uses
+    the naive full-partition window, proving the decomposition exact.
+    """
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_orderkey") % 2).alias("arm"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = base.groupBy("grp", "cents").agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+    )
+    bucketed = g.withColumn(
+        "bucket", (F.col("cents") / _MW_BUCKET_CENTS).cast("long")
+    )
+    w_local = (
+        Window.partitionBy("grp", "bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.select(
+        "grp",
+        "bucket",
+        "cents",
+        F.sum("n_a").over(w_local).alias("loc_a"),
+        F.sum("n_b").over(w_local).alias("loc_b"),
+    )
+    bucket_tots = bucketed.groupBy("grp", "bucket").agg(
+        F.sum("n_a").alias("ba"), F.sum("n_b").alias("bb")
+    )
+    w_buckets = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = bucket_tots.select(
+        "grp",
+        "bucket",
+        F.sum("ba").over(w_buckets).alias("pa"),
+        F.sum("bb").over(w_buckets).alias("pb"),
+    )
+    p = local.join(prior, ["grp", "bucket"]).select(
+        "grp",
+        (F.col("loc_a") + F.coalesce("pa", F.lit(0))).alias("cum_a"),
+        (F.col("loc_b") + F.coalesce("pb", F.lit(0))).alias("cum_b"),
+    )
+    tot = g.groupBy("grp").agg(
+        F.sum("n_a").cast("long").alias("na"),
+        F.sum("n_b").cast("long").alias("nb"),
+    )
+    agg = (
+        p.join(F.broadcast(tot), "grp")
+        .groupBy("grp", "na", "nb")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("nb")
+                    - F.col("cum_b") * F.col("na")
+                )
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    return agg.select(
+        "grp",
+        "na",
+        "nb",
+        "d_num",
+        F.expr(
+            "CAST(round(d_num * 1000000.0 / (na * nb)) AS BIGINT)"
+        ).alias("d_micro"),
+        F.expr(_KS_LAMBDA_EXPR).alias("lambda_micro"),
+    ).orderBy("grp")
