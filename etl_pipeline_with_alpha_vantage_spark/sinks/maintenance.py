@@ -376,21 +376,24 @@ def merge_into(
         survivors = tgt_touched.join(
             src.select(*join_cols).distinct(), on=join_cols, how="left_anti"
         )
-        merged = survivors.unionByName(upserts).persist()
-        try:
-            written = {
-                str(r[0])
-                for r in merged.select(partition_col).distinct().collect()
-            }
-            rows_after = merged.count()
-            (
-                merged.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(partition_col)
-                .parquet(target_path)
-            )
-        finally:
-            merged.unpersist()
+        # localCheckpoint (eager) TRUNCATES lineage before the overwrite:
+        # when the source derives from the target (self-merge — CDC apply,
+        # tombstone GC), a persist() is only best-effort, and an evicted
+        # block recomputed mid-write would re-read partially rewritten
+        # target files and corrupt the merge. Checkpointed blocks cannot
+        # recompute; loss fails loudly instead of corrupting.
+        merged = survivors.unionByName(upserts).localCheckpoint(eager=True)
+        written = {
+            str(r[0])
+            for r in merged.select(partition_col).distinct().collect()
+        }
+        rows_after = merged.count()
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(target_path)
+        )
         vanished = sorted(set(touched) - written)
         n_deleted_parts = _delete_partitions(
             spark, target_path, partition_col, vanished

@@ -443,7 +443,10 @@ def vacuum(
             except OSError:
                 pass
     for v in versions[:-keep_last]:
-        os.remove(_manifest_path(path, v))
+        try:
+            os.remove(_manifest_path(path, v))
+        except OSError:
+            pass  # concurrent vacuum already removed it
     # Temp manifests from crashed writers (fsync'd but never linked) —
     # age-gated for the same reason: a fresh .tmp belongs to a writer
     # between mkstemp and os.link, and os.link on a vanished source

@@ -574,16 +574,18 @@ def run_stream_snapshot_sink(
     table_path: str,
     checkpoint_dir: str,
     timeout_sec: int = 120,
-    app_id: str = "events-snapshot-ingest",
+    *,
+    app_id: str,
 ) -> None:
     """Stream events into the versioned snapshot log EXACTLY-ONCE: the
     file-source checkpoint deduplicates input, and the (app_id, batch_id)
     tag in each manifest deduplicates output commits across foreachBatch
     retries and checkpoint loss. Every micro-batch becomes one
     time-travelable version; readers get snapshot isolation for free.
-    ``app_id`` must be unique per logical query targeting this table but
-    stable across restarts of the same query (see
-    snapshot_commit_stream_batch).
+    ``app_id`` is REQUIRED (no default): it must be unique per logical
+    query targeting this table but stable across restarts of the same
+    query (see snapshot_commit_stream_batch) — a shared default would
+    let two distinct queries silently swallow each other's batch 0.
     """
     stream = read_events_stream(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"

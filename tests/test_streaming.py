@@ -876,7 +876,9 @@ def test_stream_snapshot_sink_exactly_once(spark, sf_dir, tmp_path):
 
     table_path = str(tmp_path / "snaptbl")
     ckpt1 = str(tmp_path / "ckpt1")
-    run_stream_snapshot_sink(spark, sf_dir, table_path, ckpt1)
+    run_stream_snapshot_sink(
+        spark, sf_dir, table_path, ckpt1, app_id="exactly-once-test"
+    )
     hist = snapshot_history(table_path)
     assert len(hist) >= 1
 
@@ -893,13 +895,17 @@ def test_stream_snapshot_sink_exactly_once(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
     # Same checkpoint: the file source has nothing pending.
-    run_stream_snapshot_sink(spark, sf_dir, table_path, ckpt1)
+    run_stream_snapshot_sink(
+        spark, sf_dir, table_path, ckpt1, app_id="exactly-once-test"
+    )
     assert snapshot_history(table_path) == hist
 
     # Fresh checkpoint: every batch replays, every commit is skipped by
     # its txn token.
     ckpt2 = str(tmp_path / "ckpt2")
-    run_stream_snapshot_sink(spark, sf_dir, table_path, ckpt2)
+    run_stream_snapshot_sink(
+        spark, sf_dir, table_path, ckpt2, app_id="exactly-once-test"
+    )
     assert snapshot_history(table_path) == hist
     assert {
         (r.event_id, r.user_id, r.event_type)

@@ -51,6 +51,7 @@ def main() -> int:
         print("nothing to isolate (no names given / no guard flags)")
         return 0
     n = int(os.environ.get("BENCH_ISOLATE_N", "5"))
+    guard_ratio = float(os.environ.get("BENCH_GUARD_RATIO", "2.0"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from etl_pipeline_with_alpha_vantage_spark import registry
@@ -75,10 +76,13 @@ def main() -> int:
         fl = floors.get(name)
         if fl:
             ratio = best / fl
-            verdict = "REGRESSION" if ratio > 2.0 else "ok"
+            # Same BENCH_GUARD_RATIO for selection (_flagged_names) and
+            # the verdict — a hardcoded 2.0 here would fail queries that
+            # a raised ratio deliberately tolerated.
+            verdict = "REGRESSION" if ratio > guard_ratio else "ok"
             print(f"{name}: isolated_min={best:.3f}s floor={fl:.3f}s "
                   f"ratio={ratio:.2f}x {verdict}")
-            bad += ratio > 2.0
+            bad += ratio > guard_ratio
         else:
             print(f"{name}: isolated_min={best:.3f}s (no floor)")
     return 1 if bad else 0
