@@ -591,7 +591,10 @@ def dedup_cc_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components_star(
-    nodes: DataFrame, pairs: DataFrame, max_iter: int = 25
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star edge
     contraction: (doc_id) × (doc_a, doc_b) → (doc_id, cluster_id) with
@@ -633,8 +636,12 @@ def connected_components_star(
         ).collect()[0]
         return int(row["n"]), int(row["sig"])
 
+    if stats is not None:
+        stats["rounds"] = 0  # rounds actually executed (convergence proof)
     sig = _signature(edges)
     for _ in range(max_iter):
+        if stats is not None:
+            stats["rounds"] += 1
         # ---- large-star: for each u, attach neighbors v > u to
         # m = min(neighborhood ∪ {u})
         both = edges.select(

@@ -64,6 +64,50 @@ _PR_INIT = 1_000_000  # initial rank units per node
 # (i.e. 0.15 teleport + 0.85 damping at 1e6 scale, truncating).
 
 
+def pagerank_sweeps(edges_deg: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
+    """The integer-PageRank iteration core over any (src, dst, outdeg)
+    edge frame: iters × [join(edges, ranks on src) → groupBy(dst)
+    partial-aggregated integer sum with the damped update folded in].
+    Returns (node_id, rank_units).
+
+    The node-list LEFT-join a textbook PR needs for isolated nodes is
+    provably dead weight here: callers pass edge frames where every node
+    has an incident edge (undirected doubling / regular synthetic
+    graphs), so the inflow aggregation's keyset already equals the node
+    set. The shuffle_hash hint on the ranks side means edges keep their
+    checkpoint partitioning, only the small per-iteration rank vector
+    moves, and the planner can never elect to BROADCAST the edge list —
+    at 100 TB edges are the fact-scale side, and even locally a
+    near-threshold edge broadcast is a driver-heap OOM waiting to
+    happen. Exercised at 5M-edge volume by tests/test_scale_smoke.py.
+    """
+    ranks = (
+        edges_deg.select(F.col("src").alias("node_id"))
+        .distinct()
+        .withColumn("rank_units", F.lit(_PR_INIT).cast("long"))
+    )
+    for _ in range(iters):
+        ranks = (
+            edges_deg.join(
+                ranks.withColumnRenamed("node_id", "src").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node_id"),
+                F.expr("rank_units DIV outdeg").alias("share"),
+            )
+            .groupBy("node_id")
+            .agg(
+                (F.lit(150000) + F.expr("(850 * sum(share)) DIV 1000"))
+                .cast("long")
+                .alias("rank_units")
+            )
+        )
+    return ranks
+
+
 def _pr_oracle() -> str:
     """Chained-CTE replay of the integer PageRank recurrence."""
     its = []
@@ -137,42 +181,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan→distinct→agg→join — at 100 TB the re-derivation would be
     # 3 extra passes over the fact table per query, ×4 queries.
     edges_deg = _cosupply_edges(spark, sf_dir)
-    # The oracle LEFT-joins a node list so rank mass reaches isolated
-    # nodes; here that join is provably dead weight: undirected doubling
-    # gives EVERY node an incident edge, so the inflow aggregation's
-    # keyset already equals the node set and the damped update folds
-    # into the aggregation itself. Dropping the per-iteration node join
-    # removes 3 sort-merge joins + their exchanges from the loop.
-    ranks = (
-        edges_deg.select(F.col("src").alias("node_id"))
-        .distinct()
-        .withColumn("rank_units", F.lit(_PR_INIT).cast("long"))
-    )
-    for _ in range(_PR_ITERS):
-        # shuffle_hash hint on the ranks side: edges keep their
-        # checkpoint partitioning (shuffled on src when built), only the
-        # small per-iteration rank vector moves, and the planner can
-        # never elect to BROADCAST the edge list — at 100 TB edges are
-        # the fact-scale side, and even locally a near-threshold edge
-        # broadcast is a driver-heap OOM waiting to happen.
-        ranks = (
-            edges_deg.join(
-                ranks.withColumnRenamed("node_id", "src").hint(
-                    "shuffle_hash"
-                ),
-                "src",
-            )
-            .select(
-                F.col("dst").alias("node_id"),
-                F.expr("rank_units DIV outdeg").alias("share"),
-            )
-            .groupBy("node_id")
-            .agg(
-                (F.lit(150000) + F.expr("(850 * sum(share)) DIV 1000"))
-                .cast("long")
-                .alias("rank_units")
-            )
-        )
+    ranks = pagerank_sweeps(edges_deg, _PR_ITERS)
     return ranks.select(
         "node_id",
         F.when(F.col("node_id") % 2 == 0, "supplier")

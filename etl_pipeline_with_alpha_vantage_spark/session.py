@@ -14,6 +14,15 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS: dict[str, str] = {
+    # In local mode the driver JVM IS every executor: 32 task threads,
+    # all shuffle/aggregate execution memory, every broadcast build, and
+    # all localCheckpoint storage share this one heap. Spark's 1g default
+    # starves HashAggregate/ShuffledHashJoin at the 5M-row volume tier
+    # (UNABLE_TO_ACQUIRE_MEMORY) and makes near-threshold broadcasts
+    # flaky. Applied at JVM launch; ignored (harmlessly) by getOrCreate
+    # when a JVM already runs, and irrelevant on a real cluster where
+    # spark-submit sizes executors explicitly.
+    "spark.driver.memory": "8g",
     # Adaptive execution: runtime re-planning, skew-join splitting, and
     # post-shuffle partition coalescing are the main levers that keep a
     # static plan viable at 100-1000x the tested data volume.

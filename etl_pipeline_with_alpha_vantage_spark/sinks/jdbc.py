@@ -44,6 +44,24 @@ _MYSQL_TYPES = {
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
+# Server-populated target-only columns per dialect (surrogate id + audit
+# timestamp, reference etl.py:117,126). Derby spells auto-increment as
+# GENERATED ... AS IDENTITY and has no INSERT IGNORE — its dedup-insert
+# twin is SELECT DISTINCT ... WHERE NOT EXISTS (same first-writer-wins
+# outcome for whole-row duplicates and re-runs; a single batch carrying
+# the SAME key with DIFFERENT values is order-dependent in MySQL and an
+# error in Derby — resolve those upstream, e.g. dropDuplicates(keys)).
+_EXTRA_COLUMNS = {
+    "mysql": (
+        "id INT PRIMARY KEY AUTO_INCREMENT",
+        "extraction_timestamp TIMESTAMP DEFAULT CURRENT_TIMESTAMP",
+    ),
+    "derby": (
+        "id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY",
+        "extraction_timestamp TIMESTAMP DEFAULT CURRENT_TIMESTAMP",
+    ),
+}
+
 
 def _ident(name: str) -> str:
     """Validate an SQL identifier (defense against injection via column
@@ -83,13 +101,11 @@ def plan_jdbc_upsert(
     table: str,
     keys: Sequence[str],
     batchsize: int = 1000,
-    extra_columns: Sequence[str] = (
-        "id INT PRIMARY KEY AUTO_INCREMENT",
-        "extraction_timestamp TIMESTAMP DEFAULT CURRENT_TIMESTAMP",
-    ),
+    extra_columns: Sequence[str] | None = None,
     isolation_level: str = "READ_COMMITTED",
     properties: dict[str, str] | None = None,
     staging_suffix: str | None = None,
+    dialect: str = "mysql",
 ) -> JdbcUpsertPlan:
     """Assemble the INSERT IGNORE upsert plan for ``df`` → ``table``.
 
@@ -104,7 +120,18 @@ def plan_jdbc_upsert(
     — a fixed staging name would let one job's DROP/CREATE destroy the
     other's in-flight rows. Pass an explicit suffix only to pin names in
     tests or to resume a crashed load.
+
+    ``dialect``: "mysql" (default, the reference's target) or "derby"
+    (embedded — the offline integration tests run the REAL execute path
+    against it). Derby differences: IDENTITY spelling, NOT NULL key
+    columns (Derby UNIQUE requires it), the NOT-EXISTS dedup insert,
+    and no IF NOT EXISTS — a Derby ``run_sql`` should treat SQLState
+    X0Y32 (table exists) on the CREATE as success.
     """
+    if dialect not in _EXTRA_COLUMNS:
+        raise ValueError(f"unknown JDBC dialect {dialect!r}")
+    if extra_columns is None:
+        extra_columns = _EXTRA_COLUMNS[dialect]
     if staging_suffix is None:
         import uuid
 
@@ -119,9 +146,17 @@ def plan_jdbc_upsert(
         for name, f in zip(cols, df.schema.fields)
     ]
     key_list = ", ".join(_ident(k) for k in keys)
+    if dialect == "derby":
+        col_defs = [
+            d + " NOT NULL" if d.split(" ")[0] in keys else d
+            for d in col_defs
+        ]
     target_defs = [*extra_columns, *col_defs, f"UNIQUE ({key_list})"]
+    create_prefix = (
+        "CREATE TABLE" if dialect == "derby" else "CREATE TABLE IF NOT EXISTS"
+    )
     create_target = (
-        f"CREATE TABLE IF NOT EXISTS {table} (\n  "
+        f"{create_prefix} {table} (\n  "
         + ",\n  ".join(target_defs)
         + "\n)"
     )
@@ -132,10 +167,19 @@ def plan_jdbc_upsert(
         f"CREATE TABLE {staging} (\n  " + ",\n  ".join(col_defs) + "\n)"
     )
     col_list = ", ".join(cols)
-    insert_ignore = (
-        f"INSERT IGNORE INTO {table} ({col_list})\n"
-        f"SELECT {col_list} FROM {staging}"
-    )
+    if dialect == "derby":
+        qual = ", ".join(f"s.{c}" for c in cols)
+        match = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        insert_ignore = (
+            f"INSERT INTO {table} ({col_list})\n"
+            f"SELECT DISTINCT {qual} FROM {staging} s\n"
+            f"WHERE NOT EXISTS (SELECT 1 FROM {table} t WHERE {match})"
+        )
+    else:
+        insert_ignore = (
+            f"INSERT IGNORE INTO {table} ({col_list})\n"
+            f"SELECT {col_list} FROM {staging}"
+        )
     opts = {
         "url": url,
         "dbtable": staging,
@@ -152,7 +196,14 @@ def plan_jdbc_upsert(
         create_target_sql=create_target,
         create_staging_sql=create_staging,
         insert_ignore_sql=insert_ignore,
-        drop_staging_sql=f"DROP TABLE IF EXISTS {staging}",
+        # Derby has no IF EXISTS: its run_sql treats SQLState 42Y55
+        # (no such table) on the DROP as success, mirroring X0Y32 on
+        # the CREATE.
+        drop_staging_sql=(
+            f"DROP TABLE {staging}"
+            if dialect == "derby"
+            else f"DROP TABLE IF EXISTS {staging}"
+        ),
         write_options=opts,
     )
 

@@ -68,20 +68,27 @@ EVENTS_SCHEMA = _events_stream_schema()
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, glob: str = "events*.parquet"
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events*.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over the events table (one file per micro-batch
     by default; at production scale this is a directory new files land in).
     ts is normalized to TIMESTAMP on both version paths, so every
-    downstream watermark/window agrees with the batch twin."""
+    downstream watermark/window agrees with the batch twin.
+    ``max_files_per_trigger`` caps files per micro-batch — the
+    fault-injection tests use 1 to force a multi-batch run over a
+    split input so a crash can land BETWEEN batches."""
     from ..catalog import ensure_query_confs
 
     ensure_query_confs(spark)  # nanosAsLong for the ≤4.0 long-ns path
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", glob)
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "pathGlobFilter", glob
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(sf_dir)
     if isinstance(EVENTS_SCHEMA["ts"].dataType, LongType):
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))

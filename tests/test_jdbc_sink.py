@@ -182,3 +182,150 @@ def test_default_staging_names_are_per_invocation_unique(stock_df):
     b = plan_jdbc_upsert(stock_df, URL, "stock_daily_data", keys=("symbol", "date"))
     assert a.staging_table != b.staging_table
     assert a.staging_table.startswith("stock_daily_data__stage_")
+
+
+# ---------------------------------------------------------------------------
+# Round-8: the EXECUTE path, end-to-end against embedded Derby (the one
+# JDBC engine shipped in pyspark's jars). Real staging create, real bulk
+# append through Spark's JDBC writer, real dedup-insert under a real
+# UNIQUE constraint, idempotent re-run — the full etl.py:138-156 loop
+# with only the SQL dialect swapped.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def derby(spark, tmp_path):
+    """An embedded-Derby database plus a run_sql bridge over py4j's
+    java.sql.DriverManager (same JVM as the Spark executors). CREATE on
+    an existing table (SQLState X0Y32) is treated as create-if-not-
+    exists, per the derby-dialect contract in plan_jdbc_upsert."""
+    url = f"jdbc:derby:{tmp_path}/upsertdb;create=true"
+    jvm = spark._jvm
+    executed: list[str] = []
+
+    def run_sql(sql: str):
+        executed.append(sql)
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            st = conn.createStatement()
+            try:
+                st.execute(sql)
+            finally:
+                st.close()
+        except Exception as e:
+            # X0Y32: table exists (CREATE), 42Y55: no such table (DROP)
+            # — the if-not-exists / if-exists semantics Derby lacks.
+            if "X0Y32" not in str(e) and "42Y55" not in str(e):
+                raise
+        finally:
+            conn.close()
+
+    def fetch(sql: str) -> list[tuple]:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            rs = conn.createStatement().executeQuery(sql)
+            ncol = rs.getMetaData().getColumnCount()
+            out = []
+            while rs.next():
+                out.append(
+                    tuple(rs.getString(i + 1) for i in range(ncol))
+                )
+            return out
+        finally:
+            conn.close()
+
+    yield url, run_sql, fetch, executed
+
+
+def _trades_df(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows,
+        "symbol string, trade_date string, close_price double, volume int",
+    ).select(
+        "symbol",
+        F.to_date("trade_date").alias("trade_date"),
+        "close_price",
+        "volume",
+    )
+
+
+def test_derby_upsert_end_to_end_idempotent(spark, derby):
+    url, run_sql, fetch, executed = derby
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = _trades_df(
+        spark,
+        [
+            ("AAPL", "2025-10-03", 254.66, 49155614),
+            ("AAPL", "2025-10-06", 256.69, 48766052),
+            ("GOOG", "2025-10-03", 245.35, 27000000),
+        ],
+    )
+
+    plan = write_jdbc_upsert(
+        df,
+        url,
+        "stock_daily",
+        keys=("symbol", "trade_date"),
+        run_sql=run_sql,
+        properties=props,
+        dialect="derby",
+        staging_suffix="t1",
+    )
+    # statement sequence: create target, hygiene drop, create staging,
+    # dedup insert, final drop — a quoting/type break anywhere fails loud
+    assert [s.split()[0] for s in executed] == [
+        "CREATE", "DROP", "CREATE", "INSERT", "DROP",
+    ]
+    assert fetch("SELECT COUNT(*) FROM stock_daily")[0][0] == "3"
+
+    # UNIQUE (symbol, trade_date) is REAL: a direct duplicate insert fails
+    with pytest.raises(Exception, match="23505"):
+        conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            conn.createStatement().execute(
+                "INSERT INTO stock_daily (symbol, trade_date, close_price,"
+                " volume) VALUES ('AAPL', '2025-10-03', 1.0, 1)"
+            )
+        finally:
+            conn.close()
+
+    # Idempotent re-run of the SAME batch: nothing new lands.
+    write_jdbc_upsert(
+        df, url, "stock_daily", keys=("symbol", "trade_date"),
+        run_sql=run_sql, properties=props, dialect="derby",
+        staging_suffix="t2",
+    )
+    assert fetch("SELECT COUNT(*) FROM stock_daily")[0][0] == "3"
+
+    # Overlapping batch (2 dupes + 1 new + an in-batch exact duplicate
+    # pair): only the new row lands, the in-batch dup collapses.
+    df2 = _trades_df(
+        spark,
+        [
+            ("AAPL", "2025-10-03", 254.66, 49155614),   # dup of run 1
+            ("GOOG", "2025-10-03", 245.35, 27000000),   # dup of run 1
+            ("MSFT", "2025-10-03", 517.35, 20186400),   # new
+            ("MSFT", "2025-10-03", 517.35, 20186400),   # exact in-batch dup
+        ],
+    )
+    write_jdbc_upsert(
+        df2, url, "stock_daily", keys=("symbol", "trade_date"),
+        run_sql=run_sql, properties=props, dialect="derby",
+        staging_suffix="t3",
+    )
+    assert fetch("SELECT COUNT(*) FROM stock_daily")[0][0] == "4"
+    # first-writer-wins: AAPL 2025-10-03 keeps run-1's close_price
+    assert fetch(
+        "SELECT close_price FROM stock_daily WHERE symbol='AAPL'"
+        " AND trade_date='2025-10-03'"
+    )[0][0].startswith("254.66")
+    # server-populated columns exist and filled: surrogate id + audit ts
+    ids = fetch("SELECT id, extraction_timestamp FROM stock_daily")
+    assert len(ids) == 4 and all(i and ts for i, ts in ids)
+    # staging dropped
+    assert fetch(
+        "SELECT COUNT(*) FROM SYS.SYSTABLES WHERE TABLENAME LIKE"
+        " 'STOCK_DAILY__%'"
+    )[0][0] == "0"

@@ -4,6 +4,8 @@ the streamed result must equal its batch twin on the same data.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -1130,3 +1132,82 @@ def test_cdc_vacuum_tombstones_retention_contract(spark, sf_dir, tmp_path):
             .count()
             == 1
         ), "post-GC resurrection is the documented retention tradeoff"
+
+
+def test_stream_cdc_merge_survives_mid_stream_crash(spark, sf_dir, tmp_path):
+    """Kill-and-restart fault injection for the CDC merge loop: the
+    events feed is split into 3 files streamed one-per-batch; the first
+    run CRASHES in foreachBatch after batch 1's MERGE completes but
+    BEFORE the checkpoint commits it — exactly the window where a
+    non-idempotent sink double-applies. The restart from the same
+    checkpoint must replay batch 1 (we assert the replay genuinely
+    happened), re-merge it idempotently, finish batch 2, and land on
+    the identical state a batch recompute gives. Contract (documented
+    at run_stream_cdc_merge): per-batch MERGE exactly-once comes from
+    arbitration idempotence — re-merging identical winners rewrites
+    identical logical content — so foreachBatch's at-least-once replay
+    converges; the snapshot sink's txn-token discipline is the
+    complementary device for sinks whose commits are NOT idempotent."""
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_with_alpha_vantage_spark.streaming.runner import (
+        cdc_apply_batch,
+        read_cdc_state,
+        read_events_stream,
+    )
+
+    # Split the events table into 3 single-file chunks (pyarrow keeps
+    # the TIMESTAMP(NANOS) physical type the real table has).
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    third = (t.num_rows + 2) // 3
+    for i in range(3):
+        pq.write_table(
+            t.slice(i * third, third), f"{src}/events_{i}.parquet"
+        )
+
+    target = str(tmp_path / "cdc_state")
+    ckpt = str(tmp_path / "ckpt")
+    applied: list[int] = []
+
+    def run(crash_on: int | None) -> None:
+        stream = read_events_stream(
+            spark, src, max_files_per_trigger=1
+        ).select("user_id", "ts", "event_id", "value", "event_type")
+
+        def load(batch_df, batch_id: int) -> None:
+            cdc_apply_batch(spark, target, batch_df)
+            applied.append(batch_id)
+            if batch_id == crash_on:
+                raise RuntimeError("injected crash after merge, pre-commit")
+
+        q = (
+            stream.writeStream.foreachBatch(load)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass  # the injected crash surfaces here
+        finally:
+            if q.isActive:
+                q.stop()
+
+    run(crash_on=1)
+    assert applied == [0, 1]  # crashed after batch 1's merge ran
+    run(crash_on=None)
+    # Batch 1 was REPLAYED (its checkpoint commit never landed), then
+    # batch 2 completed: the dangerous double-apply window was exercised.
+    assert applied == [0, 1, 1, 2]
+
+    want = _expected_cdc_state(spark, sf_dir)
+    got = {
+        (r.user_id, r.event_id)
+        for r in read_cdc_state(spark, target)
+        .select("user_id", "event_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
