@@ -92,6 +92,114 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 sample_domain_cap.__doc__ = sample_domain_cap.__doc__.format(k=_DOMAIN_CAP)
 
 # --------------------------------------------------------------------------
+# Weighted sampling without replacement (priority sampling, per language)
+# --------------------------------------------------------------------------
+
+_AES_K = 25
+_AES_SCALE = 2**33  # priority = (w · 2³³) DIV (2h+1): exact integer race
+
+_AES_ORACLE = f"""
+WITH h AS (
+    SELECT doc_id, lang, n_chars,
+           ('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT AS h
+    FROM documents
+),
+pri AS (
+    SELECT doc_id, lang, n_chars,
+           (n_chars * {_AES_SCALE}) // (2 * h + 1) AS priority
+    FROM h
+),
+rk AS (
+    SELECT *, row_number() OVER (PARTITION BY lang
+                                 ORDER BY priority DESC, doc_id) AS rk
+    FROM pri
+),
+tau AS (
+    SELECT lang,
+           COALESCE(MAX(CASE WHEN rk = {_AES_K + 1} THEN priority END), 0)
+               AS tau
+    FROM rk GROUP BY lang
+)
+SELECT r.lang, CAST(r.rk AS INT) AS rk, r.doc_id,
+       CAST(r.n_chars AS BIGINT) AS n_chars,
+       CAST(r.priority AS BIGINT) AS priority,
+       CAST(t.tau AS BIGINT) AS tau,
+       CAST(GREATEST(r.n_chars, t.tau) AS BIGINT) AS contrib
+FROM rk r JOIN tau t USING (lang)
+WHERE r.rk <= {_AES_K}
+"""
+
+
+@query("sample_weighted_priority", oracle=_AES_ORACLE)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, {k} docs per language, by
+    priority sampling (Duffield-Lund-Thorup, JACM'07) — the curation
+    move when you want long documents favored but every doc to keep a
+    chance, unlike the deterministic top-k of sample_domain_cap.
+    Priority = weight/u with u a per-doc uniform; taking the top-k by
+    priority IS a weighted sample, and the (k+1)-th priority τ makes
+    max(w, τ) an unbiased per-item estimator of any subset's total
+    weight (emitted as contrib: Σ over the sample estimates the
+    language's total characters without a second pass — within ~20% at
+    k=25 on the fixture corpora, exact when a language fits in k;
+    tests/test_curation.py).
+
+    Exactness: u comes from the portable 32-bit md5 prefix and the race
+    runs ENTIRELY in integers — priority = (w · 2³³) DIV (2h+1) ≡
+    ⌊w/u⌋ with u = (2h+1)/2³³ — so Spark and DuckDB rank identically
+    with no transcendental (the classic A-ES key u^(1/w) needs ln(),
+    whose last-ulp differences across engines could flip selections).
+
+    Scale shape: one md5 per row JVM-side, ONE hash shuffle on lang;
+    the rank window and the full-partition τ window share that
+    partitioning (no second exchange). At 100 TB the per-language
+    top-(k+1) is window-rank state, never a global sort.
+    """
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("aes:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    pri = docs.select("doc_id", "lang", "n_chars", h.alias("h")).withColumn(
+        "priority", F.expr(f"(n_chars * {_AES_SCALE}) DIV (2 * h + 1)")
+    )
+    rkw = Window.partitionBy("lang").orderBy(
+        F.col("priority").desc(), F.col("doc_id")
+    )
+    lang_all = Window.partitionBy("lang")
+    ranked = pri.withColumn("rk", F.row_number().over(rkw)).withColumn(
+        "tau",
+        F.coalesce(
+            F.max(
+                F.when(F.col("rk") == _AES_K + 1, F.col("priority"))
+            ).over(lang_all),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return ranked.filter(F.col("rk") <= _AES_K).select(
+        "lang",
+        F.col("rk").cast("int").alias("rk"),
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("priority").cast("long").alias("priority"),
+        F.col("tau").cast("long").alias("tau"),
+        F.greatest(F.col("n_chars"), F.col("tau"))
+        .cast("long")
+        .alias("contrib"),
+    )
+
+
+sample_weighted_priority.__doc__ = sample_weighted_priority.__doc__.format(
+    k=_AES_K
+)
+
+# --------------------------------------------------------------------------
 # Reproducible global training order (seeded shuffle)
 # --------------------------------------------------------------------------
 

@@ -277,3 +277,52 @@ def test_kmv_estimates_bounded_and_set_algebra_sane(spark, sf_dir):
         assert abs(r.est_inter - r.exact_inter) <= max(
             0.5 * r.exact_inter, 10
         ), r
+
+
+def test_weighted_priority_sampling_invariants(spark, sf_dir):
+    """Priority-sampling invariants hash-parity can't pin: per-language
+    sample size = min(k, |lang|); τ = 0 exactly when the language fits
+    inside k (then the 'sample' is the population and the estimate is
+    exact); the inclusion guarantee w > τ ⟹ selected (priority = w/u ≥
+    w, so any doc outweighing the threshold races in deterministically);
+    and the DLT estimator Σ max(w, τ) lands near the language's true
+    total character count."""
+    from pyspark.sql import functions as F
+
+    K = 25
+    out = registry.QUERIES["sample_weighted_priority"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pop = {
+        r.lang: (r.n, r.tot)
+        for r in docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("tot"))
+        .collect()
+    }
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == set(pop)
+    for lang, sel in by_lang.items():
+        n, tot = pop[lang]
+        assert len(sel) == min(K, n)
+        taus = {r.tau for r in sel}
+        assert len(taus) == 1
+        tau = taus.pop()
+        if n <= K:
+            assert tau == 0
+            assert sum(r.contrib for r in sel) == tot  # exact: whole pop
+        else:
+            assert tau > 0
+            est = sum(r.contrib for r in sel)
+            assert abs(est - tot) <= 0.3 * tot, (lang, est, tot)
+            # inclusion guarantee: every doc heavier than τ is sampled
+            selected_ids = {r.doc_id for r in sel}
+            heavy = [
+                r.doc_id
+                for r in docs.filter(
+                    (F.col("lang") == lang) & (F.col("n_chars") > tau)
+                ).collect()
+            ]
+            assert set(heavy) <= selected_ids
