@@ -376,9 +376,10 @@ WITH e AS (
 n AS (SELECT vec_id, emb, sqrt(list_sum([x*x for x in emb])) AS norm FROM e),
 u AS (SELECT vec_id, list_transform(emb, x -> x / norm) AS unit FROM n),
 dims AS (SELECT d FROM generate_series(0, 63) t(d)),
+seedids AS (SELECT vec_id FROM u ORDER BY vec_id LIMIT {N_CENTROIDS}),
 seed AS (
-    SELECT vec_id AS c, d, unit[d + 1] AS w
-    FROM u CROSS JOIN dims WHERE vec_id < {N_CENTROIDS}
+    SELECT u.vec_id AS c, d, u.unit[d + 1] AS w
+    FROM u JOIN seedids USING (vec_id) CROSS JOIN dims
 ),
 samp AS (SELECT * FROM u WHERE vec_id % 7 = 0),
 sdots AS (
@@ -471,15 +472,27 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cache_key in _IVF_CODEBOOK_CACHE:
         head, cents = _IVF_CODEBOOK_CACHE[cache_key]
     else:
-        # Seeds and query vectors come from ONE collect riding a
-        # parquet-pushdown filter on vec_id — it never touches the corpus.
+        # Seeds and query vectors come from ONE bounded collect: the
+        # max(K, queries) SMALLEST vec_ids via TakeOrderedAndProject —
+        # a per-partition top-k, never a corpus materialization. Seeds
+        # are then the K smallest vec_ids, not ids 0..K-1: identical on
+        # the contiguous fixture corpora, but robust to id gaps (the
+        # off-grid halved twin keeps only even ids; assuming contiguity
+        # was a KeyError there). The oracle's seedids CTE
+        # (ORDER BY vec_id LIMIT K) states the same rule.
         head = {
             int(r["vec_id"]): np.array(r["unit"], dtype=np.float64)
             for r in units(
-                raw.filter(F.col("vec_id") < max(N_CENTROIDS, N_QUERIES))
+                raw.orderBy("vec_id").limit(max(N_CENTROIDS, N_QUERIES))
             ).collect()
         }
-        seeds = np.stack([head[i] for i in range(N_CENTROIDS)])
+        seed_ids = sorted(head)[:N_CENTROIDS]
+        if len(seed_ids) < N_CENTROIDS:
+            raise ValueError(
+                f"IVF needs {N_CENTROIDS} seed vectors; corpus has "
+                f"{len(head)}"
+            )
+        seeds = np.stack([head[i] for i in seed_ids])
         sample = units(raw.filter(F.col("vec_id") % 7 == 0))
         dim_means = (
             sample.withColumn("cell", _assign_udf(seeds)("unit"))
@@ -502,7 +515,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quicksort gives no such guarantee).
     probes = [
         (q, int(c))
-        for q in range(N_QUERIES)
+        for q in sorted(i for i in head if i < N_QUERIES)
         for c in np.argsort(-(head[q] @ cents.T), kind="stable")[:NPROBE]
     ]
     probe_df = spark.createDataFrame(probes, "query_id long, cell long")
@@ -1385,11 +1398,12 @@ n AS (SELECT vec_id, emb, sqrt(list_sum([x*x for x in emb])) AS norm FROM e),
 u AS (SELECT vec_id, list_transform(emb, x -> x / norm) AS unit FROM n),
 subs AS (SELECT m FROM generate_series(0, {_PQ_M - 1}) t(m)),
 dims AS (SELECT d FROM generate_series(0, {_PQ_SUBDIM - 1}) t(d)),
+seedids AS (SELECT vec_id FROM u ORDER BY vec_id LIMIT {_PQ_K}),
 cb AS (
     SELECT s.m, seeds.vec_id AS c, d.d,
            seeds.unit[s.m * {_PQ_SUBDIM} + d.d + 1] AS w
-    FROM u seeds CROSS JOIN subs s CROSS JOIN dims d
-    WHERE seeds.vec_id < {_PQ_K}
+    FROM u seeds JOIN seedids USING (vec_id)
+    CROSS JOIN subs s CROSS JOIN dims d
 ),
 dist AS (
     SELECT uu.vec_id, cb.m, cb.c,
@@ -1477,13 +1491,26 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     def units(df):
         return df.select("vec_id", _unit_udf()("embedding").alias("unit"))
 
+    # Bounded collect of the max(K, queries) SMALLEST vec_ids
+    # (TakeOrderedAndProject); seeds are the K smallest — == ids 0..K-1
+    # on contiguous corpora, robust to gaps (the IVF tier's rule;
+    # oracle twin: seedids CTE).
     head = {
         int(r["vec_id"]): np.array(r["unit"], dtype=np.float64)
         for r in units(
-            raw.filter(F.col("vec_id") < max(_PQ_K, N_QUERIES))
+            raw.orderBy("vec_id").limit(max(_PQ_K, N_QUERIES))
         ).collect()
     }
-    seeds = np.stack([head[i] for i in range(_PQ_K)])
+    seed_ids = sorted(head)[:_PQ_K]
+    if len(seed_ids) < _PQ_K:
+        raise ValueError(
+            f"PQ needs {_PQ_K} seed vectors; corpus has {len(head)}"
+        )
+    seeds = np.stack([head[i] for i in seed_ids])
+    # Query ids: whatever exists below N_QUERIES (value-based, matching
+    # the oracle's WHERE vec_id < N_QUERIES); the LUT literal is indexed
+    # by POSITION in this sorted list, carried as qidx.
+    qids = sorted(i for i in head if i < N_QUERIES)
     # cb[m]: _PQ_K × _PQ_SUBDIM sub-codebook for subspace m
     cb = [
         seeds[:, m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
@@ -1524,11 +1551,11 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for m in range(_PQ_M)
                 ]
             )
-            for q in range(N_QUERIES)
+            for q in qids
         ]
     )
     queries = spark.createDataFrame(
-        [(q,) for q in range(N_QUERIES)], "query_id long"
+        [(q, i) for i, q in enumerate(qids)], "query_id long, qidx int"
     )
     scored = (
         codes.crossJoin(F.broadcast(queries))
@@ -1544,7 +1571,7 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.element_at(
                                 F.element_at(
                                     lut_lit,
-                                    (F.col("query_id") + 1).cast("int"),
+                                    F.col("qidx") + 1,
                                 ),
                                 m + 1,
                             ),
