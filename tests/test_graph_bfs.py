@@ -37,3 +37,33 @@ def test_iterative_bfs_restores_recursion_limit(spark, sf_dir):
     before = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     sql_bfs_distances(spark, sf_dir)
     assert spark.conf.get("spark.sql.cteRecursionRowLimit", None) == before
+
+
+def test_cosupply_edge_fixture_is_memoized_per_session(spark, sf_dir):
+    """Regression for the round-8 bench OOM: repeated invocations of the
+    graph family must share ONE checkpointed edge artifact per
+    (session, sf_dir) — per-call checkpoints accumulated in the driver's
+    storage memory until near-threshold broadcasts failed. Identity (not
+    equality) is the contract: the second call returns the cached frame."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.graph import (
+        _cosupply_edges,
+    )
+
+    a = _cosupply_edges(spark, sf_dir)
+    b = _cosupply_edges(spark, sf_dir)
+    assert a is b
+    assert set(a.columns) == {"src", "dst", "outdeg"}
+    # The fixture is usable as-is by every family member: undirected
+    # (every edge present both ways) and degree-consistent.
+    from pyspark.sql import functions as F
+
+    fwd = a.select("src", "dst")
+    rev = a.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    assert fwd.exceptAll(rev).count() == 0  # symmetric multiset
+    bad = (
+        a.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"), F.max("outdeg").alias("carried"))
+        .filter(F.col("deg") != F.col("carried"))
+        .count()
+    )
+    assert bad == 0  # carried outdeg equals the actual degree
