@@ -345,3 +345,44 @@ def test_pagerank_sweep_exact_on_regular_graph_at_volume(spark):
     assert agg.n == V
     assert agg.vals == 1 and agg.rank == r
     assert elapsed < 120, f"3 sweeps over {V*D} edges took {elapsed:.0f}s"
+
+
+def test_asof_union_window_exact_at_volume(spark):
+    """The as-of join's union-window device (asof_join's shape: tag
+    sides, one shuffle on key, last(ignorenulls) carry-forward) proven
+    exact at 5.5M rows via a closed form: quotes sit on every 100-tick
+    grid point per key, so the latest quote at-or-before ANY trade ts
+    is exactly (ts DIV 100)*100 — each of 500k trades must match it,
+    and no trade may go unmatched or be duplicated."""
+    KEYS, TICKS, TRADES = 10_000, 500, 500_000  # 5M quotes + 500k trades
+    quotes = spark.range(KEYS * TICKS).select(
+        F.pmod("id", F.lit(KEYS)).alias("k"),
+        (F.expr(f"id DIV {KEYS}") * 100).alias("ts"),
+        F.lit(0).alias("kind"),
+        (F.expr(f"id DIV {KEYS}") * 100).alias("quote_ts"),
+    )
+    trades = spark.range(TRADES).select(
+        F.pmod(F.xxhash64("id"), F.lit(KEYS)).alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(TICKS * 100)).alias("ts"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("quote_ts"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        quotes.unionByName(trades)
+        .withColumn("m", F.last("quote_ts", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+    )
+    agg = matched.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("m") != F.expr("(ts DIV 100) * 100")).cast("long")
+        ).alias("wrong"),
+        F.sum(F.col("m").isNull().cast("long")).alias("unmatched"),
+    ).collect()[0]
+    assert agg.n == TRADES
+    assert agg.wrong == 0 and agg.unmatched == 0
