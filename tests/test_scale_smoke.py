@@ -386,3 +386,70 @@ def test_asof_union_window_exact_at_volume(spark):
     ).collect()[0]
     assert agg.n == TRADES
     assert agg.wrong == 0 and agg.unmatched == 0
+
+
+def test_streaming_dedup_rollup_equals_batch_at_volume(spark, tmp_path):
+    """X18/X19 state at volume: 1M events (every event_id duplicated —
+    500k distinct keys of dedup state) streamed as 4 file-batches
+    through watermark → dropDuplicates → hourly rollup must equal the
+    batch recompute over the same files, exactly. This is the
+    drained-equality proof at 200× the fixture's event count."""
+    import pyspark.sql.types as T
+
+    from etl_pipeline_with_alpha_vantage_spark.streaming.runner import (
+        dedup_hourly_counts,
+        run_available_now,
+    )
+
+    N = 1_000_000
+    src = str(tmp_path / "feed")
+    # Four event-time-ordered file batches (a real feed's contract: the
+    # watermark only ever advances). Each quarter holds BOTH copies of
+    # its event_ids, so the dedup state sees every duplicate in-window.
+    quarter = N // 8  # distinct ids per quarter (each written twice)
+    for q in range(4):
+        spark.range(quarter * 2).select(
+            (F.lit(q * quarter) + F.pmod("id", F.lit(quarter))).alias(
+                "event_id"
+            ),
+            F.timestamp_micros(
+                F.lit(BASE_US)
+                + (F.lit(q * quarter) + F.pmod("id", F.lit(quarter)))
+                * F.lit(3_000_000)
+            ).alias("ts"),
+            F.element_at(
+                F.array(F.lit("click"), F.lit("view"), F.lit("purchase")),
+                (F.pmod("id", F.lit(3)) + 1).cast("int"),
+            ).alias("event_type"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    run_available_now(
+        dedup_hourly_counts(stream), "vol_hourly", str(tmp_path / "ck")
+    )
+    got = {
+        (r.event_type, r.window_start, r.n_events)
+        for r in spark.table("vol_hourly").collect()
+    }
+    want = {
+        (r.event_type, r.window_start, r.n_events)
+        for r in spark.read.parquet(src)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type", F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type", F.col("win.start").alias("window_start"), "n_events"
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 100
+    assert sum(n for _, _, n in got) == N // 2  # dedup halved the feed
