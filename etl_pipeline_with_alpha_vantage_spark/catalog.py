@@ -10,6 +10,7 @@ prune its own scan.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,12 +56,50 @@ def ensure_query_confs(spark: SparkSession) -> None:
             pass  # conf unknown/static in this Spark build; fallbacks below
 
 
+# Loaded-DataFrame memo, keyed per live SparkSession (weak — a stopped /
+# collected session drops its entries) by (sf_dir, table, file identity).
+# ``spark.read.parquet`` resolves the schema EAGERLY on the driver (file
+# listing + footer read, ~40-100 ms per call); every registry query pays it
+# 1-3× per build, which across a 282-query bench run is tens of seconds of
+# pure duplicated metadata work. A DataFrame is an immutable logical plan,
+# so reusing one per session is safe; file identity (mtime_ns, size) in the
+# key makes a rewritten fixture miss the cache, same discipline as
+# ``_SPREAD_PROBE_CACHE`` below. Execution-time file listing is unaffected
+# — a scan still lists its files at planning, so a vanished file fails
+# loudly rather than serving a stale plan.
+_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _file_ident(path: str) -> tuple:
+    """Identity of a parquet file-or-directory: (path, mtime_ns, size) of
+    the path plus one level of children when it is a directory."""
+    st = os.stat(path)
+    ident = [(path, st.st_mtime_ns, st.st_size)]
+    if os.path.isdir(path):
+        for e in sorted(os.listdir(path)):
+            fe = os.path.join(path, e)
+            try:
+                s = os.stat(fe)
+            except OSError:
+                continue  # concurrent compaction/cleanup — treat as absent
+            ident.append((fe, s.st_mtime_ns, s.st_size))
+    return tuple(ident)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one warehouse table as a DataFrame (lazy scan)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_query_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        key = (sf_dir, name, _file_ident(path))
+    except OSError:
+        key = None  # path missing — let spark.read raise its own error
+    if key is not None:
+        cached = _TABLE_CACHE.get(spark, {}).get(key)
+        if cached is not None:
+            return cached
     # Fallback if nanosAsLong ever goes static: an explicit schema mapping
     # ts to LongType also bypasses the TIMESTAMP(NANOS) type check.
     if name == "events":
@@ -104,6 +143,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif isinstance(ts_type, TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if key is not None:
+        _TABLE_CACHE.setdefault(spark, {})[key] = df
     return df
 
 
