@@ -336,12 +336,26 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and literal TRUE. The HLL sketch is thereby hash-checked — if
     the estimate ever drifts out of tolerance the boolean flips and the
     gate goes red — without putting the engine-specific raw estimate
-    into the hashed cells."""
+    into the hashed cells.
+
+    Plan shape (round-8 rework): NEVER put approx_count_distinct and an
+    exact COUNT(DISTINCT) in the same Aggregate — Spark's
+    distinct-aggregate rewrite then materializes the rsd=0.01 HLL buffer
+    (1640 longs) per (group, user) row, ~1.3 GB of intermediate here and
+    unboundedly worse at scale. Instead dedup to one row per (group,
+    user) first (carrying the per-user event count), then aggregate once
+    per group: COUNT(*) is the exact distinct, SUM(c) the event total,
+    and the HLL runs over the deduped users — identical estimate, since
+    a sketch only sees the SET of values — so the wide buffer exists
+    per GROUP, not per user. Measured 1.9 s → ~0.3 s at sf0.1."""
     ev = table(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per_user.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.lit(1)).alias("exact_users"),
+        F.sum("c").alias("n_events"),
     )
     within = (
         F.abs(F.col("approx_users") - F.col("exact_users"))
