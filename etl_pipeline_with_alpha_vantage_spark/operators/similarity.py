@@ -1383,6 +1383,38 @@ _PQ_M = 4        # subspaces
 _PQ_SUBDIM = 16  # dims per subspace (4 × 16 = the 64-dim embedding)
 _PQ_K = 16       # centroids per sub-codebook → 4 bits/subspace
 
+
+def pq_encode_udf(cb):
+    """Arrow-batched PQ encoder for a fixed sub-codebook list.
+
+    ``cb[m]`` is the (K × SUBDIM) float64 array for subspace m; the
+    returned pandas UDF maps a full-dimension vector column to its
+    ``len(cb)`` nearest-sub-centroid codes. One BLAS-ish pass per batch;
+    np.argmin takes the FIRST minimum, matching the oracle twins'
+    ORDER BY d2, c tie-break. Shared by the registry PQ queries and the
+    volume suite (tests/test_scale_smoke.py), so the exact kernel the
+    bench runs is the one the closed-form 5M-row proof exercises.
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    n_sub = len(cb)
+    subdim = cb[0].shape[1]
+
+    @pandas_udf(ArrayType(LongType()))
+    def encode(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        out = np.empty((mat.shape[0], n_sub), dtype=np.int64)
+        for m in range(n_sub):
+            sub = mat[:, m * subdim : (m + 1) * subdim]
+            d2 = ((sub[:, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)
+            out[:, m] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return encode
+
 # Deterministic like the IVF path: sub-codebooks seed from the first
 # _PQ_K vectors' subvectors (no Lloyd refinement — the k-means seam is
 # already demonstrated distributed in similarity_ivf_topk and would
@@ -1517,24 +1549,9 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in range(_PQ_M)
     ]
 
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, LongType
-
-    @pandas_udf(ArrayType(LongType()))
-    def encode(embs: pd.Series) -> pd.Series:
-        mat = np.stack(embs.to_numpy()).astype(np.float64)
-        out = np.empty((mat.shape[0], _PQ_M), dtype=np.int64)
-        for m in range(_PQ_M):
-            sub = mat[:, m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
-            # ||x−c||² argmin; np.argmin takes the FIRST minimum,
-            # matching the oracle's ORDER BY d2, c tie-break.
-            d2 = (
-                (sub[:, None, :] - cb[m][None, :, :]) ** 2
-            ).sum(axis=2)
-            out[:, m] = d2.argmin(axis=1)
-        return pd.Series(list(out))
-
-    codes = units(raw).select("vec_id", encode("unit").alias("codes"))
+    codes = units(raw).select(
+        "vec_id", pq_encode_udf(cb)("unit").alias("codes")
+    )
 
     # LUT[q][m][c] = dot(query subvector, sub-centroid) — 5×4×16 doubles,
     # compiled into the plan as a literal nested array.

@@ -453,3 +453,189 @@ def test_streaming_dedup_rollup_equals_batch_at_volume(spark, tmp_path):
     }
     assert got == want and len(got) > 100
     assert sum(n for _, _, n in got) == N // 2  # dedup halved the feed
+
+
+def test_semdedup_closed_form_at_volume(spark):
+    """The SemDeDup kernel (dedup_semantic's actual per-cell BLAS
+    matmul, _semdedup_cell_pairs) proven exact at 1M vectors: one-hot
+    embeddings make every within-group cosine exactly 1 and every
+    cross-group cosine exactly 0, so the keep-the-first prune decision
+    has a closed form — a vector is pruned iff a lower vec_id shares
+    its (cell, group), survivors == COUNT(DISTINCT (cell, group)), and
+    the total closer-duplicate count == Σ s·(s−1)/2 over group sizes.
+    Both expectations come from plain exact groupBy counts, a fully
+    independent code path from the Arrow/BLAS kernel under test. Also
+    pins the scale contract: candidate work is blocked per cell
+    (Σ cell², 2000 cells of ~500), never corpus²."""
+    import time
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.similarity import (
+        _PAIR_SCHEMA,
+        _SEMDEDUP_TAU,
+        _semdedup_cell_pairs,
+    )
+
+    N_VEC, CELLS, GROUPS, DIM = 1_000_000, 2_000, 32, 64
+    assert 0 < _SEMDEDUP_TAU <= 1.0  # one-hot cosines are exactly 0 or 1
+    base = spark.range(N_VEC).select(
+        F.col("id").alias("vec_id"),
+        F.pmod(F.xxhash64("id"), F.lit(CELLS)).alias("label"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(GROUPS)).alias("grp"),
+    )
+    onehot = F.array(
+        *[
+            F.when(F.col("grp") == g, F.lit(1.0)).otherwise(F.lit(0.0))
+            for g in range(GROUPS)
+        ]
+        + [F.lit(0.0)] * (DIM - GROUPS)
+    )
+    emb = base.select("vec_id", "label", "grp", onehot.alias("emb"))
+
+    # Independent expectations from exact relational counts.
+    sizes = emb.groupBy("label", "grp").agg(F.count(F.lit(1)).alias("s"))
+    exp = sizes.agg(
+        F.count(F.lit(1)).alias("survivors"),
+        F.sum(F.expr("s * (s - 1) / 2")).cast("long").alias("closer_total"),
+    ).collect()[0]
+
+    t0 = time.perf_counter()
+    pairs = emb.select("vec_id", "label", "emb").groupBy("label").applyInPandas(
+        _semdedup_cell_pairs, _PAIR_SCHEMA
+    )
+    close = (
+        pairs.filter(F.round("cos", 6) >= _SEMDEDUP_TAU)
+        .groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_closer"))
+    )
+    got = (
+        emb.select("vec_id")
+        .join(close, "vec_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("n_closer").isNull()).cast("long")).alias("kept"),
+            F.sum(F.coalesce("n_closer", F.lit(0))).alias("closer_total"),
+        )
+        .collect()[0]
+    )
+    elapsed = time.perf_counter() - t0
+    assert got.n == N_VEC
+    assert got.kept == exp.survivors
+    assert got.closer_total == exp.closer_total
+    assert elapsed < 240, f"SemDeDup at {N_VEC} rows took {elapsed:.0f}s"
+
+
+def test_pq_encode_adc_lossless_at_volume(spark):
+    """The PQ tier (similarity_pq_adc_topk's actual encode kernel +
+    the ADC lookup-sum shape) proven exact at 5M vectors via a closed
+    form: every vector is built as an EXACT concatenation of sub-
+    codebook centroids, so (a) the Arrow-batched encoder must recover
+    the generating code at every one of the 20M (vector, subspace)
+    cells — quantization is lossless on codebook points — and (b) the
+    ADC score (4 table lookups + adds) must equal the true 64-dim dot
+    product on every (query, vector) pair, because ADC's only error
+    term IS the quantization residual, which is zero here. Integer
+    centroid values keep both sides exactly representable, so the
+    comparison is == on 10M pairs, not a tolerance. Also a wall-clock
+    ceiling on encoding 5M × 64 dims through Arrow."""
+    import time
+
+    import numpy as np
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.similarity import (
+        pq_encode_udf,
+    )
+
+    N_VEC, M, SUBDIM, K, NQ = 5_000_000, 4, 16, 16, 2
+    # Integer sub-codebooks, pairwise-distinct within each subspace:
+    # (7·c + 3·d + m) mod 17 — distinct because 7(c1−c2) ≢ 0 (mod 17)
+    # for c1 ≠ c2 in 0..15, so the nearest centroid of a codebook point
+    # is itself, uniquely.
+    cb = [
+        np.array(
+            [[(7 * c + 3 * d + m) % 17 for d in range(SUBDIM)] for c in range(K)],
+            dtype=np.float64,
+        )
+        for m in range(M)
+    ]
+    cb_lit = [
+        F.array(
+            *[
+                F.array(*[F.lit(float(cb[m][c][d])) for d in range(SUBDIM)])
+                for c in range(K)
+            ]
+        )
+        for m in range(M)
+    ]
+    gen_code = [
+        F.pmod(F.xxhash64("id", F.lit(m)), F.lit(K)).alias(f"g{m}")
+        for m in range(M)
+    ]
+    vecs = spark.range(N_VEC).select(
+        F.col("id").alias("vec_id"),
+        *gen_code,
+    ).select(
+        "vec_id",
+        F.array(*[F.col(f"g{m}") for m in range(M)]).alias("gen"),
+        F.flatten(
+            F.array(
+                *[
+                    F.element_at(cb_lit[m], (F.col(f"g{m}") + 1).cast("int"))
+                    for m in range(M)
+                ]
+            )
+        ).alias("emb"),
+    )
+
+    # Two codebook-exact queries with fixed codes.
+    qcodes = [[(3 * q + m) % K for m in range(M)] for q in range(NQ)]
+    qvecs = [
+        np.concatenate([cb[m][qcodes[q][m]] for m in range(M)])
+        for q in range(NQ)
+    ]
+    # LUT[q][m][code] = dot(query subvector, sub-centroid) — integers.
+    lut = [
+        [
+            [float(qvecs[q][m * SUBDIM : (m + 1) * SUBDIM] @ cb[m][c]) for c in range(K)]
+            for m in range(M)
+        ]
+        for q in range(NQ)
+    ]
+
+    t0 = time.perf_counter()
+    coded = vecs.select(
+        "vec_id", "gen", "emb", pq_encode_udf(cb)("emb").alias("codes")
+    )
+    checks = [
+        F.sum((F.col("codes") != F.col("gen")).cast("long")).alias("enc_bad")
+    ]
+    for q in range(NQ):
+        adc = sum(
+            (
+                F.element_at(
+                    F.array(*[F.lit(lut[q][m][c]) for c in range(K)]),
+                    (F.element_at("codes", m + 1) + 1).cast("int"),
+                )
+                for m in range(M)
+            ),
+            F.lit(0.0),
+        )
+        exact = F.aggregate(
+            F.zip_with(
+                "emb",
+                F.array(*[F.lit(float(x)) for x in qvecs[q]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        checks.append(
+            F.sum((adc != exact).cast("long")).alias(f"adc_bad_{q}")
+        )
+    checks.append(F.count(F.lit(1)).alias("n"))
+    row = coded.agg(*checks).collect()[0]
+    elapsed = time.perf_counter() - t0
+    assert row.n == N_VEC
+    assert row.enc_bad == 0, f"{row.enc_bad} of {N_VEC} vectors misencoded"
+    for q in range(NQ):
+        assert row[f"adc_bad_{q}"] == 0
+    assert elapsed < 240, f"PQ encode+ADC at {N_VEC} rows took {elapsed:.0f}s"
