@@ -8,12 +8,19 @@ frequent pair, repeat.
 
 Cross-engine exactness is the design problem: the merge step must apply
 IDENTICALLY in Spark and DuckDB. Device: symbol sequences live as
-space-delimited strings (`' h e l l o '`) and a merge is one
-`replace(sym, ' a b ', ' ab ')` — both engines' replace() scans left to
-right, non-overlapping, continuing after each replacement, which IS
-BPE's greedy merge application. Pair counts are exact integer sums, and
-the winning pair tie-breaks (count DESC, pair ASC), so every iteration
-picks the same pair on both engines.
+space-delimited strings (`' h e l l o '`) and a merge is a LEFT FOLD
+over the token array — pop-and-merge when the accumulator's last token
+is p1 and the next token is p2, else append. The fold is exactly BPE's
+greedy left-to-right non-overlapping pass: the merged token p1p2 can
+never equal p1 (p2 is nonempty), so a token merged this pass can't
+immediately re-merge, which is the non-overlap rule with no extra
+state. (Round-8 rework: the previous `replace(sym, ' a b ', ' ab ')`
+device consumed the shared delimiter, silently skipping BACK-TO-BACK
+occurrences — canonical BPE turns ` a b a b ` into ` ab ab `, replace
+left ` ab a b `.) Spark runs it as F.aggregate over the split array;
+DuckDB as list_reduce with a padded-string accumulator. Pair counts are
+exact integer sums, and the winning pair tie-breaks (count DESC, pair
+ASC), so every iteration picks the same pair on both engines.
 
 Scale shape: iterations run on the VOCABULARY (distinct words × freq),
 which is dimension-sized and corpus-size-independent — the corpus is
@@ -34,6 +41,24 @@ from ..registry import query
 _BPE_MERGES = 3
 
 
+def _sql_fold(sym_expr: str, pair_expr: str) -> str:
+    """DuckDB twin of _apply_merge: the canonical BPE merge fold as a
+    list_reduce with a padded-string accumulator (' tok1 tok2 '). The
+    prepended ' ' seeds the accumulator (list_reduce folds from the
+    first element), and ends_with/substr pop the last token when it is
+    p1 and the incoming token is p2."""
+    p1 = f"string_split({pair_expr}, ' ')[1]"
+    p2 = f"string_split({pair_expr}, ' ')[2]"
+    return (
+        f"list_reduce(list_prepend(' ', string_split(trim({sym_expr}), ' ')),"
+        f" (acc, x) -> CASE"
+        f" WHEN x = {p2} AND ends_with(acc, ' ' || {p1} || ' ')"
+        f" THEN substr(acc, 1, len(acc) - len({p1}) - 1)"
+        f" || replace({pair_expr}, ' ', '') || ' '"
+        f" ELSE acc || x || ' ' END)"
+    )
+
+
 def _merge_chain_ctes() -> str:
     """The shared vocab→v0→(p_k, b_k, v_k)* CTE chain that replays merge
     learning in DuckDB — used by both the trainer oracle (which reads the
@@ -51,9 +76,7 @@ def _merge_chain_ctes() -> str:
 ),
 b{k} AS (SELECT pair, cnt FROM p{k} ORDER BY cnt DESC, pair LIMIT 1),
 v{k} AS (
-    SELECT word, freq,
-           replace(sym, ' ' || b{k}.pair || ' ',
-                   ' ' || replace(b{k}.pair, ' ', '') || ' ') AS sym
+    SELECT word, freq, {_sql_fold('sym', f'b{k}.pair')} AS sym
     FROM {prev}, b{k}
 )"""
         )
@@ -106,12 +129,17 @@ def _adjacent_pairs(arr: F.Column) -> F.Column:
 
 
 def _learn_merges(spark: SparkSession, sf_dir: str):
+    """Merge-learning over the warehouse documents table."""
+    return learn_merges_from(table(spark, sf_dir, "documents"))
+
+
+def learn_merges_from(docs: DataFrame):
     """Run the merge-learning loop; yields (pair, count, vocab_after) per
     iteration. The vocabulary is dimension-sized (distinct words), so each
     iteration is one tiny aggregation plus a 1-row argmax collect — the
     same O(1)-per-sweep driver sync as the IVF codebook and CC
-    convergence counts."""
-    docs = table(spark, sf_dir, "documents")
+    convergence counts. Takes any DataFrame with a ``text`` column so the
+    volume suite can drive the identical kernel on generated corpora."""
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
@@ -143,12 +171,28 @@ def _learn_merges(spark: SparkSession, sf_dir: str):
 
 
 def _apply_merge(sym: F.Column, pair: str) -> F.Column:
-    """One greedy BPE merge application: both engines' replace() scans
-    left-to-right non-overlapping, continuing after each replacement —
-    which IS BPE's merge semantics."""
-    return F.replace(
-        sym, F.lit(f" {pair} "), F.lit(f" {pair.replace(' ', '')} ")
+    """One greedy BPE merge application as the canonical left fold (see
+    module note): pop-and-merge when (last(acc), x) == (p1, p2), else
+    append. Exactly Sennrich's non-overlapping left-to-right pass —
+    ` a b a b ` → ` ab ab `, ` c c c c c c ` → ` cc cc cc ` — because
+    the merged token p1p2 ≠ p1 can never chain within the pass. The
+    per-word cost is O(tokens²) array copying, bounded by word length;
+    the fold stays whole-stage-codegen (no Python)."""
+    p1, p2 = pair.split(" ")
+    merged = pair.replace(" ", "")
+    folded = F.aggregate(
+        F.split(F.trim(sym), " "),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(p1))
+            & (x == F.lit(p2)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
     )
+    return F.concat(F.lit(" "), F.array_join(folded, " "), F.lit(" "))
 
 
 @query("bpe_train_merges", oracle=_bpe_oracle())
@@ -197,14 +241,12 @@ def _learned_pairs_cached(spark: SparkSession, sf_dir: str) -> list[str]:
 
 def _bpe_encode_oracle() -> str:
     """Learned pairs replayed via the shared CTE chain, then applied to
-    every word occurrence in the corpus with the same chained replace."""
+    every word occurrence in the corpus with the same chained merge
+    fold the trainer uses."""
     sym = "' ' || array_to_string(string_split(word, ''), ' ') || ' '"
     enc = sym
     for k in range(1, _BPE_MERGES + 1):
-        enc = (
-            f"replace({enc}, ' ' || b{k}.pair || ' ',"
-            f" ' ' || replace(b{k}.pair, ' ', '') || ' ')"
-        )
+        enc = _sql_fold(enc, f"b{k}.pair")
     froms = ", ".join(f"b{k}" for k in range(1, _BPE_MERGES + 1))
     return f"""
 WITH {_merge_chain_ctes()},

@@ -455,6 +455,53 @@ def test_streaming_dedup_rollup_equals_batch_at_volume(spark, tmp_path):
     assert sum(n for _, _, n in got) == N // 2  # dedup halved the feed
 
 
+def test_bpe_trainer_closed_form_at_volume(spark):
+    """The BPE merge-learning loop (bpe_train_merges' actual kernel,
+    learn_merges_from) proven exact on a 2M-document corpus with an
+    analytically known trajectory. Every doc is 'abab cd cd ef ef ef'
+    plus one pair-free single-char filler, so with N = 2M:
+
+      iter 1: 'e f' wins at 3N; ef collapses   → corpus 12N tokens
+      iter 2: 'a b' wins the 2N tie vs 'c d' (pair ASC); canonical
+              merging MUST turn ' a b a b ' into ' ab ab ' (2 tokens,
+              back-to-back occurrences both merge) → corpus 10N — this
+              row is the volume pin for the fold semantics; the old
+              delimiter-consuming replace device gave 11N here
+      iter 3: 'c d' wins at 2N                 → corpus 8N
+
+    The corpus is scanned once into a 23-row vocabulary (the trainer's
+    scale contract: iterations run on the vocab, corpus-size-
+    independent), so this also proves the one-scan shape at volume."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.tokenizer import (
+        learn_merges_from,
+    )
+
+    N_DOCS = 2_000_000
+    filler = F.element_at(
+        F.array(*[F.lit(chr(ord("g") + i)) for i in range(20)]),
+        (F.pmod(F.xxhash64("id"), F.lit(20)) + 1).cast("int"),
+    )
+    docs = spark.range(N_DOCS).select(
+        F.concat(F.lit("abab cd cd ef ef ef "), filler).alias("text")
+    )
+    n = N_DOCS
+    got = []
+    for pair, cnt, vocab in learn_merges_from(docs):
+        tokens_after = (
+            vocab.agg(
+                F.sum(
+                    F.col("freq") * F.size(F.split(F.trim(F.col("sym")), " "))
+                ).alias("t")
+            ).collect()[0].t
+        )
+        got.append((pair, cnt, int(tokens_after)))
+    assert got == [
+        ("e f", 3 * n, 12 * n),
+        ("a b", 2 * n, 10 * n),
+        ("c d", 2 * n, 8 * n),
+    ]
+
+
 def test_semdedup_closed_form_at_volume(spark):
     """The SemDeDup kernel (dedup_semantic's actual per-cell BLAS
     matmul, _semdedup_cell_pairs) proven exact at 1M vectors: one-hot
