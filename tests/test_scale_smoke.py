@@ -455,6 +455,60 @@ def test_streaming_dedup_rollup_equals_batch_at_volume(spark, tmp_path):
     assert sum(n for _, _, n in got) == N // 2  # dedup halved the feed
 
 
+def test_pack_greedy_closed_form_at_volume(spark):
+    """The sequence-packing kernel (pack_sequences' actual grouped
+    applyInPandas, pack_greedy) proven exact at 4M docs across 64
+    groups with analytically known bin assignments under budget 256:
+
+      even groups: constant length 50  → 5 docs/bin, bin_id = rank DIV 5
+      odd groups:  lengths 100,60,…    → each bin holds exactly one
+                   (100,60) pair (160+100 overflows), bin_id = rank DIV 2
+
+    The odd-group case pins the overflow boundary (a bin closes only
+    when the NEXT doc would overflow); both cases pin that bins never
+    cross groups. Checks are per-row equality against the closed form
+    (0 mismatches over 4M rows) plus exact bin counts per group."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.packing import (
+        pack_greedy,
+    )
+
+    N_DOCS, GROUPS, BUDGET = 4_000_000, 64, 256
+    per_group = N_DOCS // GROUPS
+    docs = spark.range(N_DOCS).select(
+        F.pmod("id", F.lit(GROUPS)).alias("grp"),
+        F.expr(f"id DIV {GROUPS}").alias("rank"),
+        F.when(F.pmod("id", F.lit(GROUPS)) % 2 == 0, F.lit(50))
+        .otherwise(
+            F.when(F.expr(f"(id DIV {GROUPS}) % 2") == 0, F.lit(100)).otherwise(
+                F.lit(60)
+            )
+        )
+        .cast("long")
+        .alias("toks"),
+    )
+    packed = pack_greedy(docs, ["grp"], "rank", "toks", budget=BUDGET)
+    expected_bin = F.when(
+        F.col("grp") % 2 == 0, F.expr("rank DIV 5")
+    ).otherwise(F.expr("rank DIV 2"))
+    row = packed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("bin_id") != expected_bin).cast("long")).alias("bad"),
+    ).collect()[0]
+    assert row.n == N_DOCS and row.bad == 0
+
+    fills = packed.groupBy("grp", "bin_id").agg(
+        F.sum("toks").alias("fill")
+    )
+    audit = fills.agg(
+        F.max("fill").alias("max_fill"),
+        F.sum((F.col("grp") % 2 == 0).cast("long")).alias("even_bins"),
+        F.sum((F.col("grp") % 2 == 1).cast("long")).alias("odd_bins"),
+    ).collect()[0]
+    assert audit.max_fill <= BUDGET
+    assert audit.even_bins == (GROUPS // 2) * ((per_group + 4) // 5)
+    assert audit.odd_bins == (GROUPS // 2) * ((per_group + 1) // 2)
+
+
 def test_bpe_trainer_closed_form_at_volume(spark):
     """The BPE merge-learning loop (bpe_train_merges' actual kernel,
     learn_merges_from) proven exact on a 2M-document corpus with an
