@@ -281,14 +281,18 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pure characters) and after the merges, and the tokens saved.
 
     Scale shape: the merge table is a tiny driver-side list compiled
-    into a chained column expression — the corpus-side plan is explode →
-    narrow per-row replace chain → one partial-aggregated shuffle to
-    per-source totals. Nothing corpus-sized crosses the wire, and at
-    100 TB the merge list (30k merges in a real tokenizer) stays a
-    broadcast-sized constant folded into codegen. Both token counts are
-    derived from the same symbol-string device (split(trim(sym)))
-    proven cross-engine exact by the trainer's parity, so empty words
-    from double spaces can't skew one engine only.
+    into a chained column expression, and the merge fold (O(len²) per
+    word since round-8's canonical rework) runs ONCE PER DISTINCT WORD,
+    never per occurrence — the dictionary-encode pattern: occurrences
+    collapse to (source, word, n_occ) in one partial-aggregated
+    shuffle, the vocabulary (distinct words — bounded and tiny relative
+    to the corpus) is encoded and broadcast back, and per-source totals
+    weight the per-word counts by n_occ. At 100 TB the corpus-sized
+    stream crosses exactly one combine-reduced exchange; the fold cost
+    scales with vocabulary, not corpus. Both token counts derive from
+    the same symbol-string device (split(trim(sym))) proven
+    cross-engine exact by the trainer's parity, so empty words from
+    double spaces can't skew one engine only.
     """
     pairs = _learned_pairs_cached(spark, sf_dir)
     docs = table(spark, sf_dir, "documents")
@@ -297,6 +301,14 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split("text", " ")).alias("word"),
     )
+    occ = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    # n_docs per source: every doc yields >= 1 word (split('') -> ['']),
+    # so distinct doc_id over words == docs — counted once here, cheap.
+    ndocs = words.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
     sym = F.concat(
         F.lit(" "), F.array_join(F.split("word", ""), " "), F.lit(" ")
     )
@@ -304,20 +316,34 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in pairs:
         enc = _apply_merge(enc, p)
     toks = lambda c: F.size(F.split(F.trim(c), " "))  # noqa: E731
+    vocab = (
+        occ.select("word")
+        .distinct()
+        .select("word", toks(sym).alias("chars"), toks(enc).alias("toks"))
+    )
     return (
-        words.select(
-            "source",
-            "doc_id",
-            toks(sym).alias("chars"),
-            toks(enc).alias("toks"),
-        )
+        occ.join(F.broadcast(vocab), "word")
         .groupBy("source")
         .agg(
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("chars").cast("long").alias("tokens_char"),
-            F.sum("toks").cast("long").alias("tokens_bpe"),
-            (F.sum("chars") - F.sum("toks")).cast("long").alias("tokens_saved"),
+            F.sum("n_occ").alias("n_words"),
+            F.sum(F.col("chars") * F.col("n_occ"))
+            .cast("long")
+            .alias("tokens_char"),
+            F.sum(F.col("toks") * F.col("n_occ"))
+            .cast("long")
+            .alias("tokens_bpe"),
+            F.sum((F.col("chars") - F.col("toks")) * F.col("n_occ"))
+            .cast("long")
+            .alias("tokens_saved"),
+        )
+        .join(ndocs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "tokens_char",
+            "tokens_bpe",
+            "tokens_saved",
         )
         .orderBy("source")
     )
