@@ -337,6 +337,19 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # list once — same discipline as CC's per-sweep checkpoint.
         .localCheckpoint(eager=False)
     )
+    return oriented_triangles(pairs)
+
+
+def oriented_triangles(pairs: DataFrame) -> DataFrame:
+    """Degree-ordered triangle enumeration over an undirected edge list
+    ``(doc_a, doc_b)`` (each edge listed exactly once, endpoints
+    distinct). Every edge is oriented from its lower-(degree, id)
+    endpoint to the higher one, so each triangle is produced exactly
+    once and wedge fan-out is bounded by out-degree ≤ O(sqrt(E)) — the
+    hub-vertex discipline shared by graph_triangles (which feeds it the
+    near-duplicate pair graph) and the volume suite (which feeds it a
+    generated graph with a closed-form triangle count). Output triples
+    are canonicalized doc_a < doc_b < doc_c."""
     deg = (
         pairs.select(F.col("doc_a").alias("n"))
         .unionAll(pairs.select(F.col("doc_b").alias("n")))

@@ -455,6 +455,66 @@ def test_streaming_dedup_rollup_equals_batch_at_volume(spark, tmp_path):
     assert sum(n for _, _, n in got) == N // 2  # dedup halved the feed
 
 
+def test_oriented_triangles_closed_form_at_volume(spark):
+    """The degree-ordered triangle kernel (graph_triangles' actual
+    enumeration, oriented_triangles) proven exact at 4.6M edges with a
+    closed-form answer: 1.5M DISJOINT triangles (nodes 3i, 3i+1, 3i+2 —
+    exactly one canonical triple each) plus a 100k-leaf star whose hub
+    is in no triangle. The star is the adversarial part: a naive wedge
+    join fans out quadratically on the hub; the orientation points
+    every leaf edge AT the hub (leaves have lower degree), giving the
+    hub out-degree 0, so the hub contributes zero wedges — the bound
+    this kernel exists to provide. Asserts the exact triple set shape
+    (count == T, every triple is its generator's (3i, 3i+1, 3i+2)) and
+    a wall-clock ceiling."""
+    import time
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.graph import (
+        oriented_triangles,
+    )
+
+    T, STAR = 1_500_000, 100_000
+    hub = 3 * T
+    tri_edges = spark.range(3 * T).select(
+        (F.expr("id DIV 3") * 3 + F.pmod("id", F.lit(3))).alias("doc_a"),
+        (
+            F.expr("id DIV 3") * 3
+            + F.when(F.pmod("id", F.lit(3)) == 2, F.lit(0)).otherwise(
+                F.pmod("id", F.lit(3)) + 1
+            )
+        ).alias("doc_b"),
+    )
+    star_edges = spark.range(STAR).select(
+        (F.col("id") + hub + 1).alias("doc_a"),
+        F.lit(hub).cast("long").alias("doc_b"),
+    )
+    edges = tri_edges.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    ).unionAll(star_edges.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    ))
+
+    t0 = time.perf_counter()
+    got = oriented_triangles(edges).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                (F.pmod("doc_a", F.lit(3)) == 0)
+                & (F.col("doc_b") == F.col("doc_a") + 1)
+                & (F.col("doc_c") == F.col("doc_a") + 2)
+            ).cast("long")
+        ).alias("canonical"),
+        F.sum((F.col("doc_c") >= hub).cast("long")).alias("star_involved"),
+    ).collect()[0]
+    elapsed = time.perf_counter() - t0
+    assert got.n == T
+    assert got.canonical == T
+    assert got.star_involved == 0
+    assert elapsed < 240, f"triangles at 4.6M edges took {elapsed:.0f}s"
+
+
 def test_pack_greedy_closed_form_at_volume(spark):
     """The sequence-packing kernel (pack_sequences' actual grouped
     applyInPandas, pack_greedy) proven exact at 4M docs across 64
