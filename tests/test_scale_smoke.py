@@ -455,6 +455,106 @@ def test_streaming_dedup_rollup_equals_batch_at_volume(spark, tmp_path):
     assert sum(n for _, _, n in got) == N // 2  # dedup halved the feed
 
 
+def test_streaming_session_windows_closed_form_at_volume(spark, tmp_path):
+    """True-stream session windows (X18's F.session_window path) at 1M
+    events with a closed form: every user emits bursts of exactly 4
+    events 1 minute apart, bursts 2 hours apart, so with a 30-minute gap
+    every burst IS one session — 2,500 users × 100 bursts = 250,000
+    sessions, each with exactly 4 events and a 3-minute event span. The
+    4 file-batches deliberately cut MID-BURST (boundary at j % 4 == 2),
+    so sessions span micro-batches and the state-store merge is what's
+    being proven; the drained result must also equal the batch
+    recompute exactly."""
+    import pyspark.sql.types as T
+
+    from etl_pipeline_with_alpha_vantage_spark.streaming.runner import (
+        run_available_now,
+    )
+
+    USERS, BURSTS, G = 2_500, 100, 4
+    N = USERS * BURSTS * G  # 1M
+    src = str(tmp_path / "feed")
+    # Global event index i: user = i % USERS, k = i DIV USERS (per-user
+    # sequence), burst = k DIV G, j = k % G. Event time depends only on
+    # k, so slicing by k ranges keeps event time monotone across files.
+    per_user = BURSTS * G
+    cut = per_user // 4 + 2  # NOT a multiple of G: every file cuts mid-burst
+    bounds = [0, cut, 2 * cut, 3 * cut, per_user]
+    for b in range(4):
+        lo, hi = bounds[b], bounds[b + 1]
+        spark.range(USERS * (hi - lo)).select(
+            F.pmod("id", F.lit(USERS)).alias("user_id"),
+            (F.expr(f"id DIV {USERS}") + lo).alias("k"),
+        ).select(
+            "user_id",
+            F.timestamp_micros(
+                F.lit(BASE_US)
+                + F.expr(f"k DIV {G}") * F.lit(7_200_000_000)
+                + F.pmod("k", F.lit(G)) * F.lit(60_000_000)
+            ).alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s"),
+            F.col("w.end").alias("e"),
+            "n_events",
+        )
+    )
+    # Complete mode: append would withhold the final bursts behind the
+    # watermark at end-of-stream; complete emits the full merged state,
+    # which is what the closed form audits.
+    run_available_now(
+        sess, "vol_sessions", str(tmp_path / "ck"), timeout_sec=300
+    )
+    got = spark.table("vol_sessions")
+    agg = got.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") != G).cast("long")).alias("bad_size"),
+        F.sum(
+            (
+                F.col("e").cast("long") - F.col("s").cast("long")
+                != (G - 1) * 60 + 30 * 60  # span + gap-extension
+            ).cast("long")
+        ).alias("bad_span"),
+        F.sum("n_events").alias("total_events"),
+    ).collect()[0]
+    assert agg.n_sessions == USERS * BURSTS
+    assert agg.bad_size == 0
+    assert agg.bad_span == 0
+    assert agg.total_events == N
+
+    # Drained stream == batch recompute, exactly.
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s"),
+            F.col("w.end").alias("e"),
+            "n_events",
+        )
+    )
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
 def test_oriented_triangles_closed_form_at_volume(spark):
     """The degree-ordered triangle kernel (graph_triangles' actual
     enumeration, oriented_triangles) proven exact at 4.6M edges with a
