@@ -205,7 +205,17 @@ _COGROUP_SCHEMA = (
 # callback per user means per-group Python overhead dominates when users
 # are numerous and small (measured 10 s at sf0.1 vs 1 s bucketed).
 # merge_asof(by=user) inside each bucket keeps the per-user semantics.
-_COGROUP_BUCKETS = 256
+#
+# Bucket COUNT (round-8 retune): per-callback overhead (Arrow transfer +
+# pandas setup) dominates until batches are large, so fewer, fatter
+# buckets win as long as every core stays busy — measured at sf0.1:
+# 32 buckets 0.73 s, 64 0.93 s, 128 1.47 s, 256 2.19 s, 512 3.86 s.
+# Default to the session's parallelism (full cores, minimum callbacks);
+# at 100 TB size it UP to ~rows/target_batch so a bucket's two sides fit
+# executor memory — the count changes results not at all (any hash
+# split preserves per-user as-of exactness via merge_asof's by=).
+def _cogroup_buckets(spark: SparkSession) -> int:
+    return max(spark.sparkContext.defaultParallelism, 8)
 
 _COGROUP_COLS = [
     "user_id", "purchase_id", "purchase_ts", "asof_click_id", "asof_click_ts"
@@ -268,13 +278,15 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: cogrouping on the raw user key would cross the Python
     boundary once PER USER — measured 10× slower at sf0.1 and worse at
-    scale. Bucketing to {b} hash groups amortizes the Arrow transfer
-    and pandas setup over ~users/{b} users per callback while the
-    `by=` grouping keeps per-user as-of exactness; bucket count is the
-    parallelism/batch-size knob at 100 TB.
+    scale. Bucketing to parallelism-many hash groups (see
+    _cogroup_buckets) amortizes the Arrow transfer and pandas setup
+    over ~users/buckets users per callback while the `by=` grouping
+    keeps per-user as-of exactness; bucket count is the
+    parallelism/batch-size knob at 100 TB (size UP so a bucket fits
+    executor memory — any count gives identical results).
     """
     ev = table(spark, sf_dir, "events")
-    bucket = F.pmod(F.xxhash64("user_id"), F.lit(_COGROUP_BUCKETS))
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(_cogroup_buckets(spark)))
     p = ev.filter(F.col("event_type") == "purchase").select(
         bucket.alias("bucket"),
         "user_id",
@@ -292,11 +304,6 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(c.groupBy("c_bucket"))
         .applyInPandas(_asof_per_bucket, _COGROUP_SCHEMA)
     )
-
-
-udf_cogrouped_asof.__doc__ = udf_cogrouped_asof.__doc__.format(
-    b=_COGROUP_BUCKETS
-)
 
 
 # --------------------------------------------------------------------------
