@@ -139,7 +139,14 @@ def learn_merges_from(docs: DataFrame):
     iteration is one tiny aggregation plus a 1-row argmax collect — the
     same O(1)-per-sweep driver sync as the IVF codebook and CC
     convergence counts. Takes any DataFrame with a ``text`` column so the
-    volume suite can drive the identical kernel on generated corpora."""
+    volume suite can drive the identical kernel on generated corpora.
+
+    The base vocabulary is EAGERLY checkpointed: each iteration fires at
+    least one action (the argmax collect, plus any caller aggregation
+    over the yielded vocab), and without lineage truncation every one of
+    those re-scans the corpus — ~7 full scans for 3 merges. With the
+    checkpoint the corpus is scanned exactly once (the documented scale
+    contract) and iterations recompute only vocabulary-sized folds."""
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
@@ -153,6 +160,7 @@ def learn_merges_from(docs: DataFrame):
                 F.lit(" "),
             ).alias("sym"),
         )
+        .localCheckpoint(eager=True)
     )
     for _ in range(_BPE_MERGES):
         arr = F.split(F.trim(F.col("sym")), " ")
