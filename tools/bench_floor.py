@@ -27,9 +27,11 @@ OVERRIDES: dict[str, float] = {
     "interval_overlap_join": 0.41,
     # round 6: grouping-sets rework (10 -> 4 exchanges); isolated n=5 min
     "dq_fd_discovery": 1.398,
-    # round 6: bucketed cogroup rework (per-user -> 256 hash buckets);
-    # the only committed generation predates it
-    "udf_cogrouped_asof": 2.399,
+    # round 6's udf_cogrouped_asof override (2.399, bucketed-cogroup
+    # rework) was retired in round 8: the parallelism-derived bucket
+    # count made the query ~3.4x faster, and committed generations now
+    # contain post-retune readings, so the plain historical minimum is
+    # the correct floor again.
 }
 
 
