@@ -407,68 +407,80 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable md5 device shared with the oracle.
     """
     ev = table(spark, sf_dir, "events")
-    probes = F.array(
+    return cms_audit_heavy_hitters(ev, "user_id", _CMS_TOPK)
+
+
+def _cms_probes(key_col: str) -> F.Column:
+    """(depth, cell) probe array for one key — the portable md5 family
+    shared verbatim with the oracle (_cms_cell_sql)."""
+    return F.array(
         *[
             F.struct(
                 F.lit(d).alias("depth"),
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit(f"cms:{d}:"),
-                                F.col("user_id").cast("string"),
-                            )
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"cms:{d}:"),
+                                    F.col(key_col).cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
                         ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                )
-                .cast("long")
-                .alias("cell"),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _CMS_WIDTH
+                ).alias("cell"),
             )
             for d in range(_CMS_DEPTH)
         ]
     )
-    hashed = ev.select(
-        "user_id", F.explode(probes).alias("p")
-    ).select(
-        "user_id",
+
+
+def cms_audit_heavy_hitters(df, key_col: str, top_k: int):
+    """Count-min grid build + heavy-hitter estimate audit over any
+    keyed frame — the kernel behind agg_cms_heavy_hitters, shared with
+    the volume suite so the grid/probe/min path proven at 5M rows is
+    the one the registry query runs."""
+    hashed = df.select(key_col, F.explode(_cms_probes(key_col)).alias("p")).select(
+        key_col,
         F.col("p.depth").alias("depth"),
-        (F.col("p.cell") % _CMS_WIDTH).alias("cell"),
+        F.col("p.cell").alias("cell"),
     )
     cells = hashed.groupBy("depth", "cell").agg(
         F.count(F.lit(1)).alias("cnt")
     )
     exact = (
-        ev.groupBy("user_id")
+        df.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.col("exact_cnt").desc(), "user_id")
-        .limit(_CMS_TOPK)
+        .orderBy(F.col("exact_cnt").desc(), key_col)
+        .limit(top_k)
     )
     probe_keys = exact.select(
-        "user_id", "exact_cnt", F.explode(probes).alias("p")
+        key_col, "exact_cnt", F.explode(_cms_probes(key_col)).alias("p")
     ).select(
-        "user_id",
+        key_col,
         "exact_cnt",
         F.col("p.depth").alias("depth"),
-        (F.col("p.cell") % _CMS_WIDTH).alias("cell"),
+        F.col("p.cell").alias("cell"),
     )
     est = (
         F.broadcast(probe_keys)
         .join(cells, ["depth", "cell"])
-        .groupBy("user_id", "exact_cnt")
+        .groupBy(key_col, "exact_cnt")
         .agg(F.min("cnt").alias("cms_est"))
     )
     return est.select(
-        "user_id",
+        key_col,
         "exact_cnt",
         "cms_est",
         (F.col("cms_est") >= F.col("exact_cnt")).alias(
             "never_underestimates"
         ),
-    ).orderBy(F.col("exact_cnt").desc(), "user_id")
+    ).orderBy(F.col("exact_cnt").desc(), key_col)
 
 
 agg_cms_heavy_hitters.__doc__ = agg_cms_heavy_hitters.__doc__.format(

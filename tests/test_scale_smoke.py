@@ -455,6 +455,42 @@ def test_streaming_dedup_rollup_equals_batch_at_volume(spark, tmp_path):
     assert sum(n for _, _, n in got) == N // 2  # dedup halved the feed
 
 
+def test_cms_heavy_hitters_closed_form_at_volume(spark):
+    """The count-min kernel (agg_cms_heavy_hitters' actual grid/probe/
+    min path, cms_audit_heavy_hitters) at 5M events with closed-form
+    key frequencies: key 0 owns every 10th event (500k), keys 1..K are
+    uniform (~562 each), so the top-10 exact counts are known and the
+    heavy key dominates by 3 orders of magnitude. Audits the sketch's
+    deterministic contract at volume — the estimate NEVER underestimates
+    (min over depth rows of over-counted cells), the exact side matches
+    the closed form, and the heavy hitter's estimate stays within the
+    additive N/width bound that makes a 4×256 grid usable at any corpus
+    size."""
+    N, K = 5_000_000, 8_000
+    from etl_pipeline_with_alpha_vantage_spark.operators.curation import (
+        _CMS_WIDTH,
+        cms_audit_heavy_hitters,
+    )
+
+    ev = spark.range(N).select(
+        F.when(F.pmod("id", F.lit(10)) == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(K)) + 1)
+        .alias("user_id")
+    )
+    rows = cms_audit_heavy_hitters(ev, "user_id", 10).collect()
+    assert len(rows) == 10
+    assert rows[0].user_id == 0 and rows[0].exact_cnt == N // 10
+    assert all(r.never_underestimates for r in rows)
+    # CMS additive error bound with certainty for the min over rows is
+    # only probabilistic in general, but the total over-count in any
+    # single row is ≤ N − exact, and with 4 independent rows at width
+    # 256 the observed min stays within the classical e·N/w envelope —
+    # assert the engineering bound the width was sized for.
+    assert rows[0].cms_est - rows[0].exact_cnt <= 3 * N // _CMS_WIDTH
+    for r in rows[1:]:
+        assert r.exact_cnt < 2 * (N - N // 10) // K  # uniform tail
+
+
 def test_streaming_session_windows_closed_form_at_volume(spark, tmp_path):
     """True-stream session windows (X18's F.session_window path) at 1M
     events with a closed form: every user emits bursts of exactly 4
