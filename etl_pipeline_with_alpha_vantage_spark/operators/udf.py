@@ -135,7 +135,19 @@ def udf_grouped_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X20: applyInPandas per event_type — min-max scaling where the whole
     group must be seen before any row is emitted (a UDAF+UDTF hybrid no
     scalar UDF can express). One shuffle on the group key; each group
-    becomes one Arrow batch in one Python worker."""
+    becomes one Arrow batch in one Python worker.
+
+    Scale contract: a GROUP must fit one worker's memory — fine for
+    bounded groups (per-symbol series, per-day partitions), the
+    anti-pattern for per-event_type groups at 100 TB. There the
+    production form is two-phase relational: the per-group min/max is a
+    broadcast-sized aggregate and the scale itself a narrow projection
+    (exactly this query's oracle window). This operator exists for the
+    cases where the per-group pass genuinely isn't relational (model
+    scoring over a whole aligned group, order-dependent imputation);
+    when it is, prefer the window — and when groups are fine-grained
+    and numerous, hash-bucket the key first (udf_cogrouped_asof's
+    _cogroup_buckets discipline) so callbacks amortize."""
     ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return ev.groupBy("event_type").applyInPandas(_minmax_scale, _SCALE_SCHEMA)
 
