@@ -1526,6 +1526,15 @@ def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 2).alias("arm"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
+    return ks_statistic(base)
+
+
+def ks_statistic(base: DataFrame) -> DataFrame:
+    """Exact-integer two-sample KS over a (grp, arm, cents) frame — the
+    kernel behind drift_ks_two_sample, shared with the volume suite so
+    the segmented prefix-sum device proven closed-form at 10M rows is
+    the one the registry query runs. Emits per grp: arm sizes, the
+    integer numerator D·na·nb, and D / λ in micro-units."""
     g = base.groupBy("grp", "cents").agg(
         F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
         F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),

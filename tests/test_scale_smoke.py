@@ -455,6 +455,47 @@ def test_streaming_dedup_rollup_equals_batch_at_volume(spark, tmp_path):
     assert sum(n for _, _, n in got) == N // 2  # dedup halved the feed
 
 
+def test_ks_statistic_closed_form_at_volume(spark):
+    """The exact-integer KS kernel (drift_ks_two_sample's actual
+    segmented prefix-sum device, ks_statistic) at 10M rows with both
+    analytic extremes in one call: a group whose arms share an
+    identical value multiset (D must be exactly 0 — every cumulative
+    cut balances) and a group whose arms have disjoint supports (D
+    must be exactly 1, numerator na·nb). Any lost or doubled count in
+    the in-bucket windows or the per-bucket running totals breaks one
+    of the two identities."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        ks_statistic,
+    )
+
+    N = 5_000_000  # per group
+    # cents derives from id DIV 2 so consecutive (even, odd) id pairs
+    # land the SAME value in BOTH arms — identical multisets exactly.
+    ident = spark.range(N).select(
+        F.lit("identical").alias("grp"),
+        F.pmod("id", F.lit(2)).alias("arm"),
+        F.pmod(F.expr("id DIV 2"), F.lit(100_000)).alias("cents"),
+    )
+    disj = spark.range(N).select(
+        F.lit("disjoint").alias("grp"),
+        F.pmod("id", F.lit(2)).alias("arm"),
+        (
+            F.pmod(F.expr("id DIV 2"), F.lit(100_000))
+            + F.pmod("id", F.lit(2)) * 200_000
+        ).alias("cents"),
+    )
+    rows = {
+        r.grp: r
+        for r in ks_statistic(ident.unionAll(disj)).collect()
+    }
+    na, nb = N // 2, N // 2
+    assert rows["identical"].na == na and rows["identical"].nb == nb
+    assert rows["identical"].d_num == 0
+    assert rows["identical"].d_micro == 0
+    assert rows["disjoint"].d_num == na * nb
+    assert rows["disjoint"].d_micro == 1_000_000
+
+
 def test_cms_heavy_hitters_closed_form_at_volume(spark):
     """The count-min kernel (agg_cms_heavy_hitters' actual grid/probe/
     min path, cms_audit_heavy_hitters) at 5M events with closed-form
