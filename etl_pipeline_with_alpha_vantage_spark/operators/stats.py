@@ -1396,6 +1396,16 @@ def ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 2).alias("arm"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
+    return mw_statistic(base)
+
+
+def mw_statistic(base: DataFrame) -> DataFrame:
+    """Exact-integer Mann–Whitney over a (grp, arm, cents) frame — the
+    kernel behind ab_mann_whitney, shared with the batched differential
+    fuzz (tests/test_ks_fuzz.py) so random-case parity against a
+    transparent reference covers the kernel the registry query runs.
+    Emits per grp: arm sizes, exact 2U, the tie term Σ(t³−t), and the
+    tie-corrected normal z in micro-units."""
     g = base.groupBy("grp", "cents").agg(
         F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
         F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
