@@ -89,3 +89,92 @@ def test_mw_kernel_matches_reference_on_random_cases(spark):
         assert (r.na, r.nb) == (len(a), len(b)), g
         assert r.u2 == u2, f"case {g}: {a} vs {b}"
         assert r.tie == tie, g
+
+
+def _random_series():
+    """Random monthly series per case (nation = case id): short, heavy
+    ties, at least two distinct values so 18·Var > 0."""
+    rng = random.Random(77)
+    cases, rows = {}, []
+    for g in range(150):
+        n = rng.randint(3, 40)
+        hi = rng.choice([2, 5, 1000])
+        xs = [rng.randint(0, hi) for _ in range(n)]
+        if len(set(xs)) < 2:
+            xs[0] = hi + 1
+        cases[str(g)] = xs
+        rows += [(str(g), f"2020-{1 + i:03d}", v) for i, v in enumerate(xs)]
+    return cases, rows
+
+
+def _round_half_away(fr):
+    """SQL round() semantics (half away from zero) on an exact Fraction."""
+    from fractions import Fraction
+    import math
+
+    if fr >= 0:
+        return math.floor(fr + Fraction(1, 2))
+    return -math.floor(-fr + Fraction(1, 2))
+
+
+def test_mann_kendall_readout_matches_reference(spark):
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        _MK_READOUT_SQL,
+    )
+
+    cases, rows = _random_series()
+    spark.createDataFrame(
+        rows, "nation string, ym string, rev_cents long"
+    ).createOrReplaceTempView("monthly")
+    got = {r.nation: r for r in spark.sql(_MK_READOUT_SQL).collect()}
+    assert len(got) == len(cases)
+    from collections import Counter
+
+    for g, xs in cases.items():
+        n = len(xs)
+        s = sum(
+            (xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie_term = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(xs).values()
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie_term
+        r = got[g]
+        assert r.n_months == n, g
+        assert r.s_stat == s, f"case {g}: {xs}"
+        assert r.var18 == var18, g
+
+
+def test_theil_sen_readout_matches_reference(spark):
+    from fractions import Fraction
+    import math
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        _TS_READOUT_SQL,
+    )
+
+    cases, rows = _random_series()
+    spark.createDataFrame(
+        rows, "nation string, ym string, rev_cents long"
+    ).createOrReplaceTempView("monthly")
+    got = {r.nation: r for r in spark.sql(_TS_READOUT_SQL).collect()}
+    assert len(got) == len(cases)
+    for g, xs in cases.items():
+        n = len(xs)
+        slopes = sorted(
+            _round_half_away(Fraction(xs[j] - xs[i], j - i))
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        m = len(slopes)
+        mids = (
+            [slopes[(m - 1) // 2]]
+            if m % 2 == 1
+            else [slopes[m // 2 - 1], slopes[m // 2]]
+        )
+        expect = math.floor(Fraction(sum(mids), len(mids)))
+        r = got[g]
+        assert r.n_pairs == m, g
+        assert r.ts_slope_cents == expect, f"case {g}: {xs}"
