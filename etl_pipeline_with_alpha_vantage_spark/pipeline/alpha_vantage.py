@@ -191,32 +191,31 @@ def flagship_daily_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     two events shared a timestamp. One hash aggregation, no window: at
     100 TB this is a single shuffle on (user_id, day) with map-side
     partial aggregation; no per-key sort is needed.
+
+    Built as one SQL text over the cached table (not a Column-by-Column
+    DataFrame chain): each ``F.*``/``.agg``/``.select`` call is a py4j
+    driver round trip, and for this dust-sized query the ~20 round trips
+    cost ~70 ms — a third of its bench reading (r9 measured 0.346 →
+    0.277 s isolated). The resolved logical plan, and hence the executed
+    physical plan, is identical either way.
     """
-    events = table(spark, sf_dir, "events")
-    daily = (
-        events.groupBy(
-            F.col("user_id"), F.to_date("ts").alias("day")
-        ).agg(
-            F.min_by("value", "event_id").alias("open_value"),
-            F.max_by("value", "event_id").alias("close_value"),
-            F.count(F.lit(1)).alias("n_events"),
-            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
-            .cast("double")
-            .alias("sum_value"),
-        )
-    )
-    return daily.filter(F.col("open_value") != 0).select(
-        "user_id",
-        "day",
-        "open_value",
-        "close_value",
-        (
-            (F.col("close_value") - F.col("open_value"))
-            / F.col("open_value")
-            * 100.0
-        ).alias("daily_change_percentage"),
-        "n_events",
-        "sum_value",
+    return spark.sql(
+        """
+        SELECT user_id, day, open_value, close_value,
+               (close_value - open_value) / open_value * 100.0
+                   AS daily_change_percentage,
+               n_events, sum_value
+        FROM (
+          SELECT user_id, to_date(ts) AS day,
+                 min_by(value, event_id) AS open_value,
+                 max_by(value, event_id) AS close_value,
+                 count(1) AS n_events,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                      AS DOUBLE) AS sum_value
+          FROM {ev} GROUP BY user_id, to_date(ts)
+        ) WHERE open_value <> 0
+        """,
+        ev=table(spark, sf_dir, "events"),
     )
 
 

