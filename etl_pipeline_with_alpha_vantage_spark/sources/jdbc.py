@@ -11,8 +11,12 @@ makes it O(k)), and only k rows cross the wire.
 For LARGE reads the same assembler emits a partitioned read spec
 (partitionColumn/lowerBound/upperBound/numPartitions) so every executor
 pulls a disjoint key range in parallel — the 100 TB-aware shape of a
-JDBC scan. No database exists in the sandbox, so assembly (pure,
-unit-tested) is separated from execution.
+JDBC scan. Assembly (pure, unit-tested) is separated from execution;
+both shapes also EXECUTE end-to-end against embedded Derby — the one
+JDBC engine in pyspark's jars — in tests/test_jdbc_sink.py (write
+through the upsert sink, read back via spark.read.jdbc, server-side
+sort+limit visible in the executed plan). MySQL itself is absent from
+the sandbox, so its LIMIT spelling stays spec-level.
 """
 
 from __future__ import annotations
@@ -41,18 +45,32 @@ def plan_jdbc_topk(
     k: int,
     descending: bool = True,
     properties: dict[str, str] | None = None,
+    dialect: str = "mysql",
 ) -> JdbcReadSpec:
     """The reference's inspection read (etl.py:174): top-k by a key,
     executed SERVER-SIDE via a pushdown subquery — Spark sees a k-row
-    relation, the database does the sort+limit against its own index."""
+    relation, the database does the sort+limit against its own index.
+
+    ``dialect`` picks the server's row-limit syntax: ``mysql`` (the
+    reference's target) emits ``LIMIT k``; ``derby`` (the engine the
+    executed e2e tests run against) emits the ANSI
+    ``FETCH FIRST k ROWS ONLY``.
+    """
     table = _ident(table)
     order_col = _ident(order_col)
     if k <= 0:
         raise ValueError("k must be positive")
+    if dialect not in ("mysql", "derby"):
+        raise ValueError(f"unknown JDBC dialect {dialect!r}")
     direction = "DESC" if descending else "ASC"
+    limit = (
+        f"LIMIT {int(k)}"
+        if dialect == "mysql"
+        else f"FETCH FIRST {int(k)} ROWS ONLY"
+    )
     sub = (
         f"(SELECT * FROM {table} ORDER BY {order_col} {direction} "
-        f"LIMIT {int(k)}) AS topk"
+        f"{limit}) AS topk"
     )
     return JdbcReadSpec(
         options={"url": url, "dbtable": sub, **(properties or {})}

@@ -329,3 +329,89 @@ def test_derby_upsert_end_to_end_idempotent(spark, derby):
         "SELECT COUNT(*) FROM SYS.SYSTABLES WHERE TABLENAME LIKE"
         " 'STOCK_DAILY__%'"
     )[0][0] == "0"
+
+
+# ---------------------------------------------------------------------------
+# Round-9: the READ path executed end-to-end against embedded Derby —
+# the reference's ``pd.read_sql('SELECT * FROM stock_daily_data ORDER BY
+# id DESC LIMIT 5')`` inspection (etl.py:174), previously asserted only
+# on the assembled spec. Rows land via the real upsert sink, then come
+# back through spark.read.jdbc with the sort+limit executed SERVER-SIDE
+# (the relation Spark scans is already k rows), and the partitioned spec
+# executes as a genuinely parallel ranged scan.
+# ---------------------------------------------------------------------------
+
+
+def test_derby_topk_read_executes_serverside_sort_limit(spark, derby):
+    from etl_pipeline_with_alpha_vantage_spark.sources.jdbc import (
+        plan_jdbc_topk,
+    )
+    from etl_pipeline_with_alpha_vantage_spark.sinks.jdbc import (
+        write_jdbc_upsert,
+    )
+
+    url, run_sql, fetch, executed = derby
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    rows = [
+        ("AAPL", f"2025-10-{d:02d}", 250.0 + d, 1000 + d) for d in range(1, 9)
+    ]
+    write_jdbc_upsert(
+        _trades_df(spark, rows), url, "stock_read", keys=("symbol", "trade_date"),
+        run_sql=run_sql, properties=props, dialect="derby", staging_suffix="r1",
+    )
+
+    spec = plan_jdbc_topk(url, "stock_read", "id", 5, properties=props,
+                          dialect="derby")
+    df = spec.load(spark)
+    got = df.collect()
+    # the relation itself is 5 rows — no Spark-side limit exists to hide
+    # an oversized transfer, and the scanned relation in the executed
+    # plan is the pushdown subquery, not the raw table
+    assert len(got) == 5
+    plan_text = df._jdf.queryExecution().executedPlan().toString()
+    assert "FETCH FIRST 5 ROWS ONLY" in plan_text
+    # id is Derby's GENERATED ALWAYS identity: insertion order = id order,
+    # so top-5 DESC = the 5 most recently inserted trade dates
+    got_dates = sorted(str(r["TRADE_DATE"]) for r in got)
+    assert got_dates == [f"2025-10-{d:02d}" for d in range(4, 9)]
+    ids = [int(r["ID"]) for r in got]
+    assert ids == sorted(ids, reverse=True)  # server ORDER BY id DESC held
+
+    # ascending variant: the other end of the table
+    asc = plan_jdbc_topk(url, "stock_read", "id", 3, descending=False,
+                         properties=props, dialect="derby").load(spark)
+    assert sorted(str(r["TRADE_DATE"]) for r in asc.collect()) == [
+        "2025-10-01", "2025-10-02", "2025-10-03"
+    ]
+
+
+def test_derby_partitioned_read_executes_parallel_ranges(spark, derby):
+    from etl_pipeline_with_alpha_vantage_spark.sources.jdbc import (
+        plan_jdbc_partitioned,
+    )
+    from etl_pipeline_with_alpha_vantage_spark.sinks.jdbc import (
+        write_jdbc_upsert,
+    )
+
+    url, run_sql, fetch, executed = derby
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    rows = [
+        ("SYM%d" % i, "2025-10-01", float(i), i) for i in range(40)
+    ]
+    write_jdbc_upsert(
+        _trades_df(spark, rows), url, "stock_part", keys=("symbol", "trade_date"),
+        run_sql=run_sql, properties=props, dialect="derby", staging_suffix="p1",
+    )
+    ids = sorted(int(r[0]) for r in fetch("SELECT id FROM stock_part"))
+    lo, hi = ids[0], ids[-1]
+
+    spec = plan_jdbc_partitioned(
+        url, "stock_part", "id", lower=lo, upper=hi + 1, num_partitions=4,
+        properties=props,
+    )
+    df = spec.load(spark)
+    # genuinely parallel: 4 tasks, disjoint ranges, zero loss/duplication
+    assert df.rdd.getNumPartitions() == 4
+    per_part = df.rdd.glom().map(len).collect()
+    assert sum(per_part) == 40 and sum(1 for n in per_part if n) >= 2
+    assert sorted(int(r["ID"]) for r in df.collect()) == ids
