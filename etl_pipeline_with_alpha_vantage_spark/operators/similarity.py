@@ -368,7 +368,12 @@ def _assign_udf(centroids):
 # train→assign→probe→score chain replays exactly in SQL. Cross-engine
 # double-summation drift (AVG in the Lloyd step, dot folds) sits ~6 orders
 # of magnitude below every argmax margin and ranking gap on the test data.
-_IVF_ORACLE = f"""
+# The train→assign chain (seeds → one sampled Lloyd step → renormalize →
+# full-corpus argmax assignment), shared verbatim by every IVF-derived
+# oracle: the top-k probe query appends probes/scoring, the SemDeDup
+# composition appends the within-cell prune. Ends at ``cassign``
+# (vec_id → cell).
+_IVF_CELL_CTES = f"""
 WITH e AS (
     SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
     FROM embeddings
@@ -412,7 +417,9 @@ cassign AS (
         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, c)
             AS rn
         FROM cdots) WHERE rn = 1
-),
+)"""
+
+_IVF_ORACLE = f"""{_IVF_CELL_CTES},
 probes AS (
     SELECT vec_id AS query_id, c AS cell FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, c)
@@ -439,31 +446,26 @@ SELECT query_id, neighbor_id, cosine FROM (
 """
 
 
-@query("similarity_ivf_topk", oracle=_IVF_ORACLE)
-def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X16 at scale, IVF variant: coarse-quantize the corpus into
-    N_CENTROIDS cells, probe the NPROBE nearest cells per query, exact
-    cosine only within probed cells.
+def _units(df: DataFrame) -> DataFrame:
+    return df.select("vec_id", _unit_udf()("embedding").alias("unit"))
 
-    Training follows the real IVF recipe at its honest scale shape:
-    seed centroids from the first K vectors, one Lloyd refinement over a
-    DETERMINISTIC SAMPLE (vec_id % 7 — codebooks are always trained on a
-    sample, never the full corpus), computed distributed (posexplode →
+
+def _ivf_codebook(spark: SparkSession, sf_dir: str, raw: DataFrame):
+    """Train (or fetch the memoized) IVF coarse quantizer for one corpus.
+
+    Seed centroids from the K smallest vec_ids, one Lloyd refinement over
+    a DETERMINISTIC SAMPLE (vec_id % 7 — codebooks are always trained on
+    a sample, never the full corpus), computed distributed (posexplode →
     per-(cluster, dim) mean) — only the K×dim centroid matrix is ever
     collected to the driver, which is exactly what a 1000-executor IVF
-    build does before broadcasting the codebook. The full corpus is then
-    scanned ONCE for assignment, and the probe join is an equi-join on
-    the cell id, so candidate generation never shuffles the corpus more
-    than once.
+    build does before broadcasting the codebook. Returns ``(head,
+    cents)``: the bounded head-vector dict (seed/query vectors) and the
+    L2-normalized K×dim centroid matrix.
     """
     import os
 
     import numpy as np
 
-    def units(df):
-        return df.select("vec_id", _unit_udf()("embedding").alias("unit"))
-
-    raw = table(spark, sf_dir, "embeddings")
     # Cache key covers path + mtime_ns + size: a same-second in-place
     # rewrite (coarse mtime granularity) still changes size or mtime_ns,
     # so a stale codebook is never served silently.
@@ -482,7 +484,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (ORDER BY vec_id LIMIT K) states the same rule.
         head = {
             int(r["vec_id"]): np.array(r["unit"], dtype=np.float64)
-            for r in units(
+            for r in _units(
                 raw.orderBy("vec_id").limit(max(N_CENTROIDS, N_QUERIES))
             ).collect()
         }
@@ -493,7 +495,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{len(head)}"
             )
         seeds = np.stack([head[i] for i in seed_ids])
-        sample = units(raw.filter(F.col("vec_id") % 7 == 0))
+        sample = _units(raw.filter(F.col("vec_id") % 7 == 0))
         dim_means = (
             sample.withColumn("cell", _assign_udf(seeds)("unit"))
             .select("cell", F.posexplode("unit").alias("pos", "x"))
@@ -506,8 +508,30 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents[r["cell"], r["pos"]] = r["m"]
         cents /= np.linalg.norm(cents, axis=1, keepdims=True)
         _IVF_CODEBOOK_CACHE[cache_key] = (head, cents)
+    return head, cents
 
-    corpus = units(raw).withColumn("cell", _assign_udf(cents)("unit"))
+
+def _ivf_cells(spark: SparkSession, sf_dir: str):
+    """The corpus with its IVF cell assignment: ``(vec_id, unit, cell)``
+    plus the trained ``(head, cents)``. One full-corpus scan; the
+    codebook is a broadcast K×dim matrix inside the assign UDF."""
+    raw = table(spark, sf_dir, "embeddings")
+    head, cents = _ivf_codebook(spark, sf_dir, raw)
+    corpus = _units(raw).withColumn("cell", _assign_udf(cents)("unit"))
+    return corpus, head, cents
+
+
+@query("similarity_ivf_topk", oracle=_IVF_ORACLE)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16 at scale, IVF variant: coarse-quantize the corpus into
+    N_CENTROIDS cells (_ivf_codebook), probe the NPROBE nearest cells
+    per query, exact cosine only within probed cells. The probe join is
+    an equi-join on the cell id, so candidate generation never shuffles
+    the corpus more than once.
+    """
+    import numpy as np
+
+    corpus, head, cents = _ivf_cells(spark, sf_dir)
     # Queries probe their NPROBE nearest refined centroids (tiny,
     # driver-side: N_QUERIES × K dot products on the collected matrix).
     # kind="stable" so exact dot-product ties break by ascending cell id,
@@ -694,6 +718,16 @@ FROM u LEFT JOIN dup_counts d ON d.dup_id = u.vec_id
 _PAIR_SCHEMA = "vec_a long, vec_b long, cos double"
 
 
+def _int_grid(X):
+    """Exact ties-away-from-zero rounding (Spark ROUND / DuckDB round
+    semantics) with no intermediate-rounding drift: trunc + exact frac."""
+    import numpy as np
+
+    t = np.trunc(X)
+    frac = X - t
+    return t + np.where(np.abs(frac) >= 0.5, np.sign(X), 0.0)
+
+
 def _semdedup_cell_pairs(pdf):
     """Per-cell exact cosine kernel: one float64 BLAS matmul over
     integer-grid embeddings (see module note above for why this is
@@ -706,11 +740,7 @@ def _semdedup_cell_pairs(pdf):
 
     ids = pdf["vec_id"].to_numpy()
     X = np.stack(pdf["emb"].to_numpy()).astype(np.float64) * 1e6
-    # exact ties-away-from-zero rounding (Spark ROUND / DuckDB round
-    # semantics) with no intermediate-rounding drift: trunc + exact frac
-    t = np.trunc(X)
-    frac = X - t
-    U = t + np.where(np.abs(frac) >= 0.5, np.sign(X), 0.0)
+    U = _int_grid(X)
     G = U @ U.T
     nrm = np.sqrt(np.diag(G))
     C = G / (nrm[:, None] * nrm[None, :])
@@ -734,10 +764,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the pairwise check is BLOCKED BY CLUSTER (here the
     pre-assigned label; at corpus scale the IVF codebook's cell
-    assignment -- similarity_ivf_topk -- plays this role), so candidate
-    volume is Sigma cell^2, never corpus^2; a skewed mega-cell would be
-    split by re-clustering its members (hierarchical k-means), keeping
-    per-cell work bounded. Round-4 rework: the per-cell pairwise kernel
+    assignment plays this role -- dedup_semantic_ivf composes exactly
+    that chain end-to-end), so candidate volume is Sigma cell^2, never
+    corpus^2; a skewed mega-cell is split into bounded block-pair tasks
+    by the blocked kernel (semdedup_prune -- exact, skew-proven at 1M
+    rows in tests/test_scale_smoke.py). Round-4 rework: the per-cell
+    pairwise kernel
     runs as ONE Arrow-batched BLAS matmul (grouped applyInPandas) on
     integer-grid embeddings instead of a JVM HOF per pair -- 4x faster
     at sf0.1 and still bit-exact against the SQL oracle, because
@@ -775,6 +807,185 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dedup_semantic.__doc__ = dedup_semantic.__doc__.format(tau=_SEMDEDUP_TAU)
+
+
+# --------------------------------------------------------------------------
+# IVF-composed SemDeDup with a skew-proof blocked pairwise kernel
+# --------------------------------------------------------------------------
+
+# Default per-task row bound for the blocked kernel. Deliberately tiny so
+# the MULTI-block path (the part that only matters at scale) is what the
+# fixture corpora — and therefore the exact oracle gate — actually
+# execute: 500-row corpora over 16 cells split into 2-3 buckets per cell.
+# A production corpus would set this to executor-memory-sized blocks
+# (e.g. 8192 rows × 64 dims).
+_SEMDEDUP_MAX_CELL_ROWS = 16
+
+
+def _semdedup_block_frame(
+    emb: DataFrame, max_rows: int, cell_col: str = "cell"
+) -> DataFrame:
+    """Replicate cell members into bounded block-pair tasks — the
+    skew-split escape hatch for the per-cell pairwise kernel.
+
+    A cell of ``s`` rows is hashed into ``nb = ceil(s / max_rows)``
+    buckets; every unordered bucket pair ``(bi <= bj)`` becomes one task
+    holding only those two buckets' rows. Each row joins ``nb`` tasks,
+    so the shuffled volume is Σ s·nb ≈ Σ s²/max_rows — linear in the
+    pairwise WORK, which no exact scheme can beat, while per-task memory
+    stays ≤ ~2·max_rows rows no matter how skewed the cells are. A
+    uniform corpus (every cell ≤ max_rows) degenerates to nb = 1:
+    exactly one task per cell and zero replication, so the escape hatch
+    costs nothing when unused.
+    """
+    sizes = emb.groupBy(cell_col).agg(F.count(F.lit(1)).alias("_n"))
+    nb = F.greatest(
+        F.lit(1), F.ceil(F.col("_n") / F.lit(int(max_rows)))
+    ).cast("int")
+    bucketed = emb.join(
+        F.broadcast(sizes.select(cell_col, nb.alias("_nb"))), cell_col
+    ).withColumn("bkt", F.pmod(F.col("vec_id"), F.col("_nb")).cast("int"))
+    return (
+        bucketed.select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(0), F.col("_nb") - F.lit(1))
+            ).alias("_other"),
+        )
+        .withColumn("bi", F.least("bkt", "_other"))
+        .withColumn("bj", F.greatest("bkt", "_other"))
+    )
+
+
+def _semdedup_block_pairs(key, pdf):
+    """Block-pair cosine kernel: the within-block case defers to
+    _semdedup_cell_pairs; the cross-block case is one rectangular BLAS
+    matmul between the two buckets' integer-grid matrices. Every
+    unordered vector pair of a cell lands in exactly one task, so the
+    union over tasks reproduces the unblocked kernel's pair set
+    bit-for-bit (same exact integer products, same rounding)."""
+    import numpy as np
+    import pandas as pd
+
+    bi, bj = int(key[-2]), int(key[-1])
+    if bi == bj:
+        return _semdedup_cell_pairs(pdf)
+    a = pdf[pdf["bkt"] == bi]
+    b = pdf[pdf["bkt"] == bj]
+    if not len(a) or not len(b):
+        return pd.DataFrame(
+            {
+                "vec_a": np.array([], dtype=np.int64),
+                "vec_b": np.array([], dtype=np.int64),
+                "cos": np.array([], dtype=np.float64),
+            }
+        )
+    ua = _int_grid(np.stack(a["emb"].to_numpy()).astype(np.float64) * 1e6)
+    ub = _int_grid(np.stack(b["emb"].to_numpy()).astype(np.float64) * 1e6)
+    G = ua @ ub.T
+    na = np.sqrt((ua * ua).sum(axis=1))
+    nbn = np.sqrt((ub * ub).sum(axis=1))
+    C = G / (na[:, None] * nbn[None, :])
+    ia, ib = np.where(C >= _SEMDEDUP_TAU - 1e-6)
+    ida = a["vec_id"].to_numpy()[ia]
+    idb = b["vec_id"].to_numpy()[ib]
+    return pd.DataFrame(
+        {
+            "vec_a": np.minimum(ida, idb),
+            "vec_b": np.maximum(ida, idb),
+            "cos": C[ia, ib],
+        }
+    )
+
+
+def semdedup_prune(emb: DataFrame, max_rows: int) -> DataFrame:
+    """Cell-blocked SemDeDup prune over ``(vec_id, cell, emb)`` with the
+    blocked (skew-split) kernel: every vector with its closer-duplicate
+    count and kept verdict. Exact — blocking changes scheduling, never
+    the pair set."""
+    rep = _semdedup_block_frame(emb, max_rows)
+    pairs = rep.groupBy("cell", "bi", "bj").applyInPandas(
+        _semdedup_block_pairs, _PAIR_SCHEMA
+    )
+    close = (
+        pairs.filter(F.round("cos", 6) >= _SEMDEDUP_TAU)
+        .groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_closer"))
+    )
+    return (
+        emb.select("vec_id", F.col("cell").cast("long").alias("cell"))
+        .join(close, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("n_closer"), F.lit(0)).cast("long").alias(
+                "n_closer_dups"
+            ),
+            (F.coalesce(F.col("n_closer"), F.lit(0)) == 0).alias("kept"),
+        )
+    )
+
+
+_SEMDEDUP_IVF_ORACLE = f"""{_IVF_CELL_CTES},
+g AS (
+    SELECT vec_id,
+           [round(CAST(x AS DOUBLE) * 1000000) for x in embedding] AS iu
+    FROM embeddings
+),
+gn AS (SELECT vec_id, iu, sqrt(list_sum([x * x for x in iu])) AS norm
+       FROM g),
+m AS (SELECT ca.vec_id, ca.cell, gn.iu, gn.norm
+      FROM cassign ca JOIN gn USING (vec_id)),
+close_pairs AS (
+    SELECT b.vec_id AS dup_id
+    FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round(
+            list_sum(list_transform(list_zip(a.iu, b.iu), p -> p[1] * p[2]))
+            / (a.norm * b.norm), 6) >= {_SEMDEDUP_TAU}
+),
+dup_counts AS (
+    SELECT dup_id, COUNT(*) AS n_closer FROM close_pairs GROUP BY dup_id
+)
+SELECT m.vec_id,
+       CAST(m.cell AS BIGINT) AS cell,
+       CAST(coalesce(d.n_closer, 0) AS BIGINT) AS n_closer_dups,
+       coalesce(d.n_closer, 0) = 0 AS kept
+FROM m LEFT JOIN dup_counts d ON d.dup_id = m.vec_id
+"""
+
+
+@query("dedup_semantic_ivf", oracle=_SEMDEDUP_IVF_ORACLE)
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composed END-TO-END the way a corpus-scale run works:
+    the IVF coarse quantizer's deterministic cell assignment
+    (_ivf_codebook — the similarity_ivf_topk codebook, memoized) plays
+    the blocking role that ``dedup_semantic`` delegates to the
+    pre-assigned label, and the within-cell prune runs through the
+    BLOCKED kernel, so a skewed mega-cell is split into bounded
+    block-pair tasks instead of landing on one worker.
+
+    The oracle replays the identical chain in SQL: the shared IVF
+    train→assign CTEs produce ``cassign``, then the SemDeDup prune runs
+    within those cells on the 1e-6 integer grid (exact in any summation
+    order — module note above). _SEMDEDUP_MAX_CELL_ROWS is deliberately
+    fixture-tiny so the hash gate exercises the multi-block path, not
+    the nb=1 degenerate case.
+
+    Output: every vector with its IVF cell, closer-duplicate count, and
+    kept verdict — the keep-list a corpus writer joins back against.
+    """
+    raw = table(spark, sf_dir, "embeddings")
+    _, cents = _ivf_codebook(spark, sf_dir, raw)
+    emb = (
+        raw.select(
+            "vec_id",
+            _as_double("embedding").alias("emb"),
+            _unit_udf()("embedding").alias("unit"),
+        )
+        .withColumn("cell", _assign_udf(cents)("unit"))
+        .drop("unit")
+    )
+    return semdedup_prune(emb, _SEMDEDUP_MAX_CELL_ROWS)
 
 
 # --------------------------------------------------------------------------

@@ -977,3 +977,95 @@ def test_pq_encode_adc_lossless_at_volume(spark):
     for q in range(NQ):
         assert row[f"adc_bad_{q}"] == 0
     assert elapsed < 240, f"PQ encode+ADC at {N_VEC} rows took {elapsed:.0f}s"
+
+
+def test_semdedup_blocked_skew_split_exact_at_volume(spark):
+    """The blocked SemDeDup kernel (semdedup_prune — dedup_semantic_ivf's
+    actual execution path) proven exact AND bounded under deliberate
+    skew at 1M vectors: one mega-cell holds ~5% of the corpus (~50k
+    rows, 400× the uniform tail's cell size) — the case the plain
+    per-cell kernel cannot schedule, since one worker would own a
+    50k×50k matmul. With max_rows=4096 the mega-cell splits into
+    C(13,2)+13 = 91 bounded block-pair tasks.
+
+    Three independent invariants close the contract:
+    - replicated task-frame volume == Σ_cell s·nb exactly (the documented
+      shuffle cost of the escape hatch — linear in pairwise work);
+    - no task ever holds more than ~2·max_rows rows (boundedness — the
+      actual point of the split);
+    - the prune output equals the one-hot closed form (survivors =
+      COUNT(DISTINCT (cell, grp)), Σ n_closer_dups = Σ s·(s−1)/2 over
+      (cell, grp) sizes) — exactness, via plain relational counts that
+      never touch the Arrow/BLAS path.
+    """
+    import time
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.similarity import (
+        _SEMDEDUP_TAU,
+        _semdedup_block_frame,
+        semdedup_prune,
+    )
+
+    N_VEC, TAIL_CELLS, GROUPS, DIM, MAX_ROWS = 1_000_000, 8_000, 32, 64, 4096
+    assert 0 < _SEMDEDUP_TAU <= 1.0  # one-hot cosines are exactly 0 or 1
+    MEGA = TAIL_CELLS  # a cell id the uniform tail can't produce
+    base = spark.range(N_VEC).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(20)) == 0, F.lit(MEGA))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(TAIL_CELLS)))
+        .alias("cell"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(GROUPS)).alias("grp"),
+    )
+    onehot = F.array(
+        *[
+            F.when(F.col("grp") == g, F.lit(1.0)).otherwise(F.lit(0.0))
+            for g in range(GROUPS)
+        ]
+        + [F.lit(0.0)] * (DIM - GROUPS)
+    )
+    emb = base.select("vec_id", "cell", "grp", onehot.alias("emb"))
+
+    # Independent expectations from exact relational counts.
+    cell_sizes = emb.groupBy("cell").agg(F.count(F.lit(1)).alias("s"))
+    exp_rep = cell_sizes.agg(
+        F.sum(
+            F.col("s") * F.greatest(F.lit(1), F.ceil(F.col("s") / MAX_ROWS))
+        ).alias("rep"),
+        F.max("s").alias("mega"),
+    ).collect()[0]
+    assert exp_rep.mega > 40_000  # the skew is real: ~5% of 1M in one cell
+    grp_sizes = emb.groupBy("cell", "grp").agg(F.count(F.lit(1)).alias("s"))
+    exp = grp_sizes.agg(
+        F.count(F.lit(1)).alias("survivors"),
+        F.sum(F.expr("s * (s - 1) / 2")).cast("long").alias("closer_total"),
+    ).collect()[0]
+
+    rep = _semdedup_block_frame(emb.select("vec_id", "cell", "emb"), MAX_ROWS)
+    # shuffle-volume invariant: exactly Σ s·nb replicated rows
+    assert rep.count() == exp_rep.rep
+    # boundedness invariant: every block-pair task ≤ ~2·max_rows rows
+    # (hash-bucket imbalance gives a small epsilon over 2·max_rows)
+    max_task = (
+        rep.groupBy("cell", "bi", "bj")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert max_task <= int(2.2 * MAX_ROWS), max_task
+
+    t0 = time.perf_counter()
+    got = (
+        semdedup_prune(emb.select("vec_id", "cell", "emb"), MAX_ROWS)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("kept").cast("long")).alias("kept"),
+            F.sum("n_closer_dups").alias("closer_total"),
+        )
+        .collect()[0]
+    )
+    elapsed = time.perf_counter() - t0
+    assert got.n == N_VEC
+    assert got.kept == exp.survivors
+    assert got.closer_total == exp.closer_total
+    assert elapsed < 300, f"blocked SemDeDup at {N_VEC} rows took {elapsed:.0f}s"
