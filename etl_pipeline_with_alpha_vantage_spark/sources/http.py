@@ -106,28 +106,83 @@ def _fetch_one(symbol: str, api_key: str | None) -> dict:
     return resp.json()
 
 
-def fetch_distributed(symbols_df, api_key: str, sleep_sec: float = RATE_LIMIT_SLEEP_SEC):
-    """Executor-side fetching for symbol counts ≫ cores.
+def fetch_distributed(
+    symbols_df,
+    lake_dir: str,
+    day: str,
+    api_key: str | None = None,
+    sleep_sec: float = RATE_LIMIT_SLEEP_SEC,
+    fetch_one=None,
+):
+    """Executor-side fetching for symbol counts ≫ cores: the reference's
+    full per-symbol loop (etl.py:39-63 — cache-first, validate, persist,
+    rate-limit) fanned out via ``mapInPandas``.
 
-    Input: DataFrame with a ``symbol`` column. Output: (symbol, payload
-    json string). Each task runs a local token bucket, so aggregate request
-    rate ≈ executors / sleep_sec — size the partition count to the API
-    tier, not the cluster.
+    Each task runs its own token bucket (sleep AFTER every live request,
+    including rejected ones — the request still hit the API), so the
+    aggregate rate ≈ partitions / sleep_sec: size the partition count to
+    the API tier, not the cluster. Cache hits never sleep, so warm
+    re-runs cost no wall-clock — the idempotency that makes retrying a
+    half-failed 10k-symbol fan-out cheap. ``lake_dir`` must be shared
+    storage every executor can reach (object store / NFS mount), the
+    same contract as any file cache; writes go through a tmp file +
+    atomic rename so a task killed mid-write never leaves a torn JSON
+    for the cache-first check to trust.
+
+    ``fetch_one``: injectable transport ``(symbol, api_key) -> dict``
+    (must be cloudpickle-serializable); defaults to the real HTTPS
+    ``_fetch_one``. This is the no-network seam the tests drive.
+
+    Output, one row per input symbol:
+      symbol, part (executor partition id — rate-audit key),
+      path/payload (NULL when the payload failed validation and was
+      dropped uncached, per is_valid_payload),
+      fetched (False = served from the lake cache),
+      fetched_at (unix seconds of the live request; NULL on cache hit).
     """
     import pandas as pd  # noqa: PLC0415
 
-    from pyspark.sql.types import StringType, StructField, StructType  # noqa: PLC0415
+    from pyspark import TaskContext  # noqa: PLC0415
 
-    schema = StructType(
-        [StructField("symbol", StringType()), StructField("payload", StringType())]
+    transport = fetch_one if fetch_one is not None else _fetch_one
+    schema = (
+        "symbol string, part int, path string, payload string, "
+        "fetched boolean, fetched_at double"
     )
 
     def fetch_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        part = TaskContext.get().partitionId()
         for pdf in batches:
             rows = []
             for symbol in pdf["symbol"]:
-                rows.append((symbol, json.dumps(_fetch_one(symbol, api_key))))
+                path = _raw_path(lake_dir, symbol, day)
+                if os.path.exists(path):
+                    with open(path) as f:
+                        rows.append((symbol, part, path, f.read(), False, None))
+                    continue
+                fetched_at = time.time()
+                payload = transport(symbol, api_key)
+                if not is_valid_payload(payload):
+                    # throttle note / error body: drop it UNCACHED so the
+                    # next run retries, but the request still consumed a
+                    # rate-limit token — sleep exactly like a success
+                    rows.append((symbol, part, None, None, True, fetched_at))
+                    time.sleep(sleep_sec)
+                    continue
+                os.makedirs(lake_dir, exist_ok=True)
+                text = json.dumps(payload, indent=4)
+                tmp = f"{path}.tmp.{part}.{os.getpid()}"
+                with open(tmp, "w") as f:
+                    f.write(text)
+                os.replace(tmp, path)
+                rows.append((symbol, part, path, text, True, fetched_at))
                 time.sleep(sleep_sec)
-            yield pd.DataFrame(rows, columns=["symbol", "payload"])
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "symbol", "part", "path", "payload", "fetched",
+                    "fetched_at",
+                ],
+            )
 
     return symbols_df.mapInPandas(fetch_batch, schema)

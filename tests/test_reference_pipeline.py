@@ -235,3 +235,117 @@ def test_validation_gate_failfast_mode(spark, tmp_path):
     with pytest.raises((Py4JJavaError, PySparkException)) as excinfo:
         read_raw_payloads(spark, str(dirty / "*.json"), strict=True).collect()
     assert "FAILFAST" in str(excinfo.value) or "Malformed" in str(excinfo.value)
+
+
+def test_fetch_distributed_mock_transport(spark, tmp_path):
+    """fetch_distributed executed with an injected no-network transport —
+    the reference's per-symbol loop (etl.py:39-63) at executor scale:
+
+    - per-PARTITION token bucket: within each mapInPandas task,
+      consecutive live requests are >= sleep_sec apart (the free-tier
+      cadence), while separate partitions overlap freely;
+    - validation drops: throttle-note bodies (etl.py:52-56 pydantic
+      reject) produce NULL path/payload and are left UNCACHED;
+    - lake idempotency: a second run serves every previously-fetched
+      symbol byte-identically from the raw zone with zero live requests
+      and zero sleeps, and RETRIES exactly the dropped ones.
+    """
+    import time as _time
+
+    from etl_pipeline_with_alpha_vantage_spark.sources.http import (
+        fetch_distributed,
+    )
+
+    lake = str(tmp_path / "lake")
+    day = "2025-10-05"
+    sleep = 0.4
+    symbols = [f"SYM{i}" for i in range(9)] + ["BAD0", "BAD1", "BAD2"]
+    sdf = spark.createDataFrame(
+        [(s,) for s in symbols], "symbol string"
+    ).repartition(3)
+
+    def fake_fetch(symbol, api_key):
+        # cloudpickled by value into the executor; embeds a nonce so a
+        # cache hit is distinguishable from a silent refetch
+        assert api_key == "k"
+        if symbol.startswith("BAD"):
+            return {"Note": "API call frequency exceeded"}
+        return {
+            "Meta Data": {"2. Symbol": symbol},
+            "Time Series (Daily)": {
+                "2025-10-03": {"1. open": "1.0", "4. close": "2.0"}
+            },
+            "nonce": f"run1-{symbol}",
+        }
+
+    t0 = _time.perf_counter()
+    out = fetch_distributed(
+        sdf, lake, day, api_key="k", sleep_sec=sleep, fetch_one=fake_fetch
+    ).collect()
+    run1_wall = _time.perf_counter() - t0
+    assert len(out) == 12
+    by_symbol = {r.symbol: r for r in out}
+
+    # validation drops: uncached, no path, no payload, token consumed
+    for s in ("BAD0", "BAD1", "BAD2"):
+        r = by_symbol[s]
+        assert r.path is None and r.payload is None and r.fetched
+        assert not os.path.exists(os.path.join(lake, f"{s}_{day}.json"))
+
+    # successes: file exists, indent=4 verbatim persistence, parseable
+    for s in symbols:
+        if s.startswith("BAD"):
+            continue
+        r = by_symbol[s]
+        assert r.fetched and r.fetched_at is not None
+        with open(r.path) as f:
+            disk = f.read()
+        assert disk == r.payload and '"nonce": "run1-' in disk
+        assert json.loads(disk)["Meta Data"]["2. Symbol"] == s
+
+    # per-partition cadence: consecutive live requests >= sleep apart
+    parts = {}
+    for r in out:
+        parts.setdefault(r.part, []).append(r.fetched_at)
+    assert len(parts) == 3
+    for ts in parts.values():
+        ts = sorted(t for t in ts if t is not None)
+        for a, b in zip(ts, ts[1:]):
+            assert b - a >= sleep * 0.95, (a, b)
+    # ... while the partitions genuinely overlapped: the token bucket is
+    # per-task, not global, so some other partition fires DURING this
+    # partition's [first, last] fetch window (a global 15 s bucket —
+    # the driver-loop shape — could never interleave timestamps)
+    spans = [
+        (min(v), max(v))
+        for v in (
+            [t for t in ts if t is not None] for ts in parts.values()
+        )
+    ]
+    assert any(
+        a0 < b1 and b0 < a1
+        for i, (a0, a1) in enumerate(spans)
+        for (b0, b1) in spans[i + 1:]
+    ), spans
+    del run1_wall  # stage scheduling + worker spin-up make wall flaky
+
+    # idempotent re-run: cache hits byte-identical, no sleeps for them;
+    # only the 3 dropped symbols are retried (fresh nonce proves a real
+    # second request, cache-first proves the 9 good ones never refetch)
+    def fake_fetch2(symbol, api_key):
+        if symbol.startswith("BAD"):
+            return {"Note": "still throttled"}
+        return {"Time Series (Daily)": {"d": {}}, "nonce": f"run2-{symbol}"}
+
+    out2 = fetch_distributed(
+        sdf, lake, day, api_key="k", sleep_sec=sleep, fetch_one=fake_fetch2
+    ).collect()
+    by2 = {r.symbol: r for r in out2}
+    for s in symbols:
+        r = by2[s]
+        if s.startswith("BAD"):
+            assert r.fetched and r.payload is None  # retried, dropped again
+        else:
+            assert not r.fetched and r.fetched_at is None
+            assert r.payload == by_symbol[s].payload  # byte-identical replay
+            assert '"nonce": "run1-' in r.payload  # run-2 transport unused
