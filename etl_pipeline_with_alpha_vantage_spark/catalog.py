@@ -10,7 +10,6 @@ prune its own scan.
 from __future__ import annotations
 
 import os
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,8 +55,8 @@ def ensure_query_confs(spark: SparkSession) -> None:
             pass  # conf unknown/static in this Spark build; fallbacks below
 
 
-# Loaded-DataFrame memo, keyed per live SparkSession (weak — a stopped /
-# collected session drops its entries) by (sf_dir, table, file identity).
+# Loaded-DataFrame memo, stored ON the SparkSession object itself (a
+# private attribute), keyed by (sf_dir, table, file identity).
 # ``spark.read.parquet`` resolves the schema EAGERLY on the driver (file
 # listing + footer read, ~40-100 ms per call); every registry query pays it
 # 1-3× per build, which across a 282-query bench run is tens of seconds of
@@ -67,22 +66,47 @@ def ensure_query_confs(spark: SparkSession) -> None:
 # ``_SPREAD_PROBE_CACHE`` below. Execution-time file listing is unaffected
 # — a scan still lists its files at planning, so a vanished file fails
 # loudly rather than serving a stale plan.
-_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+#
+# Why an attribute and not a module-level WeakKeyDictionary: the cached
+# DataFrames hold ``df.sparkSession``, so a weak-keyed global's VALUES
+# would keep its KEYS alive forever — entries for stopped sessions could
+# never be collected (round-8's version had exactly that leak). Hanging
+# the dict off the session makes the cache's lifetime the session's own:
+# the session→dict→DataFrame→session loop is an ordinary reference cycle
+# within one object graph, which CPython's cycle collector frees as soon
+# as the session itself is unreachable.
+_CACHE_ATTR = "_spark_graft_table_cache"
+
+
+def _session_cache(spark: SparkSession) -> dict:
+    cache = getattr(spark, _CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        try:
+            setattr(spark, _CACHE_ATTR, cache)
+        except Exception:
+            pass  # attribute-frozen session: behave as cache-miss always
+    return cache
 
 
 def _file_ident(path: str) -> tuple:
     """Identity of a parquet file-or-directory: (path, mtime_ns, size) of
-    the path plus one level of children when it is a directory."""
+    the path plus — for directories — every descendant, recursively, so
+    an in-place rewrite deep inside a partitioned layout
+    (tbl.parquet/part=x/file.parquet) changes the identity even when no
+    ancestor directory's own mtime moved."""
     st = os.stat(path)
     ident = [(path, st.st_mtime_ns, st.st_size)]
     if os.path.isdir(path):
-        for e in sorted(os.listdir(path)):
-            fe = os.path.join(path, e)
-            try:
-                s = os.stat(fe)
-            except OSError:
-                continue  # concurrent compaction/cleanup — treat as absent
-            ident.append((fe, s.st_mtime_ns, s.st_size))
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            for e in sorted(files + dirs):
+                fe = os.path.join(root, e)
+                try:
+                    s = os.stat(fe)
+                except OSError:
+                    continue  # concurrent compaction — treat as absent
+                ident.append((fe, s.st_mtime_ns, s.st_size))
     return tuple(ident)
 
 
@@ -97,7 +121,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except OSError:
         key = None  # path missing — let spark.read raise its own error
     if key is not None:
-        cached = _TABLE_CACHE.get(spark, {}).get(key)
+        cached = _session_cache(spark).get(key)
         if cached is not None:
             return cached
     # Fallback if nanosAsLong ever goes static: an explicit schema mapping
@@ -144,7 +168,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(ts_type, TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if key is not None:
-        _TABLE_CACHE.setdefault(spark, {})[key] = df
+        _session_cache(spark)[key] = df
     return df
 
 

@@ -352,9 +352,14 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("c")
     )
+    # count(user_id), not count(*): the deduped frame carries at most one
+    # NULL-user row per event_type, and COUNT(*) would count it while
+    # both COUNT(DISTINCT) semantics and the HLL exclude NULLs — the
+    # null-excluding count keeps exact vs approx comparable under any
+    # future generator.
     agg = per_user.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.count(F.lit(1)).alias("exact_users"),
+        F.count("user_id").alias("exact_users"),
         F.sum("c").alias("n_events"),
     )
     within = (

@@ -226,8 +226,17 @@ _COGROUP_SCHEMA = (
 # at 100 TB size it UP to ~rows/target_batch so a bucket's two sides fit
 # executor memory — the count changes results not at all (any hash
 # split preserves per-user as-of exactness via merge_asof's by=).
+# NOTE: defaultParallelism makes the PLAN (and bench floors) vary with
+# host core count — results are provably invariant, but readings from
+# different machines aren't comparable (BENCH_BASELINE documents the
+# 32-core reference). sparkContext is also absent under Spark Connect,
+# so fall back to the session's shuffle-partition conf there.
 def _cogroup_buckets(spark: SparkSession) -> int:
-    return max(spark.sparkContext.defaultParallelism, 8)
+    try:
+        n = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext on the client
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(n, 8)
 
 _COGROUP_COLS = [
     "user_id", "purchase_id", "purchase_ts", "asof_click_id", "asof_click_ts"
