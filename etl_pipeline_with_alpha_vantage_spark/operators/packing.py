@@ -64,6 +64,134 @@ def pack_greedy(
     return docs.groupBy(*group_cols).applyInPandas(pack, out_schema)
 
 
+def pack_greedy_blocked(
+    docs: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    tokens_col: str,
+    budget: int = TOKEN_BUDGET,
+    block_span: int = 4096,
+) -> DataFrame:
+    """EXACT greedy packing for groups too large for one worker — the
+    skew-split escape hatch for ``pack_greedy``'s group-fits-one-worker
+    contract, as a two-pass function-composition scan.
+
+    The greedy recurrence's state is just ``(open-bin fill, started)``,
+    and every fill above ``budget`` behaves identically (the next doc
+    always overflows, since tokens >= 0), so the state domain is the
+    FINITE set {fresh, 1..budget+1}. That makes the classic parallel
+    prefix-scan over blocks exact and cheap:
+
+    - blocks are order-preserving ``order_col // block_span`` ranges (no
+      per-group global sort — a window over the mega-group would be the
+      hot partition all over again);
+    - pass 1 (distributed): each block simulates ALL budget+2 incoming
+      states at once (one numpy-vectorized walk) and emits a single
+      summary row: its transition table fill_in -> (new bins, fill_out);
+    - driver fold: compose the tables in block order per group — O(#blocks)
+      rows collected, a documented-bounded collect like the codebook
+      trainers, NEVER the data;
+    - pass 2 (distributed): each block replays once from its now-known
+      exact incoming state; global bin_id = incoming bin base + local
+      overflow count.
+
+    Output and semantics are bit-identical to ``pack_greedy`` (the
+    differential + closed-form volume test pins this at 1M rows with a
+    ~500k-doc mega-source); per-task memory is bounded by the block, not
+    the group.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    spark = docs.sparkSession
+    sentinel = budget + 1  # all fills > budget are equivalent
+    n_states = budget + 2  # index 0 = fresh (group start), 1..budget+1
+
+    blocked = docs.withColumn(
+        "_blk", (F.col(order_col) / F.lit(int(block_span))).cast("long")
+    )
+    key_cols = [*group_cols, "_blk"]
+
+    summary_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in blocked.select(*key_cols).schema.fields
+    ) + ", tbl_bins array<long>, tbl_fill array<long>"
+
+    def block_table(pdf: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            pdf.sort_values(order_col)[tokens_col]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        fill = np.arange(n_states, dtype=np.int64)  # state i starts at fill i
+        bins = np.zeros(n_states, dtype=np.int64)
+        started = np.ones(n_states, dtype=bool)
+        started[0] = False  # state 0: fresh group start
+        fill[0] = 0
+        for t in toks:
+            over = started & (fill + t > budget)
+            bins += over
+            fill = np.where(over, t, fill + t)
+            started[:] = True
+        fill = np.minimum(fill, sentinel)
+        out = pdf.iloc[:1][key_cols].copy()
+        out["tbl_bins"] = [bins.tolist()]
+        out["tbl_fill"] = [fill.tolist()]
+        return out
+
+    summaries = (
+        blocked.groupBy(*key_cols)
+        .applyInPandas(block_table, summary_schema)
+        .collect()
+    )  # bounded: one row per (group, block), never per document
+
+    by_group: dict = {}
+    for r in summaries:
+        gkey = tuple(r[c] for c in group_cols)
+        by_group.setdefault(gkey, []).append(r)
+    incoming = []  # (group..., blk, bin_base, fill_in)
+    for gkey, rows in by_group.items():
+        rows.sort(key=lambda r: r["_blk"])
+        bin_base, f = 0, 0  # 0 == fresh
+        for r in rows:
+            incoming.append((*gkey, r["_blk"], bin_base, f))
+            bin_base += r["tbl_bins"][f]
+            f = r["tbl_fill"][f]
+    inc_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in blocked.select(*key_cols).schema.fields
+    ) + ", _bin_base long, _fill_in long"
+    inc_df = spark.createDataFrame(incoming, inc_schema)
+
+    schema_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    )
+    out_schema = f"{schema_fields}, bin_id bigint"
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        bin_base = int(pdf["_bin_base"].iloc[0])
+        fill = int(pdf["_fill_in"].iloc[0])
+        started = fill > 0
+        bins, bin_id = [], bin_base
+        for t in pdf[tokens_col]:
+            t = int(t)
+            if started and fill + t > budget:
+                bin_id += 1
+                fill = t
+            else:
+                fill = min(fill + t, budget + 1)
+                started = True
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf.drop(columns=["_blk", "_bin_base", "_fill_in"])
+
+    return (
+        blocked.join(F.broadcast(inc_df), key_cols)
+        .groupBy(*key_cols)
+        .applyInPandas(replay, out_schema)
+    )
+
+
 _PACK_ORACLE = f"""
 WITH RECURSIVE d AS (
     SELECT source, doc_id,
@@ -103,6 +231,24 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("est_tokens"),
     )
     return pack_greedy(docs, ["source"], "doc_id", "est_tokens")
+
+
+@query("pack_sequences_blocked", oracle=_PACK_ORACLE)
+def pack_sequences_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_sequences through the BLOCKED two-pass scan
+    (pack_greedy_blocked) — same greedy semantics, same oracle text,
+    different execution: the block span is fixture-tiny (64 ids) so the
+    hash gate exercises real multi-block composition (every source
+    splits into dozens of blocks whose transition tables must compose
+    exactly), not the one-block degenerate case."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("est_tokens"),
+    )
+    return pack_greedy_blocked(
+        docs, ["source"], "doc_id", "est_tokens", block_span=64
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1069,3 +1069,80 @@ def test_semdedup_blocked_skew_split_exact_at_volume(spark):
     assert got.kept == exp.survivors
     assert got.closer_total == exp.closer_total
     assert elapsed < 300, f"blocked SemDeDup at {N_VEC} rows took {elapsed:.0f}s"
+
+
+def test_pack_blocked_scan_equals_sequential_at_volume(spark):
+    """pack_greedy_blocked (the two-pass function-composition scan —
+    pack_sequences_blocked's execution path) proven exact at 600k docs
+    under deliberate skew: one mega-source holds ~50% of the corpus
+    (~300k docs — the group the sequential kernel must own whole), the
+    rest spread over 1000 sources. Tokens are hash-random in [1, 300]
+    with ~1% oversized (> budget), exercising the overflow, fresh-start,
+    and oversized-document transitions across ~122 block boundaries.
+
+    Differential: the blocked result must equal pack_greedy (the
+    sequential kernel, itself recursive-CTE-oracled at the fixtures) on
+    every row — compared via a join on (source, doc_id) asserting
+    bin_id equality, plus two independent invariants: no bin exceeds
+    the budget unless it is a single oversized doc, and per-source bin
+    ids are dense 0..max."""
+    import time
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.packing import (
+        TOKEN_BUDGET,
+        pack_greedy,
+        pack_greedy_blocked,
+    )
+
+    N_DOCS, SOURCES = 600_000, 1_000
+    docs = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.pmod(F.xxhash64("id", F.lit(3)), F.lit(2)) == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(SOURCES)))
+        .cast("long")
+        .alias("source"),
+        F.when(
+            F.pmod(F.xxhash64("id", F.lit(5)), F.lit(100)) == 0,
+            F.lit(TOKEN_BUDGET) + F.pmod(F.xxhash64("id", F.lit(6)), F.lit(200)) + 1,
+        )
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(300)) + 1)
+        .cast("long")
+        .alias("est_tokens"),
+    )
+    mega = docs.groupBy("source").count().agg(F.max("count")).collect()[0][0]
+    assert mega > 250_000  # the skew is real
+
+    t0 = time.perf_counter()
+    blocked = pack_greedy_blocked(
+        docs, ["source"], "doc_id", "est_tokens", block_span=8192
+    ).persist()
+    seq = pack_greedy(docs, ["source"], "doc_id", "est_tokens")
+    diff = (
+        blocked.alias("b")
+        .join(seq.alias("s"), ["source", "doc_id"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("b.bin_id") != F.col("s.bin_id")).cast("long")
+            ).alias("mismatches"),
+        )
+        .collect()[0]
+    )
+    elapsed = time.perf_counter() - t0
+    assert diff.n == N_DOCS
+    assert diff.mismatches == 0
+    assert elapsed < 300, f"blocked-vs-seq at {N_DOCS} took {elapsed:.0f}s"
+
+    # independent invariants on the blocked output alone
+    bins = blocked.groupBy("source", "bin_id").agg(
+        F.sum("est_tokens").alias("fill"), F.count(F.lit(1)).alias("n_docs")
+    )
+    bad = bins.filter(
+        (F.col("fill") > TOKEN_BUDGET) & (F.col("n_docs") > 1)
+    ).count()
+    assert bad == 0  # only single oversized docs may exceed the budget
+    dense = bins.groupBy("source").agg(
+        (F.max("bin_id") + 1 == F.count(F.lit(1))).alias("ok")
+    )
+    assert dense.filter(~F.col("ok")).count() == 0
+    blocked.unpersist()
