@@ -104,7 +104,14 @@ def pack_greedy_blocked(
 
     spark = docs.sparkSession
     sentinel = budget + 1  # all fills > budget are equivalent
-    n_states = budget + 2  # index 0 = fresh (group start), 1..budget+1
+    # State encoding (table index): 0 = FRESH (group start, nothing
+    # placed); i in 1..budget+2 = started with fill = i-1. ``started``
+    # must be explicit, NOT inferred from fill > 0: a zero-token document
+    # placed right after an overflow yields the legitimate state
+    # (started, fill=0), which a fill-only encoding would confuse with
+    # fresh — fresh never overflows on its first doc, started-at-0 does
+    # when the doc is oversized.
+    n_states = budget + 3
 
     blocked = docs.withColumn(
         "_blk", (F.col(order_col) / F.lit(int(block_span))).cast("long")
@@ -114,7 +121,7 @@ def pack_greedy_blocked(
     summary_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in blocked.select(*key_cols).schema.fields
-    ) + ", tbl_bins array<long>, tbl_fill array<long>"
+    ) + ", tbl_bins array<long>, tbl_state array<long>"
 
     def block_table(pdf: pd.DataFrame) -> pd.DataFrame:
         toks = (
@@ -122,7 +129,7 @@ def pack_greedy_blocked(
             .to_numpy()
             .astype(np.int64)
         )
-        fill = np.arange(n_states, dtype=np.int64)  # state i starts at fill i
+        fill = np.arange(-1, n_states - 1, dtype=np.int64)  # state i: i-1
         bins = np.zeros(n_states, dtype=np.int64)
         started = np.ones(n_states, dtype=bool)
         started[0] = False  # state 0: fresh group start
@@ -132,10 +139,10 @@ def pack_greedy_blocked(
             bins += over
             fill = np.where(over, t, fill + t)
             started[:] = True
-        fill = np.minimum(fill, sentinel)
+        out_state = np.minimum(fill, sentinel) + 1  # re-encode as index
         out = pdf.iloc[:1][key_cols].copy()
         out["tbl_bins"] = [bins.tolist()]
-        out["tbl_fill"] = [fill.tolist()]
+        out["tbl_state"] = [out_state.tolist()]
         return out
 
     summaries = (
@@ -148,18 +155,18 @@ def pack_greedy_blocked(
     for r in summaries:
         gkey = tuple(r[c] for c in group_cols)
         by_group.setdefault(gkey, []).append(r)
-    incoming = []  # (group..., blk, bin_base, fill_in)
+    incoming = []  # (group..., blk, bin_base, state index)
     for gkey, rows in by_group.items():
         rows.sort(key=lambda r: r["_blk"])
-        bin_base, f = 0, 0  # 0 == fresh
+        bin_base, s = 0, 0  # state 0 == fresh
         for r in rows:
-            incoming.append((*gkey, r["_blk"], bin_base, f))
-            bin_base += r["tbl_bins"][f]
-            f = r["tbl_fill"][f]
+            incoming.append((*gkey, r["_blk"], bin_base, s))
+            bin_base += r["tbl_bins"][s]
+            s = r["tbl_state"][s]
     inc_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in blocked.select(*key_cols).schema.fields
-    ) + ", _bin_base long, _fill_in long"
+    ) + ", _bin_base long, _state_in long"
     inc_df = spark.createDataFrame(incoming, inc_schema)
 
     schema_fields = ", ".join(
@@ -170,8 +177,9 @@ def pack_greedy_blocked(
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col).reset_index(drop=True)
         bin_base = int(pdf["_bin_base"].iloc[0])
-        fill = int(pdf["_fill_in"].iloc[0])
-        started = fill > 0
+        state = int(pdf["_state_in"].iloc[0])
+        started = state > 0
+        fill = max(state - 1, 0)
         bins, bin_id = [], bin_base
         for t in pdf[tokens_col]:
             t = int(t)
@@ -179,11 +187,11 @@ def pack_greedy_blocked(
                 bin_id += 1
                 fill = t
             else:
-                fill = min(fill + t, budget + 1)
+                fill = fill + t
                 started = True
             bins.append(bin_id)
         pdf["bin_id"] = pd.Series(bins, dtype="int64")
-        return pdf.drop(columns=["_blk", "_bin_base", "_fill_in"])
+        return pdf.drop(columns=["_blk", "_bin_base", "_state_in"])
 
     return (
         blocked.join(F.broadcast(inc_df), key_cols)
