@@ -975,15 +975,26 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept verdict — the keep-list a corpus writer joins back against.
     """
     raw = table(spark, sf_dir, "embeddings")
-    _, cents = _ivf_codebook(spark, sf_dir, raw)
+    head, cents = _ivf_codebook(spark, sf_dir, raw)
+    # Cells are LABELED by their seed vector's vec_id (the oracle's
+    # seedids CTE does the same), not by centroid index: the two only
+    # coincide when vec_ids are contiguous from 0 — the halved off-grid
+    # twin (even ids only) caught exactly that hidden assumption.
+    seed_ids = sorted(head)[:N_CENTROIDS]
     emb = (
         raw.select(
             "vec_id",
             _as_double("embedding").alias("emb"),
             _unit_udf()("embedding").alias("unit"),
         )
-        .withColumn("cell", _assign_udf(cents)("unit"))
-        .drop("unit")
+        .withColumn("_ci", _assign_udf(cents)("unit"))
+        .withColumn(
+            "cell",
+            F.element_at(
+                F.lit(seed_ids), F.col("_ci").cast("int") + 1
+            ).cast("long"),
+        )
+        .drop("unit", "_ci")
     )
     return semdedup_prune(emb, _SEMDEDUP_MAX_CELL_ROWS)
 
