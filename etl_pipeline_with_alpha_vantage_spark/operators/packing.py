@@ -245,17 +245,26 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_sequences_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pack_sequences through the BLOCKED two-pass scan
     (pack_greedy_blocked) — same greedy semantics, same oracle text,
-    different execution: the block span is fixture-tiny (64 ids) so the
-    hash gate exercises real multi-block composition (every source
-    splits into dozens of blocks whose transition tables must compose
-    exactly), not the one-block degenerate case."""
+    different execution path.
+
+    The span derives from the id range so every corpus size yields ~8
+    blocks per source: enough that the hash gate exercises real
+    multi-block transition-table composition at EVERY SF (and both
+    off-grid twins), few enough that grouped-UDF per-callback overhead
+    stays bounded (the _cogroup_buckets lesson: 1568 tiny groups cost
+    ~4 s of pure framework time per pass at sf0.1, 160 cost ~0.5 s).
+    The span provably never changes the OUTPUT — only task shapes — so
+    a data-derived value is oracle- and twin-safe.
+    """
     docs = table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.size(F.split("text", " ")).cast("long").alias("est_tokens"),
     )
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    span = max(64, (int(max_id) + 1) // 8)
     return pack_greedy_blocked(
-        docs, ["source"], "doc_id", "est_tokens", block_span=64
+        docs, ["source"], "doc_id", "est_tokens", block_span=span
     )
 
 
