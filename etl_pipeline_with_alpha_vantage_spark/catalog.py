@@ -195,7 +195,23 @@ def spread(df: DataFrame) -> DataFrame:
     count of a file scan only changes when the files (or session
     parallelism) do, both part of the cache key.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        # Spark Connect: no sparkContext on the client, and no RDD API to
+        # probe partition counts either. Fall back to the shuffle conf
+        # for the target and to input-FILE count as the partition proxy
+        # (every file is at least one scan partition, so a many-file scan
+        # is never re-shuffled; only the small-single-file case — the one
+        # this helper exists for — pays the repartition).
+        target = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        try:
+            n_files = len(df.inputFiles())
+        except Exception:
+            return df  # non-file plan on Connect: leave it alone
+        return df.repartition(target) if 0 < n_files < target else df
     key = None
     try:
         files = df.inputFiles()
