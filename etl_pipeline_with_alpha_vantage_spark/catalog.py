@@ -78,6 +78,21 @@ def ensure_query_confs(spark: SparkSession) -> None:
 _CACHE_ATTR = "_spark_graft_table_cache"
 
 
+def session_ident(spark: SparkSession) -> str:
+    """A string identifying this driver session, usable as a memo key.
+
+    Classic Spark: the applicationId (stable across the app, distinct
+    across restarts — exactly the lifetime the per-app fixture memos
+    want). Spark Connect exposes no sparkContext, so fall back to the
+    client session object's id(): narrower (per client session, not per
+    server app) but safe — a memo can only under-share, never serve
+    another app's paths."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        return f"connect-{id(spark)}"
+
+
 def _session_cache(spark: SparkSession) -> dict:
     cache = getattr(spark, _CACHE_ATTR, None)
     if cache is None:

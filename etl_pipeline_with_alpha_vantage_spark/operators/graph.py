@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import spread, table
+from ..catalog import session_ident, spread, table
 from ..registry import query
 
 # One undirected co-supply edge list per (session, sf_dir): PageRank,
@@ -41,7 +41,7 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying it in the ONE checkpointed artifact means repeated calls
     (bench min-of-n, parity sweeps) never stack per-call checkpoint
     copies in the driver's storage memory."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (session_ident(spark), sf_dir)
     cached = _EDGE_CACHE.get(key)
     if cached is not None:
         return cached

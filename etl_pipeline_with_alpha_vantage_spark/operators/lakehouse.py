@@ -18,6 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import session_ident
 from ..registry import query
 
 _E1_ROWS = 1000  # epoch 1: (id, qty)
@@ -62,7 +63,7 @@ atexit.register(_cleanup_evolve_fixtures)
 
 
 def _evolve_fixture(spark: SparkSession) -> str:
-    app_id = spark.sparkContext.applicationId
+    app_id = session_ident(spark)
     base = _EVOLVE_CACHE.get(app_id)
     if base is not None and os.path.isdir(base):
         return base
@@ -190,7 +191,7 @@ def _merge_fixture(spark: SparkSession, sf_dir: str) -> str:
     from ..catalog import table  # noqa: PLC0415
     from ..sinks.maintenance import merge_into  # noqa: PLC0415
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (session_ident(spark), sf_dir)
     base = _MERGE_CACHE.get(key)
     if base is not None and os.path.isdir(base):
         return base
@@ -327,7 +328,7 @@ def _time_travel_fixture(spark: SparkSession, sf_dir: str) -> str:
     from ..catalog import table  # noqa: PLC0415
     from ..sinks.snapshots import rollback, snapshot_commit  # noqa: PLC0415
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (session_ident(spark), sf_dir)
     base = _TT_CACHE.get(key)
     if base is not None and os.path.isdir(base):
         return base
@@ -414,7 +415,7 @@ def _mor_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     only a DV entry, inserts only a delta row."""
     from ..catalog import table  # noqa: PLC0415
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (session_ident(spark), sf_dir)
     cached = _MOR_CACHE.get(key)
     if cached is not None and all(os.path.isdir(p) for p in cached):
         return cached

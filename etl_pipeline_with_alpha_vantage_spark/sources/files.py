@@ -29,7 +29,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import session_ident, table
 from ..registry import query
 
 _FIXTURE_CACHE: dict[tuple[str, str, str], str] = {}
@@ -45,7 +45,7 @@ atexit.register(_cleanup_fixtures)
 
 
 def _fixture_dir(spark: SparkSession, sf_dir: str, kind: str) -> str | None:
-    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    key = (session_ident(spark), sf_dir, kind)
     path = _FIXTURE_CACHE.get(key)
     if path is not None and os.path.isdir(path):
         return path
@@ -53,7 +53,7 @@ def _fixture_dir(spark: SparkSession, sf_dir: str, kind: str) -> str | None:
 
 
 def _remember(spark: SparkSession, sf_dir: str, kind: str, path: str) -> str:
-    _FIXTURE_CACHE[(spark.sparkContext.applicationId, sf_dir, kind)] = path
+    _FIXTURE_CACHE[(session_ident(spark), sf_dir, kind)] = path
     return path
 
 
