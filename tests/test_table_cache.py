@@ -55,3 +55,54 @@ def test_cached_plan_is_lazy_not_results(spark, sf_dir):
     df = table(spark, sf_dir, "region")
     assert df.count() == table(spark, sf_dir, "region").count()
     assert not df.is_cached
+
+
+def test_connect_fallbacks_without_sparkcontext(spark, sf_dir):
+    """The Connect-degradation seams, pinned without a Connect server:
+    a session wrapper whose sparkContext raises must still (a) yield a
+    stable session_ident, (b) let spread() fall back to the shuffle conf
+    + input-file proxy (single-file scan repartitions to the conf value,
+    non-file plans pass through untouched)."""
+    from etl_pipeline_with_alpha_vantage_spark.catalog import (
+        session_ident,
+        spread,
+        table,
+    )
+
+    class NoContext:
+        """Proxy that hides sparkContext, as a Connect client does."""
+
+        def __init__(self, real):
+            self._real = real
+
+        def __getattr__(self, name):
+            if name == "sparkContext":
+                raise AttributeError("no sparkContext on Connect")
+            return getattr(self._real, name)
+
+    fake = NoContext(spark)
+    ident = session_ident(fake)
+    assert ident.startswith("connect-") and ident == session_ident(fake)
+    assert session_ident(spark) == spark.sparkContext.applicationId
+
+    df = table(spark, sf_dir, "orders")
+
+    class FrameNoContext:
+        def __init__(self, real):
+            self._real = real
+
+        @property
+        def sparkSession(self):
+            return NoContext(self._real.sparkSession)
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    out = spread(FrameNoContext(df))
+    conf_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # single-file fixture scan -> repartitioned to the conf target
+    assert out.rdd.getNumPartitions() == conf_n
+    # non-file plan (no inputFiles) -> passes through un-shuffled
+    mem = spark.range(10)
+    out2 = spread(FrameNoContext(mem))
+    assert out2 is mem or out2.rdd.getNumPartitions() == mem.rdd.getNumPartitions()
