@@ -912,6 +912,37 @@ def _del1_keys(col):
     return F.array_append(dels, s)
 
 
+def symdel_match(dirty: DataFrame, clean: DataFrame) -> DataFrame:
+    """The SymSpell block→join→verify kernel: match every
+    ``(dirty_key, dirty_name)`` row to each ``clean_name`` within edit
+    distance 1, with candidate volume O(n·L), never O(n²).
+
+    Both sides explode to their {s} ∪ del1(s) key sets, candidates come
+    from an equi-join on the key (deduped — the same deletion string can
+    arise from several positions), and the row-local levenshtein verify
+    runs only on candidates. Shared by the registered part-catalog query
+    and the closed-form volume proof."""
+    dkeys = dirty.select(
+        "dirty_key", "dirty_name", F.explode(_del1_keys("dirty_name")).alias("blk")
+    )
+    ckeys = clean.select(
+        "clean_name", F.explode(_del1_keys("clean_name")).alias("blk")
+    )
+    cand = (
+        dkeys.join(ckeys, "blk")
+        .select("dirty_key", "dirty_name", "clean_name")
+        .distinct()
+    )
+    return cand.filter(
+        F.levenshtein("dirty_name", "clean_name") <= 1
+    ).select(
+        "dirty_key",
+        "dirty_name",
+        "clean_name",
+        F.levenshtein("dirty_name", "clean_name").cast("long").alias("edit_dist"),
+    )
+
+
 @query("fuzzy_join_symdel", oracle=_FUZZY_ORACLE)
 def fuzzy_join_symdel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: match typo'd catalog names (one deterministic
@@ -944,25 +975,7 @@ def fuzzy_join_symdel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dirty_name"),
     )
     clean = part.select(F.col("p_name").alias("clean_name")).distinct()
-    dkeys = dirty.select(
-        "dirty_key", "dirty_name", F.explode(_del1_keys("dirty_name")).alias("blk")
-    )
-    ckeys = clean.select(
-        "clean_name", F.explode(_del1_keys("clean_name")).alias("blk")
-    )
-    cand = (
-        dkeys.join(ckeys, "blk")
-        .select("dirty_key", "dirty_name", "clean_name")
-        .distinct()
-    )
-    return cand.filter(
-        F.levenshtein("dirty_name", "clean_name") <= 1
-    ).select(
-        "dirty_key",
-        "dirty_name",
-        "clean_name",
-        F.levenshtein("dirty_name", "clean_name").cast("long").alias("edit_dist"),
-    )
+    return symdel_match(dirty, clean)
 
 
 # --------------------------------------------------------------------------

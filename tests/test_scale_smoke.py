@@ -1146,3 +1146,105 @@ def test_pack_blocked_scan_equals_sequential_at_volume(spark):
     )
     assert dense.filter(~F.col("ok")).count() == 0
     blocked.unpersist()
+
+
+def test_symdel_match_closed_form_at_volume(spark):
+    """The SymSpell entity-resolution kernel (fuzzy_join_symdel's actual
+    symdel_match) proven exact AND volume-bounded at ~600k dirty rows
+    against a 20k-name vocabulary, via a vocabulary built so every
+    invariant is closed-form:
+
+    - clean names are 4-digit base-12 codes with each digit TRIPLED and
+      adjacent digit positions drawn from disjoint alphabets — any two
+      distinct names are at levenshtein >= 3 (one differing digit costs
+      3 substitutions; disjoint alphabets stop runs merging), so a
+      one-deletion corruption of name i can never sit within edit 2 of
+      name j != i;
+    - every dirty row therefore matches EXACTLY its source name at
+      edit_dist exactly 1 (lengths differ, so never 0) — result rows ==
+      n_dirty, each joined back to its arithmetically-known source;
+    - the block join's PRE-dedup volume is exactly 3 * n_dirty: the
+      only shared key between a dirty row and its source is the dirty
+      string itself, which appears once on the dirty side (the self
+      entry) and exactly 3 times in del1(clean) (deleting any char of
+      the corrupted run yields it) — the O(n*L) candidate-volume claim
+      as an equality, the LSH-sigma-bucket-squared discipline applied
+      to SymSpell blocking.
+    """
+    import time
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.dedup import (
+        _del1_keys,
+        symdel_match,
+    )
+
+    DIGITS, BASE, R = 4, 12, 30
+    N_CLEAN = BASE ** DIGITS  # 20736
+    N_DIRTY = N_CLEAN * R     # 622080
+    alpha_even = [chr(ord("a") + i) for i in range(BASE)]
+    alpha_odd = [chr(ord("n") + i) for i in range(BASE)]
+
+    def code_col(idcol):
+        parts = []
+        for d in range(DIGITS):
+            digit = (idcol / (BASE ** d)).cast("long") % BASE
+            al = alpha_even if d % 2 == 0 else alpha_odd
+            ch = F.element_at(F.lit(al), (digit + 1).cast("int"))
+            parts += [ch, ch, ch]
+        return F.concat(*parts)
+
+    clean = spark.range(N_CLEAN).select(
+        F.col("id").alias("clean_id"), code_col(F.col("id")).alias("clean_name")
+    )
+    L = 3 * DIGITS
+    dirty = spark.range(N_DIRTY).select(
+        F.col("id").alias("dirty_key"),
+        (F.col("id") % N_CLEAN).alias("src_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(L)) + 1).alias("delpos"),
+    ).select(
+        "dirty_key",
+        "src_id",
+        F.concat(
+            F.substring(code_col(F.col("src_id")), F.lit(1), F.col("delpos") - 1),
+            F.substring(code_col(F.col("src_id")), F.col("delpos") + 1, F.lit(1000)),
+        ).alias("dirty_name"),
+    )
+
+    # candidate-volume equality: pre-dedup block join == 3 * n_dirty
+    dk = dirty.select(
+        "dirty_key", F.explode(_del1_keys("dirty_name")).alias("blk")
+    )
+    ck = clean.select(
+        "clean_name", F.explode(_del1_keys("clean_name")).alias("blk")
+    )
+    t0 = time.perf_counter()
+    join_volume = dk.join(ck, "blk").count()
+    assert join_volume == 3 * N_DIRTY, join_volume
+
+    got = symdel_match(
+        dirty.select("dirty_key", "dirty_name"),
+        clean.select("clean_name"),
+    )
+    # every dirty row resolves to exactly its source, at distance exactly 1
+    check = got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("edit_dist") != 1).cast("long")).alias("bad_dist"),
+    ).collect()[0]
+    elapsed = time.perf_counter() - t0
+    assert check.n == N_DIRTY
+    assert check.bad_dist == 0
+    # correct source: the matched clean_name equals the source's name
+    wrong = (
+        got.join(dirty.select("dirty_key", "src_id"), "dirty_key")
+        .join(
+            clean.select(
+                F.col("clean_id").alias("src_id"),
+                F.col("clean_name").alias("src_name"),
+            ),
+            "src_id",
+        )
+        .filter(F.col("clean_name") != F.col("src_name"))
+        .count()
+    )
+    assert wrong == 0
+    assert elapsed < 240, f"symdel at {N_DIRTY} rows took {elapsed:.0f}s"
