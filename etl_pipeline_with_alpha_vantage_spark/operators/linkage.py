@@ -87,6 +87,53 @@ ORDER BY dirty_key
 """
 
 
+def fs_link(dirty: DataFrame, clean: DataFrame) -> DataFrame:
+    """The blocked Fellegi–Sunter kernel: candidates from ONE equi-join
+    on (nation, band), three weighted comparators summed JVM-side, one
+    window picking each dirty record's best candidate, scores banded to
+    decisions. Column contract: dirty carries (dirty_key, d_name,
+    d_nation, d_bal, d_seg, d_band); clean carries (c_custkey, c_name,
+    c_nationkey, c_acctbal, c_mktsegment, band). Shared by the
+    registered customer-catalog query and the closed-form volume proof.
+    """
+    score = (
+        F.when(
+            F.levenshtein("d_name", "c_name", 1) >= 0, F.lit(_W_NAME_AGREE)
+        ).otherwise(F.lit(_W_NAME_DISAGREE))
+        + F.when(
+            F.col("d_bal") == F.col("c_acctbal"), F.lit(_W_BAL_AGREE)
+        ).otherwise(F.lit(_W_BAL_DISAGREE))
+        + F.when(
+            F.col("d_seg") == F.col("c_mktsegment"), F.lit(_W_SEG_AGREE)
+        ).otherwise(F.lit(_W_SEG_DISAGREE))
+    )
+    scored = dirty.join(
+        clean,
+        (F.col("c_nationkey") == F.col("d_nation"))
+        & (F.col("band") == F.col("d_band")),
+    ).select(
+        "dirty_key",
+        F.col("c_custkey").alias("cand_key"),
+        score.cast("long").alias("score"),
+    )
+    w = Window.partitionBy("dirty_key").orderBy(
+        F.col("score").desc(), "cand_key"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dirty_key",
+            F.col("cand_key").alias("matched_key"),
+            "score",
+            F.when(F.col("score") >= _T_MATCH, F.lit("match"))
+            .when(F.col("score") >= _T_POSSIBLE, F.lit("possible"))
+            .otherwise(F.lit("non_match"))
+            .alias("decision"),
+        )
+    )
+
+
 @query("linkage_fellegi_sunter", oracle=_LINKAGE_ORACLE)
 def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked Fellegi–Sunter record linkage over a deterministically
@@ -129,48 +176,9 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
         band.alias("band"),
     )
-    # Bounded edit distance: the threshold form computes O(len·k) and
-    # bails at -1 past the bound, ~len/k cheaper than the full O(len²)
-    # DP per pair — the comparator cost is THE knob in blocked linkage
-    # (measured 3.4 s → 2.5 s at sf0.1). Semantically identical to the
-    # oracle's plain levenshtein(a, b) <= 1.
-    score = (
-        F.when(
-            F.levenshtein("d_name", "c_name", 1) >= 0, F.lit(_W_NAME_AGREE)
-        ).otherwise(F.lit(_W_NAME_DISAGREE))
-        + F.when(
-            F.col("d_bal") == F.col("c_acctbal"), F.lit(_W_BAL_AGREE)
-        ).otherwise(F.lit(_W_BAL_DISAGREE))
-        + F.when(
-            F.col("d_seg") == F.col("c_mktsegment"), F.lit(_W_SEG_AGREE)
-        ).otherwise(F.lit(_W_SEG_DISAGREE))
-    )
-    scored = (
-        dirty.join(
-            clean,
-            (F.col("c_nationkey") == F.col("d_nation"))
-            & (F.col("band") == F.col("d_band")),
-        )
-        .select(
-            "dirty_key",
-            F.col("c_custkey").alias("cand_key"),
-            score.cast("long").alias("score"),
-        )
-    )
-    w = Window.partitionBy("dirty_key").orderBy(
-        F.col("score").desc(), "cand_key"
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "dirty_key",
-            F.col("cand_key").alias("matched_key"),
-            "score",
-            F.when(F.col("score") >= _T_MATCH, F.lit("match"))
-            .when(F.col("score") >= _T_POSSIBLE, F.lit("possible"))
-            .otherwise(F.lit("non_match"))
-            .alias("decision"),
-        )
-        .orderBy("dirty_key")
-    )
+    # fs_link's name comparator is the bounded-threshold levenshtein:
+    # O(len·k) with a -1 bail past the bound, ~len/k cheaper than the
+    # full O(len²) DP per pair — the comparator cost is THE knob in
+    # blocked linkage (measured 3.4 s → 2.5 s at sf0.1). Semantically
+    # identical to the oracle's plain levenshtein(a, b) <= 1.
+    return fs_link(dirty, clean).orderBy("dirty_key")

@@ -1248,3 +1248,97 @@ def test_symdel_match_closed_form_at_volume(spark):
     )
     assert wrong == 0
     assert elapsed < 240, f"symdel at {N_DIRTY} rows took {elapsed:.0f}s"
+
+
+def test_fellegi_sunter_closed_form_at_volume(spark):
+    """The blocked Fellegi–Sunter kernel (linkage_fellegi_sunter's
+    actual fs_link) proven exact AND volume-bounded at 1M records over
+    62 500 (nation, band) blocks of exactly 16 records a side:
+
+    - block-join volume == blocks · 16² == 16M EXACTLY (the Σ block²
+      scale claim as an equality, not an upper bound);
+    - names within a block are tripled base-4 codes (levenshtein >= 3
+      apart), each dirty name one deletion of its source, every block
+      member shares the same acctbal — so the self-pair scores
+      24+12+seg strictly above any rival's -8+12+4, and every record
+      must resolve to ITSELF;
+    - decisions are closed-form: id % 7 == 0 records lose their segment
+      (24+12-3 = 33 → 'possible'), everyone else scores 40 → 'match' —
+      counts checked against independent arithmetic filters.
+    """
+    import time
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.linkage import (
+        fs_link,
+    )
+
+    N, NATIONS, BANDS = 1_000_000, 250, 250
+    BLOCKS = NATIONS * BANDS
+    PER_BLOCK = N // BLOCKS  # 16, exact
+    assert N % BLOCKS == 0
+    alpha_even = ["a", "b", "c", "d"]
+    alpha_odd = ["n", "o", "p", "q"]
+
+    def code_col(idcol):
+        # 2 base-4 digits of (id // BLOCKS), tripled, disjoint alphabets
+        parts = []
+        for d in range(2):
+            digit = (idcol / (BLOCKS * (4 ** d))).cast("long") % 4
+            al = alpha_even if d % 2 == 0 else alpha_odd
+            ch = F.element_at(F.lit(al), (digit + 1).cast("int"))
+            parts += [ch, ch, ch]
+        return F.concat(*parts)
+
+    ids = spark.range(N)
+    nation = F.col("id") % NATIONS
+    band_idx = (F.col("id") / NATIONS).cast("long") % BANDS
+    seg = F.concat(F.lit("SEG"), (F.col("id") % 5).cast("string"))
+    clean = ids.select(
+        F.col("id").alias("c_custkey"),
+        code_col(F.col("id")).alias("c_name"),
+        nation.alias("c_nationkey"),
+        (band_idx * 1000 + 500).cast("double").alias("c_acctbal"),
+        seg.alias("c_mktsegment"),
+        band_idx.alias("band"),
+    )
+    delpos = F.pmod(F.xxhash64("id"), F.lit(6)) + 1
+    dirty = ids.select(
+        F.col("id").alias("dirty_key"),
+        F.concat(
+            F.substring(code_col(F.col("id")), F.lit(1), delpos - 1),
+            F.substring(code_col(F.col("id")), delpos + 1, F.lit(100)),
+        ).alias("d_name"),
+        nation.alias("d_nation"),
+        (band_idx * 1000 + 500).cast("double").alias("d_bal"),
+        F.when(F.col("id") % 7 == 0, F.lit("NONE")).otherwise(seg).alias(
+            "d_seg"
+        ),
+        band_idx.alias("d_band"),
+    )
+
+    t0 = time.perf_counter()
+    join_volume = dirty.join(
+        clean,
+        (F.col("c_nationkey") == F.col("d_nation"))
+        & (F.col("band") == F.col("d_band")),
+    ).count()
+    assert join_volume == BLOCKS * PER_BLOCK * PER_BLOCK, join_volume
+
+    got = fs_link(dirty, clean)
+    agg = got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("matched_key") != F.col("dirty_key")).cast("long")).alias(
+            "wrong"
+        ),
+        F.sum((F.col("decision") == "match").cast("long")).alias("matches"),
+        F.sum((F.col("decision") == "possible").cast("long")).alias(
+            "possibles"
+        ),
+    ).collect()[0]
+    elapsed = time.perf_counter() - t0
+    exp_possible = ids.filter(F.col("id") % 7 == 0).count()
+    assert agg.n == N
+    assert agg.wrong == 0  # every record resolves to itself
+    assert agg.possibles == exp_possible
+    assert agg.matches == N - exp_possible
+    assert elapsed < 240, f"F-S at {N} rows took {elapsed:.0f}s"
