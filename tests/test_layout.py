@@ -1123,3 +1123,76 @@ def test_snapshot_racing_writers_same_txn_token_commit_exactly_once(
     # ...and every unique-token payload present.
     for i in range(4):
         assert set(range(500 + 10 * i, 500 + 10 * i + 2)) <= rows
+
+
+def test_offgrid_twin_builders_preserve_invariants(tmp_path, capsys):
+    """The off-grid twin generators are load-bearing gates (the halved
+    twin caught the r9 IVF seed-label bug), so their own invariants get
+    pinned here, built from the sf0.001 fixture:
+
+    halved twin: only even keys survive; lineitem keeps exactly the rows
+    of surviving orders (FK-safe); dimensions copied byte-identically.
+
+    up twin: originals byte-identical as a prefix; clones are ~70% with
+    keys strictly beyond the original range; lineitem clones FK-match
+    cloned orders; events stay id-monotone in ts (min cloned ts > max
+    original ts); parquet PHYSICAL types unchanged everywhere (a Spark
+    rewrite would silently retype — the reason the builders are
+    pyarrow-only).
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tools.offgrid_twin import build, build_up
+
+    src = "/root/testdata/sf0.001"
+    half = str(tmp_path / "half")
+    up = str(tmp_path / "up")
+    build(half, src=src)
+    build_up(up, src=src)
+    capsys.readouterr()
+
+    for name, key in [
+        ("orders", "o_orderkey"), ("events", "event_id"),
+        ("documents", "doc_id"), ("embeddings", "vec_id"),
+    ]:
+        orig = pq.read_table(f"{src}/{name}.parquet")
+        n = orig.num_rows
+
+        h = pq.read_table(f"{half}/{name}.parquet")
+        assert pc.all(pc.equal(pc.bit_wise_and(h[key], 1), 0)).as_py()
+        assert h.num_rows == pc.sum(
+            pc.cast(pc.equal(pc.bit_wise_and(orig[key], 1), 0), "int64")
+        ).as_py()
+
+        u = pq.read_table(f"{up}/{name}.parquet")
+        assert u.slice(0, n).equals(orig)  # originals are a byte prefix
+        clones = u.slice(n)
+        off = pc.max(orig[key]).as_py() + 1
+        assert pc.min(clones[key]).as_py() >= off  # new ids beyond range
+        assert 0.6 < clones.num_rows / n < 0.8  # ~70% clone fraction
+        # physical parquet types preserved bit-for-bit (drop the repr
+        # header line — it embeds the object address)
+        def _phys(p):
+            return str(pq.ParquetFile(p).schema).split("\n", 1)[1]
+
+        assert _phys(f"{up}/{name}.parquet") == _phys(f"{src}/{name}.parquet")
+
+    # FK safety both directions
+    ho = pq.read_table(f"{half}/orders.parquet")["o_orderkey"]
+    hl = pq.read_table(f"{half}/lineitem.parquet")["l_orderkey"]
+    assert pc.all(pc.is_in(hl, ho)).as_py()
+    uo = pq.read_table(f"{up}/orders.parquet")["o_orderkey"]
+    ul = pq.read_table(f"{up}/lineitem.parquet")["l_orderkey"]
+    assert pc.all(pc.is_in(ul, uo)).as_py()
+
+    # events id-monotone-in-ts survives cloning
+    ev = pq.read_table(f"{up}/events.parquet").sort_by("event_id")
+    ts = ev["ts"].to_pylist()
+    assert all(a <= b for a, b in zip(ts, ts[1:]))
+
+    # dimensions copied identically in both twins
+    for d in ("nation", "region", "customer", "supplier", "part"):
+        orig = pq.read_table(f"{src}/{d}.parquet")
+        assert pq.read_table(f"{half}/{d}.parquet").equals(orig)
+        assert pq.read_table(f"{up}/{d}.parquet").equals(orig)

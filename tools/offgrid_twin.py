@@ -29,7 +29,9 @@ import sys
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-SRC = "/root/testdata/sf0.1"
+# Source SF overridable so the twin generators are themselves testable
+# against the small fixture (tests/test_layout.py's twin-invariant tests).
+SRC = os.environ.get("OFFGRID_SRC", "/root/testdata/sf0.1")
 
 # The ~data-derived-constant cohort this twin exists to stress; kept
 # here so the sweep command is reproducible verbatim.
@@ -93,19 +95,21 @@ def _shift(t, col, amount):
     return t.set_column(i, t.schema.field(i), pc.add(t[col], amount))
 
 
-def build_up(out_dir: str) -> None:
+def build_up(out_dir: str, src: str = None) -> None:
     import pyarrow as pa  # noqa: PLC0415
+
+    src = src or SRC
 
     os.makedirs(out_dir, exist_ok=True)
     copy = ["customer", "supplier", "part", "nation", "region"]
     for name in copy:
         pq.write_table(
-            pq.read_table(f"{SRC}/{name}.parquet"),
+            pq.read_table(f"{src}/{name}.parquet"),
             f"{out_dir}/{name}.parquet",
         )
     day_us = 86_400 * 10**6
 
-    orders = pq.read_table(f"{SRC}/orders.parquet")
+    orders = pq.read_table(f"{src}/orders.parquet")
     off_o = pc.max(orders["o_orderkey"]).as_py() + 1
     oc = _clone_frac(orders, "o_orderkey")
     cloned_keys = oc["o_orderkey"]
@@ -115,13 +119,13 @@ def build_up(out_dir: str) -> None:
         pa.concat_tables([orders, oc]), f"{out_dir}/orders.parquet"
     )
 
-    li = pq.read_table(f"{SRC}/lineitem.parquet")
+    li = pq.read_table(f"{src}/lineitem.parquet")
     lc = li.filter(pc.is_in(li["l_orderkey"], cloned_keys))
     lc = _shift(lc, "l_orderkey", off_o)
     lc = _shift(lc, "l_shipdate", pa.scalar(13 * day_us, pa.duration("us")))
     pq.write_table(pa.concat_tables([li, lc]), f"{out_dir}/lineitem.parquet")
 
-    ev = pq.read_table(f"{SRC}/events.parquet")
+    ev = pq.read_table(f"{src}/events.parquet")
     off_e = pc.max(ev["event_id"]).as_py() + 1
     span_us = (
         pc.max(ev["ts"]).as_py() - pc.min(ev["ts"]).as_py()
@@ -134,7 +138,7 @@ def build_up(out_dir: str) -> None:
     pq.write_table(pa.concat_tables([ev, ec]), f"{out_dir}/events.parquet")
 
     for name, key in [("documents", "doc_id"), ("embeddings", "vec_id")]:
-        t = pq.read_table(f"{SRC}/{name}.parquet")
+        t = pq.read_table(f"{src}/{name}.parquet")
         c = _shift(
             _clone_frac(t, key), key, pc.max(t[key]).as_py() + 1
         )
@@ -148,17 +152,18 @@ def build_up(out_dir: str) -> None:
         print(f"{name}: {n} rows")
 
 
-def build(out_dir: str) -> None:
+def build(out_dir: str, src: str = None) -> None:
+    src = src or SRC
     os.makedirs(out_dir, exist_ok=True)
     copy = ["customer", "supplier", "part", "nation", "region"]
     for name in copy:
         pq.write_table(
-            pq.read_table(f"{SRC}/{name}.parquet"),
+            pq.read_table(f"{src}/{name}.parquet"),
             f"{out_dir}/{name}.parquet",
         )
-    orders = _even(pq.read_table(f"{SRC}/orders.parquet"), "o_orderkey")
+    orders = _even(pq.read_table(f"{src}/orders.parquet"), "o_orderkey")
     pq.write_table(orders, f"{out_dir}/orders.parquet")
-    li = pq.read_table(f"{SRC}/lineitem.parquet")
+    li = pq.read_table(f"{src}/lineitem.parquet")
     li = li.filter(pc.is_in(li["l_orderkey"], orders["o_orderkey"]))
     pq.write_table(li, f"{out_dir}/lineitem.parquet")
     for name, key in [
@@ -167,7 +172,7 @@ def build(out_dir: str) -> None:
         ("embeddings", "vec_id"),
     ]:
         pq.write_table(
-            _even(pq.read_table(f"{SRC}/{name}.parquet"), key),
+            _even(pq.read_table(f"{src}/{name}.parquet"), key),
             f"{out_dir}/{name}.parquet",
         )
     for name in [*copy, "orders", "lineitem", "events", "documents",
