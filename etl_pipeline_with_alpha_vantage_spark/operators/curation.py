@@ -1157,3 +1157,53 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 sample_coreset_kcenter.__doc__ = sample_coreset_kcenter.__doc__.format(
     seed=_KC_SEED, k1=_KC_K - 1
 )
+
+
+# --------------------------------------------------------------------------
+# Soft dedup: duplicate-frequency example downweighting
+# --------------------------------------------------------------------------
+
+_SOFT_DW_ORACLE = """
+WITH h AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')))
+               AS norm_hash
+    FROM documents
+),
+c AS (SELECT norm_hash, CAST(COUNT(*) AS BIGINT) AS n_dups FROM h GROUP BY 1)
+SELECT h.doc_id,
+       c.n_dups,
+       CAST(round(1000000.0 / c.n_dups) AS BIGINT) AS weight_micro
+FROM h JOIN c USING (norm_hash)
+"""
+
+
+@query("dedup_soft_downweight", oracle=_SOFT_DW_ORACLE)
+def dedup_soft_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: keep every copy of a duplicated document but weight
+    it 1/count, so the training objective sees each distinct content
+    once in expectation (the standard alternative to hard dedup when
+    duplication frequency itself is signal — cf. the Pile/RHO-style
+    duplicate downweighting recipes).
+
+    One shuffle total: documents are projected to (16-byte norm-hash,
+    doc_id) FIRST, then a count window over the hash partition attaches
+    the group size — no groupBy + join-back second shuffle, and at
+    100 TB the wire carries 24-byte rows, never document text. The
+    weight is an exact integer micro-weight (round(1e6/n) on a bigint
+    count) so the hash gate is bit-exact.
+    """
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "))
+    w = Window.partitionBy("norm_hash")
+    return (
+        docs.select(F.md5(norm).alias("norm_hash"), "doc_id")
+        .withColumn("n_dups", F.count(F.lit(1)).over(w).cast("long"))
+        .select(
+            "doc_id",
+            "n_dups",
+            F.expr("CAST(round(1000000.0 / n_dups) AS BIGINT)").alias(
+                "weight_micro"
+            ),
+        )
+    )

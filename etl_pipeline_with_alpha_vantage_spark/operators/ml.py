@@ -584,3 +584,240 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 ml_kmeans_lloyd.__doc__ = ml_kmeans_lloyd.__doc__.format(
     it=_KM_ITERS, k=_KM_K, k1=_KM_K - 1
 )
+
+
+# --------------------------------------------------------------------------
+# Decision stump: best single-feature split by weighted Gini impurity
+# --------------------------------------------------------------------------
+
+_STUMP_GINI_EXPR = (
+    "CAST(floor((CAST(nl * nl - pl * pl - ql * ql AS DOUBLE)"
+    " / (CAST(n_total AS DOUBLE) * nl)"
+    " + CAST(nr * nr - pr * pr - qr * qr AS DOUBLE)"
+    " / (CAST(n_total AS DOUBLE) * nr)) * 1000000 + 0.5) AS BIGINT)"
+)
+
+_STUMP_ORACLE = f"""
+WITH hist AS (
+    SELECT CAST(l_quantity AS BIGINT) AS q,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS p
+    FROM lineitem GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(SUM(p) AS BIGINT) AS p_total
+    FROM hist
+),
+pre AS (
+    SELECT q,
+           CAST(SUM(n) OVER (ORDER BY q) AS BIGINT) AS nl,
+           CAST(SUM(p) OVER (ORDER BY q) AS BIGINT) AS pl
+    FROM hist
+),
+scored AS (
+    SELECT q AS split_q, nl, pl, nl - pl AS ql,
+           n_total - nl AS nr, p_total - pl AS pr,
+           (n_total - nl) - (p_total - pl) AS qr,
+           n_total
+    FROM pre CROSS JOIN tot
+    WHERE nl < n_total
+)
+SELECT split_q,
+       nl AS n_left, pl AS pos_left,
+       nr AS n_right, pr AS pos_right,
+       {_STUMP_GINI_EXPR} AS gini_micro
+FROM scored
+ORDER BY {_STUMP_GINI_EXPR}, split_q
+LIMIT 1
+"""
+
+
+@query("ml_decision_stump", oracle=_STUMP_ORACLE)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training: the best `quantity <= t` split for
+    predicting returns (l_returnflag = 'R'), by weighted Gini impurity —
+    the inner loop of every distributed tree learner (XGBoost/LightGBM
+    hist-mode, Spark MLlib trees), expressed as pure dataflow.
+
+    The scan shape is the histogram trick: ONE partial-aggregated
+    shuffle collapses the fact table to a (feature-value, n, positives)
+    histogram — bounded cardinality (50 distinct quantities here;
+    continuous features get equi-depth bins first, the
+    agg_equidepth_buckets kernel) — then every candidate threshold's
+    left/right class counts are prefix sums over that tiny table, and
+    the argmin is a sort of ≤50 rows. The fact table is never sorted
+    and never visited twice; at 100 TB only the histogram moves.
+
+    Exactness: Gini = 1 - Σ p_i² is evaluated on exact bigint counts in
+    the algebraically-cleared form (n² - pos² - neg²)/(N·n), one
+    deterministic double expression per threshold, micro-pinned; the
+    argmin tie-breaks on the threshold value, so the winner is unique.
+    (Count products n² cap bigint headroom at ~3e9 rows/side; past
+    that, pre-scale counts to thousands — same discipline as
+    functions/exact.py.)
+    """
+    li = table(spark, sf_dir, "lineitem")
+    hist = li.groupBy(F.col("l_quantity").cast("long").alias("q")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("p"),
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    pre = hist.select(
+        "q",
+        F.sum("n").over(w).cast("long").alias("nl"),
+        F.sum("p").over(w).cast("long").alias("pl"),
+    )
+    tot = hist.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("p").cast("long").alias("p_total"),
+    )
+    scored = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("n_total"))
+        .select(
+            F.col("q").alias("split_q"),
+            "nl",
+            "pl",
+            (F.col("nl") - F.col("pl")).alias("ql"),
+            (F.col("n_total") - F.col("nl")).alias("nr"),
+            (F.col("p_total") - F.col("pl")).alias("pr"),
+            (
+                (F.col("n_total") - F.col("nl"))
+                - (F.col("p_total") - F.col("pl"))
+            ).alias("qr"),
+            "n_total",
+        )
+        .withColumn("gini_micro", F.expr(_STUMP_GINI_EXPR))
+    )
+    return (
+        scored.orderBy("gini_micro", "split_q")
+        .limit(1)
+        .select(
+            "split_q",
+            F.col("nl").alias("n_left"),
+            F.col("pl").alias("pos_left"),
+            F.col("nr").alias("n_right"),
+            F.col("pr").alias("pos_right"),
+            "gini_micro",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# OLS via normal equations (closed form, one scan, Cramer's rule)
+# --------------------------------------------------------------------------
+
+# Moments are exact bigints; the 3x3 solve happens in ONE deterministic
+# double expression per coefficient (identical text in Spark and DuckDB,
+# neither engine reassociates floating-point arithmetic), so the result
+# is bit-identical. d-prefixed names are the moments cast to double.
+_OLS_CAST = (
+    "CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS ds1,"
+    " CAST(s2 AS DOUBLE) AS ds2, CAST(s11 AS DOUBLE) AS ds11,"
+    " CAST(s12 AS DOUBLE) AS ds12, CAST(s22 AS DOUBLE) AS ds22,"
+    " CAST(sy AS DOUBLE) AS dsy, CAST(s1y AS DOUBLE) AS ds1y,"
+    " CAST(s2y AS DOUBLE) AS ds2y"
+)
+
+_OLS_DET = (
+    "(dn * (ds11 * ds22 - ds12 * ds12)"
+    " - ds1 * (ds1 * ds22 - ds12 * ds2)"
+    " + ds2 * (ds1 * ds12 - ds11 * ds2))"
+)
+_OLS_DET0 = (
+    "(dsy * (ds11 * ds22 - ds12 * ds12)"
+    " - ds1 * (ds1y * ds22 - ds12 * ds2y)"
+    " + ds2 * (ds1y * ds12 - ds11 * ds2y))"
+)
+_OLS_DET1 = (
+    "(dn * (ds1y * ds22 - ds12 * ds2y)"
+    " - dsy * (ds1 * ds22 - ds12 * ds2)"
+    " + ds2 * (ds1 * ds2y - ds1y * ds2))"
+)
+_OLS_DET2 = (
+    "(dn * (ds11 * ds2y - ds1y * ds12)"
+    " - ds1 * (ds1 * ds2y - ds1y * ds2)"
+    " + dsy * (ds1 * ds12 - ds11 * ds2))"
+)
+
+# Natural units: the moments use y in cents and discount in cents
+# (exact integers); y_c = b0 + b1*q + b2*d_c  =>  y = b0/100 + (b1/100)q
+# + b2*d, so intercept and the quantity slope divide by 100 on output.
+_OLS_BETAS = (
+    f"CAST(floor({_OLS_DET0} / {_OLS_DET} / 100.0 * 1000000 + 0.5)"
+    " AS BIGINT) AS beta0_micro,"
+    f" CAST(floor({_OLS_DET1} / {_OLS_DET} / 100.0 * 1000000 + 0.5)"
+    " AS BIGINT) AS beta1_micro,"
+    f" CAST(floor({_OLS_DET2} / {_OLS_DET} * 1000000 + 0.5)"
+    " AS BIGINT) AS beta2_micro"
+)
+
+_OLS_ORACLE = f"""
+WITH m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+           CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS s2,
+           CAST(SUM(CAST(l_quantity AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s11,
+           CAST(SUM(CAST(l_quantity AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS s12,
+           CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS s22,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sy,
+           CAST(SUM(CAST(l_quantity AS BIGINT)
+                    * CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS s1y,
+           CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)
+                    * CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS s2y
+    FROM lineitem
+),
+d AS (SELECT n, {_OLS_CAST} FROM m)
+SELECT n, {_OLS_BETAS} FROM d
+"""
+
+
+@query("ml_ols_normal_eq", oracle=_OLS_ORACLE)
+def ml_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS (price ~ quantity + discount) via the normal
+    equations: ONE partial-aggregated scan collapses the fact table to
+    the nine sufficient moments (n, Σx, ΣxxT, ΣxTy), then Cramer's rule
+    solves the 3x3 system on that single row. The iterative twin is
+    ml_logistic_gd; this is the one-pass shape every linear model with
+    a small feature count should take at 100 TB — no per-iteration
+    scans, no feature matrix materialized, the wire carries 9 integers.
+
+    Exactness: quantity is integer-valued and discount/price are 2-dp
+    exact, so every moment is an exact bigint on any partitioning
+    (largest, Σ q·y_cents, ~3e14 at sf0.1 — headroom to ~sf300;
+    past that pre-scale y to whole units). The determinant algebra
+    runs in doubles cast from those integers, a single fixed
+    expression both engines evaluate identically, micro-pinned.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q).cast("long").alias("s1"),
+        F.sum(dc).cast("long").alias("s2"),
+        F.sum(q * q).cast("long").alias("s11"),
+        F.sum(q * dc).cast("long").alias("s12"),
+        F.sum(dc * dc).cast("long").alias("s22"),
+        F.sum(yc).cast("long").alias("sy"),
+        F.sum(q * yc).cast("long").alias("s1y"),
+        F.sum(dc * yc).cast("long").alias("s2y"),
+    )
+    d = m.selectExpr("n", *_OLS_CAST.split(", "))
+    return d.selectExpr("n", *_OLS_BETAS.split(", "))

@@ -583,3 +583,74 @@ def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 eval_retrieval_ndcg.__doc__ = eval_retrieval_ndcg.__doc__.format(
     k=_NDCG_K, nt=len(_BM25_TERMS)
 )
+
+
+# --------------------------------------------------------------------------
+# Positional phrase search ("data window" adjacency over positional postings)
+# --------------------------------------------------------------------------
+
+_PHRASE_A, _PHRASE_B = "data", "window"
+
+_PHRASE_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+p AS (
+    SELECT doc_id, i AS pos, toks[i] AS tok
+    FROM d, unnest(generate_series(1, len(toks))) AS t(i)
+    WHERE toks[i] IN ('{_PHRASE_A}', '{_PHRASE_B}')
+)
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM p a JOIN p b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.tok = '{_PHRASE_A}' AND b.tok = '{_PHRASE_B}'
+GROUP BY a.doc_id
+"""
+
+
+@query("search_phrase_match", oracle=_PHRASE_ORACLE)
+def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("{a} {b}") from positional postings — the
+    inverted-index adjacency join every phrase-capable search engine
+    (Lucene proximity, ES match_phrase) runs, as dataflow.
+
+    Postings are built by posexplode of the token array and filtered to
+    the phrase's terms BEFORE anything moves — the selective-term trick:
+    the wire carries only (doc_id, pos) pairs for the two query terms,
+    never full postings. Adjacency is then one equi-join on doc_id with
+    the position predicate (pos_b = pos_a + 1) evaluated inside the
+    join, and occurrence counts are a partial-aggregated groupBy. This
+    counts OVERLAPPING repeats correctly ("a b a b" with phrase "a b" →
+    2), which substring replace()-counting tricks get wrong.
+
+    At 100 TB the posting build is a map-only pass over documents; the
+    join keys on doc_id so both sides co-partition in one shuffle each,
+    and term selectivity bounds the shuffle to the phrase's document
+    frequency, not the corpus.
+    """
+    docs = table(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+        )
+        .filter(F.col("tok").isin(_PHRASE_A, _PHRASE_B))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    a = postings.filter(F.col("tok") == _PHRASE_A).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = postings.filter(F.col("tok") == _PHRASE_B).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(b, ["doc_id"])
+        .filter(F.col("pos_b") == F.col("pos_a") + 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+
+
+search_phrase_match.__doc__ = search_phrase_match.__doc__.format(
+    a=_PHRASE_A, b=_PHRASE_B
+)

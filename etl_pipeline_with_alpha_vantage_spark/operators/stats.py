@@ -1611,3 +1611,113 @@ def ks_statistic(base: DataFrame) -> DataFrame:
         ).alias("d_micro"),
         F.expr(_KS_LAMBDA_EXPR).alias("lambda_micro"),
     ).orderBy("grp")
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA (events.value across event_type)
+# --------------------------------------------------------------------------
+
+_ANOVA_CORRECTION = (
+    "CAST(round(CAST(s_all AS DOUBLE) / n_total * s_all) AS BIGINT)"
+)
+
+_ANOVA_ORACLE = f"""
+WITH g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                    * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+    FROM events GROUP BY event_type
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS k_groups,
+           CAST(SUM(s) AS BIGINT) AS s_all,
+           CAST(SUM(q) AS BIGINT) AS q_all,
+           CAST(SUM(CAST(round(CAST(s AS DOUBLE) / n * s) AS BIGINT))
+                AS BIGINT) AS sum_between_raw
+    FROM g
+),
+fin AS (
+    SELECT n_total, k_groups,
+           q_all - {_ANOVA_CORRECTION} AS ss_total_c2,
+           sum_between_raw - {_ANOVA_CORRECTION} AS ss_between_c2
+    FROM tot
+)
+SELECT n_total,
+       k_groups,
+       CAST(ss_between_c2 / 10000.0 AS DOUBLE) AS ss_between,
+       CAST((ss_total_c2 - ss_between_c2) / 10000.0 AS DOUBLE) AS ss_within,
+       CAST(floor((CAST(ss_between_c2 AS DOUBLE) / (k_groups - 1))
+                  / (CAST(ss_total_c2 - ss_between_c2 AS DOUBLE)
+                     / (n_total - k_groups))
+                  * 1000000 + 0.5) AS BIGINT) AS f_micro
+FROM fin
+"""
+
+
+@query("stats_anova_oneway", oracle=_ANOVA_ORACLE)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean event value differ across event types?
+
+    The classic sufficient-statistic decomposition — per-group (n, Σx,
+    Σx²) in ONE partial-aggregated shuffle over the fact table, then
+    SS_between / SS_within / F assembled on the k-row group table. No
+    second pass, no centering pass: the correction-term form
+    SS_total = Σx² − (Σx)²/N needs only the moments.
+
+    Exactness: x is 2-dp exact, so Σ cents and Σ cents² are exact
+    bigints on any partitioning (cents² ≤ 2.4e9/row → bigint headroom
+    to ~3.8e9 rows/group; past that, rescale to whole units the same
+    way functions/exact.py documents). The only divisions — s²/n per
+    group and the grand correction — are single deterministic double
+    ops on those exact integers, rounded to integer cents² before the
+    k-term sum, so the group-order sensitivity of float Σ never
+    arises. The F statistic is one double expression on the final
+    integers, pinned at micro precision.
+
+    At 100 TB this is the map-side-combine shape: the fact table never
+    moves, only (event_type, n, s, q) triples do.
+    """
+    ev = table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("long").alias("s"),
+        F.sum(c * c).cast("long").alias("q"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("s").cast("long").alias("s_all"),
+        F.sum("q").cast("long").alias("q_all"),
+        F.sum(
+            F.expr("CAST(round(CAST(s AS DOUBLE) / n * s) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("sum_between_raw"),
+    )
+    fin = tot.select(
+        "n_total",
+        "k_groups",
+        (F.col("q_all") - F.expr(_ANOVA_CORRECTION)).alias("ss_total_c2"),
+        (F.col("sum_between_raw") - F.expr(_ANOVA_CORRECTION)).alias(
+            "ss_between_c2"
+        ),
+    )
+    return fin.select(
+        "n_total",
+        "k_groups",
+        (F.col("ss_between_c2") / F.lit(10000.0))
+        .cast("double")
+        .alias("ss_between"),
+        ((F.col("ss_total_c2") - F.col("ss_between_c2")) / F.lit(10000.0))
+        .cast("double")
+        .alias("ss_within"),
+        F.expr(
+            "CAST(floor((CAST(ss_between_c2 AS DOUBLE) / (k_groups - 1))"
+            " / (CAST(ss_total_c2 - ss_between_c2 AS DOUBLE)"
+            " / (n_total - k_groups)) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("f_micro"),
+    )
