@@ -386,3 +386,100 @@ def udtf_lateral_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY source
         """
     )
+
+
+# --------------------------------------------------------------------------
+# X20b' — salted two-phase grouped UDF (the mega-group escape hatch)
+# --------------------------------------------------------------------------
+
+_SCALE_SALT = 8
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("salt", LongType()),
+        StructField("pmin", DoubleType()),
+        StructField("pmax", DoubleType()),
+    ]
+)
+
+
+def _minmax_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "salt": [int(pdf["salt"].iloc[0])],
+            "pmin": [pdf["value"].min()],
+            "pmax": [pdf["value"].max()],
+        }
+    )
+
+
+def _apply_scale_merged(pdf: pd.DataFrame) -> pd.DataFrame:
+    vmin = pdf["vmin"].iloc[0]
+    vmax = pdf["vmax"].iloc[0]
+    scaled = (
+        pd.Series(0.5, index=pdf.index)
+        if vmax == vmin
+        else (pdf["value"] - vmin) / (vmax - vmin)
+    )
+    return pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "event_type": pdf["event_type"],
+            "value": pdf["value"],
+            "scaled": scaled,
+        }
+    )
+
+
+def grouped_minmax_scale_salted(
+    ev: DataFrame, n_salt: int = _SCALE_SALT
+) -> DataFrame:
+    """Salt-and-merge twin of udf_grouped_scale: the escape hatch for the
+    group-fits-one-worker contract every applyInPandas kernel carries.
+
+    Phase 1 computes per-(group, salt) partial min/max through bounded
+    Python callbacks (each sees ~1/n_salt of a group, never the whole
+    group); the partials merge relationally (min of mins / max of
+    maxes — the state is a monoid, which is WHY this kernel splits);
+    phase 2 re-applies the per-row transform under the same salted key
+    with the merged stats joined in as columns. No callback anywhere
+    holds a full group, so one mega-group (the 100 TB skew case) can
+    never OOM a worker — it just becomes n_salt bounded callbacks.
+
+    Exactness: min/max merging is exact, and the scale arithmetic is
+    the identical single subtract+divide per row, so the salted plan is
+    bit-identical to the single-pass kernel and to the SQL window
+    oracle on any partitioning.
+    """
+    # Hash salt, not modulo: a modulo salt correlates with any periodic
+    # id pattern (gcd(period, n_salt) collapses classes — caught by the
+    # volume test), while xxhash64 splits every group near-uniformly
+    # regardless of how ids were assigned.
+    salted = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).cast("long")
+    )
+    partials = salted.groupBy("event_type", "salt").applyInPandas(
+        _minmax_partial, _PARTIAL_SCHEMA
+    )
+    stats = partials.groupBy("event_type").agg(
+        F.min("pmin").alias("vmin"), F.max("pmax").alias("vmax")
+    )
+    return (
+        salted.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "salt")
+        .applyInPandas(_apply_scale_merged, _SCALE_SCHEMA)
+    )
+
+
+@query("udf_grouped_scale_salted", oracle=_GROUPED_UDF_ORACLE)
+def udf_grouped_scale_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20: the salted two-phase form of udf_grouped_scale — same oracle,
+    same result, but no Python callback ever sees a whole group (see
+    grouped_minmax_scale_salted). This is the plan to reach for when a
+    grouped kernel's key is skewed or its groups outgrow one worker."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return grouped_minmax_scale_salted(ev)

@@ -1342,3 +1342,71 @@ def test_fellegi_sunter_closed_form_at_volume(spark):
     assert agg.possibles == exp_possible
     assert agg.matches == N - exp_possible
     assert elapsed < 240, f"F-S at {N} rows took {elapsed:.0f}s"
+
+
+def test_grouped_scale_salted_skew_exact_and_bounded_at_volume(spark):
+    """The udf_grouped_scale mega-group escape hatch: one group 40×
+    larger than the rest must (a) produce bit-identical output to the
+    relational window formulation, and (b) never hand any Python
+    callback more than ceil(group/n_salt)+1 rows — the contract that
+    makes the salted plan safe when a grouped key is skewed.
+    """
+    from etl_pipeline_with_alpha_vantage_spark.operators.udf import (
+        _SCALE_SALT,
+        grouped_minmax_scale_salted,
+    )
+
+    n = 220_000
+    # event_ids are 0..n-1; ~95% of rows land in the mega group, the
+    # rest spread over 9 small groups — a worst-case key skew.
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.pmod(F.col("id"), F.lit(20)) < 19, F.lit("mega"))
+        .otherwise(
+            F.concat(F.lit("t"), F.pmod(F.col("id"), F.lit(9)).cast("string"))
+        )
+        .alias("event_type"),
+        (F.pmod(F.xxhash64("id"), F.lit(10_000)) / 100.0).alias("value"),
+    )
+
+    got = grouped_minmax_scale_salted(ev)
+
+    w = Window.partitionBy("event_type")
+    want = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.max("value").over(w) == F.min("value").over(w), F.lit(0.5)
+        )
+        .otherwise(
+            (F.col("value") - F.min("value").over(w))
+            / (F.max("value").over(w) - F.min("value").over(w))
+        )
+        .alias("scaled"),
+    )
+    # Bit-exact: the anti-join in BOTH directions is empty.
+    assert got.exceptAll(want).isEmpty()
+    assert want.exceptAll(got).isEmpty()
+
+    # Callback bound: each phase-2 callback receives exactly one
+    # (event_type, salt) partition. The hash salt splits even this
+    # patterned id assignment near-uniformly (a modulo salt would NOT:
+    # id%20 group membership and id%8 share factor 4 — the original
+    # formulation collapsed salt classes and this assertion caught it).
+    sizes = (
+        ev.withColumn(
+            "salt",
+            F.pmod(F.xxhash64("event_id"), F.lit(_SCALE_SALT)).cast("long"),
+        )
+        .groupBy("event_type", "salt")
+        .count()
+    )
+    biggest_group = (
+        ev.groupBy("event_type").count().agg(F.max("count")).collect()[0][0]
+    )
+    max_callback = sizes.agg(F.max("count")).collect()[0][0]
+    ideal = biggest_group // _SCALE_SALT
+    assert max_callback <= ideal + ideal // 20 + 1  # within 5% of ideal
+    # And the split is a real split: no callback saw a whole group.
+    assert max_callback < biggest_group
