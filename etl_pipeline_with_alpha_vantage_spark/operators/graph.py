@@ -767,10 +767,27 @@ def graph_linkpred_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").cast("long").alias("supp"),
         F.col("l_partkey").cast("long").alias("part"),
     ).distinct()
+    scored = ra_scored_pairs(sp)
+    return (
+        scored.orderBy(F.col("ra_micro").desc(), "supp_a", "supp_b")
+        .limit(_RA_TOP)
+        .select("supp_a", "supp_b", "n_common", "ra_micro")
+    )
+
+
+def ra_scored_pairs(
+    sp: DataFrame, hub_cap: int = _RA_HUB_CAP
+) -> DataFrame:
+    """RA scoring core over any distinct (supp, part) bipartite edge
+    frame: degree-capped wedge self-join keyed on the shared neighbor,
+    exact integer micro-weights 1/deg. Volume invariants (proven at 1M
+    edges by tests/test_scale_smoke.py): wedge count == Σ C(d, 2) and
+    Σ ra_micro over all pairs == Σ C(d, 2)·round(1e6/d) over kept
+    degrees — the closed forms the hub cap is sized against."""
     deg = (
         sp.groupBy("part")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .filter((F.col("d") >= 2) & (F.col("d") <= _RA_HUB_CAP))
+        .filter((F.col("d") >= 2) & (F.col("d") <= hub_cap))
         .withColumn(
             "w_micro",
             F.expr("CAST(round(1000000.0 / d) AS BIGINT)"),
@@ -783,14 +800,9 @@ def graph_linkpred_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_a") < F.col("supp_b"))
         .join(deg.select("part", "w_micro"), "part")
     )
-    scored = wedges.groupBy("supp_a", "supp_b").agg(
+    return wedges.groupBy("supp_a", "supp_b").agg(
         F.sum("w_micro").cast("long").alias("ra_micro"),
         F.count(F.lit(1)).cast("long").alias("n_common"),
-    )
-    return (
-        scored.orderBy(F.col("ra_micro").desc(), "supp_a", "supp_b")
-        .limit(_RA_TOP)
-        .select("supp_a", "supp_b", "n_common", "ra_micro")
     )
 
 

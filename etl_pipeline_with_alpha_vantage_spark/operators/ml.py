@@ -659,11 +659,21 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/exact.py.)
     """
     li = table(spark, sf_dir, "lineitem")
-    hist = li.groupBy(F.col("l_quantity").cast("long").alias("q")).agg(
+    examples = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    return stump_best_split(examples)
+
+
+def stump_best_split(examples: DataFrame) -> DataFrame:
+    """Stump-training core over any (q: long feature, y: 0/1 label)
+    frame: histogram → prefix sums → micro-pinned Gini argmin. Proven
+    at 5M rows on a perfectly separable synthetic (the known split
+    comes back with gini_micro == 0) by tests/test_scale_smoke.py."""
+    hist = examples.groupBy("q").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
-        .cast("long")
-        .alias("p"),
+        F.sum("y").cast("long").alias("p"),
     )
     from pyspark.sql import Window  # noqa: PLC0415
 

@@ -629,18 +629,27 @@ def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency, not the corpus.
     """
     docs = table(spark, sf_dir, "documents")
+    return phrase_occurrences(docs, _PHRASE_A, _PHRASE_B)
+
+
+def phrase_occurrences(docs: DataFrame, term_a: str, term_b: str) -> DataFrame:
+    """Phrase-adjacency core over any (doc_id, text) frame; counts every
+    occurrence, including overlapping repeats (term_a == term_b works:
+    "a a a" contains "a a" twice). Posting volume == the phrase terms'
+    document-frequency mass, proven in closed form at volume by
+    tests/test_scale_smoke.py."""
     postings = (
         docs.select(
             "doc_id",
             F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
         )
-        .filter(F.col("tok").isin(_PHRASE_A, _PHRASE_B))
+        .filter(F.col("tok").isin(term_a, term_b))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
     )
-    a = postings.filter(F.col("tok") == _PHRASE_A).select(
+    a = postings.filter(F.col("tok") == term_a).select(
         "doc_id", F.col("pos").alias("pos_a")
     )
-    b = postings.filter(F.col("tok") == _PHRASE_B).select(
+    b = postings.filter(F.col("tok") == term_b).select(
         "doc_id", F.col("pos").alias("pos_b")
     )
     return (

@@ -1410,3 +1410,109 @@ def test_grouped_scale_salted_skew_exact_and_bounded_at_volume(spark):
     assert max_callback <= ideal + ideal // 20 + 1  # within 5% of ideal
     # And the split is a real split: no callback saw a whole group.
     assert max_callback < biggest_group
+
+
+def test_ra_linkpred_closed_form_at_volume(spark):
+    """RA link prediction on a 1M-edge bipartite graph with controlled
+    part degrees: wedge volume and the total score mass have closed
+    forms — wedges == Σ C(d,2) and Σ ra_micro == Σ C(d,2)·round(1e6/d)
+    over kept degrees — so both the hub cap's economics and the exact
+    integer scoring are verified at volume, not asserted.
+    """
+    from etl_pipeline_with_alpha_vantage_spark.operators.graph import (
+        ra_scored_pairs,
+    )
+
+    # Part p gets degree (p % 97) + 1: suppliers p*1000 .. p*1000+d-1
+    # (distinct per part, so every (supp, part) row is unique).
+    n_parts = 12_000
+    sp = (
+        spark.range(n_parts)
+        .select(
+            F.col("id").alias("part"),
+            F.explode(
+                F.sequence(F.lit(0), F.pmod(F.col("id"), F.lit(97)))
+            ).alias("k"),
+        )
+        .select((F.col("part") * 1000 + F.col("k")).alias("supp"), "part")
+    )
+    cap = 50
+    scored = ra_scored_pairs(sp, hub_cap=cap)
+    got_pairs, got_mass, got_wedges = (
+        scored.agg(
+            F.count(F.lit(1)),
+            F.sum("ra_micro"),
+            F.sum("n_common"),
+        ).collect()[0]
+    )
+
+    def c2(d):
+        return d * (d - 1) // 2
+
+    # Degrees are (p % 97) + 1 over 12000 parts; each residue r in 0..96
+    # appears at least 12000 // 97 times (+1 for r < 12000 % 97).
+    reps = {r: n_parts // 97 + (1 if r < n_parts % 97 else 0) for r in range(97)}
+    kept = {r: d for r, d in ((r, r + 1) for r in reps) if 2 <= d <= cap}
+    want_wedges = sum(reps[r] * c2(d) for r, d in kept.items())
+    want_mass = sum(
+        reps[r] * c2(d) * round(1_000_000 / d) for r, d in kept.items()
+    )
+    assert got_wedges == want_wedges
+    assert got_mass == want_mass
+    # Suppliers are disjoint across parts, so every wedge is a distinct
+    # pair: pair count == wedge count (no pair aggregates two parts).
+    assert got_pairs == want_wedges
+
+
+def test_phrase_match_overlapping_closed_form_at_volume(spark):
+    """Phrase counting at 400k docs with a same-term phrase ("a a") —
+    the overlap case replace()-counting gets wrong. Doc i holds
+    (i % 7) + 2 copies of token 'a' (plus noise), so occurrences per
+    doc are (i % 7) + 1 exactly and the corpus total is closed-form.
+    """
+    from etl_pipeline_with_alpha_vantage_spark.operators.search import (
+        phrase_occurrences,
+    )
+
+    n = 400_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("x y "),
+            F.array_join(
+                F.array_repeat(
+                    F.lit("a"), (F.pmod(F.col("id"), F.lit(7)) + 2).cast("int")
+                ),
+                " ",
+            ),
+            F.lit(" z"),
+        ).alias("text"),
+    )
+    got = phrase_occurrences(docs, "a", "a")
+    total, ndocs = got.agg(F.sum("n_occurrences"), F.count(F.lit(1))).collect()[0]
+    reps = {r: n // 7 + (1 if r < n % 7 else 0) for r in range(7)}
+    assert ndocs == n  # every doc has >= 2 a's, so >= 1 occurrence
+    assert total == sum(cnt * (r + 1) for r, cnt in reps.items())
+
+
+def test_decision_stump_separable_closed_form_at_volume(spark):
+    """Stump training at 5M rows on a perfectly separable synthetic
+    (y = [feature <= 30], feature uniform-ish over 1..100): the kernel
+    must return split 30 with gini_micro == 0 and the exact class
+    counts — an end-to-end integer identity for the histogram + prefix
+    sum + argmin pipeline at volume.
+    """
+    from etl_pipeline_with_alpha_vantage_spark.operators.ml import (
+        stump_best_split,
+    )
+
+    n = 5_000_000
+    ex = spark.range(n).select(
+        (F.pmod(F.xxhash64("id"), F.lit(100)) + 1).alias("q"),
+    ).withColumn("y", F.when(F.col("q") <= 30, 1).otherwise(0))
+    row = stump_best_split(ex).collect()[0]
+    assert row["split_q"] == 30
+    assert row["gini_micro"] == 0
+    assert row["pos_left"] == row["n_left"]  # pure left side
+    assert row["pos_right"] == 0             # pure right side
+    assert row["n_left"] + row["n_right"] == n
