@@ -215,6 +215,16 @@ HEADLINE = [
     "eval_langid_prf",
     "eval_retrieval_ndcg",
     "drift_ks_two_sample",
+    # round 9 additions
+    "stats_anova_oneway",
+    "ml_ols_normal_eq",
+    "ml_decision_stump",
+    "search_phrase_match",
+    "dedup_soft_downweight",
+    "embedding_knn_classify",
+    "graph_linkpred_ra",
+    "embedding_pca_power",
+    "udf_grouped_scale_salted",
 ]
 
 

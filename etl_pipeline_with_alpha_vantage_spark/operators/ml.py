@@ -815,10 +815,24 @@ def ml_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression both engines evaluate identically, micro-pinned.
     """
     li = table(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity").cast("long")
-    dc = F.round(F.col("l_discount") * 100).cast("long")
-    yc = F.round(F.col("l_extendedprice") * 100).cast("long")
-    m = li.agg(
+    examples = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("dc"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("yc"),
+    )
+    return ols_fit(examples)
+
+
+def ols_fit(examples: DataFrame) -> DataFrame:
+    """OLS core over any (q, dc, yc) integer-feature frame (y and the
+    second feature in cents): one-scan moments + Cramer's rule. Exact
+    recovery proven at 5M rows on a noiseless synthetic plane by
+    tests/test_scale_smoke.py (beta_micro come back as the exact
+    generating coefficients)."""
+    q = F.col("q")
+    dc = F.col("dc")
+    yc = F.col("yc")
+    m = examples.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(q).cast("long").alias("s1"),
         F.sum(dc).cast("long").alias("s2"),

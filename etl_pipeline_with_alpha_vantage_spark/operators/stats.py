@@ -1681,8 +1681,15 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves, only (event_type, n, s, q) triples do.
     """
     ev = table(spark, sf_dir, "events")
+    return anova_oneway(ev.select("event_type", "value"))
+
+
+def anova_oneway(frame: DataFrame) -> DataFrame:
+    """ANOVA core over any (event_type, value) frame with 2-dp-exact
+    values. Closed-form-proven at 5M rows by tests/test_scale_smoke.py
+    (a synthetic with analytically known SS_between / SS_within)."""
     c = F.round(F.col("value") * 100).cast("long")
-    g = ev.groupBy("event_type").agg(
+    g = frame.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(c).cast("long").alias("s"),
         F.sum(c * c).cast("long").alias("q"),

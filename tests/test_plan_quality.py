@@ -112,7 +112,6 @@ _NESTED_LOOP_OK = {
     "eval_retrieval_ndcg",  # BM25 corpus-stats + 1-row DCG x IDCG joins
     "ml_decision_stump",  # 1-row (N, P) total broadcast over the histogram
     "embedding_knn_classify",  # 50-row hold-out broadcast (brute arm)
-    "embedding_pca_power",  # 1-row norm^2 broadcast per power sweep
 }
 
 

@@ -1516,3 +1516,125 @@ def test_decision_stump_separable_closed_form_at_volume(spark):
     assert row["pos_left"] == row["n_left"]  # pure left side
     assert row["pos_right"] == 0             # pure right side
     assert row["n_left"] + row["n_right"] == n
+
+
+def test_pca_gram_and_power_closed_form_at_volume(spark):
+    """PCA at 1M one-hot vectors: the integer Gram must be EXACTLY
+    diagonal with diag == count·micro(value²) (closed form), and the
+    power sweeps must match an independent numpy replay of the exact
+    integer recurrence micro-for-micro, with the known dominant
+    dimension winning.
+    """
+    import math
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.similarity import (
+        _PCA_D,
+        _PCA_ITERS,
+        pca_gram_from,
+        pca_power_sweeps,
+    )
+
+    n = 1_000_000
+    # One-hot on dim (id % 64); dim 7 carries value 2.0 (others 1.0), so
+    # G is diagonal with G[7,7] = 4e6·count_7 dominating.
+    emb = spark.range(n).select(
+        F.expr(
+            f"""transform(sequence(0, {_PCA_D - 1}), j ->
+                CASE WHEN j = CAST(id % {_PCA_D} AS INT)
+                     THEN CASE WHEN id % {_PCA_D} = 7
+                               THEN CAST(2.0 AS DOUBLE)
+                               ELSE CAST(1.0 AS DOUBLE) END
+                     ELSE CAST(0.0 AS DOUBLE) END)"""
+        ).alias("embedding")
+    )
+    cells = pca_gram_from(emb)
+    grid = {(r["gi"], r["gj"]): r["g"] for r in cells.collect()}
+    counts = {
+        k: n // _PCA_D + (1 if k < n % _PCA_D else 0) for k in range(_PCA_D)
+    }
+    for i in range(_PCA_D):
+        for j in range(_PCA_D):
+            want = 0
+            if i == j:
+                want = counts[i] * (4_000_000 if i == 7 else 1_000_000)
+            assert grid[(i, j)] == want, (i, j, grid[(i, j)], want)
+
+    got = {
+        r["component"]: r["loading_micro"]
+        for r in pca_power_sweeps(spark, cells)
+        .selectExpr(
+            "idx AS component",
+            "CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS loading_micro",
+        )
+        .collect()
+    }
+
+    def half_away(x):
+        t = math.trunc(x)
+        frac = x - t
+        if abs(frac) >= 0.5:
+            return t + math.copysign(1.0, x)
+        return float(t)
+
+    v = [1.0 / math.sqrt(_PCA_D)] * _PCA_D
+    for _ in range(_PCA_ITERS):
+        u = [half_away(grid[(i, i)] * v[i]) for i in range(_PCA_D)]
+        dd = [ui / 1e6 for ui in u]
+        n2 = sum(int(half_away(x * x * 1e6)) for x in dd)
+        v = [x / math.sqrt(n2 / 1e6) for x in dd]
+    want_load = {i: int(math.floor(v[i] * 1e6 + 0.5)) for i in range(_PCA_D)}
+    assert got == want_load
+    assert max(got, key=got.get) == 7
+
+
+def test_ols_exact_recovery_at_volume(spark):
+    """OLS at 5M rows on a noiseless plane yc = 700 + 300·q − 2·dc:
+    the normal-equation solve must return the generating coefficients
+    EXACTLY in micro units (7.0, 3.0, −2.0 natural)."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.ml import ols_fit
+
+    n = 5_000_000
+    ex = spark.range(n).select(
+        (F.col("id") % 50 + 1).cast("long").alias("q"),
+        (F.col("id") % 11).cast("long").alias("dc"),
+    ).withColumn(
+        "yc", (F.lit(700) + 300 * F.col("q") - 2 * F.col("dc")).cast("long")
+    )
+    row = ols_fit(ex).collect()[0]
+    assert row["n"] == n
+    assert row["beta0_micro"] == 7_000_000
+    assert row["beta1_micro"] == 3_000_000
+    assert row["beta2_micro"] == -2_000_000
+
+
+def test_anova_closed_form_at_volume(spark):
+    """ANOVA at ~5M rows on a balanced synthetic with analytically
+    known sums of squares: 5 groups with means (g·10 + 0.5) and an
+    identical within-group residual multiset {−0.5, 0, +0.5} per
+    group, so SS_between == n·2e6 cents² / SS_within == n·5000/3
+    cents² exactly, and F follows in closed form."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        anova_oneway,
+    )
+
+    n = 4_999_995  # divisible by 15: every (group, residual) cell equal
+    ev = spark.range(n).select(
+        F.concat(F.lit("g"), (F.col("id") % 5).cast("string")).alias(
+            "event_type"
+        ),
+        (
+            (F.col("id") % 5) * 10.0
+            + ((F.col("id") / 5).cast("long") % 3) * 0.5
+        ).alias("value"),
+    )
+    row = anova_oneway(ev).collect()[0]
+    assert row["n_total"] == n
+    assert row["k_groups"] == 5
+    ssb_c2 = n * 2_000_000
+    ssw_c2 = n * 5000 // 3
+    assert row["ss_between"] == ssb_c2 / 10000.0
+    assert row["ss_within"] == ssw_c2 / 10000.0
+    import math
+
+    f = (ssb_c2 / 4) / (ssw_c2 / (n - 5))
+    assert row["f_micro"] == int(math.floor(f * 1e6 + 0.5))
