@@ -1207,3 +1207,137 @@ def dedup_soft_downweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Neyman-allocated stratified sampling (variance-proportional budgets)
+# --------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+_NEYMAN_ORACLE = f"""
+WITH mom AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS nh,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                    * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+    FROM events GROUP BY event_type
+),
+wts AS (
+    SELECT event_type, nh,
+           nh * sqrt((CAST(q AS DOUBLE)
+                      - round(CAST(s AS DOUBLE) / nh * s)) / nh) AS w
+    FROM mom
+),
+tot AS (SELECT SUM(w) AS wsum FROM wts),
+alloc AS (
+    SELECT event_type, nh,
+           CAST(floor({_NEYMAN_BUDGET} * w / wsum) AS BIGINT) AS base,
+           {_NEYMAN_BUDGET} * w / wsum
+               - floor({_NEYMAN_BUDGET} * w / wsum) AS frac
+    FROM wts CROSS JOIN tot
+),
+short AS (
+    SELECT CAST({_NEYMAN_BUDGET} - SUM(base) AS BIGINT) AS rem FROM alloc
+),
+final_alloc AS (
+    SELECT event_type, nh,
+           base + CASE WHEN row_number() OVER (
+                           ORDER BY frac DESC, event_type) <= rem
+                       THEN 1 ELSE 0 END AS k
+    FROM alloc CROSS JOIN short
+),
+ranked AS (
+    SELECT e.event_type, e.event_id,
+           row_number() OVER (
+               PARTITION BY e.event_type
+               ORDER BY md5(CAST(e.event_id AS VARCHAR)), e.event_id) AS rn
+    FROM events e
+)
+SELECT r.event_type, r.event_id
+FROM ranked r JOIN final_alloc f ON f.event_type = r.event_type
+WHERE r.rn <= f.k
+"""
+
+
+@query("sample_stratified_neyman", oracle=_NEYMAN_ORACLE)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocated stratified sample: a fixed budget of
+    {b} rows split across strata proportional to N_h·σ_h — the
+    textbook minimum-variance allocation (Neyman 1934), the right
+    sampling design when strata differ in spread (vs sample_stratified's
+    equal-rate design). Allocation integerizes by largest remainder
+    (exact: Σk == budget by construction), and within each stratum the
+    sample is a deterministic md5-rank top-k — reproducible on any
+    partitioning, no RNG state. A stratum allocated more than its
+    population truncates to take-all (the rank filter caps at N_h), so
+    tiny high-variance strata shortfall the budget rather than
+    oversample; the textbook iterative reallocation is a dust-sized
+    driver loop, deliberately omitted.
+
+    Scale shape: the moment pass is one partial-aggregated shuffle to
+    k strata rows (σ_h from the same exact-bigint correction form as
+    stats_anova_oneway); allocation math is dust; the pick is one
+    per-stratum rank window over hash keys. Exactness: every allocation
+    input is an exact integer or a single deterministic double
+    expression on exact integers; the md5 rank is engine-portable.
+    """
+    ev = table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    mom = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum(c).cast("long").alias("s"),
+        F.sum(c * c).cast("long").alias("q"),
+    )
+    wts = mom.select(
+        "event_type",
+        "nh",
+        F.expr(
+            "nh * sqrt((CAST(q AS DOUBLE)"
+            " - round(CAST(s AS DOUBLE) / nh * s)) / nh)"
+        ).alias("w"),
+    )
+    tot = wts.agg(F.sum("w").alias("wsum"))
+    alloc = wts.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "nh",
+        F.expr(
+            f"CAST(floor({_NEYMAN_BUDGET} * w / wsum) AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            f"{_NEYMAN_BUDGET} * w / wsum"
+            f" - floor({_NEYMAN_BUDGET} * w / wsum)"
+        ).alias("frac"),
+    )
+    short = alloc.agg(
+        (F.lit(_NEYMAN_BUDGET) - F.sum("base")).cast("long").alias("rem")
+    )
+    wrank = Window.orderBy(F.col("frac").desc(), "event_type")
+    final_alloc = (
+        alloc.crossJoin(F.broadcast(short))
+        .withColumn("pri", F.row_number().over(wrank))
+        .select(
+            "event_type",
+            (
+                F.col("base")
+                + F.when(F.col("pri") <= F.col("rem"), 1).otherwise(0)
+            ).alias("k"),
+        )
+    )
+    wpick = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    ranked = ev.select("event_type", "event_id").withColumn(
+        "rn", F.row_number().over(wpick)
+    )
+    return (
+        ranked.join(F.broadcast(final_alloc), "event_type")
+        .filter(F.col("rn") <= F.col("k"))
+        .select("event_type", "event_id")
+    )
+
+
+sample_stratified_neyman.__doc__ = sample_stratified_neyman.__doc__.format(
+    b=_NEYMAN_BUDGET
+)

@@ -1109,3 +1109,168 @@ def quant_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# CAPM beta/alpha per series vs the all-types market aggregate
+# --------------------------------------------------------------------------
+
+_BETA_ORACLE = f"""
+WITH {_RETURNS_BARS_SQL},
+mbars AS (
+    SELECT bar,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(SUM(n) AS BIGINT) AS n
+    FROM bars GROUP BY bar
+),
+mlagged AS (
+    SELECT bar, cents, n,
+           lag(cents) OVER (ORDER BY bar) AS prev_cents,
+           lag(n) OVER (ORDER BY bar) AS prev_n
+    FROM mbars
+),
+mrets AS (
+    SELECT bar,
+           CAST(round(((CAST(cents AS DOUBLE) / n)
+                       / (CAST(prev_cents AS DOUBLE)
+                          / prev_n) - 1.0) * 1000000) AS BIGINT)
+               AS mret_micro
+    FROM mlagged
+    WHERE prev_cents IS NOT NULL AND prev_cents <> 0
+),
+joined AS (
+    SELECT r.event_type, r.ret_micro AS ra, m.mret_micro AS rm
+    FROM rets r JOIN mrets m ON m.bar = r.bar
+),
+mom AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ra) AS BIGINT) AS sa,
+           CAST(SUM(rm) AS BIGINT) AS sm,
+           CAST(SUM(ra * rm) AS BIGINT) AS sam,
+           CAST(SUM(rm * rm) AS BIGINT) AS smm
+    FROM joined GROUP BY event_type
+),
+fin AS (
+    SELECT event_type, n,
+           CAST(n AS DOUBLE) * CAST(sam AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sm AS DOUBLE) AS num,
+           CAST(n AS DOUBLE) * CAST(smm AS DOUBLE)
+               - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) AS den,
+           sa, sm
+    FROM mom
+    WHERE n >= 2
+      AND CAST(n AS DOUBLE) * CAST(smm AS DOUBLE)
+          - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) <> 0.0
+)
+SELECT event_type,
+       n AS n_bars,
+       CAST(round(num / den * 1000000) AS BIGINT) AS beta_micro,
+       CAST(round(CAST(sa AS DOUBLE) / n
+                  - (num / den) * (CAST(sm AS DOUBLE) / n)) AS BIGINT)
+           AS alpha_micro
+FROM fin
+ORDER BY event_type
+"""
+
+
+@query("quant_beta_capm", oracle=_BETA_ORACLE)
+def quant_beta_capm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPM regression per series vs the market: beta (slope of the
+    series' bar returns on the all-types aggregate's returns) and alpha
+    (mean excess return) — the portfolio-risk companion of
+    returns_correlation_pairs, completing the quant screen family.
+
+    The market series is the same bar table re-aggregated across types
+    (dust-sized — the fact is scanned once, into `bars`), so the whole
+    regression runs on types×bars rows. Exactness: the slope uses the
+    cleared-denominator co-moment form (n·Σab − Σa·Σb)/(n·Σb² − (Σb)²)
+    on exact bigint micro-return sums; the clearing products run in
+    doubles CAST from those exact integers (sparse low-SF bars produce
+    micro-returns big enough that n·Σb² overflows int64 — caught by the
+    oracle during development) — a fixed expression both engines
+    evaluate identically, so beta is still bit-reproducible,
+    micro-pinned, with no order-sensitive corr() reduction anywhere. Degenerate series
+    (n < 2 or a flat market) are excluded by an exact integer guard.
+    """
+    ev = table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 600_000_000).cast("long").alias("bar"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bar")
+    price = F.col("cents").cast("double") / F.col("n")
+    lagged = bars.withColumns(
+        {
+            "prev_cents": F.lag("cents").over(w),
+            "prev_n": F.lag("n").over(w),
+        }
+    ).filter(F.col("prev_cents").isNotNull() & (F.col("prev_cents") != 0))
+    prev = F.col("prev_cents").cast("double") / F.col("prev_n")
+    rets = lagged.select(
+        "event_type",
+        "bar",
+        F.round((price / prev - 1.0) * 1_000_000)
+        .cast("long")
+        .alias("ret_micro"),
+    ).filter(F.col("ret_micro").isNotNull())
+
+    mbars = bars.groupBy("bar").agg(
+        F.sum("cents").cast("long").alias("cents"),
+        F.sum("n").cast("long").alias("n"),
+    )
+    # Global lag over the single market series: a documented-bounded
+    # dust window (bars are time-bucketed — cardinality grows with the
+    # covered time span, not with SF).
+    mw = Window.orderBy("bar")
+    mlagged = mbars.withColumns(
+        {
+            "prev_cents": F.lag("cents").over(mw),
+            "prev_n": F.lag("n").over(mw),
+        }
+    ).filter(F.col("prev_cents").isNotNull() & (F.col("prev_cents") != 0))
+    mprice = F.col("cents").cast("double") / F.col("n")
+    mprev = F.col("prev_cents").cast("double") / F.col("prev_n")
+    mrets = mlagged.select(
+        "bar",
+        F.round((mprice / mprev - 1.0) * 1_000_000)
+        .cast("long")
+        .alias("mret_micro"),
+    ).filter(F.col("mret_micro").isNotNull())
+
+    joined = rets.join(F.broadcast(mrets), "bar").select(
+        "event_type",
+        F.col("ret_micro").alias("ra"),
+        F.col("mret_micro").alias("rm"),
+    )
+    mom = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ra").cast("long").alias("sa"),
+        F.sum("rm").cast("long").alias("sm"),
+        F.sum(F.col("ra") * F.col("rm")).cast("long").alias("sam"),
+        F.sum(F.col("rm") * F.col("rm")).cast("long").alias("smm"),
+    )
+    fin = mom.selectExpr(
+        "event_type",
+        "n",
+        "CAST(n AS DOUBLE) * CAST(sam AS DOUBLE)"
+        " - CAST(sa AS DOUBLE) * CAST(sm AS DOUBLE) AS num",
+        "CAST(n AS DOUBLE) * CAST(smm AS DOUBLE)"
+        " - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) AS den",
+        "sa",
+        "sm",
+    ).filter((F.col("n") >= 2) & (F.col("den") != 0.0))
+    return fin.select(
+        "event_type",
+        F.col("n").alias("n_bars"),
+        F.expr("CAST(round(num / den * 1000000) AS BIGINT)").alias(
+            "beta_micro"
+        ),
+        F.expr(
+            "CAST(round(CAST(sa AS DOUBLE) / n"
+            " - (num / den) * (CAST(sm AS DOUBLE) / n)) AS BIGINT)"
+        ).alias("alpha_micro"),
+    ).orderBy("event_type")

@@ -1462,3 +1462,115 @@ def eval_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_PRF_R).alias("recall_micro"),
         F.expr(_PRF_F1).alias("f1_micro"),
     ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# Model calibration: reliability bins for the deployed quality scorer
+# --------------------------------------------------------------------------
+
+_CAL_SCORE_SQL = f"""
+    CAST(round(
+        1.0 / (1.0 + exp(-({_QM_W[0]}
+            + {_QM_W[1]} * (CAST(n_tok AS DOUBLE) / 100)
+            + {_QM_W[2]} * (CAST(n_uniq AS DOUBLE) / n_tok)
+            + {_QM_W[3]} * (CAST(word_chars AS DOUBLE) / n_tok / 10))))
+        * 1000000) AS BIGINT)"""
+
+_CAL_ORACLE = f"""
+WITH feats AS (
+    SELECT len(string_split(text, ' ')) AS n_tok,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq,
+           length(text) - (len(string_split(text, ' ')) - 1) AS word_chars
+    FROM documents
+),
+scored AS (
+    SELECT {_CAL_SCORE_SQL} AS score_micro,
+           CASE WHEN n_uniq * 10 >= 7 * n_tok THEN 1 ELSE 0 END AS y
+    FROM feats
+),
+binned AS (
+    SELECT CAST(least(9, score_micro // 100000) AS BIGINT) AS bin,
+           score_micro, y
+    FROM scored
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(round(CAST(SUM(score_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           AS mean_pred_micro,
+       CAST(round(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 1000000) AS BIGINT)
+           AS pos_rate_micro,
+       CAST(round(CAST(SUM(score_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           - CAST(round(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 1000000)
+                  AS BIGINT) AS gap_micro
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@query("eval_model_calibration", oracle=_CAL_ORACLE)
+def eval_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the deployed quality scorer
+    (text_quality_model's fixed-weight logistic): scores binned into
+    deciles, each bin reporting mean predicted probability vs the
+    empirical positive rate against an integer-exact reference label
+    (type-token ratio ≥ 0.7, evaluated as n_uniq·10 ≥ 7·n_tok — no
+    float threshold), plus the signed calibration gap. The eval every
+    model-scored filter needs before its keep-threshold means anything;
+    ECE is one weighted average of |gap| away.
+
+    Scale shape: scoring is the same zero-shuffle narrow chain as
+    text_quality_model; the ONLY exchange is the 10-key bin rollup with
+    map-side combine. Exactness: per-doc scores micro-pinned at birth,
+    bin sums exact bigints, the two per-bin ratios one deterministic
+    double division each.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    word_chars = F.length("text") - (n_tok - 1)
+    z = (
+        F.lit(_QM_W[0])
+        + _QM_W[1] * (n_tok.cast("double") / 100)
+        + _QM_W[2] * (n_uniq.cast("double") / n_tok)
+        + _QM_W[3] * (word_chars.cast("double") / n_tok / 10)
+    )
+    score_micro = F.round(
+        (1.0 / (1.0 + F.exp(-z))) * 1_000_000
+    ).cast("long")
+    y = F.when(n_uniq * 10 >= 7 * n_tok, 1).otherwise(0)
+    scored = docs.select(
+        score_micro.alias("score_micro"), y.alias("y")
+    ).select(
+        F.least(F.lit(9), F.expr("score_micro DIV 100000"))
+        .cast("long")
+        .alias("bin"),
+        "score_micro",
+        "y",
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(round(CAST(SUM(score_micro) AS DOUBLE) / COUNT(*))"
+                " AS BIGINT)"
+            ).alias("mean_pred_micro"),
+            F.expr(
+                "CAST(round(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 1000000)"
+                " AS BIGINT)"
+            ).alias("pos_rate_micro"),
+            (
+                F.expr(
+                    "CAST(round(CAST(SUM(score_micro) AS DOUBLE)"
+                    " / COUNT(*)) AS BIGINT)"
+                )
+                - F.expr(
+                    "CAST(round(CAST(SUM(y) AS DOUBLE) / COUNT(*)"
+                    " * 1000000) AS BIGINT)"
+                )
+            ).alias("gap_micro"),
+        )
+        .orderBy("bin")
+    )
