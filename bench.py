@@ -225,6 +225,10 @@ HEADLINE = [
     "graph_linkpred_ra",
     "embedding_pca_power",
     "udf_grouped_scale_salted",
+    "quant_beta_capm",
+    "eval_model_calibration",
+    "sample_stratified_neyman",
+    "window_hampel_outliers",
 ]
 
 

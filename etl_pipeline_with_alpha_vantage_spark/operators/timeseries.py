@@ -2640,3 +2640,163 @@ def anomaly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 anomaly_cusum_changepoint.__doc__ = anomaly_cusum_changepoint.__doc__.format(
     p=_CUSUM_THRESH_PCT
 )
+
+
+# --------------------------------------------------------------------------
+# Hampel filter: rolling-median ± MAD robust outlier flags
+# --------------------------------------------------------------------------
+
+_HAMPEL_K = 11  # odd trailing window: integer cents give an integer median
+
+_HAMPEL_ORACLE = f"""
+WITH w AS (
+    SELECT user_id, event_id,
+           CAST(round(value * 100) AS BIGINT) AS c,
+           list(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_HAMPEL_K - 1} PRECEDING AND CURRENT ROW
+           ) AS arr
+    FROM events
+),
+m AS (
+    SELECT user_id, event_id, c, arr,
+           CAST(CAST(list_aggregate(arr, 'median') AS DOUBLE) AS BIGINT)
+               AS med
+    FROM w WHERE len(arr) = {_HAMPEL_K}
+),
+f AS (
+    SELECT user_id, event_id, c, med,
+           CAST(CAST(list_aggregate(
+                   list_transform(arr, v -> abs(v - med)), 'median')
+               AS DOUBLE) AS BIGINT) AS mad
+    FROM m
+)
+SELECT user_id, event_id,
+       CAST(med / 100.0 AS DOUBLE) AS rolling_med,
+       CAST(mad / 100.0 AS DOUBLE) AS rolling_mad,
+       CAST(CASE WHEN abs(c - med) > 3 * mad THEN 1 ELSE 0 END AS BIGINT)
+           AS is_outlier
+FROM f
+"""
+
+
+@query("window_hampel_outliers", oracle=_HAMPEL_ORACLE)
+def window_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter per user series: flag events whose value sits more
+    than 3 MADs from the trailing {k}-event rolling median — the robust
+    outlier screen that doesn't let the outlier inflate its own
+    threshold (the failure mode of anomaly_rolling_zscore's mean/stddev
+    under heavy tails). Emits only full-window rows, the standard
+    warm-up convention.
+
+    Plan shape: the same ONE-shuffle repartition + sortWithinPartitions
+    sweep as window_rolling_median, with both order statistics computed
+    in a strided numpy kernel per contiguous user run
+    (sliding_window_view → per-window median, then median of absolute
+    deviations — all C loops, no per-row Python), and a ≤{km1}-row carry
+    stitching users across Arrow batch boundaries.
+
+    Exactness: cents are integers and the window length is odd, so the
+    rolling median IS an integer, deviations are integers, and the MAD
+    is an integer — every comparison and output is exact integer math;
+    no rounding discipline needed anywhere.
+    """
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    k = _HAMPEL_K
+    ev = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+    )
+
+    def hampel_positions(work: pd.DataFrame):
+        """Full-window rows of `work` as (positions, med, mad) arrays:
+        per contiguous user run, strided windows -> median and MAD."""
+        uid = work["user_id"].to_numpy()
+        c = work["cents"].to_numpy()
+        pos_parts: list[np.ndarray] = []
+        med_parts: list[np.ndarray] = []
+        mad_parts: list[np.ndarray] = []
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        bounds = np.r_[starts, len(uid)]
+        for s0, e0 in zip(bounds[:-1], bounds[1:]):
+            if e0 - s0 < k:
+                continue
+            wview = np.lib.stride_tricks.sliding_window_view(c[s0:e0], k)
+            med = np.median(wview, axis=1)
+            mad = np.median(np.abs(wview - med[:, None]), axis=1)
+            pos_parts.append(np.arange(s0 + k - 1, e0))
+            med_parts.append(med)
+            mad_parts.append(mad)
+        if not pos_parts:
+            z = np.empty(0)
+            return z.astype("int64"), z, z
+        return (
+            np.concatenate(pos_parts).astype("int64"),
+            np.concatenate(med_parts),
+            np.concatenate(mad_parts),
+        )
+
+    def sweep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if (
+                carry is not None
+                and len(carry)
+                and pdf["user_id"].iloc[0] == carry["user_id"].iloc[0]
+            ):
+                work = pd.concat([carry, pdf], ignore_index=True)
+                n_carry = len(carry)
+            else:
+                work, n_carry = pdf, 0
+            pos, med, mad = hampel_positions(work)
+            # Carry rows (positions < n_carry) were the previous batch's
+            # rows: it emitted them iff their full window existed there,
+            # and the carry always holds the user's complete trailing
+            # history up to k-1 rows — so "new row with a full window in
+            # work" is exactly "row whose true trailing window is full",
+            # each row emitted at most once.
+            keep = pos >= n_carry
+            pos, med, mad = pos[keep], med[keep], mad[keep]
+            sel = work.iloc[pos]
+            c_sel = sel["cents"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "user_id": sel["user_id"].to_numpy(),
+                    "event_id": sel["event_id"].to_numpy(),
+                    "rolling_med": med / 100.0,
+                    "rolling_mad": mad / 100.0,
+                    "is_outlier": (
+                        np.abs(c_sel - med) > 3 * mad
+                    ).astype("int64"),
+                }
+            )
+            last_user = work["user_id"].iloc[-1]
+            carry = (
+                work[work["user_id"] == last_user]
+                .tail(k - 1)[["user_id", "event_id", "cents"]]
+                .reset_index(drop=True)
+            )
+
+    return ev.mapInPandas(
+        sweep,
+        "user_id long, event_id long, rolling_med double,"
+        " rolling_mad double, is_outlier long",
+    )
+
+
+window_hampel_outliers.__doc__ = window_hampel_outliers.__doc__.format(
+    k=_HAMPEL_K, km1=_HAMPEL_K - 1
+)
