@@ -229,6 +229,7 @@ HEADLINE = [
     "eval_model_calibration",
     "sample_stratified_neyman",
     "window_hampel_outliers",
+    "graph_jaccard_neighbors",
 ]
 
 

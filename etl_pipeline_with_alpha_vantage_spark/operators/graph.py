@@ -809,3 +809,102 @@ def ra_scored_pairs(
 graph_linkpred_ra.__doc__ = graph_linkpred_ra.__doc__.format(
     cap=_RA_HUB_CAP, top=_RA_TOP
 )
+
+
+# --------------------------------------------------------------------------
+# Link prediction II: neighbor-set Jaccard over the bipartite graph
+# --------------------------------------------------------------------------
+
+_JACC_TOP = 20
+
+_JACC_ORACLE = f"""
+WITH sp AS (
+    SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS supp,
+                    CAST(l_partkey AS BIGINT) AS part
+    FROM lineitem
+),
+pdeg AS (
+    SELECT part FROM sp GROUP BY part HAVING COUNT(*) >= 2
+),
+sdeg AS (
+    SELECT supp, CAST(COUNT(*) AS BIGINT) AS d FROM sp GROUP BY supp
+),
+common AS (
+    SELECT a.supp AS supp_a, b.supp AS supp_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM sp a
+    JOIN sp b ON a.part = b.part AND a.supp < b.supp
+    JOIN pdeg p ON p.part = a.part
+    GROUP BY 1, 2
+)
+SELECT c.supp_a, c.supp_b, c.n_common,
+       CAST(round(1000000.0 * c.n_common
+                  / (da.d + db.d - c.n_common)) AS BIGINT) AS jaccard_micro
+FROM common c
+JOIN sdeg da ON da.supp = c.supp_a
+JOIN sdeg db ON db.supp = c.supp_b
+ORDER BY jaccard_micro DESC, supp_a, supp_b
+LIMIT {_JACC_TOP}
+"""
+
+
+@query("graph_jaccard_neighbors", oracle=_JACC_ORACLE)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard — RA's normalized
+    sibling: J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)| for supplier pairs over
+    shared parts, an exact rational on three integer counts (micro-
+    pinned, no float risk anywhere).
+
+    Unlike graph_linkpred_ra's hub cap (safe there because a hub's
+    per-wedge weight is negligible), Jaccard needs TRUE intersection
+    counts, so this kernel drops only degree-1 parts — a LOSSLESS
+    filter (they can't form a pair) that still prunes the long tail of
+    the wedge join. Union sizes come from the per-supplier degree
+    table joined twice on the pair endpoints; the global top-{top} is
+    TakeOrderedAndProject. At 100 TB with genuine super-hubs the RA cap
+    (or a minhash estimate of the intersection — dedup_minhash_lsh's
+    machinery) is the documented fallback.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").cast("long").alias("supp"),
+        F.col("l_partkey").cast("long").alias("part"),
+    ).distinct()
+    pdeg = (
+        sp.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("pd"))
+        .filter(F.col("pd") >= 2)
+        .select("part")
+    )
+    sdeg = sp.groupBy("supp").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a = sp.select("part", F.col("supp").alias("supp_a"))
+    b = sp.select("part", F.col("supp").alias("supp_b"))
+    common = (
+        a.join(b, "part")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .join(pdeg, "part")
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    da = sdeg.select(F.col("supp").alias("supp_a"), F.col("d").alias("da"))
+    db = sdeg.select(F.col("supp").alias("supp_b"), F.col("d").alias("db"))
+    return (
+        common.join(da, "supp_a")
+        .join(db, "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "n_common",
+            F.expr(
+                "CAST(round(1000000.0 * n_common / (da + db - n_common))"
+                " AS BIGINT)"
+            ).alias("jaccard_micro"),
+        )
+        .orderBy(F.col("jaccard_micro").desc(), "supp_a", "supp_b")
+        .limit(_JACC_TOP)
+    )
+
+
+graph_jaccard_neighbors.__doc__ = graph_jaccard_neighbors.__doc__.format(
+    top=_JACC_TOP
+)
