@@ -1284,6 +1284,16 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression on exact integers; the md5 rank is engine-portable.
     """
     ev = table(spark, sf_dir, "events")
+    return neyman_sample(ev)
+
+
+def neyman_sample(
+    ev: DataFrame, budget: int = _NEYMAN_BUDGET
+) -> DataFrame:
+    """Neyman-allocation core over any (event_type, event_id, value)
+    frame; see sample_stratified_neyman. Allocation closed-form-proven
+    at 1.5M rows (designed per-stratum variances force the exact
+    largest-remainder split) by tests/test_scale_smoke.py."""
     c = F.round(F.col("value") * 100).cast("long")
     mom = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("nh"),
@@ -1303,15 +1313,15 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "nh",
         F.expr(
-            f"CAST(floor({_NEYMAN_BUDGET} * w / wsum) AS BIGINT)"
+            f"CAST(floor({budget} * w / wsum) AS BIGINT)"
         ).alias("base"),
         F.expr(
-            f"{_NEYMAN_BUDGET} * w / wsum"
-            f" - floor({_NEYMAN_BUDGET} * w / wsum)"
+            f"{budget} * w / wsum"
+            f" - floor({budget} * w / wsum)"
         ).alias("frac"),
     )
     short = alloc.agg(
-        (F.lit(_NEYMAN_BUDGET) - F.sum("base")).cast("long").alias("rem")
+        (F.lit(budget) - F.sum("base")).cast("long").alias("rem")
     )
     wrank = Window.orderBy(F.col("frac").desc(), "event_type")
     final_alloc = (

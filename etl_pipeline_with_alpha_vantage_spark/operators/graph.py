@@ -870,6 +870,18 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").cast("long").alias("supp"),
         F.col("l_partkey").cast("long").alias("part"),
     ).distinct()
+    scored = jaccard_scored_pairs(sp)
+    return (
+        scored.orderBy(F.col("jaccard_micro").desc(), "supp_a", "supp_b")
+        .limit(_JACC_TOP)
+    )
+
+
+def jaccard_scored_pairs(sp: DataFrame) -> DataFrame:
+    """Jaccard scoring core over any distinct (supp, part) frame;
+    closed-form-proven at volume (block design: every within-block pair
+    scores exactly g/(g+2), cross-block pairs impossible, private
+    degree-1 parts pruned losslessly) by tests/test_scale_smoke.py."""
     pdeg = (
         sp.groupBy("part")
         .agg(F.count(F.lit(1)).alias("pd"))
@@ -900,8 +912,6 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS BIGINT)"
             ).alias("jaccard_micro"),
         )
-        .orderBy(F.col("jaccard_micro").desc(), "supp_a", "supp_b")
-        .limit(_JACC_TOP)
     )
 
 

@@ -1194,6 +1194,14 @@ def quant_beta_capm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n < 2 or a flat market) are excluded by an exact integer guard.
     """
     ev = table(spark, sf_dir, "events")
+    return capm_beta(ev)
+
+
+def capm_beta(ev: DataFrame) -> DataFrame:
+    """CAPM core over any (event_type, ts, value) frame; see
+    quant_beta_capm. Closed-form-proven at volume (identical series for
+    every type force beta == 1, alpha == 0 exactly) by
+    tests/test_scale_smoke.py."""
     bars = ev.groupBy(
         "event_type",
         F.floor(F.unix_micros("ts") / 600_000_000).cast("long").alias("bar"),

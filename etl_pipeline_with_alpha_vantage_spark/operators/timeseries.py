@@ -2701,14 +2701,21 @@ def window_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an integer — every comparison and output is exact integer math;
     no rounding discipline needed anywhere.
     """
+    return hampel_flags(table(spark, sf_dir, "events"))
+
+
+def hampel_flags(events: DataFrame, k: int = _HAMPEL_K) -> DataFrame:
+    """Hampel core over any (user_id, event_id, ts, value) frame; see
+    window_hampel_outliers. Closed-form-proven at 2M rows (isolated
+    spikes on a constant series flag exactly the spike positions, MAD
+    identically zero) by tests/test_scale_smoke.py."""
     from collections.abc import Iterator  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
-    k = _HAMPEL_K
     ev = (
-        table(spark, sf_dir, "events")
+        events
         .select(
             "user_id",
             "event_id",

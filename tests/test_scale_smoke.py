@@ -1638,3 +1638,160 @@ def test_anova_closed_form_at_volume(spark):
 
     f = (ssb_c2 / 4) / (ssw_c2 / (n - 5))
     assert row["f_micro"] == int(math.floor(f * 1e6 + 0.5))
+
+
+def test_jaccard_block_design_closed_form_at_volume(spark):
+    """Jaccard link prediction at ~1M edges on a block design: every
+    within-block supplier pair shares exactly the block's g common
+    parts plus two private parts, so J == g/(g+2) for EVERY pair,
+    cross-block pairs are impossible, and pair volume == B·C(m,2) —
+    intersections, unions, and the lossless degree-1 prune all have
+    closed forms.
+    """
+    from etl_pipeline_with_alpha_vantage_spark.operators.graph import (
+        jaccard_scored_pairs,
+    )
+
+    blocks, m, g = 5_000, 20, 6
+    # Block b: suppliers b*m..b*m+m-1, shared parts b*g..b*g+g-1 (ids
+    # offset by 10^9 to stay disjoint from private parts), plus one
+    # private part per supplier.
+    sup = spark.range(blocks * m).select(
+        F.col("id").alias("supp"), (F.col("id") / m).cast("long").alias("b")
+    )
+    shared = sup.select(
+        "supp",
+        F.explode(
+            F.sequence(F.col("b") * g, F.col("b") * g + (g - 1))
+        ).alias("part"),
+    ).select("supp", (F.col("part") + 1_000_000_000).alias("part"))
+    private = sup.select("supp", F.col("supp").alias("part"))
+    sp = shared.unionAll(private)
+
+    scored = jaccard_scored_pairs(sp)
+    n_pairs, n_distinct_j, jmin, jmax, ncmin, ncmax = scored.agg(
+        F.count(F.lit(1)),
+        F.countDistinct("jaccard_micro"),
+        F.min("jaccard_micro"),
+        F.max("jaccard_micro"),
+        F.min("n_common"),
+        F.max("n_common"),
+    ).collect()[0]
+    assert n_pairs == blocks * m * (m - 1) // 2
+    assert n_distinct_j == 1
+    assert jmin == jmax == round(1_000_000 * g / (g + 2))
+    assert ncmin == ncmax == g
+
+
+def test_capm_identical_series_closed_form_at_volume(spark):
+    """CAPM at 2M events where every type carries the IDENTICAL bar
+    series: the market aggregate equals each series, so beta == 1 and
+    alpha == 0 exactly for all types — the regression identity that
+    only holds if every moment, guard, and division is exact.
+    """
+    from etl_pipeline_with_alpha_vantage_spark.operators.quant import (
+        capm_beta,
+    )
+
+    n = 2_000_000
+    ev = spark.range(n).select(
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias(
+            "event_type"
+        ),
+        F.timestamp_micros(
+            F.lit(BASE_US) + (F.col("id") / 5).cast("long") * 2_000_000
+        ).alias("ts"),
+        # same value pattern for every type: varies by bar, not by type
+        (
+            100.0
+            + (F.pmod((F.col("id") / 5).cast("long"), F.lit(97))).cast(
+                "double"
+            )
+        ).alias("value"),
+    )
+    rows = capm_beta(ev).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["beta_micro"] == 1_000_000, r
+        assert r["alpha_micro"] == 0, r
+
+
+def test_hampel_spikes_closed_form_at_volume(spark):
+    """Hampel at 2M events: constant series with an isolated spike every
+    50th event — each 11-window holds at most one spike, so the median
+    is the constant, the MAD is identically zero, and the outlier flags
+    are EXACTLY the spike positions past warm-up.
+    """
+    from etl_pipeline_with_alpha_vantage_spark.operators.timeseries import (
+        _HAMPEL_K,
+        hampel_flags,
+    )
+
+    n, users = 2_000_000, 1_000
+    per_user = n // users
+    ev = spark.range(n).select(
+        (F.col("id") % users).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(BASE_US) + (F.col("id") / users).cast("long") * 1_000_000
+        ).alias("ts"),
+        F.when((F.col("id") / users).cast("long") % 50 == 17, 99.0)
+        .otherwise(50.0)
+        .alias("value"),
+    )
+    got = hampel_flags(ev)
+    tot, n_out, med_lo, med_hi, mad_hi = got.agg(
+        F.count(F.lit(1)),
+        F.sum("is_outlier"),
+        F.min("rolling_med"),
+        F.max("rolling_med"),
+        F.max("rolling_mad"),
+    ).collect()[0]
+    assert tot == users * (per_user - (_HAMPEL_K - 1))
+    # spike positions are seq % 50 == 17; count those with a full window
+    spikes_emitted = sum(
+        1
+        for s in range(_HAMPEL_K - 1, per_user)
+        if s % 50 == 17
+    ) * users
+    assert n_out == spikes_emitted
+    assert med_lo == med_hi == 50.0
+    assert mad_hi == 0.0
+
+
+def test_neyman_allocation_closed_form_at_volume(spark):
+    """Neyman sampling at 1.5M rows with DESIGNED per-stratum variances
+    (balanced ±h around a common mean → σ_h == h exactly): equal-size
+    strata make w_h ∝ h, so the largest-remainder allocation of a
+    1000-row budget over h ∈ {{1..5}} is exactly (67, 133, 200, 267,
+    333) — allocation math, integerization, and the md5-rank pick all
+    verified at volume.
+    """
+    from etl_pipeline_with_alpha_vantage_spark.operators.curation import (
+        neyman_sample,
+    )
+
+    per = 300_000  # even: the ± pattern balances exactly
+    ev = spark.range(5 * per).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias(
+            "event_type"
+        ),
+        (
+            100.0
+            + ((F.col("id") % 5) + 1).cast("double")
+            * F.when((F.col("id") / 5).cast("long") % 2 == 0, 1.0).otherwise(
+                -1.0
+            )
+        ).alias("value"),
+    )
+    got = {
+        r["event_type"]: r["count"]
+        for r in neyman_sample(ev, budget=1000)
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    # w_h ∝ h: shares 1000·h/15 → floors (66,133,200,266,333), rem 2
+    # goes to the two largest fractions (.667 at h=1 and h=4).
+    assert got == {"s0": 67, "s1": 133, "s2": 200, "s3": 267, "s4": 333}
