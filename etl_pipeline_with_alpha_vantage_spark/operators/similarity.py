@@ -2292,3 +2292,121 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_pca_power.__doc__ = embedding_pca_power.__doc__.format(
     d2=_PCA_D * _PCA_D, iters=_PCA_ITERS
 )
+
+
+# --------------------------------------------------------------------------
+# Multiprobe LSH: probe each query bucket's Hamming-1 neighborhood
+# --------------------------------------------------------------------------
+
+# The multiprobe oracle is the single-probe oracle with the candidate
+# join widened to the query's probe set (base bucket + one-bit flips) —
+# everything upstream (planes, signatures) and downstream (exact cosine,
+# top-k) is textually identical, so the two tiers stay provably aligned.
+_LSH_MULTIPROBE_ORACLE = _LSH_ORACLE.replace(
+    f"""cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM sig c
+    JOIN (SELECT * FROM sig WHERE vec_id < {N_QUERIES}) q
+      ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),""",
+    f"""qprobe AS (
+    SELECT vec_id, t,
+           CASE WHEN g.j = -1 THEN bucket
+                ELSE xor(bucket, 1 << g.j) END AS bucket
+    FROM (SELECT * FROM sig WHERE vec_id < {N_QUERIES})
+    CROSS JOIN generate_series(-1, {BITS_PER_TABLE - 1}) g(j)
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM sig c
+    JOIN qprobe q
+      ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),""",
+)
+assert _LSH_MULTIPROBE_ORACLE != _LSH_ORACLE  # surgery must have applied
+
+
+@query("similarity_lsh_multiprobe_topk", oracle=_LSH_MULTIPROBE_ORACLE)
+def similarity_lsh_multiprobe_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X16: multiprobe LSH (Lv et al., VLDB'07) — each query probes its
+    own bucket PLUS the {bits} buckets one bit-flip away in every
+    table, trading ~{bits}× more (tiny) probe keys for the recall that
+    single-probe LSH only gets from more tables. The corpus side is
+    untouched: same signatures, same index, no extra storage — the
+    standard way to raise recall on a deployed LSH index without
+    re-hashing the corpus at 100 TB.
+
+    Plan shape: identical to similarity_lsh_topk except the broadcast
+    query side explodes to n_tables × (1 + {bits}) probe rows (still
+    dust); the candidate equi-join, exact-cosine rescore of unique
+    pairs, and per-query top-k are the same machinery. Candidates are a
+    strict superset of single-probe's, so recall can only improve
+    (asserted vs brute in tests/test_streaming.py).
+    """
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double("embedding").alias("emb")
+    )
+    emb = with_norm(emb).withColumn("tables", lsh_tables_udf()("emb"))
+    exploded = emb.select(
+        "vec_id", F.posexplode("tables").alias("t", "bucket")
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.expr(f"bucket ^ {1 << j}")
+            for j in range(BITS_PER_TABLE)
+        ],
+    )
+    q_probes = (
+        exploded.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("t").alias("qt"),
+            F.explode(probes).alias("qbucket"),
+        )
+    )
+    cand_ids = (
+        exploded.join(
+            F.broadcast(q_probes),
+            (F.col("t") == F.col("qt"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    corpus_vecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "emb", "norm"
+    )
+    qvecs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+    )
+    cand = (
+        F.broadcast(cand_ids)
+        .join(corpus_vecs, "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot("qemb", "emb") / (F.col("qnorm") * F.col("norm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+similarity_lsh_multiprobe_topk.__doc__ = (
+    similarity_lsh_multiprobe_topk.__doc__.format(bits=BITS_PER_TABLE)
+)

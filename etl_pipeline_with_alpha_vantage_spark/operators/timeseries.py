@@ -2807,3 +2807,143 @@ def hampel_flags(events: DataFrame, k: int = _HAMPEL_K) -> DataFrame:
 window_hampel_outliers.__doc__ = window_hampel_outliers.__doc__.format(
     k=_HAMPEL_K, km1=_HAMPEL_K - 1
 )
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend forecast + walk-forward backtest (SES's 2-state twin)
+# --------------------------------------------------------------------------
+
+_HOLT_ORACLE = """
+WITH RECURSIVE daily AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+seq AS (
+    SELECT event_type, x,
+           row_number() OVER (PARTITION BY event_type ORDER BY epoch_day)
+               AS rn,
+           lag(x) OVER (PARTITION BY event_type ORDER BY epoch_day)
+               AS prev_x
+    FROM daily
+),
+r AS (
+    SELECT s2.event_type, s2.rn, s2.x,
+           CAST(NULL AS BIGINT) AS forecast_milli,
+           s2.x * 1000 AS l,
+           (s2.x - s1.x) * 1000 AS b
+    FROM seq s2 JOIN seq s1
+      ON s1.event_type = s2.event_type AND s1.rn = 1
+    WHERE s2.rn = 2
+    UNION ALL
+    SELECT e.event_type, e.rn, e.x,
+           r.l + r.b,
+           CAST(floor((r.l + r.b + e.x * 1000) / 2.0) AS BIGINT),
+           CAST(floor((r.b
+                       + CAST(floor((r.l + r.b + e.x * 1000) / 2.0)
+                              AS BIGINT) - r.l) / 2.0) AS BIGINT)
+    FROM r JOIN seq e ON e.event_type = r.event_type AND e.rn = r.rn + 1
+)
+SELECT r.event_type,
+       CAST(COUNT(r.forecast_milli) AS BIGINT) AS n_forecasts,
+       CAST(SUM(abs(r.x * 1000 - r.forecast_milli)) AS BIGINT)
+           AS holt_abs_err_milli,
+       CAST(round(SUM(abs(r.x * 1000 - r.forecast_milli)) * 1.0
+                  / COUNT(r.forecast_milli)) AS BIGINT)
+           AS holt_mae_milli,
+       CAST(SUM(abs(s.x - s.prev_x) * 1000) AS BIGINT)
+           AS naive_abs_err_milli,
+       SUM(abs(r.x * 1000 - r.forecast_milli))
+           < SUM(abs(s.x - s.prev_x) * 1000) AS holt_beats_naive
+FROM r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn
+WHERE r.forecast_milli IS NOT NULL
+GROUP BY r.event_type
+ORDER BY r.event_type
+"""
+
+
+@query("forecast_holt_linear", oracle=_HOLT_ORACLE)
+def forecast_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend method with a walk-forward backtest — the
+    2-state upgrade of forecast_ses_backtest for series with drift
+    (SES lags a trending series by construction; Holt carries an
+    explicit trend state). α = β = 1/2, states in integer MILLI-units
+    with floor updates, so the recurrence is bit-exact and replayed by
+    the oracle's recursive CTE:
+
+        f_t = l + b;  l' = ⌊(f_t + 1000·x_t)/2⌋;  b' = ⌊(b + l' − l)/2⌋
+
+    classic 2-point init (l = 1000·x₂, b = 1000·(x₂ − x₁)), forecasts
+    begin at t = 3, each made strictly BEFORE its target is seen.
+    Scored per series as milli-MAE against the persistence baseline —
+    the same honesty gate as SES.
+
+    Scale shape: identical to SES — one partial-aggregated shuffle to
+    the types×days dust, one grouped Arrow sweep per series with O(1)
+    integer state, a ≤types-row score table.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / 86_400_000_000)
+            .cast("long")
+            .alias("epoch_day"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+
+    out_schema = (
+        "event_type string, n_forecasts long, holt_abs_err_milli long, "
+        "naive_abs_err_milli long"
+    )
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("epoch_day")
+        xs = pdf["x"].to_numpy()
+        if len(xs) < 3:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "n_forecasts": pd.Series([], dtype="int64"),
+                    "holt_abs_err_milli": pd.Series([], dtype="int64"),
+                    "naive_abs_err_milli": pd.Series([], dtype="int64"),
+                }
+            )
+        lv = int(xs[1]) * 1000
+        b = (int(xs[1]) - int(xs[0])) * 1000
+        holt_err = naive_err = 0
+        for t in range(2, len(xs)):
+            x = int(xs[t])
+            f = lv + b
+            holt_err += abs(x * 1000 - f)
+            naive_err += abs(x - int(xs[t - 1])) * 1000
+            new_l = (f + x * 1000) // 2
+            b = (b + new_l - lv) // 2
+            lv = new_l
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_forecasts": [len(xs) - 2],
+                "holt_abs_err_milli": [holt_err],
+                "naive_abs_err_milli": [naive_err],
+            }
+        )
+
+    scored = daily.groupBy("event_type").applyInPandas(sweep, out_schema)
+    return scored.select(
+        "event_type",
+        "n_forecasts",
+        "holt_abs_err_milli",
+        F.round(F.col("holt_abs_err_milli") * 1.0 / F.col("n_forecasts"))
+        .cast("long")
+        .alias("holt_mae_milli"),
+        "naive_abs_err_milli",
+        (
+            F.col("holt_abs_err_milli") < F.col("naive_abs_err_milli")
+        ).alias("holt_beats_naive"),
+    ).orderBy("event_type")

@@ -1211,3 +1211,29 @@ def test_stream_cdc_merge_survives_mid_stream_crash(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multiprobe LSH's candidate set is a strict superset of
+    single-probe's (same signatures + wider probe set), so its recall
+    vs brute force must be >= single-probe's — the whole point of the
+    probe expansion — and comfortably above the single-probe floor."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["similarity_topk_brute"](spark, sf_dir).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["similarity_lsh_topk"](spark, sf_dir).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["similarity_lsh_multiprobe_topk"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert multi, "multiprobe produced no candidates"
+    r_single = len(single & brute) / len(brute)
+    r_multi = len(multi & brute) / len(brute)
+    assert r_multi >= r_single, (r_multi, r_single)
+    assert r_multi >= 0.40, f"multiprobe recall {r_multi:.3f} below floor"
