@@ -230,6 +230,8 @@ HEADLINE = [
     "sample_stratified_neyman",
     "window_hampel_outliers",
     "graph_jaccard_neighbors",
+    "forecast_holt_linear",
+    "similarity_lsh_multiprobe_topk",
 ]
 
 
