@@ -43,6 +43,20 @@ def _as_double(col: str) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _np_half_away(p):
+    """Exact numpy half-away-from-zero — the semantics BOTH Spark's
+    BigDecimal HALF_UP and DuckDB's std::round implement. NOT
+    floor(p + 0.5): for p just below a .5 tie, p + 0.5 rounds UP in
+    float and misclassifies; and NOT np.rint, which is half-to-even.
+    trunc and p share an exponent range, so frac = p - trunc(p) is
+    IEEE-exact."""
+    import numpy as np  # noqa: PLC0415
+
+    t = np.trunc(p)
+    frac = p - t
+    return t + np.where(np.abs(frac) >= 0.5, np.copysign(1.0, p), 0.0)
+
+
 _BRUTE_ORACLE = f"""
 WITH e AS (
     SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
@@ -1942,30 +1956,32 @@ similarity_pq_rerank_topk.__doc__ = similarity_pq_rerank_topk.__doc__.format(
 # --------------------------------------------------------------------------
 
 _KNN_K = 5
+_KNN_CAP = 10_000  # hold-out = vec_id % 10 == 0 AND vec_id < CAP: bounded
 
 _KNN_ORACLE = f"""
 WITH e AS (
     SELECT vec_id, label,
-           [CAST(x AS DOUBLE) for x in embedding] AS emb
+           [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+            for x in embedding] AS iu
     FROM embeddings
 ),
 n AS (
-    SELECT vec_id, label, emb,
-           sqrt(list_sum([x * x for x in emb])) AS norm
+    SELECT vec_id, label, iu,
+           sqrt(list_sum([CAST(v AS DOUBLE) * v for v in iu])) AS norm
     FROM e
 ),
 test AS (
     SELECT vec_id AS query_id, label AS true_label,
-           emb AS qemb, norm AS qnorm
-    FROM n WHERE vec_id % 10 = 0
+           iu AS qiu, norm AS qnorm
+    FROM n WHERE vec_id % 10 = 0 AND vec_id < {_KNN_CAP}
 ),
-train AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+train AS (SELECT * FROM n WHERE NOT (vec_id % 10 = 0 AND vec_id < {_KNN_CAP})),
 pairs AS (
     SELECT t.query_id, t.true_label, r.vec_id AS neighbor_id,
            r.label AS neighbor_label,
            round(
-               list_sum(list_transform(list_zip(t.qemb, r.emb),
-                                       p -> p[1] * p[2]))
+               list_sum(list_transform(list_zip(t.qiu, r.iu),
+                                       p -> CAST(p[1] AS DOUBLE) * p[2]))
                / (t.qnorm * r.norm), 6) AS cosine
     FROM test t CROSS JOIN train r
 ),
@@ -2000,48 +2016,100 @@ FROM pred GROUP BY true_label
 
 @query("embedding_knn_classify", oracle=_KNN_ORACLE)
 def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN auto-labeling evaluated in-engine: a deterministic 10% hold-out
-    (vec_id % 10 = 0) is classified by majority vote of its {k} nearest
-    train neighbors by cosine, and per-class accuracy comes back as
-    (label, n_test, n_correct) — the label-propagation quality check a
-    training-data pipeline runs before trusting auto-labels at scale.
+    """kNN auto-labeling evaluated in-engine: a deterministic BOUNDED
+    hold-out (vec_id % 10 = 0 and vec_id < {cap} — O(1) queries at any
+    corpus size, so the query side can always be collected/broadcast)
+    is classified by majority vote of its {k} nearest train neighbors
+    by cosine, and per-class accuracy comes back as (label, n_test,
+    n_correct) — the label-propagation quality check a training-data
+    pipeline runs before trusting auto-labels at scale.
 
-    Plan shape: the hold-out side is the small side and is BROADCAST;
-    the train corpus is scanned once with the dot product inside
-    codegen, per-query top-{k} via window rank, and the vote/argmax is
-    two tiny aggregations keyed by query. Nothing about the corpus ever
-    shuffles. Beyond ~10⁷ train vectors the shortlist comes from the
-    IVF/PQ tiers instead (similarity_ivf_topk feeds the identical vote
-    kernel). Ties are pinned everywhere: neighbor rank breaks on
-    vec_id, the vote argmax on the smaller label, so the prediction is
-    unique on any partitioning.
+    Scoring runs on the INTEGER GRID (iu = round(1e6·x)): per-term
+    products stay below 2^53, so every partial dot/norm² sum is an
+    exact integer whether accumulated by numpy int64 matmul, a SQL
+    left fold, or any partitioning — true order-independence, the
+    dedup_semantic BLAS discipline. The corpus side is ONE mapInPandas
+    pass (n×64 @ 64×q int64 BLAS per batch, per-partition top-{k} per
+    query emitted — candidates bounded at tasks·q·{k} rows); the global
+    top-{k}, vote, and argmax run on that dust. The corpus never
+    shuffles and never broadcasts. Ties pinned everywhere (neighbor
+    rank by vec_id, vote argmax by label). Beyond ~10⁷ train vectors
+    the shortlist comes from the IVF tier (similarity_ivf_topk) feeding
+    the identical vote kernel.
     """
-    emb = with_norm(
-        table(spark, sf_dir, "embeddings").select(
-            "vec_id", "label", _as_double("embedding").alias("emb")
-        )
+    import numpy as np  # noqa: PLC0415
+
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "embedding"
     )
-    test = emb.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("true_label"),
-        F.col("emb").alias("qemb"),
-        F.col("norm").alias("qnorm"),
+    is_test = (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < _KNN_CAP)
+    # Bounded by construction (≤ CAP/10 rows at any SF) — the same
+    # documented-bounded collect class as the IVF codebook training.
+    test_rows = emb.filter(is_test).collect()
+    q_ids = np.array([r["vec_id"] for r in test_rows], dtype=np.int64)
+    q_labels = {int(r["vec_id"]): int(r["label"]) for r in test_rows}
+    q_iu = np.stack(
+        [
+            _np_half_away(
+                np.asarray(r["embedding"], dtype=np.float64) * 1e6
+            ).astype(np.int64)
+            for r in test_rows
+        ]
     )
-    train = emb.filter(F.col("vec_id") % 10 != 0)
-    pairs = train.join(F.broadcast(test), F.lit(True)).select(
-        "query_id",
-        "true_label",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        F.round(
-            _dot("qemb", "emb") / (F.col("qnorm") * F.col("norm")), 6
-        ).alias("cosine"),
+    q_norm = np.sqrt((q_iu.astype(np.float64) ** 2).sum(axis=1))
+    k = _KNN_K
+
+    def score(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        best: dict[int, list] = {}  # query -> rows
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            iu = _np_half_away(x * 1e6).astype(np.int64)
+            norm = np.sqrt((iu.astype(np.float64) ** 2).sum(axis=1))
+            dots = iu @ q_iu.T  # exact int64
+            cos = np.round(
+                dots / (norm[:, None] * q_norm[None, :]), 6
+            )
+            vids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            for qi in range(len(q_ids)):
+                col = cos[:, qi]
+                # local top-k by (cos desc, vec_id asc)
+                order = np.lexsort((vids, -col))[:k]
+                rows = best.setdefault(int(q_ids[qi]), [])
+                rows.extend(
+                    (float(col[j]), int(vids[j]), int(labels[j]))
+                    for j in order
+                )
+                rows.sort(key=lambda t: (-t[0], t[1]))
+                del rows[k:]
+        out = {
+            "query_id": [],
+            "true_label": [],
+            "neighbor_id": [],
+            "neighbor_label": [],
+            "cosine": [],
+        }
+        for qid, rows in best.items():
+            for cosv, nid, nlab in rows:
+                out["query_id"].append(qid)
+                out["true_label"].append(q_labels[qid])
+                out["neighbor_id"].append(nid)
+                out["neighbor_label"].append(nlab)
+                out["cosine"].append(cosv)
+        yield pd.DataFrame(out)
+
+    cand = emb.filter(~is_test).mapInPandas(
+        score,
+        "query_id long, true_label long, neighbor_id long,"
+        " neighbor_label long, cosine double",
     )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    topk = pairs.withColumn("rn", F.row_number().over(wk)).filter(
-        F.col("rn") <= _KNN_K
+    topk = cand.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= k
     )
     votes = topk.groupBy("query_id", "true_label", "neighbor_label").agg(
         F.count(F.lit(1)).alias("v")
@@ -2066,7 +2134,7 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 embedding_knn_classify.__doc__ = embedding_knn_classify.__doc__.format(
-    k=_KNN_K
+    k=_KNN_K, cap=_KNN_CAP
 )
 
 
@@ -2161,19 +2229,7 @@ def pca_gram_from(emb: DataFrame) -> DataFrame:
     def partial_gram(batches):
         import numpy as np  # noqa: PLC0415
 
-        def half_away(p):
-            # Exact half-away-from-zero, the semantics BOTH Spark's
-            # BigDecimal HALF_UP and DuckDB's std::round implement.
-            # NOT floor(p + 0.5): for p just below a .5 tie, p + 0.5
-            # rounds UP in float and misclassifies; and NOT np.rint,
-            # which is half-to-even. trunc and p share an exponent
-            # range, so frac = p - trunc(p) is IEEE-exact.
-            t = np.trunc(p)
-            frac = p - t
-            return t + np.where(
-                np.abs(frac) >= 0.5, np.copysign(1.0, p), 0.0
-            )
-
+        half_away = _np_half_away
         acc = np.zeros((d, d), dtype=np.int64)
         for pdf in batches:
             x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
