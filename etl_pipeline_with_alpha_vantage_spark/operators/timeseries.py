@@ -2883,8 +2883,6 @@ def forecast_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     the types×days dust, one grouped Arrow sweep per series with O(1)
     integer state, a ≤types-row score table.
     """
-    import pandas as pd  # noqa: PLC0415
-
     ev = table(spark, sf_dir, "events")
     daily = (
         ev.filter(F.col("ts").isNotNull())
@@ -2896,6 +2894,16 @@ def forecast_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("x"))
     )
+    return holt_backtest(daily)
+
+
+def holt_backtest(daily: DataFrame) -> DataFrame:
+    """Holt walk-forward core over any (event_type, epoch_day, x: long)
+    series frame; see forecast_holt_linear. Closed-form-proven at
+    volume (a perfectly linear series forecasts with ZERO error while
+    persistence pays the slope every step) by
+    tests/test_scale_smoke.py."""
+    import pandas as pd  # noqa: PLC0415
 
     out_schema = (
         "event_type string, n_forecasts long, holt_abs_err_milli long, "

@@ -1795,3 +1795,34 @@ def test_neyman_allocation_closed_form_at_volume(spark):
     # w_h ∝ h: shares 1000·h/15 → floors (66,133,200,266,333), rem 2
     # goes to the two largest fractions (.667 at h=1 and h=4).
     assert got == {"s0": 67, "s1": 133, "s2": 200, "s3": 267, "s4": 333}
+
+
+def test_holt_linear_series_zero_error_at_volume(spark):
+    """Holt at 1M (series, day) points on perfectly linear series
+    x_t = a + c·t: the 2-point init captures the trend exactly and the
+    integer floor updates preserve it, so EVERY forecast is exact
+    (holt_abs_err == 0) while the persistence baseline pays the slope
+    c·1000 per step — the invariant that separates a real trend state
+    from a lagging smoother, held across 1000 series at volume.
+    """
+    from etl_pipeline_with_alpha_vantage_spark.operators.timeseries import (
+        holt_backtest,
+    )
+
+    series, days = 1_000, 1_000
+    sid = F.col("id") % series
+    day = (F.col("id") / series).cast("long")
+    daily = spark.range(series * days).select(
+        F.concat(F.lit("s"), sid.cast("string")).alias("event_type"),
+        day.alias("epoch_day"),
+        (10 + sid + (sid % 7 + 1) * day).cast("long").alias("x"),
+    )
+    got = holt_backtest(daily)
+    n_series, err_hi, beats = got.agg(
+        F.count(F.lit(1)),
+        F.max("holt_abs_err_milli"),
+        F.min(F.col("holt_beats_naive").cast("int")),
+    ).collect()[0]
+    assert n_series == series
+    assert err_hi == 0
+    assert beats == 1  # persistence pays c*1000*(days-2) > 0 everywhere
