@@ -111,6 +111,7 @@ _NESTED_LOOP_OK = {
     "similarity_pq_rerank_topk",  # PQ stage's 5-row query fan-out (shared)
     "eval_retrieval_ndcg",  # BM25 corpus-stats + 1-row DCG x IDCG joins
     "ml_decision_stump",  # 1-row (N, P) total broadcast over the histogram
+    "sample_stratified_neyman",  # 1-row Σweight + 1-row remainder broadcasts
 }
 
 
