@@ -232,6 +232,7 @@ HEADLINE = [
     "graph_jaccard_neighbors",
     "forecast_holt_linear",
     "similarity_lsh_multiprobe_topk",
+    "eval_model_auc",
 ]
 
 

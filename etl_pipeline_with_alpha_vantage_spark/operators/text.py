@@ -1574,3 +1574,105 @@ def eval_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Model AUC: rank-sum ROC area for the quality scorer, per source
+# --------------------------------------------------------------------------
+
+_AUC_ORACLE = f"""
+WITH feats AS (
+    SELECT source,
+           len(string_split(text, ' ')) AS n_tok,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq,
+           length(text) - (len(string_split(text, ' ')) - 1) AS word_chars
+    FROM documents
+),
+scored AS (
+    SELECT source AS grp,
+           {_CAL_SCORE_SQL} AS cents,
+           CASE WHEN n_uniq * 10 >= 7 * n_tok THEN 0 ELSE 1 END AS arm
+    FROM feats
+),
+g AS (
+    SELECT grp, cents,
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+    FROM scored GROUP BY 1, 2
+),
+p AS (
+    SELECT grp, n_a, n_b,
+           COALESCE(SUM(n_b) OVER (
+               PARTITION BY grp ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS cum_b
+    FROM g
+),
+agg AS (
+    SELECT grp,
+           CAST(SUM(n_a) AS BIGINT) AS n_pos,
+           CAST(SUM(n_b) AS BIGINT) AS n_neg,
+           CAST(SUM(2 * n_a * cum_b + n_a * n_b) AS BIGINT) AS u2
+    FROM p GROUP BY grp
+)
+SELECT grp AS source, n_pos, n_neg,
+       CAST(round(u2 * 1000000.0 / (2.0 * n_pos * n_neg)) AS BIGINT)
+           AS auc_micro
+FROM agg
+WHERE n_pos > 0 AND n_neg > 0
+ORDER BY source
+"""
+
+
+@query("eval_model_auc", oracle=_AUC_ORACLE)
+def eval_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the deployed quality scorer per source, against the
+    same integer-exact TTR label as eval_model_calibration — the
+    threshold-free ranking-quality companion to the reliability bins
+    (calibration says "are the probabilities honest", AUC says "does
+    the score order positives above negatives at all").
+
+    AUC IS a rank statistic: it equals Mann–Whitney U / (P·N) with
+    half-credit ties, so this query routes the scored documents through
+    the SAME exact-integer segmented-prefix-sum kernel as
+    ab_mann_whitney (arm 0 = positives; u2 = 2U counts pos-beats-neg
+    pairs twice + ties once) and projects auc_micro = u2/(2·P·N) — one
+    deterministic double division on exact bigints, no global sort
+    anywhere, sources with a degenerate class dropped by an integer
+    guard. The oracle replays it with the naive full-partition window,
+    proving the segmented decomposition once more on a second signal.
+    """
+    from .stats import mw_statistic  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    word_chars = F.length("text") - (n_tok - 1)
+    z = (
+        F.lit(_QM_W[0])
+        + _QM_W[1] * (n_tok.cast("double") / 100)
+        + _QM_W[2] * (n_uniq.cast("double") / n_tok)
+        + _QM_W[3] * (word_chars.cast("double") / n_tok / 10)
+    )
+    score_micro = F.round(
+        (1.0 / (1.0 + F.exp(-z))) * 1_000_000
+    ).cast("long")
+    base = docs.select(
+        F.col("source").alias("grp"),
+        score_micro.alias("cents"),
+        F.when(n_uniq * 10 >= 7 * n_tok, 0).otherwise(1).alias("arm"),
+    )
+    mw = mw_statistic(base)
+    return (
+        mw.filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            F.col("grp").alias("source"),
+            F.col("na").alias("n_pos"),
+            F.col("nb").alias("n_neg"),
+            F.expr(
+                "CAST(round(u2 * 1000000.0 / (2.0 * na * nb)) AS BIGINT)"
+            ).alias("auc_micro"),
+        )
+        .orderBy("source")
+    )
