@@ -1,0 +1,277 @@
+"""Batched differential fuzz of the round-9 kernels against transparent
+pure-Python references. Each batch-friendly kernel (Hampel, phrase
+count, Jaccard pairs, Holt backtest) evaluates ALL its random cases in
+ONE Spark action — cases are users / docs / disjoint id-spaces /
+series — and the per-run kernels (stump, OLS) loop a handful of cases.
+The closed-form volume tests pin designed extremes; this pins the
+interior: ties, spikes inside windows, same-term phrase overlaps, and
+degenerate series.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_with_alpha_vantage_spark.operators.graph import (
+    jaccard_scored_pairs,
+)
+from etl_pipeline_with_alpha_vantage_spark.operators.ml import (
+    ols_fit,
+    stump_best_split,
+)
+from etl_pipeline_with_alpha_vantage_spark.operators.search import (
+    phrase_occurrences,
+)
+from etl_pipeline_with_alpha_vantage_spark.operators.timeseries import (
+    _HAMPEL_K,
+    hampel_flags,
+    holt_backtest,
+)
+
+
+def _median_int(xs: list[int]) -> int:
+    s = sorted(xs)
+    return s[len(s) // 2]  # odd windows only
+
+
+def test_hampel_kernel_matches_reference_on_random_series(spark):
+    rng = random.Random(4242)
+    k = _HAMPEL_K
+    cases, rows = {}, []
+    for u in range(150):
+        n = rng.randint(1, 60)
+        hi = rng.choice([3, 20, 5000])  # tight ranges force MAD == 0 ties
+        cs = [rng.randint(0, hi) for _ in range(n)]
+        cases[u] = cs
+        rows += [
+            (u, u * 1_000 + i, 1_700_000_000_000_000 + i * 1_000_000, c)
+            for i, c in enumerate(cs)
+        ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, us long, cents long"
+    ).select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros("us").alias("ts"),
+        (F.col("cents") / 100.0).alias("value"),
+    )
+    got = {
+        (r.user_id, r.event_id): r for r in hampel_flags(ev).collect()
+    }
+    expected = 0
+    for u, cs in cases.items():
+        for i in range(k - 1, len(cs)):
+            expected += 1
+            w = cs[i - k + 1 : i + 1]
+            med = _median_int(w)
+            mad = _median_int([abs(x - med) for x in w])
+            r = got[(u, u * 1_000 + i)]
+            assert r.rolling_med == med / 100.0, (u, i, w)
+            assert r.rolling_mad == mad / 100.0, (u, i, w)
+            assert r.is_outlier == int(abs(cs[i] - med) > 3 * mad), (u, i)
+    assert len(got) == expected
+
+
+def test_phrase_kernel_matches_reference_on_random_docs(spark):
+    rng = random.Random(99)
+    vocab = ["a", "b", "c"]  # tiny alphabet: heavy overlaps, a==b phrases
+    docs, rows = {}, []
+    for d in range(400):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(1, 30))]
+        docs[d] = toks
+        rows.append((d, " ".join(toks)))
+    frame = spark.createDataFrame(rows, "doc_id long, text string")
+    for ta, tb in [("a", "b"), ("a", "a")]:
+        got = {
+            r.doc_id: r.n_occurrences
+            for r in phrase_occurrences(frame, ta, tb).collect()
+        }
+        for d, toks in docs.items():
+            want = sum(
+                1
+                for i in range(len(toks) - 1)
+                if toks[i] == ta and toks[i + 1] == tb
+            )
+            assert got.get(d, 0) == want, (ta, tb, d, toks)
+
+
+def test_jaccard_kernel_matches_reference_on_random_graphs(spark):
+    rng = random.Random(7)
+    all_rows = []
+    refs = {}
+    for case in range(40):
+        base = case * 100_000
+        n_supp = rng.randint(2, 12)
+        n_part = rng.randint(1, 10)
+        edges = set()
+        for s in range(n_supp):
+            for p in range(n_part):
+                if rng.random() < 0.45:
+                    edges.add((base + s, base + p))
+        refs[case] = edges
+        all_rows += list(edges)
+    if not all_rows:
+        return
+    sp = spark.createDataFrame(all_rows, "supp long, part long")
+    got = {
+        (r.supp_a, r.supp_b): (r.n_common, r.jaccard_micro)
+        for r in jaccard_scored_pairs(sp).collect()
+    }
+    want = {}
+    for case, edges in refs.items():
+        parts: dict[int, set] = {}
+        deg: dict[int, int] = {}
+        for s, p in edges:
+            parts.setdefault(p, set()).add(s)
+            deg[s] = deg.get(s, 0) + 1
+        pair_common: dict[tuple, int] = {}
+        for p, supps in parts.items():
+            if len(supps) < 2:
+                continue  # the lossless degree-1 prune
+            ss = sorted(supps)
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    key = (ss[i], ss[j])
+                    pair_common[key] = pair_common.get(key, 0) + 1
+        for (sa, sb), c in pair_common.items():
+            want[(sa, sb)] = (
+                c,
+                round(1_000_000 * c / (deg[sa] + deg[sb] - c)),
+            )
+    assert got == want
+
+
+def test_holt_kernel_matches_reference_on_random_series(spark):
+    rng = random.Random(123)
+    cases, rows = {}, []
+    for g in range(120):
+        n = rng.randint(3, 50)
+        hi = rng.choice([2, 30, 10_000])
+        xs = [rng.randint(0, hi) for _ in range(n)]
+        cases[str(g)] = xs
+        rows += [(str(g), i, x) for i, x in enumerate(xs)]
+    daily = spark.createDataFrame(
+        rows, "event_type string, epoch_day long, x long"
+    )
+    got = {r.event_type: r for r in holt_backtest(daily).collect()}
+    assert len(got) == len(cases)
+    for g, xs in cases.items():
+        lv, b = xs[1] * 1000, (xs[1] - xs[0]) * 1000
+        herr = nerr = 0
+        for t in range(2, len(xs)):
+            f = lv + b
+            herr += abs(xs[t] * 1000 - f)
+            nerr += abs(xs[t] - xs[t - 1]) * 1000
+            nl = (f + xs[t] * 1000) // 2  # floor division, incl. negatives
+            b = (b + nl - lv) // 2
+            lv = nl
+        r = got[g]
+        assert r.n_forecasts == len(xs) - 2, g
+        assert r.holt_abs_err_milli == herr, (g, xs)
+        assert r.naive_abs_err_milli == nerr, g
+
+
+def test_stump_kernel_matches_reference_on_random_cases(spark):
+    rng = random.Random(31)
+    for case in range(8):
+        n = rng.randint(2, 400)
+        qhi = rng.choice([2, 5, 30])
+        data = [
+            (rng.randint(1, qhi), rng.randint(0, 1)) for _ in range(n)
+        ]
+        if len({q for q, _ in data}) < 2:
+            data.append((qhi + 1, 1))
+        ex = spark.createDataFrame(data, "q long, y long")
+        row = stump_best_split(ex).collect()[0]
+
+        hist: dict[int, list[int]] = {}
+        for q, y in data:
+            t = hist.setdefault(q, [0, 0])
+            t[0] += 1
+            t[1] += y
+        n_tot = sum(v[0] for v in hist.values())
+        p_tot = sum(v[1] for v in hist.values())
+        best = None
+        nl = pl = 0
+        for q in sorted(hist):
+            nl += hist[q][0]
+            pl += hist[q][1]
+            if nl == n_tot:
+                break
+            ql = nl - pl
+            nr, pr = n_tot - nl, p_tot - pl
+            qr = nr - pr
+            g = (nl * nl - pl * pl - ql * ql) / (float(n_tot) * nl) + (
+                nr * nr - pr * pr - qr * qr
+            ) / (float(n_tot) * nr)
+            import math
+
+            gm = int(math.floor(g * 1_000_000 + 0.5))
+            if best is None or (gm, q) < best:
+                best = (gm, q)
+        assert (row.gini_micro, row.split_q) == best, (case, data)
+
+
+def test_ols_kernel_matches_python_replay_on_random_cases(spark):
+    rng = random.Random(55)
+    for case in range(6):
+        n = rng.randint(4, 500)
+        data = [
+            (
+                rng.randint(1, 50),
+                rng.randint(0, 10),
+                rng.randint(-10_000, 10_000_000),
+            )
+            for _ in range(n)
+        ]
+        ex = spark.createDataFrame(data, "q long, dc long, yc long")
+        rows = ols_fit(ex).collect()
+        # exact-integer moments
+        s1 = sum(q for q, _, _ in data)
+        s2 = sum(d for _, d, _ in data)
+        s11 = sum(q * q for q, _, _ in data)
+        s12 = sum(q * d for q, d, _ in data)
+        s22 = sum(d * d for _, d, _ in data)
+        sy = sum(y for _, _, y in data)
+        s1y = sum(q * y for q, _, y in data)
+        s2y = sum(d * y for _, d, y in data)
+        dn, ds1, ds2 = float(n), float(s1), float(s2)
+        ds11, ds12, ds22 = float(s11), float(s12), float(s22)
+        dsy, ds1y, ds2y = float(sy), float(s1y), float(s2y)
+        det = (
+            dn * (ds11 * ds22 - ds12 * ds12)
+            - ds1 * (ds1 * ds22 - ds12 * ds2)
+            + ds2 * (ds1 * ds12 - ds11 * ds2)
+        )
+        if det == 0.0:
+            continue  # collinear sample: engine result is unpinned
+        det0 = (
+            dsy * (ds11 * ds22 - ds12 * ds12)
+            - ds1 * (ds1y * ds22 - ds12 * ds2y)
+            + ds2 * (ds1y * ds12 - ds11 * ds2y)
+        )
+        det1 = (
+            dn * (ds1y * ds22 - ds12 * ds2y)
+            - dsy * (ds1 * ds22 - ds12 * ds2)
+            + ds2 * (ds1 * ds2y - ds1y * ds2)
+        )
+        det2 = (
+            dn * (ds11 * ds2y - ds1y * ds12)
+            - ds1 * (ds1 * ds2y - ds1y * ds2)
+            + dsy * (ds1 * ds12 - ds11 * ds2)
+        )
+        import math
+
+        want = (
+            int(math.floor(det0 / det / 100.0 * 1_000_000 + 0.5)),
+            int(math.floor(det1 / det / 100.0 * 1_000_000 + 0.5)),
+            int(math.floor(det2 / det * 1_000_000 + 0.5)),
+        )
+        r = rows[0]
+        assert (
+            r.beta0_micro,
+            r.beta1_micro,
+            r.beta2_micro,
+        ) == want, (case, n)
