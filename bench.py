@@ -233,6 +233,7 @@ HEADLINE = [
     "forecast_holt_linear",
     "similarity_lsh_multiprobe_topk",
     "eval_model_auc",
+    "cep_pattern_conversions",
 ]
 
 

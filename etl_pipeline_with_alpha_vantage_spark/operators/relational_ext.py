@@ -1117,3 +1117,90 @@ def sql_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.cteRecursionRowLimit")
         else:
             spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
+
+
+# --------------------------------------------------------------------------
+# CEP-style pattern matching: regex over per-user ordered event strings
+# --------------------------------------------------------------------------
+
+_CEP_PATTERN = "vc*p"  # view, any clicks, purchase — nothing else between
+
+_CEP_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id,
+           string_agg(CASE event_type
+                          WHEN 'view' THEN 'v'
+                          WHEN 'click' THEN 'c'
+                          WHEN 'purchase' THEN 'p'
+                          WHEN 'signup' THEN 's'
+                          ELSE 'e' END, ''
+                      ORDER BY ts, event_id) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(len(regexp_extract_all(s, '{_CEP_PATTERN}')) AS BIGINT)
+           AS n_matches
+FROM seq
+WHERE len(regexp_extract_all(s, '{_CEP_PATTERN}')) > 0
+"""
+
+
+@query("cep_pattern_conversions", oracle=_CEP_ORACLE)
+def cep_pattern_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match, MATCH_RECOGNIZE-style:
+    count per user the non-overlapping occurrences of
+    view → (clicks)* → purchase with NOTHING ELSE in between — the
+    contiguity constraint funnel_conversion (any-events-between) cannot
+    express. Each user's ordered event-type sequence becomes a
+    single-char-alphabet string and the pattern one regex ('{pat}'),
+    the classic sequence-mining-as-regex device; leftmost
+    non-overlapping match counting is identical in Java regex and RE2,
+    so the count is oracle-exact.
+
+    Scale shape: ONE partial shuffle keyed on user; the sequence string
+    is built by array_sort over (ts, event_id, char) structs — no
+    second sort exchange — and is bounded by events-per-user (the
+    documented per-entity contract shared with the grouped kernels; a
+    mega-user sessionizes first at 100 TB, and the regex then runs
+    per-session). Pure string/integer outputs — no float anywhere.
+    """
+    ev = table(spark, sf_dir, "events")
+    chr_col = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", chr_col.alias("ch")).alias("evt"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("evt")), lambda x: x["ch"]
+                ),
+                "",
+            ).alias("s"),
+        )
+    )
+    return (
+        seq.select(
+            "user_id",
+            "n_events",
+            F.expr(f"regexp_count(s, '{_CEP_PATTERN}')")
+            .cast("long")
+            .alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+cep_pattern_conversions.__doc__ = cep_pattern_conversions.__doc__.format(
+    pat=_CEP_PATTERN
+)
