@@ -704,6 +704,34 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Link prediction: resource-allocation index over the bipartite graph
 # --------------------------------------------------------------------------
 
+# Distinct (supp, part) pair table shared by BOTH link-prediction
+# queries (RA and Jaccard): the fact-scan + distinct is their dominant
+# fixed cost, so it is materialized ONCE per (session, sf_dir) —
+# repartitioned on `part` BEFORE the eager localCheckpoint, so the
+# LogicalRDD carries that partitioning and the wedge SELF-JOINS (and
+# the part-degree aggregations) plan with ZERO additional exchanges.
+_SP_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _supplier_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (session_ident(spark), sf_dir)
+    cached = _SP_PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    li = table(spark, sf_dir, "lineitem")
+    sp = (
+        li.select(
+            F.col("l_suppkey").cast("long").alias("supp"),
+            F.col("l_partkey").cast("long").alias("part"),
+        )
+        .distinct()
+        .repartition("part")
+        .localCheckpoint(eager=True)
+    )
+    _SP_PAIR_CACHE[key] = sp
+    return sp
+
+
 _RA_HUB_CAP = 50  # parts supplied by more suppliers than this are hubs
 _RA_TOP = 20
 
@@ -762,11 +790,7 @@ def graph_linkpred_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated pair rollup; the global top-{top} is
     TakeOrderedAndProject, never a full sort.
     """
-    li = table(spark, sf_dir, "lineitem")
-    sp = li.select(
-        F.col("l_suppkey").cast("long").alias("supp"),
-        F.col("l_partkey").cast("long").alias("part"),
-    ).distinct()
+    sp = _supplier_part_pairs(spark, sf_dir)
     scored = ra_scored_pairs(sp)
     return (
         scored.orderBy(F.col("ra_micro").desc(), "supp_a", "supp_b")
@@ -865,11 +889,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (or a minhash estimate of the intersection — dedup_minhash_lsh's
     machinery) is the documented fallback.
     """
-    li = table(spark, sf_dir, "lineitem")
-    sp = li.select(
-        F.col("l_suppkey").cast("long").alias("supp"),
-        F.col("l_partkey").cast("long").alias("part"),
-    ).distinct()
+    sp = _supplier_part_pairs(spark, sf_dir)
     scored = jaccard_scored_pairs(sp)
     return (
         scored.orderBy(F.col("jaccard_micro").desc(), "supp_a", "supp_b")
