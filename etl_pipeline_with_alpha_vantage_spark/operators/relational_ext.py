@@ -1166,6 +1166,14 @@ def cep_pattern_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-session). Pure string/integer outputs — no float anywhere.
     """
     ev = table(spark, sf_dir, "events")
+    return cep_conversions(ev)
+
+
+def cep_conversions(ev: DataFrame) -> DataFrame:
+    """CEP core over any (user_id, event_id, ts, event_type) frame; see
+    cep_pattern_conversions. Closed-form-proven at 2M events by
+    tests/test_scale_smoke.py (repeating view→click→purchase→signup
+    blocks give exactly one match per block)."""
     chr_col = (
         F.when(F.col("event_type") == "view", "v")
         .when(F.col("event_type") == "click", "c")

@@ -1826,3 +1826,45 @@ def test_holt_linear_series_zero_error_at_volume(spark):
     assert n_series == series
     assert err_hi == 0
     assert beats == 1  # persistence pays c*1000*(days-2) > 0 everywhere
+
+
+def test_cep_pattern_closed_form_at_volume(spark):
+    """CEP regex matching at 2M events: every user's stream is 500
+    repetitions of the block view→click→purchase→signup, so 'vc*p'
+    matches exactly once per block — per-user counts and the corpus
+    total are closed-form, and the signup separator proves the
+    contiguity constraint (a between-anything funnel would count
+    cross-block phantom conversions).
+    """
+    from etl_pipeline_with_alpha_vantage_spark.operators.relational_ext import (
+        cep_conversions,
+    )
+
+    users, blocks = 1_000, 500
+    per_user = blocks * 4
+    n = users * per_user
+    seq = (F.col("id") / users).cast("long")
+    ev = spark.range(n).select(
+        (F.col("id") % users).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(BASE_US) + seq * 1_000_000
+        ).alias("ts"),
+        F.element_at(
+            F.array(
+                F.lit("view"), F.lit("click"),
+                F.lit("purchase"), F.lit("signup"),
+            ),
+            (F.pmod(seq, F.lit(4)) + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    got = cep_conversions(ev)
+    n_users, m_lo, m_hi, ev_lo = got.agg(
+        F.count(F.lit(1)),
+        F.min("n_matches"),
+        F.max("n_matches"),
+        F.min("n_events"),
+    ).collect()[0]
+    assert n_users == users
+    assert m_lo == m_hi == blocks
+    assert ev_lo == per_user
