@@ -234,6 +234,7 @@ HEADLINE = [
     "similarity_lsh_multiprobe_topk",
     "eval_model_auc",
     "cep_pattern_conversions",
+    "stats_levene_test",
 ]
 
 

@@ -1728,3 +1728,65 @@ def anova_oneway(frame: DataFrame) -> DataFrame:
             " / (n_total - k_groups)) * 1000000 + 0.5) AS BIGINT)"
         ).alias("f_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Brown–Forsythe / Levene test: variance homogeneity via the ANOVA kernel
+# --------------------------------------------------------------------------
+
+# The z-transform CTE feeds the UNCHANGED ANOVA oracle body: z carries
+# |2c − 2·median| half-cent integers as value = z2/100.0, which the
+# kernel's round(value·100) maps back to exactly z2 — so one oracle
+# text serves both tests.
+_LEVENE_ORACLE = f"""
+WITH raw AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+    FROM events
+),
+med AS (
+    SELECT event_type,
+           CAST(round(2 * median(c)) AS BIGINT) AS med2
+    FROM raw GROUP BY event_type
+),
+z AS (
+    SELECT raw.event_type,
+           abs(2 * raw.c - med.med2) / 100.0 AS value
+    FROM raw JOIN med USING (event_type)
+),
+{_ANOVA_ORACLE.replace("FROM events GROUP BY event_type",
+                       "FROM z GROUP BY event_type").lstrip()[len("WITH "):]}
+"""
+
+
+@query("stats_levene_test", oracle=_LEVENE_ORACLE)
+def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test (Levene's test with the
+    median center — the robust form): is the SPREAD of event values the
+    same across event types? This is ANOVA's mandatory companion (the
+    F test assumes equal variances; this tests that assumption) and a
+    drift screen in its own right — a variance shift with a stable mean
+    slips past every mean-shaped monitor.
+
+    Pure kernel composition, the eval_model_auc discipline: z_ij =
+    |x_ij − median_j| routed through the SAME anova_oneway kernel —
+    W IS the ANOVA F statistic on the transformed values. Exactness:
+    medians of integer cents are half-integers, so 2z = |2c − 2·med| is
+    an exact integer carried as z/100 (maps back to exactly 2z inside
+    the kernel's cents rounding); the oracle reuses the ANOVA oracle
+    body verbatim over the transform CTE. Group medians use the exact
+    median aggregate over the 5 bounded groups (at 100 TB swap in the
+    2-pass selection-by-counting kernel of agg_exact_median_2pass —
+    same value, streaming memory); the transform join is a 5-row
+    broadcast; everything after is the ANOVA one-shuffle moment pass.
+    """
+    ev = table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    raw = ev.select("event_type", c.alias("c"))
+    med = raw.groupBy("event_type").agg(
+        F.round(2 * F.median("c")).cast("long").alias("med2")
+    )
+    z = raw.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        (F.abs(2 * F.col("c") - F.col("med2")) / 100.0).alias("value"),
+    )
+    return anova_oneway(z)
