@@ -235,6 +235,7 @@ HEADLINE = [
     "eval_model_auc",
     "cep_pattern_conversions",
     "stats_levene_test",
+    "stats_kruskal_wallis",
 ]
 
 

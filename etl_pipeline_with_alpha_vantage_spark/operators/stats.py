@@ -1790,3 +1790,168 @@ def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(2 * F.col("c") - F.col("med2")) / 100.0).alias("value"),
     )
     return anova_oneway(z)
+
+
+# --------------------------------------------------------------------------
+# Kruskal–Wallis H — the k-sample rank test (nonparametric ANOVA twin)
+# --------------------------------------------------------------------------
+
+_KW_BUCKET_CENTS = 1000
+
+# Each group's H contribution 12·R_g²/(N(N+1)·n_g) is micro-pinned
+# BEFORE the k-term sum (float Σ over groups would be order-sensitive;
+# the per-term double products run on exact bigints — the CAPM overflow
+# lesson says never square R_g in int64). h_micro then closes the
+# −3(N+1) shift and the tie correction on exact integers.
+_KW_TERM_EXPR = (
+    "CAST(round(12.0 * (CAST(r2_g AS DOUBLE) / n_g) * r2_g"
+    " / (4.0 * n_total * (n_total + 1.0)) * 1000000) AS BIGINT)"
+)
+_KW_H_EXPR = (
+    "CAST(round((hterm_sum / 1000000.0 - 3.0 * (n_total + 1))"
+    " / (1.0 - CAST(tie AS DOUBLE)"
+    "          / (CAST(n_total AS DOUBLE) * n_total * n_total - n_total))"
+    " * 1000000) AS BIGINT)"
+)
+
+_KW_ORACLE = f"""
+WITH base AS (
+    SELECT event_type AS grp,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+gv AS (
+    SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS n_gv
+    FROM base GROUP BY 1, 2
+),
+vt AS (
+    SELECT cents, CAST(SUM(n_gv) AS BIGINT) AS t
+    FROM gv GROUP BY cents
+),
+ranked AS (
+    SELECT cents, t,
+           2 * COALESCE(SUM(t) OVER (
+               ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + t + 1 AS rank2
+    FROM vt
+),
+per_g AS (
+    SELECT gv.grp,
+           CAST(SUM(gv.n_gv) AS BIGINT) AS n_g,
+           CAST(SUM(gv.n_gv * r.rank2) AS BIGINT) AS r2_g
+    FROM gv JOIN ranked r ON r.cents = gv.cents
+    GROUP BY gv.grp
+),
+tot0 AS (
+    SELECT CAST(SUM(n_g) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS k_groups
+    FROM per_g
+),
+hsum AS (
+    SELECT n_total, k_groups,
+           CAST(SUM({_KW_TERM_EXPR}) AS BIGINT) AS hterm_sum
+    FROM per_g CROSS JOIN tot0
+    GROUP BY n_total, k_groups
+),
+ties AS (
+    SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie FROM vt
+)
+SELECT n_total, k_groups, tie, {_KW_H_EXPR} AS h_micro
+FROM hsum CROSS JOIN ties
+"""
+
+
+@query("stats_kruskal_wallis", oracle=_KW_ORACLE)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across event types — the k-sample RANK test that
+    completes the one-way family: stats_anova_oneway compares means
+    (normality-sensitive), stats_levene_test compares spreads, this one
+    compares distributions with no normality assumption (the k-group
+    generalization of ab_mann_whitney, which it degenerates to at
+    k = 2).
+
+    Rank machinery without a global sort: pooled values collapse to a
+    distinct-value table (one shuffle), the global rank prefix runs as
+    the bucketed two-pass device over that dust (doubled average ranks
+    2r̄ = 2·cum_before + t + 1 stay exact integers through ties), and
+    per-group rank sums come from one join keyed on the value. Each
+    group's H contribution runs in doubles cast from exact bigints (the
+    quant_beta_capm int64-overflow lesson — R_g² reaches ~5e23 at
+    sf0.1) and is micro-pinned BEFORE the k-term sum, so the float Σ
+    over groups never becomes order-sensitive; tie correction Σ(t³−t)
+    is an exact bigint.
+    """
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    gv = base.groupBy("grp", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gv")
+    )
+    vt = gv.groupBy("cents").agg(F.sum("n_gv").cast("long").alias("t"))
+    # Bucketed two-pass global prefix over the distinct-value dust.
+    bucketed = vt.withColumn(
+        "bucket", (F.col("cents") / _KW_BUCKET_CENTS).cast("long")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn("local_prev", F.sum("t").over(w_local))
+    bucket_tots = bucketed.groupBy("bucket").agg(
+        F.sum("t").alias("bucket_t")
+    )
+    w_buckets = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior = bucket_tots.select(
+        "bucket", F.sum("bucket_t").over(w_buckets).alias("prior_t")
+    )
+    ranked = (
+        local.join(prior, "bucket")
+        .select(
+            "cents",
+            "t",
+            (
+                2
+                * (
+                    F.coalesce("local_prev", F.lit(0))
+                    + F.coalesce("prior_t", F.lit(0))
+                )
+                + F.col("t")
+                + 1
+            ).alias("rank2"),
+        )
+    )
+    per_g = (
+        gv.join(ranked.select("cents", "rank2"), "cents")
+        .groupBy("grp")
+        .agg(
+            F.sum("n_gv").cast("long").alias("n_g"),
+            F.sum(F.col("n_gv") * F.col("rank2")).cast("long").alias("r2_g"),
+        )
+    )
+    tot0 = per_g.agg(
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+    )
+    hsum = (
+        per_g.crossJoin(F.broadcast(tot0))
+        .groupBy("n_total", "k_groups")
+        .agg(
+            F.sum(F.expr(_KW_TERM_EXPR)).cast("long").alias("hterm_sum")
+        )
+    )
+    ties = vt.agg(
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast("long")
+        .alias("tie")
+    )
+    return hsum.crossJoin(F.broadcast(ties)).select(
+        "n_total", "k_groups", "tie", F.expr(_KW_H_EXPR).alias("h_micro")
+    )
