@@ -112,6 +112,7 @@ _NESTED_LOOP_OK = {
     "eval_retrieval_ndcg",  # BM25 corpus-stats + 1-row DCG x IDCG joins
     "ml_decision_stump",  # 1-row (N, P) total broadcast over the histogram
     "sample_stratified_neyman",  # 1-row Σweight + 1-row remainder broadcasts
+    "stats_kruskal_wallis",  # 1-row N/k + 1-row tie-term broadcasts
 }
 
 
