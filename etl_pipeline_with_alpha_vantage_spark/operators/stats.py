@@ -1887,6 +1887,15 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("grp"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
+    return kruskal_wallis(base)
+
+
+def kruskal_wallis(base: DataFrame) -> DataFrame:
+    """KW core over any (grp, cents) frame; see stats_kruskal_wallis.
+    Replay-proven at 2M rows by tests/test_scale_smoke.py: a fully
+    separated block design has closed-form doubled ranks and tie term,
+    and the statistic matches a python double-for-double replay of the
+    identical micro-pinned expression."""
     gv = base.groupBy("grp", "cents").agg(
         F.count(F.lit(1)).cast("long").alias("n_gv")
     )

@@ -1868,3 +1868,48 @@ def test_cep_pattern_closed_form_at_volume(spark):
     assert n_users == users
     assert m_lo == m_hi == blocks
     assert ev_lo == per_user
+
+
+def test_kruskal_wallis_block_design_replay_at_volume(spark):
+    """KW at 2M rows on a fully separated block design (every row of
+    group g carries value g): doubled average ranks and the tie term
+    are closed-form (massive within-group ties, zero cross-group
+    ties), and h_micro matches a double-for-double python replay of
+    the kernel's exact micro-pinned expression.
+    """
+    import math
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    k, per = 5, 400_000
+    n = k * per
+    base = spark.range(n).select(
+        F.concat(F.lit("g"), (F.col("id") % k).cast("string")).alias("grp"),
+        (F.col("id") % k).cast("long").alias("cents"),
+    )
+    row = kruskal_wallis(base).collect()[0]
+    assert row["n_total"] == n
+    assert row["k_groups"] == k
+    assert row["tie"] == k * (per**3 - per)
+
+    # python replay with the kernel's exact arithmetic; rounding must be
+    # half-away-from-zero (engine round()), NOT python's banker's round
+    def half_away(x):
+        t = math.trunc(x)
+        frac = x - t
+        return t + (1 if frac >= 0.5 else (-1 if frac <= -0.5 else 0))
+
+    hterm_sum = 0
+    for g in range(k):
+        rank2 = 2 * (g * per) + per + 1   # doubled average rank of value g
+        r2_g = per * rank2                # Σ doubled ranks in group g
+        hterm_sum += half_away(
+            12.0 * (float(r2_g) / per) * r2_g / (4.0 * n * (n + 1.0))
+            * 1_000_000
+        )
+    h = (hterm_sum / 1_000_000.0 - 3.0 * (n + 1)) / (
+        1.0 - float(row["tie"]) / (float(n) * n * n - n)
+    )
+    assert row["h_micro"] == half_away(h * 1_000_000)
