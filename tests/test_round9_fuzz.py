@@ -275,3 +275,120 @@ def test_ols_kernel_matches_python_replay_on_random_cases(spark):
             r.beta1_micro,
             r.beta2_micro,
         ) == want, (case, n)
+
+
+def _half_away(x: float) -> int:
+    import math
+
+    t = math.trunc(x)
+    frac = x - t
+    return int(t + (1 if frac >= 0.5 else (-1 if frac <= -0.5 else 0)))
+
+
+def _anova_replay(groups: dict[str, list[int]]):
+    """Double-for-double replay of anova_oneway on integer cents."""
+    import math
+
+    stats = {
+        g: (len(v), sum(v), sum(c * c for c in v)) for g, v in groups.items()
+    }
+    n_total = sum(n for n, _, _ in stats.values())
+    k = len(stats)
+    s_all = sum(s for _, s, _ in stats.values())
+    q_all = sum(q for _, _, q in stats.values())
+    sum_between_raw = sum(
+        _half_away(float(s) / n * s) for n, s, _ in stats.values()
+    )
+    corr = _half_away(float(s_all) / n_total * s_all)
+    ss_total = q_all - corr
+    ss_between = sum_between_raw - corr
+    f = (float(ss_between) / (k - 1)) / (
+        float(ss_total - ss_between) / (n_total - k)
+    )
+    return (
+        n_total,
+        k,
+        ss_between / 10000.0,
+        (ss_total - ss_between) / 10000.0,
+        int(math.floor(f * 1_000_000 + 0.5)),
+    )
+
+
+def test_anova_kernel_matches_replay_on_random_cases(spark):
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        anova_oneway,
+    )
+
+    rng = random.Random(808)
+    for case in range(6):
+        k = rng.randint(2, 6)
+        groups = {
+            f"g{i}": [
+                rng.randint(0, rng.choice([3, 50, 5000]))
+                for _ in range(rng.randint(2, 300))
+            ]
+            for i in range(k)
+        }
+        # at least two distinct values overall so SS_within + SS_between > 0
+        any_g = next(iter(groups))
+        if len({c for v in groups.values() for c in v}) < 2:
+            groups[any_g][0] += 7
+        rows = [
+            (g, c / 100.0) for g, v in groups.items() for c in v
+        ]
+        ev = spark.createDataFrame(rows, "event_type string, value double")
+        r = anova_oneway(ev).collect()[0]
+        n_total, kk, ssb, ssw, fm = _anova_replay(groups)
+        assert (
+            r["n_total"], r["k_groups"], r["ss_between"],
+            r["ss_within"], r["f_micro"],
+        ) == (n_total, kk, ssb, ssw, fm), (case, groups)
+
+
+def test_kruskal_wallis_matches_replay_on_random_cases(spark):
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    rng = random.Random(606)
+    for case in range(6):
+        k = rng.randint(2, 6)
+        groups = {
+            f"g{i}": [
+                rng.randint(0, rng.choice([2, 10, 2000]))
+                for _ in range(rng.randint(1, 200))
+            ]
+            for i in range(k)
+        }
+        # all-equal pooled values make the tie correction 0/0 — both
+        # engines would NaN identically, but keep the fuzz in the
+        # defined domain (fixed seeds never hit this; guard anyway)
+        if len({c for v in groups.values() for c in v}) < 2:
+            next(iter(groups.values()))[0] += 3
+        rows = [(g, c) for g, v in groups.items() for c in v]
+        base = spark.createDataFrame(rows, "grp string, cents long")
+        r = kruskal_wallis(base).collect()[0]
+
+        # transparent reference: pooled doubled average ranks
+        from collections import Counter
+
+        pooled = Counter(c for v in groups.values() for c in v)
+        n = sum(pooled.values())
+        rank2 = {}
+        cum = 0
+        for v in sorted(pooled):
+            rank2[v] = 2 * cum + pooled[v] + 1
+            cum += pooled[v]
+        tie = sum(t**3 - t for t in pooled.values())
+        hterm_sum = 0
+        for g, vals in groups.items():
+            r2_g = sum(rank2[c] for c in vals)
+            hterm_sum += _half_away(
+                12.0 * (float(r2_g) / len(vals)) * r2_g
+                / (4.0 * n * (n + 1.0)) * 1_000_000
+            )
+        h = (hterm_sum / 1_000_000.0 - 3.0 * (n + 1)) / (
+            1.0 - float(tie) / (float(n) * n * n - n)
+        )
+        assert r["n_total"] == n and r["tie"] == tie, case
+        assert r["h_micro"] == _half_away(h * 1_000_000), (case, groups)
