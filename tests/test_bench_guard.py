@@ -109,13 +109,21 @@ def test_floor_generator_folds_full_registry_bench():
     src = open(os.path.join(REPO, "tools", "bench_floor.py")).read()
     assert "BENCH_FULL.json" in src and "BENCH_DETAIL.json" in src
     # Behavioral check: every sf0.1 full-registry timing >= its floor.
+    # Read the COMMITTED generation, not the working tree — floors fold
+    # committed history only (see bench_floor.py docstring), so a
+    # driver-dirtied working-tree copy must not red this test either.
     floors = json.load(open(os.path.join(REPO, "BENCH_FLOOR.json")))["floors"]
     overrides = set(
         json.load(open(os.path.join(REPO, "BENCH_FLOOR.json")))["overrides"]
     )
-    full_path = os.path.join(REPO, "BENCH_FULL.json")
-    if os.path.exists(full_path):
-        full = json.load(open(full_path))
+    blob = subprocess.run(
+        ["git", "show", "HEAD:BENCH_FULL.json"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    if blob.returncode == 0:
+        full = json.loads(blob.stdout)
         if full.get("sf") == 0.1:
             for name, sec in full.get("queries", {}).items():
                 if name in overrides or not isinstance(sec, (int, float)):
@@ -125,3 +133,54 @@ def test_floor_generator_folds_full_registry_bench():
                     sec,
                     floors.get(name),
                 )
+
+
+def test_floor_regen_ignores_dirty_working_tree(tmp_path):
+    """The round-8/round-9 race, pinned: the driver's post-commit bench
+    rewrites the working-tree BENCH_DETAIL.json with new minima AFTER
+    the floors were last regenerated. The generator must fold committed
+    git generations only, so a dirtied working tree cannot change the
+    regen output."""
+    # Minimal fixture repo: one committed generation, then a dirty
+    # working-tree copy with a strictly lower reading.
+    fixture = tmp_path / "repo"
+    fixture.mkdir()
+
+    def _git(*args):
+        subprocess.run(
+            ["git", "-c", "user.email=t@t", "-c", "user.name=t", *args],
+            cwd=fixture,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+
+    _git("init", "-q")
+    (fixture / "BENCH_r03.json").write_text(json.dumps({"parsed": {}}))
+    committed = {"sf": 0.1, "queries": {"q1": 1.0, "q2": 2.0}}
+    (fixture / "BENCH_DETAIL.json").write_text(json.dumps(committed))
+    _git("add", "-A")
+    _git("commit", "-q", "-m", "gen1")
+    # Driver race: working tree now holds a NEW minimum nobody committed.
+    (fixture / "BENCH_DETAIL.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q1": 0.5, "q2": 2.0}})
+    )
+
+    src = open(os.path.join(REPO, "tools", "bench_floor.py")).read()
+    src = src.replace(
+        "REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))",
+        f"REPO = {str(fixture)!r}",
+    )
+    script = tmp_path / "floor_patched.py"
+    script.write_text(src)
+    out = tmp_path / "floor.json"
+    proc = subprocess.run(
+        [sys.executable, str(script), str(out)],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stderr
+    floors = json.load(open(out))["floors"]
+    # q1's floor is the COMMITTED 1.0, not the dirty working-tree 0.5.
+    assert floors["q1"] == 1.0
+    assert floors["q2"] == 2.0
