@@ -291,6 +291,19 @@ def main() -> None:
     for t in TABLES:
         table(spark, sf_dir, t).limit(1).collect()
 
+    # Sacrificial C2/codegen warm-up for the FIRST timed query: a fresh
+    # JVM needs ~8 executions of a plan before the JIT settles (measured
+    # in rounds 8-9: driver first-query readings 0.63 s vs isolated
+    # n=12 min 0.287 s on a byte-identical plan). Run the first headline
+    # query untimed until its reading stabilizes so the recorded number
+    # measures the plan, not JVM warm-up. Bounded at 8 passes (~3 s at
+    # sf0.1, outside every timed region).
+    _warm_fn = registry.QUERIES[names[0]]
+    for _ in range(8):
+        _warm_fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     # Best of 3 runs per query: machine-load noise on shared hardware is
     # ±20% run-to-run and whole-bench load spikes of >2× have been
     # observed; min-of-3 reports the plan's cost, not the noise.
