@@ -1226,16 +1226,19 @@ WITH mom AS (
 ),
 wts AS (
     SELECT event_type, nh,
-           nh * sqrt((CAST(q AS DOUBLE)
-                      - round(CAST(s AS DOUBLE) / nh * s)) / nh) AS w
+           CAST(round(1000000 * nh * sqrt((CAST(q AS DOUBLE)
+                      - round(CAST(s AS DOUBLE) / nh * s)) / nh))
+                AS BIGINT) AS w_micro
     FROM mom
 ),
-tot AS (SELECT SUM(w) AS wsum FROM wts),
+tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS wsum FROM wts),
 alloc AS (
     SELECT event_type, nh,
-           CAST(floor({_NEYMAN_BUDGET} * w / wsum) AS BIGINT) AS base,
-           {_NEYMAN_BUDGET} * w / wsum
-               - floor({_NEYMAN_BUDGET} * w / wsum) AS frac
+           CAST(floor({_NEYMAN_BUDGET}
+                      * (CAST(w_micro AS DOUBLE) / wsum)) AS BIGINT) AS base,
+           {_NEYMAN_BUDGET} * (CAST(w_micro AS DOUBLE) / wsum)
+               - floor({_NEYMAN_BUDGET}
+                       * (CAST(w_micro AS DOUBLE) / wsum)) AS frac
     FROM wts CROSS JOIN tot
 ),
 short AS (
@@ -1279,9 +1282,12 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the moment pass is one partial-aggregated shuffle to
     k strata rows (σ_h from the same exact-bigint correction form as
     stats_anova_oneway); allocation math is dust; the pick is one
-    per-stratum rank window over hash keys. Exactness: every allocation
-    input is an exact integer or a single deterministic double
-    expression on exact integers; the md5 rank is engine-portable.
+    per-stratum rank window over hash keys. Exactness: the per-stratum
+    weight is pinned to an integer micro-grid before the cross-stratum
+    sum, so wsum is an exact associative bigint sum (no float
+    accumulation-order sensitivity between Spark's partial aggregation
+    and DuckDB); every remaining double is a single deterministic
+    per-row expression; the md5 rank is engine-portable.
     """
     ev = table(spark, sf_dir, "events")
     return neyman_sample(ev)
@@ -1300,24 +1306,31 @@ def neyman_sample(
         F.sum(c).cast("long").alias("s"),
         F.sum(c * c).cast("long").alias("q"),
     )
+    # w is pinned to an exact integer micro-grid BEFORE the cross-stratum
+    # sum: SUM over doubles is accumulation-order-dependent (Spark partial
+    # aggregation vs DuckDB sequential), and a ULP difference in wsum can
+    # flip a floor() or the largest-remainder ordering near a boundary.
+    # SUM(bigint) is exact and associative; every remaining double is a
+    # single deterministic expression evaluated identically per row.
     wts = mom.select(
         "event_type",
         "nh",
         F.expr(
-            "nh * sqrt((CAST(q AS DOUBLE)"
-            " - round(CAST(s AS DOUBLE) / nh * s)) / nh)"
-        ).alias("w"),
+            "CAST(round(1000000 * nh * sqrt((CAST(q AS DOUBLE)"
+            " - round(CAST(s AS DOUBLE) / nh * s)) / nh)) AS BIGINT)"
+        ).alias("w_micro"),
     )
-    tot = wts.agg(F.sum("w").alias("wsum"))
+    tot = wts.agg(F.sum("w_micro").cast("long").alias("wsum"))
     alloc = wts.crossJoin(F.broadcast(tot)).select(
         "event_type",
         "nh",
         F.expr(
-            f"CAST(floor({budget} * w / wsum) AS BIGINT)"
+            f"CAST(floor({budget}"
+            f" * (CAST(w_micro AS DOUBLE) / wsum)) AS BIGINT)"
         ).alias("base"),
         F.expr(
-            f"{budget} * w / wsum"
-            f" - floor({budget} * w / wsum)"
+            f"{budget} * (CAST(w_micro AS DOUBLE) / wsum)"
+            f" - floor({budget} * (CAST(w_micro AS DOUBLE) / wsum))"
         ).alias("frac"),
     )
     short = alloc.agg(

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import session_ident, spread, table
+from ..catalog import spread, table
 from ..registry import query
 
 # One undirected co-supply edge list per (session, sf_dir): PageRank,
@@ -30,7 +30,8 @@ from ..registry import query
 # checkpointed blocks are reused, never recomputed) and shared, the
 # `_MERGE_CACHE` memoization discipline of operators/lakehouse.py. At
 # 100 TB this turns 4 fact-table scans into 1 per analytical session.
-_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Memoized ON the session object (catalog._session_cache) so a stopped
+# session's checkpointed blocks are collectable.
 
 
 def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,8 +42,11 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying it in the ONE checkpointed artifact means repeated calls
     (bench min-of-n, parity sweeps) never stack per-call checkpoint
     copies in the driver's storage memory."""
-    key = (session_ident(spark), sf_dir)
-    cached = _EDGE_CACHE.get(key)
+    from ..catalog import _session_cache  # noqa: PLC0415
+
+    cache = _session_cache(spark)
+    key = ("cosupply_edges", sf_dir)
+    cached = cache.get(key)
     if cached is not None:
         return cached
     li = table(spark, sf_dir, "lineitem")
@@ -55,7 +59,7 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges = und.join(deg, "src").localCheckpoint(eager=True)
-    _EDGE_CACHE[key] = edges
+    cache[key] = edges
     return edges
 
 _PR_ITERS = 3
@@ -710,12 +714,17 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # repartitioned on `part` BEFORE the eager localCheckpoint, so the
 # LogicalRDD carries that partitioning and the wedge SELF-JOINS (and
 # the part-degree aggregations) plan with ZERO additional exchanges.
-_SP_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Memoized ON the session object (catalog._session_cache) so stopped
+# sessions' checkpointed blocks are collectable — a module-level dict
+# keyed by session_ident pinned them for the process lifetime.
 
 
 def _supplier_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (session_ident(spark), sf_dir)
-    cached = _SP_PAIR_CACHE.get(key)
+    from ..catalog import _session_cache  # noqa: PLC0415
+
+    cache = _session_cache(spark)
+    key = ("supplier_part_pairs", sf_dir)
+    cached = cache.get(key)
     if cached is not None:
         return cached
     li = table(spark, sf_dir, "lineitem")
@@ -728,7 +737,7 @@ def _supplier_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("part")
         .localCheckpoint(eager=True)
     )
-    _SP_PAIR_CACHE[key] = sp
+    cache[key] = sp
     return sp
 
 

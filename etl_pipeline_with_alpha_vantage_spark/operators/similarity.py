@@ -2068,8 +2068,14 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             iu = _np_half_away(x * 1e6).astype(np.int64)
             norm = np.sqrt((iu.astype(np.float64) ** 2).sum(axis=1))
             dots = iu @ q_iu.T  # exact int64
-            cos = np.round(
-                dots / (norm[:, None] * q_norm[None, :]), 6
+            # 6-dp pin with HALF-AWAY ties (np.round is half-to-even;
+            # Spark round() and DuckDB round() are half-away — a cosine
+            # landing on a representable .5e-6 would diverge engines).
+            cos = (
+                _np_half_away(
+                    dots / (norm[:, None] * q_norm[None, :]) * 1e6
+                )
+                / 1e6
             )
             vids = pdf["vec_id"].to_numpy()
             labels = pdf["label"].to_numpy()
@@ -2195,27 +2201,25 @@ FROM {prev}
 """
 
 
-# Gram-table memo, keyed like the graph family's edge fixture: the Gram
-# is a deterministic artifact of (session, sf_dir), so bench min-of-n and
-# parity sweeps reuse ONE checkpointed 4096-row table.
-_GRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def _pca_gram_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact integer Gram matrix of the embedding corpus as a
     (gi, gj, g) table: per-row HALF_UP micro-rounded outer products
     accumulated into int64 per-partition partials by a numpy
     mapInPandas kernel (d² rows emitted per task), merged by one tiny
-    keyed aggregation, checkpointed, memoized per (session, sf_dir)."""
-    from ..catalog import session_ident  # noqa: PLC0415
+    keyed aggregation, checkpointed, memoized per (session, sf_dir) —
+    ON the session object (catalog._session_cache), so a stopped
+    session's checkpointed blocks are collectable; a module-level dict
+    keyed by session_ident pinned them for the process lifetime."""
+    from ..catalog import _session_cache  # noqa: PLC0415
 
-    key = (session_ident(spark), sf_dir)
-    cached = _GRAM_CACHE.get(key)
+    cache = _session_cache(spark)
+    key = ("pca_gram_cells", sf_dir)
+    cached = cache.get(key)
     if cached is not None:
         return cached
     emb = table(spark, sf_dir, "embeddings").select("embedding")
     cells = pca_gram_from(emb)
-    _GRAM_CACHE[key] = cells
+    cache[key] = cells
     return cells
 
 

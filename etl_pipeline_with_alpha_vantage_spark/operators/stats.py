@@ -1621,6 +1621,20 @@ _ANOVA_CORRECTION = (
     "CAST(round(CAST(s_all AS DOUBLE) / n_total * s_all) AS BIGINT)"
 )
 
+# F pinned at micro precision, NULL on the degenerate inputs where the
+# ratio is undefined (one group, zero residual df, or zero within-group
+# variance): an unguarded /0 yields Infinity, which Spark CASTs to
+# Long.MaxValue while DuckDB raises on CAST(inf AS BIGINT) — the guard
+# makes both engines return NULL instead. All three conditions are
+# exact-integer comparisons, so the guard itself cannot diverge.
+_ANOVA_F_EXPR = (
+    "CASE WHEN k_groups <= 1 OR n_total = k_groups"
+    " OR ss_total_c2 - ss_between_c2 = 0 THEN NULL"
+    " ELSE CAST(floor((CAST(ss_between_c2 AS DOUBLE) / (k_groups - 1))"
+    " / (CAST(ss_total_c2 - ss_between_c2 AS DOUBLE)"
+    " / (n_total - k_groups)) * 1000000 + 0.5) AS BIGINT) END"
+)
+
 _ANOVA_ORACLE = f"""
 WITH g AS (
     SELECT event_type,
@@ -1649,10 +1663,7 @@ SELECT n_total,
        k_groups,
        CAST(ss_between_c2 / 10000.0 AS DOUBLE) AS ss_between,
        CAST((ss_total_c2 - ss_between_c2) / 10000.0 AS DOUBLE) AS ss_within,
-       CAST(floor((CAST(ss_between_c2 AS DOUBLE) / (k_groups - 1))
-                  / (CAST(ss_total_c2 - ss_between_c2 AS DOUBLE)
-                     / (n_total - k_groups))
-                  * 1000000 + 0.5) AS BIGINT) AS f_micro
+       {_ANOVA_F_EXPR} AS f_micro
 FROM fin
 """
 
@@ -1722,11 +1733,7 @@ def anova_oneway(frame: DataFrame) -> DataFrame:
         ((F.col("ss_total_c2") - F.col("ss_between_c2")) / F.lit(10000.0))
         .cast("double")
         .alias("ss_within"),
-        F.expr(
-            "CAST(floor((CAST(ss_between_c2 AS DOUBLE) / (k_groups - 1))"
-            " / (CAST(ss_total_c2 - ss_between_c2 AS DOUBLE)"
-            " / (n_total - k_groups)) * 1000000 + 0.5) AS BIGINT)"
-        ).alias("f_micro"),
+        F.expr(_ANOVA_F_EXPR).alias("f_micro"),
     )
 
 
@@ -1807,11 +1814,20 @@ _KW_TERM_EXPR = (
     "CAST(round(12.0 * (CAST(r2_g AS DOUBLE) / n_g) * r2_g"
     " / (4.0 * n_total * (n_total + 1.0)) * 1000000) AS BIGINT)"
 )
+# NULL on degenerate input instead of diverging: n_total <= 1 makes the
+# inner n³−n zero (tie/0 → NaN), and all-pooled-values-tied makes the
+# correction 1 − tie/(n³−n) zero (H/0 → Inf) — Spark CASTs NaN/Inf to
+# 0/Long.MaxValue while DuckDB raises. Both guard comparisons run on the
+# SAME double expressions as the division (n³ > 2^53 at ~2M rows, so an
+# exact-bigint n³ would overflow — compare in double like the divisor,
+# ≥ because the bigint tie may cast a ulp above the double product).
 _KW_H_EXPR = (
-    "CAST(round((hterm_sum / 1000000.0 - 3.0 * (n_total + 1))"
+    "CASE WHEN n_total <= 1 OR CAST(tie AS DOUBLE)"
+    " >= CAST(n_total AS DOUBLE) * n_total * n_total - n_total THEN NULL"
+    " ELSE CAST(round((hterm_sum / 1000000.0 - 3.0 * (n_total + 1))"
     " / (1.0 - CAST(tie AS DOUBLE)"
     "          / (CAST(n_total AS DOUBLE) * n_total * n_total - n_total))"
-    " * 1000000) AS BIGINT)"
+    " * 1000000) AS BIGINT) END"
 )
 
 _KW_ORACLE = f"""

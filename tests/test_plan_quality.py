@@ -314,3 +314,26 @@ def test_median_2pass_second_scan_is_pruned(spark, sf_dir):
         "GreaterThanOrEqual(o_totalprice" in p_ for p_ in pushed
     ), plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_plan_audit_covers_full_registry():
+    """PLAN_AUDIT.md must carry one row per registered query — a query
+    registered after the last plan_report.py run would otherwise ship
+    without its 100 TB plan audit (round-9 verdict: 4 late queries were
+    missing from the committed artifact)."""
+    import os
+
+    audit_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLAN_AUDIT.md",
+    )
+    rows = set()
+    for line in open(audit_path):
+        m = re.match(r"\| ([a-z0-9_]+) \|", line)
+        if m and m.group(1) != "query":
+            rows.add(m.group(1))
+    registered = set(registry.QUERIES)
+    assert rows == registered, (
+        f"PLAN_AUDIT.md lags registry: missing={sorted(registered - rows)} "
+        f"stale={sorted(rows - registered)} — rerun tools/plan_report.py"
+    )

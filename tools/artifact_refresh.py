@@ -100,14 +100,17 @@ def _sweep_names(names: list[str], sf_dirs: list[str], path: str) -> None:
         sfs = full["sfs"][key]
         for name, rec in verdicts.items():
             assert rec["check"] in ("hash", "rows_only"), (key, name, rec)
-            fresh = name not in sfs["queries"]
             sfs["queries"][name] = rec
-            if fresh:
-                sfs["summary"]["n_queries"] += 1
-                if rec["check"] == "hash":
-                    sfs["summary"]["hash_match"] += 1
-                else:
-                    sfs["summary"]["rows_only"] += 1
+        # Recompute the summary from the merged map: a re-refresh whose
+        # verdict changed category (hash -> rows_only) must update the
+        # counters, not just the record.
+        sfs["summary"]["n_queries"] = len(sfs["queries"])
+        sfs["summary"]["hash_match"] = sum(
+            1 for r in sfs["queries"].values() if r["check"] == "hash"
+        )
+        sfs["summary"]["rows_only"] = sum(
+            1 for r in sfs["queries"].values() if r["check"] == "rows_only"
+        )
         print(key, sfs["summary"])
     json.dump(full, open(path, "w"), indent=1, sort_keys=True)
     print(f"{path}: merged {len(names)} queries")
