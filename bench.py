@@ -236,6 +236,8 @@ HEADLINE = [
     "cep_pattern_conversions",
     "stats_levene_test",
     "stats_kruskal_wallis",
+    # round 10 additions
+    "stats_welch_anova",
 ]
 
 

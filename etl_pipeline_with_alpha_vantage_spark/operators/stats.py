@@ -1800,6 +1800,199 @@ def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Welch's ANOVA — the unequal-variance F test stats_levene_test points at
+# --------------------------------------------------------------------------
+
+# Per-group corrected sum of squares, the exact-bigint form shared with
+# the classic ANOVA's between term.
+_WELCH_SS = "q - CAST(round(CAST(s AS DOUBLE) / n * s) AS BIGINT)"
+
+# Raw Welch weight w_j = n_j/s²_j = n_j(n_j−1)/ss_j — NULL marks a group
+# the statistic is undefined for (singleton or zero variance).
+_WELCH_W_RAW = (
+    f"CASE WHEN n <= 1 OR {_WELCH_SS} <= 0 THEN NULL"
+    f" ELSE CAST(n AS DOUBLE) * (n - 1) / CAST({_WELCH_SS} AS DOUBLE) END"
+)
+
+# Weights pinned RELATIVE to the group maximum on a pico grid: MAX over
+# doubles is order-independent (unlike SUM), so wmax is exact, and
+# s_pin ∈ [0, 1e12] always fits int64 with ~12 significant digits on the
+# dominant weights — no absolute-scale overflow bound to document.
+_WELCH_S_PIN = (
+    "CASE WHEN w_raw IS NULL OR wmax IS NULL THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(round(1000000000000.0 * w_raw / wmax) AS BIGINT) END"
+)
+
+# Σ s_pin·mean_j term, pinned per group before the exact bigint sum
+# (s_pin ≤ 1e12, mean ≤ 9.2e6 cents → product fits int64).
+_WELCH_WM_PIN = (
+    "CASE WHEN w_raw IS NULL THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(round(CAST(s_pin AS DOUBLE) * s / n) AS BIGINT) END"
+)
+
+# Between-group term s_pin·(mean−x̄w)², carried at micro downscale so
+# s_pin·dm² (≤ 1e12·1e12) re-fits int64; the 1e6 factor is restored in
+# the final F expression.
+_WELCH_A_PIN = (
+    "CASE WHEN w_raw IS NULL OR ssum <= 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(round(CAST(s_pin AS DOUBLE)"
+    " * (CAST(s AS DOUBLE) / n - CAST(wmsum AS DOUBLE) / ssum)"
+    " * (CAST(s AS DOUBLE) / n - CAST(wmsum AS DOUBLE) / ssum)"
+    " / 1000000.0) AS BIGINT) END"
+)
+
+# Welch correction term (1 − w_j/W)²/(n_j−1), pico-pinned; w_j/W equals
+# s_pin/ssum exactly up to the pinning grid (the wmax scale cancels).
+_WELCH_U_PIN = (
+    "CASE WHEN w_raw IS NULL OR ssum <= 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(round(1000000000000.0"
+    " * (1.0 - CAST(s_pin AS DOUBLE) / ssum)"
+    " * (1.0 - CAST(s_pin AS DOUBLE) / ssum) / (n - 1)) AS BIGINT) END"
+)
+
+# F* = [Σw(m−x̄w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·U], micro-pinned; NULL on
+# any undefined group, one group, or an all-degenerate weight table —
+# unguarded /0 diverges engines (Spark CASTs Inf, DuckDB raises).
+_WELCH_F_EXPR = (
+    "CASE WHEN any_bad = 1 OR k_groups <= 1 OR ssum <= 0 THEN NULL"
+    " ELSE CAST(round(wmax * CAST(asum AS DOUBLE) / 1000000.0"
+    " / (k_groups - 1)"
+    " / (1.0 + 2.0 * (k_groups - 2)"
+    " * (CAST(usum AS DOUBLE) / 1000000000000.0)"
+    " / (CAST(k_groups AS DOUBLE) * k_groups - 1)) * 1000000)"
+    " AS BIGINT) END"
+)
+
+# Welch df2 = (k²−1)/(3U), emitted as a DOUBLE (one deterministic
+# expression on exact integers — a micro-pinned bigint would overflow
+# when U is tiny, i.e. huge balanced groups).
+_WELCH_DF2_EXPR = (
+    "CASE WHEN any_bad = 1 OR k_groups <= 1 OR ssum <= 0 OR usum <= 0"
+    " THEN NULL"
+    " ELSE CAST((CAST(k_groups AS DOUBLE) * k_groups - 1)"
+    " / (3.0 * (CAST(usum AS DOUBLE) / 1000000000000.0)) AS DOUBLE) END"
+)
+
+_WELCH_ORACLE = f"""
+WITH g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                    * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+    FROM events GROUP BY event_type
+),
+gw AS (
+    SELECT event_type, n, s, ({_WELCH_W_RAW}) AS w_raw FROM g
+),
+tot0 AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS k_groups,
+           MAX(CASE WHEN w_raw IS NULL THEN 1 ELSE 0 END) AS any_bad,
+           MAX(w_raw) AS wmax
+    FROM gw
+),
+gs AS (
+    SELECT event_type, n, s, w_raw, wmax,
+           ({_WELCH_S_PIN}) AS s_pin
+    FROM gw CROSS JOIN tot0
+),
+tot1 AS (
+    SELECT CAST(SUM(s_pin) AS BIGINT) AS ssum,
+           CAST(SUM({_WELCH_WM_PIN}) AS BIGINT) AS wmsum
+    FROM gs
+),
+fin AS (
+    SELECT CAST(SUM({_WELCH_A_PIN}) AS BIGINT) AS asum,
+           CAST(SUM({_WELCH_U_PIN}) AS BIGINT) AS usum
+    FROM gs CROSS JOIN tot1
+)
+SELECT n_total, k_groups,
+       {_WELCH_F_EXPR} AS f_micro,
+       {_WELCH_DF2_EXPR} AS df2
+FROM tot0 CROSS JOIN tot1 CROSS JOIN fin
+"""
+
+
+@query("stats_welch_anova", oracle=_WELCH_ORACLE)
+def stats_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's ANOVA — the unequal-variance F test: does mean event
+    value differ across event types WITHOUT assuming equal group
+    variances? This is where stats_levene_test's own output points: a
+    significant Levene/Brown–Forsythe W says the classic ANOVA's
+    pooled-variance F is untrustworthy, and Welch (1951) is the
+    standard replacement. Weights each group by the precision of its
+    mean (w_j = n_j/s²_j) and applies the Welch–Satterthwaite
+    denominator correction; df2 comes back alongside F because the
+    reference distribution depends on it.
+
+    Same scale shape as stats_anova_oneway: per-group (n, Σx, Σx²) in
+    ONE partial-aggregated shuffle over the fact table, everything
+    after on the k-row group dust (two broadcast-joined pin passes).
+    Exactness discipline: every cross-group Σ runs on exact bigints —
+    weights are pinned RELATIVE to the group-max weight (MAX over
+    doubles is order-independent, unlike float SUM) on a pico grid, so
+    pins always fit int64 with no absolute-scale bound, and all
+    remaining doubles are single deterministic expressions on exact
+    integers. Degenerate inputs (singleton group, zero within-group
+    variance, k=1) yield NULL in both engines rather than an
+    Inf/NaN-cast divergence.
+    """
+    ev = table(spark, sf_dir, "events")
+    return welch_anova(ev.select("event_type", "value"))
+
+
+def welch_anova(frame: DataFrame) -> DataFrame:
+    """Welch ANOVA core over any (event_type, value) frame with
+    2-dp-exact values; see stats_welch_anova. Fuzzed against a
+    double-for-double python replay by tests/test_round10_fuzz.py."""
+    c = F.round(F.col("value") * 100).cast("long")
+    g = frame.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("long").alias("s"),
+        F.sum(c * c).cast("long").alias("q"),
+    )
+    gw = g.select("event_type", "n", "s", F.expr(_WELCH_W_RAW).alias("w_raw"))
+    tot0 = gw.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.max(
+            F.expr("CASE WHEN w_raw IS NULL THEN 1 ELSE 0 END")
+        ).alias("any_bad"),
+        F.max("w_raw").alias("wmax"),
+    )
+    gs = gw.crossJoin(F.broadcast(tot0)).select(
+        "event_type",
+        "n",
+        "s",
+        "w_raw",
+        "n_total",
+        "k_groups",
+        "any_bad",
+        "wmax",
+        F.expr(_WELCH_S_PIN).alias("s_pin"),
+    )
+    tot1 = gs.agg(
+        F.sum("s_pin").cast("long").alias("ssum"),
+        F.sum(F.expr(_WELCH_WM_PIN)).cast("long").alias("wmsum"),
+    )
+    fin = (
+        gs.crossJoin(F.broadcast(tot1))
+        .groupBy("n_total", "k_groups", "any_bad", "wmax", "ssum")
+        .agg(
+            F.sum(F.expr(_WELCH_A_PIN)).cast("long").alias("asum"),
+            F.sum(F.expr(_WELCH_U_PIN)).cast("long").alias("usum"),
+        )
+    )
+    return fin.select(
+        "n_total",
+        "k_groups",
+        F.expr(_WELCH_F_EXPR).alias("f_micro"),
+        F.expr(_WELCH_DF2_EXPR).alias("df2"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Kruskal–Wallis H — the k-sample rank test (nonparametric ANOVA twin)
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,195 @@
+"""Round-10 differential fuzz: Welch's ANOVA vs a double-for-double
+python replay of the pinned kernel, plus degenerate-input proofs for the
+whole one-way stats family — the r10 ADVICE guards must make BOTH
+engines return NULL (not Inf-cast divergence) on inputs where the
+statistic is undefined.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+    _ANOVA_ORACLE,
+    _KW_ORACLE,
+    _WELCH_ORACLE,
+    anova_oneway,
+    kruskal_wallis,
+    welch_anova,
+)
+
+
+def _half_away(x: float) -> int:
+    t = math.trunc(x)
+    frac = x - t
+    return int(t + (1 if frac >= 0.5 else (-1 if frac <= -0.5 else 0)))
+
+
+def _welch_replay(groups: dict[str, list[int]]):
+    """Double-for-double replay of welch_anova's pinned expressions on
+    integer cents. Returns (n_total, k, f_micro, df2) with None for the
+    guarded degenerate cases."""
+    st = {
+        g: (len(v), sum(v), sum(c * c for c in v)) for g, v in groups.items()
+    }
+    n_total = sum(n for n, _, _ in st.values())
+    k = len(st)
+    w_raw = {}
+    for g, (n, s, q) in st.items():
+        ss = q - _half_away(float(s) / n * s)
+        w_raw[g] = (
+            None if n <= 1 or ss <= 0 else float(n) * (n - 1) / float(ss)
+        )
+    good = [w for w in w_raw.values() if w is not None]
+    any_bad = any(w is None for w in w_raw.values())
+    wmax = max(good) if good else None
+    s_pin = {
+        g: (
+            0
+            if w_raw[g] is None or wmax is None
+            else _half_away(1_000_000_000_000.0 * w_raw[g] / wmax)
+        )
+        for g in st
+    }
+    ssum = sum(s_pin.values())
+    wmsum = sum(
+        0
+        if w_raw[g] is None
+        else _half_away(float(s_pin[g]) * st[g][1] / st[g][0])
+        for g in st
+    )
+    asum = usum = 0
+    for g, (n, s, q) in st.items():
+        if w_raw[g] is None or ssum <= 0:
+            continue
+        dm = float(s) / n - float(wmsum) / ssum
+        asum += _half_away(float(s_pin[g]) * dm * dm / 1_000_000.0)
+        t = 1.0 - float(s_pin[g]) / ssum
+        usum += _half_away(1_000_000_000_000.0 * t * t / (n - 1))
+    if any_bad or k <= 1 or ssum <= 0:
+        return n_total, k, None, None
+    f = _half_away(
+        wmax
+        * float(asum)
+        / 1_000_000.0
+        / (k - 1)
+        / (
+            1.0
+            + 2.0
+            * (k - 2)
+            * (float(usum) / 1_000_000_000_000.0)
+            / (float(k) * k - 1)
+        )
+        * 1_000_000
+    )
+    df2 = (
+        None
+        if usum <= 0
+        else (float(k) * k - 1)
+        / (3.0 * (float(usum) / 1_000_000_000_000.0))
+    )
+    return n_total, k, f, df2
+
+
+def test_welch_kernel_matches_replay_on_random_cases(spark):
+    rng = random.Random(1010)
+    for case in range(6):
+        k = rng.randint(2, 6)
+        groups = {
+            f"g{i}": [
+                rng.randint(0, rng.choice([3, 50, 5000]))
+                for _ in range(rng.randint(2, 300))
+            ]
+            for i in range(k)
+        }
+        rows = [(g, c / 100.0) for g, v in groups.items() for c in v]
+        ev = spark.createDataFrame(rows, "event_type string, value double")
+        r = welch_anova(ev).collect()[0]
+        n_total, kk, fm, df2 = _welch_replay(groups)
+        assert (
+            r["n_total"],
+            r["k_groups"],
+            r["f_micro"],
+            r["df2"],
+        ) == (n_total, kk, fm, df2), (case, groups)
+
+
+def test_welch_mixed_variance_design(spark):
+    """A designed heteroscedastic case: tight group vs wide group with a
+    mean shift — Welch F must be finite, positive, and match the
+    replay (the exact case Levene flags and classic ANOVA mishandles)."""
+    groups = {
+        "tight": [1000 + (i % 3) for i in range(500)],
+        "wide": [1200 + 40 * (i % 25) for i in range(50)],
+        "mid": [1100 + 7 * (i % 10) for i in range(200)],
+    }
+    rows = [(g, c / 100.0) for g, v in groups.items() for c in v]
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    r = welch_anova(ev).collect()[0]
+    n_total, kk, fm, df2 = _welch_replay(groups)
+    assert (r["n_total"], r["k_groups"], r["f_micro"], r["df2"]) == (
+        n_total,
+        kk,
+        fm,
+        df2,
+    )
+    assert fm > 0 and df2 > 2
+
+
+@pytest.mark.parametrize(
+    "groups",
+    [
+        {"only": [1, 2, 3, 4]},  # k = 1
+        {"a": [5], "b": [1, 2, 3]},  # singleton group
+        {"a": [7, 7, 7], "b": [1, 2, 3]},  # zero-variance group
+    ],
+)
+def test_welch_degenerate_inputs_yield_null_in_both_engines(spark, groups):
+    rows = [(g, c / 100.0) for g, v in groups.items() for c in v]
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    r = welch_anova(ev).collect()[0]
+    assert r["f_micro"] is None and r["df2"] is None, groups
+    con = duckdb.connect()
+    con.sql("CREATE TABLE events (event_type VARCHAR, value DOUBLE)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    o = con.sql(_WELCH_ORACLE).fetchone()
+    assert o[2] is None and o[3] is None, groups
+
+
+def test_anova_degenerate_inputs_yield_null_in_both_engines(spark):
+    """Zero within-group variance (each group constant): classic F is
+    SS_between/0 — both engines must NULL f_micro, not cast Inf."""
+    for groups in (
+        {"a": [500, 500, 500], "b": [700, 700]},  # ss_within = 0
+        {"only": [1, 2, 3]},  # k = 1
+    ):
+        rows = [(g, c / 100.0) for g, v in groups.items() for c in v]
+        ev = spark.createDataFrame(rows, "event_type string, value double")
+        r = anova_oneway(ev).collect()[0]
+        assert r["f_micro"] is None, groups
+        con = duckdb.connect()
+        con.sql("CREATE TABLE events (event_type VARCHAR, value DOUBLE)")
+        con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+        o = con.sql(_ANOVA_ORACLE).fetchone()
+        assert o[-1] is None, groups
+
+
+def test_kruskal_degenerate_all_tied_yields_null_in_both_engines(spark):
+    """All pooled values tied: the tie correction is 1 − (n³−n)/(n³−n)
+    = 0 and H/0 diverges engines unguarded — both must NULL h_micro."""
+    rows = [("a", 42), ("a", 42), ("b", 42), ("b", 42), ("b", 42)]
+    base = spark.createDataFrame(rows, "grp string, cents long")
+    r = kruskal_wallis(base).collect()[0]
+    assert r["h_micro"] is None
+    con = duckdb.connect()
+    con.sql("CREATE TABLE events (event_type VARCHAR, value DOUBLE)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?)",
+        [(g, c / 100.0) for g, c in rows],
+    )
+    o = con.sql(_KW_ORACLE).fetchone()
+    assert o[-1] is None
