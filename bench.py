@@ -238,6 +238,7 @@ HEADLINE = [
     "stats_kruskal_wallis",
     # round 10 additions
     "stats_welch_anova",
+    "graph_jaccard_minhash",
 ]
 
 

@@ -894,9 +894,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (they can't form a pair) that still prunes the long tail of
     the wedge join. Union sizes come from the per-supplier degree
     table joined twice on the pair endpoints; the global top-{top} is
-    TakeOrderedAndProject. At 100 TB with genuine super-hubs the RA cap
-    (or a minhash estimate of the intersection — dedup_minhash_lsh's
-    machinery) is the documented fallback.
+    TakeOrderedAndProject. At 100 TB with genuine super-hubs switch to
+    graph_jaccard_minhash — the registered hybrid that keeps this exact
+    kernel below a degree cap and MinHash-estimates hub intersections
+    above it (skew-proven against a 1500-degree super-hub).
     """
     sp = _supplier_part_pairs(spark, sf_dir)
     scored = jaccard_scored_pairs(sp)
@@ -946,4 +947,320 @@ def jaccard_scored_pairs(sp: DataFrame) -> DataFrame:
 
 graph_jaccard_neighbors.__doc__ = graph_jaccard_neighbors.__doc__.format(
     top=_JACC_TOP
+)
+
+
+# --------------------------------------------------------------------------
+# Link prediction III: super-hub-safe Jaccard via hybrid exact/MinHash
+# --------------------------------------------------------------------------
+
+_JMH_HUB_CAP = 32  # parts with more suppliers than this take the sketch path
+_JMH_TOP = 20
+
+
+def _jmh_chub_expr(n_hashes: int) -> str:
+    """Estimated hub-side intersection in milli-units from the MinHash
+    match count: |A∩B| = J/(1+J)·(|A|+|B|) with J ≈ k/K, i.e.
+    k·(nh_a+nh_b)/(K+k) — all-integer inputs, one deterministic double
+    division, half-away pin. Zero when either side has no hub parts
+    (the true hub intersection is then zero, not an estimate)."""
+    return (
+        "CASE WHEN nh_a = 0 OR nh_b = 0 OR k_match = 0"
+        " THEN CAST(0 AS BIGINT)"
+        " ELSE CAST(round(1000.0 * k_match * (nh_a + nh_b)"
+        f" / ({n_hashes} + k_match)) AS BIGINT) END"
+    )
+
+
+# Full-set Jaccard from exact low-degree intersection + estimated hub
+# intersection, both in milli-units: union = d_a + d_b − common.
+# Denominator ≥ 1000 always (d ≥ 1, common ≤ min(d_a, d_b)).
+_JMH_JACC_EXPR = (
+    "CAST(round(1000000.0 * (1000 * n_common_lo + c_hub_milli)"
+    " / (1000.0 * (d_a + d_b - n_common_lo) - c_hub_milli)) AS BIGINT)"
+)
+
+
+def _jmh_oracle() -> str:
+    """DuckDB twin of the hybrid Jaccard pipeline — member-hash
+    coefficients generated from the same table as the Spark
+    expressions (dedup's portable multiply-add family)."""
+    from .dedup import (  # noqa: PLC0415
+        _LO30,
+        _MEMBER_C,
+        _member_coeffs,
+        BAND_SIZE,
+        N_HASHES,
+    )
+
+    member_rows = ",\n        ".join(
+        f"({m}, {a}, {b})" for m, (a, b) in enumerate(_member_coeffs())
+    )
+    return f"""
+WITH sp AS (
+    SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS supp,
+                    CAST(l_partkey AS BIGINT) AS part
+    FROM lineitem
+),
+pdeg AS (
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS pd FROM sp GROUP BY part
+),
+sdeg AS (
+    SELECT supp, CAST(COUNT(*) AS BIGINT) AS d FROM sp GROUP BY supp
+),
+lo AS (SELECT part FROM pdeg WHERE pd BETWEEN 2 AND {_JMH_HUB_CAP}),
+hub AS (SELECT part FROM pdeg WHERE pd > {_JMH_HUB_CAP}),
+cand_lo AS (
+    SELECT a.supp AS supp_a, b.supp AS supp_b,
+           CAST(COUNT(*) AS BIGINT) AS n_lo
+    FROM sp a
+    JOIN sp b ON a.part = b.part AND a.supp < b.supp
+    JOIN lo ON lo.part = a.part
+    GROUP BY 1, 2
+),
+hsp AS (
+    SELECT s.supp,
+           ('0x' || substr(md5(CAST(s.part AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM sp s JOIN hub ON hub.part = s.part
+),
+nhub AS (
+    SELECT supp, CAST(COUNT(*) AS BIGINT) AS nh FROM hsp GROUP BY supp
+),
+members(m, a, b) AS (
+    VALUES {member_rows}
+),
+sig_rows AS (
+    SELECT hsp.supp, mm.m,
+           MIN((hsp.h >> 30) * mm.a + (hsp.h & {_LO30}) * mm.b
+               + mm.m * {_MEMBER_C}) AS mh
+    FROM hsp CROSS JOIN members mm
+    GROUP BY 1, 2
+),
+bands AS (
+    SELECT supp, m // {BAND_SIZE} AS band_idx,
+           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY m) AS band_sig
+    FROM sig_rows GROUP BY supp, m // {BAND_SIZE}
+),
+cand_hub AS (
+    SELECT DISTINCT x.supp AS supp_a, y.supp AS supp_b
+    FROM bands x
+    JOIN bands y ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
+              AND x.supp < y.supp
+),
+cand AS (
+    SELECT supp_a, supp_b FROM cand_lo
+    UNION
+    SELECT supp_a, supp_b FROM cand_hub
+),
+kmatch AS (
+    SELECT c.supp_a, c.supp_b, CAST(COUNT(*) AS BIGINT) AS k
+    FROM cand c
+    JOIN sig_rows sa ON sa.supp = c.supp_a
+    JOIN sig_rows sb ON sb.supp = c.supp_b
+                    AND sb.m = sa.m AND sb.mh = sa.mh
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT c.supp_a, c.supp_b,
+           CAST(COALESCE(l.n_lo, 0) AS BIGINT) AS n_common_lo,
+           CAST(COALESCE(k.k, 0) AS BIGINT) AS k_match,
+           da.d AS d_a, db.d AS d_b,
+           CAST(COALESCE(na.nh, 0) AS BIGINT) AS nh_a,
+           CAST(COALESCE(nb.nh, 0) AS BIGINT) AS nh_b
+    FROM cand c
+    LEFT JOIN cand_lo l ON l.supp_a = c.supp_a AND l.supp_b = c.supp_b
+    LEFT JOIN kmatch k ON k.supp_a = c.supp_a AND k.supp_b = c.supp_b
+    JOIN sdeg da ON da.supp = c.supp_a
+    JOIN sdeg db ON db.supp = c.supp_b
+    LEFT JOIN nhub na ON na.supp = c.supp_a
+    LEFT JOIN nhub nb ON nb.supp = c.supp_b
+),
+fin AS (
+    SELECT supp_a, supp_b, n_common_lo, k_match,
+           ({_jmh_chub_expr(N_HASHES)}) AS c_hub_milli,
+           d_a, d_b
+    FROM scored
+)
+SELECT supp_a, supp_b, n_common_lo, k_match,
+       {_JMH_JACC_EXPR} AS jaccard_est_micro
+FROM fin
+ORDER BY jaccard_est_micro DESC, supp_a, supp_b
+LIMIT {_JMH_TOP}
+"""
+
+
+@query("graph_jaccard_minhash", oracle=_jmh_oracle())
+def graph_jaccard_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Super-hub-safe neighbor Jaccard — the 100 TB fallback
+    graph_jaccard_neighbors documents: parts with degree ≤ {cap} take
+    the exact wedge path (bounded Σ C(d,2) candidates), parts above it
+    NEVER enter a wedge join — each supplier's hub-part set collapses
+    to a {k}-member MinHash signature (dedup's portable md5 +
+    multiply-add family, so the DuckDB oracle replays it hash-exact)
+    and the hub-side intersection is estimated from the signature match
+    count, |A∩B| ≈ k·(|A|+|B|)/(K+k). Candidates are the union of
+    exact-side pairs and LSH band-bucket pairs over the hub
+    signatures, so a part shared by a million suppliers contributes
+    O(suppliers·K) signature rows instead of O(suppliers²) wedges.
+
+    Scale shape: one distinct-pair projection (the shared cached
+    fixture), a degree split, a capped self-join on low-degree parts,
+    one K-column MIN aggregation over hub rows, a band self-join whose
+    buckets shrink as hub-set similarity falls (identical hub sets
+    always collide — that is LSH's contract, and such pairs' estimates
+    are EXACT since their signatures agree everywhere), and a
+    broadcast-joined scoring pass on the candidate dust. Accuracy and
+    skew-boundedness are pinned by a designed 1500-supplier volume test
+    with a genuine 1500-degree super-hub
+    (tests/test_round10_fuzz.py).
+    """
+    from .dedup import N_HASHES  # noqa: PLC0415
+
+    sp = _supplier_part_pairs(spark, sf_dir)
+    scored = jaccard_minhash_scored(sp)
+    return scored.orderBy(
+        F.col("jaccard_est_micro").desc(), "supp_a", "supp_b"
+    ).limit(_JMH_TOP)
+
+
+def jaccard_minhash_scored(
+    sp: DataFrame, hub_cap: int = _JMH_HUB_CAP
+) -> DataFrame:
+    """Hybrid exact/MinHash Jaccard core over any distinct (supp, part)
+    frame; see graph_jaccard_minhash."""
+    from .dedup import (  # noqa: PLC0415
+        _base60,
+        _member_coeffs,
+        _member_hash,
+        BAND_SIZE,
+        N_HASHES,
+    )
+
+    coeffs = list(enumerate(_member_coeffs()))
+    n_bands = N_HASHES // BAND_SIZE
+    pdeg = sp.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("pd")
+    )
+    lo = (
+        pdeg.filter((F.col("pd") >= 2) & (F.col("pd") <= hub_cap))
+        .select("part")
+    )
+    hub = pdeg.filter(F.col("pd") > hub_cap).select("part")
+    sdeg = sp.groupBy("supp").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+
+    a = sp.select("part", F.col("supp").alias("supp_a"))
+    b = sp.select("part", F.col("supp").alias("supp_b"))
+    cand_lo = (
+        a.join(b, "part")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .join(F.broadcast(lo), "part")
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lo"))
+    )
+
+    hsp = sp.join(F.broadcast(hub), "part").select(
+        "supp", _base60(F.col("part").cast("string")).alias("h")
+    )
+    sig = hsp.groupBy("supp").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        *[
+            F.min(_member_hash(F.col("h"), m, am, bm)).alias(f"mh{m}")
+            for m, (am, bm) in coeffs
+        ],
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{m}").cast("string")
+                        for m in range(i * BAND_SIZE, (i + 1) * BAND_SIZE)
+                    ],
+                ).alias("band_sig"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    bands = sig.select("supp", F.explode(band_structs).alias("bs")).select(
+        "supp", "bs.band_idx", "bs.band_sig"
+    )
+    bx = bands.select(
+        F.col("supp").alias("supp_a"), "band_idx", "band_sig"
+    )
+    by = bands.select(
+        F.col("supp").alias("supp_b"), "band_idx", "band_sig"
+    )
+    cand_hub = (
+        bx.join(by, ["band_idx", "band_sig"])
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .select("supp_a", "supp_b")
+        .distinct()
+    )
+    cand = (
+        cand_lo.select("supp_a", "supp_b").unionAll(cand_hub).distinct()
+    )
+
+    sigarr = sig.select(
+        "supp",
+        "nh",
+        F.array(*[F.col(f"mh{m}") for m in range(N_HASHES)]).alias("sig"),
+    )
+    sa = sigarr.select(
+        F.col("supp").alias("supp_a"),
+        F.col("nh").alias("nh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    sb = sigarr.select(
+        F.col("supp").alias("supp_b"),
+        F.col("nh").alias("nh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    da = sdeg.select(F.col("supp").alias("supp_a"), F.col("d").alias("d_a"))
+    db = sdeg.select(F.col("supp").alias("supp_b"), F.col("d").alias("d_b"))
+    scored = (
+        cand.join(cand_lo, ["supp_a", "supp_b"], "left")
+        .join(F.broadcast(sa), "supp_a", "left")
+        .join(F.broadcast(sb), "supp_b", "left")
+        .join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            F.coalesce("n_lo", F.lit(0)).cast("long").alias("n_common_lo"),
+            F.expr(
+                "CASE WHEN sig_a IS NULL OR sig_b IS NULL"
+                " THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(size(filter(zip_with(sig_a, sig_b,"
+                " (x, y) -> x = y), v -> v)) AS BIGINT) END"
+            ).alias("k_match"),
+            F.coalesce("nh_a", F.lit(0)).cast("long").alias("nh_a"),
+            F.coalesce("nh_b", F.lit(0)).cast("long").alias("nh_b"),
+            "d_a",
+            "d_b",
+        )
+    )
+    fin = scored.select(
+        "supp_a",
+        "supp_b",
+        "n_common_lo",
+        "k_match",
+        F.expr(_jmh_chub_expr(N_HASHES)).alias("c_hub_milli"),
+        "d_a",
+        "d_b",
+    )
+    return fin.select(
+        "supp_a",
+        "supp_b",
+        "n_common_lo",
+        "k_match",
+        F.expr(_JMH_JACC_EXPR).alias("jaccard_est_micro"),
+    )
+
+
+graph_jaccard_minhash.__doc__ = graph_jaccard_minhash.__doc__.format(
+    cap=_JMH_HUB_CAP, k=32
 )

@@ -113,6 +113,8 @@ _NESTED_LOOP_OK = {
     "ml_decision_stump",  # 1-row (N, P) total broadcast over the histogram
     "sample_stratified_neyman",  # 1-row Σweight + 1-row remainder broadcasts
     "stats_kruskal_wallis",  # 1-row N/k + 1-row tie-term broadcasts
+    "stats_welch_anova",  # 1-row wmax/N/k + 1-row Σpin broadcasts
+    "stats_games_howell",  # k-row group self-join (non-equi pair orient)
 }
 
 

@@ -193,3 +193,118 @@ def test_kruskal_degenerate_all_tied_yields_null_in_both_engines(spark):
     )
     o = con.sql(_KW_ORACLE).fetchone()
     assert o[-1] is None
+
+
+def test_jaccard_minhash_superhub_volume_and_accuracy(spark):
+    """Genuine super-hub design: 1500 suppliers, one part touching ALL
+    of them (degree 1500 >> cap 32) plus three mid-degree hub families
+    (~80-116) and exact-path block parts (degree 15). Proves (a) the
+    candidate set stays an order of magnitude below all-pairs — the
+    super-hub contributes signature rows, never wedges; (b) every
+    exact-path (within-block) pair survives with its exact
+    n_common_lo; (c) the sketch estimate tracks the true full-set
+    Jaccard within the K=32 MinHash error envelope."""
+    import statistics
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.graph import (
+        jaccard_minhash_scored,
+    )
+
+    S = 1500
+    rows, sets = [], {}
+    for s in range(S):
+        ps = {10_000 + (s // 15) * 10 + j for j in range(5)}  # block: d=15
+        ps |= {100_000 + s * 10 + j for j in range(3)}  # private: d=1
+        # hub tier: global (d=1500) + three class families (d≈80-116)
+        ps |= {1, 200 + s % 13, 300 + s % 17, 400 + s % 19}
+        sets[s] = frozenset(ps)
+        rows += [(s, p) for p in ps]
+    sp = spark.createDataFrame(rows, "supp long, part long")
+    got = jaccard_minhash_scored(sp).collect()
+
+    # (a) skew-boundedness: 63k candidates measured vs 1.12M all-pairs.
+    assert len(got) < 100_000, len(got)
+
+    # (b)+(c): exact path intact, estimates inside the sketch envelope.
+    errs, block_pairs = [], set()
+    for r in got:
+        a, b = sets[r.supp_a], sets[r.supp_b]
+        exact = round(1e6 * len(a & b) / len(a | b))
+        errs.append(abs(r.jaccard_est_micro - exact))
+        if r.supp_a // 15 == r.supp_b // 15:
+            block_pairs.add((r.supp_a, r.supp_b))
+            assert r.n_common_lo == 5, r
+    assert len(block_pairs) == 100 * 15 * 14 // 2
+    assert max(errs) <= 250_000, max(errs)
+    assert statistics.mean(errs) <= 100_000, statistics.mean(errs)
+
+
+def _gh_replay(groups: dict[str, list[int]]):
+    """Double-for-double replay of games_howell's expressions on integer
+    cents, keyed (grp_a, grp_b) with grp_a < grp_b."""
+    st = {
+        g: (len(v), sum(v), sum(c * c for c in v)) for g, v in groups.items()
+    }
+    out = {}
+    for ga in st:
+        for gb in st:
+            if not ga < gb:
+                continue
+            na, sa, qa = st[ga]
+            nb, sb, qb = st[gb]
+            md = _half_away(1000.0 * (float(sa) / na - float(sb) / nb))
+            bad = (
+                na <= 1
+                or nb <= 1
+                or qa - _half_away(float(sa) / na * sa) <= 0
+                or qb - _half_away(float(sb) / nb * sb) <= 0
+            )
+            if bad:
+                out[(ga, gb)] = (na, nb, md, None, None)
+                continue
+            s2a = float(qa - _half_away(float(sa) / na * sa)) / (na - 1)
+            s2b = float(qb - _half_away(float(sb) / nb * sb)) / (nb - 1)
+            se2 = s2a / na + s2b / nb
+            t = _half_away(
+                (float(sa) / na - float(sb) / nb)
+                / math.sqrt(se2)
+                * 1_000_000
+            )
+            df = (
+                se2
+                * se2
+                / ((s2a / na) * (s2a / na) / (na - 1)
+                   + (s2b / nb) * (s2b / nb) / (nb - 1))
+            )
+            out[(ga, gb)] = (na, nb, md, t, df)
+    return out
+
+
+def test_games_howell_matches_replay_on_random_cases(spark):
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        games_howell,
+    )
+
+    rng = random.Random(2020)
+    for case in range(5):
+        k = rng.randint(2, 6)
+        groups = {
+            f"g{i}": [
+                rng.randint(0, rng.choice([3, 50, 5000]))
+                for _ in range(rng.randint(1, 250))  # n=1 hits the guard
+            ]
+            for i in range(k)
+        }
+        rows = [(g, c / 100.0) for g, v in groups.items() for c in v]
+        ev = spark.createDataFrame(rows, "event_type string, value double")
+        got = {
+            (r.grp_a, r.grp_b): (
+                r.n_a,
+                r.n_b,
+                r.meandiff_milli,
+                r.t_micro,
+                r.df,
+            )
+            for r in games_howell(ev).collect()
+        }
+        assert got == _gh_replay(groups), (case, groups)
