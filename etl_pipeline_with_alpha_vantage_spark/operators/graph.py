@@ -1200,9 +1200,13 @@ def jaccard_minhash_scored(
         .select("supp_a", "supp_b")
         .distinct()
     )
-    cand = (
-        cand_lo.select("supp_a", "supp_b").unionAll(cand_hub).distinct()
-    )
+    # Candidate set = exact-side pairs ∪ band pairs, built as ONE full
+    # outer join so the wedge-join subtree appears once in the DAG (the
+    # union+rejoin formulation planned it twice and added a distinct
+    # shuffle — isolated min-of-3 at sf0.1: 3.8 s → 3.2 s) and n_lo
+    # rides along.
+    cand = cand_lo.join(cand_hub.withColumn("hc", F.lit(1)),
+                        ["supp_a", "supp_b"], "full")
 
     sigarr = sig.select(
         "supp",
@@ -1222,8 +1226,7 @@ def jaccard_minhash_scored(
     da = sdeg.select(F.col("supp").alias("supp_a"), F.col("d").alias("d_a"))
     db = sdeg.select(F.col("supp").alias("supp_b"), F.col("d").alias("d_b"))
     scored = (
-        cand.join(cand_lo, ["supp_a", "supp_b"], "left")
-        .join(F.broadcast(sa), "supp_a", "left")
+        cand.join(F.broadcast(sa), "supp_a", "left")
         .join(F.broadcast(sb), "supp_b", "left")
         .join(F.broadcast(da), "supp_a")
         .join(F.broadcast(db), "supp_b")

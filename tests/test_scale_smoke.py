@@ -1913,3 +1913,71 @@ def test_kruskal_wallis_block_design_replay_at_volume(spark):
         1.0 - float(row["tie"]) / (float(n) * n * n - n)
     )
     assert row["h_micro"] == half_away(h * 1_000_000)
+
+
+def test_welch_heteroscedastic_closed_form_at_volume(spark):
+    """Welch's ANOVA at 4.8M rows on a DESIGNED heteroscedastic
+    balanced layout: group g has mean (g+1)·10 dollars and residual
+    multiset {+h, −h, 0} with h = (g+1)·3 cents, so the per-group
+    moments are closed-form (s = n·M_g, ss_c2 = 2n·h_g²/3 exactly) and
+    f_micro/df2 match a double-for-double moment-level replay of the
+    kernel's pinned expressions."""
+    import math
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        welch_anova,
+    )
+
+    k, per = 4, 1_200_000  # per divisible by 3: residuals balance
+    resid_sign = (
+        F.when((F.col("id") / k).cast("long") % 3 == 0, 1.0)
+        .when((F.col("id") / k).cast("long") % 3 == 1, -1.0)
+        .otherwise(0.0)
+    )
+    g = (F.col("id") % k).cast("long")
+    ev = spark.range(k * per).select(
+        F.concat(F.lit("g"), g.cast("string")).alias("event_type"),
+        (((g + 1) * 1000 + (g + 1) * 3 * resid_sign) / 100.0).alias(
+            "value"
+        ),
+    )
+    row = welch_anova(ev).collect()[0]
+    assert row["n_total"] == k * per and row["k_groups"] == k
+
+    def half_away(x):
+        t = math.trunc(x)
+        return t + (1 if x - t >= 0.5 else (-1 if x - t <= -0.5 else 0))
+
+    # closed-form moments: (n, Σcents, ss_c2) per group
+    st = {}
+    for gi in range(k):
+        m, h = (gi + 1) * 1000, (gi + 1) * 3
+        st[gi] = (per, per * m, 2 * per * h * h // 3)
+    w_raw = {
+        gi: float(n) * (n - 1) / float(ss) for gi, (n, s, ss) in st.items()
+    }
+    wmax = max(w_raw.values())
+    s_pin = {
+        gi: half_away(1_000_000_000_000.0 * w / wmax)
+        for gi, w in w_raw.items()
+    }
+    ssum = sum(s_pin.values())
+    wmsum = sum(
+        half_away(float(s_pin[gi]) * s / n)
+        for gi, (n, s, _) in st.items()
+    )
+    asum = usum = 0
+    for gi, (n, s, _) in st.items():
+        dm = float(s) / n - float(wmsum) / ssum
+        asum += half_away(float(s_pin[gi]) * dm * dm / 1_000_000.0)
+        t = 1.0 - float(s_pin[gi]) / ssum
+        usum += half_away(1_000_000_000_000.0 * t * t / (n - 1))
+    f = half_away(
+        wmax * float(asum) / 1_000_000.0 / (k - 1)
+        / (1.0 + 2.0 * (k - 2) * (float(usum) / 1_000_000_000_000.0)
+           / (float(k) * k - 1))
+        * 1_000_000
+    )
+    df2 = (float(k) * k - 1) / (3.0 * (float(usum) / 1_000_000_000_000.0))
+    assert row["f_micro"] == f
+    assert row["df2"] == df2
