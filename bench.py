@@ -239,6 +239,7 @@ HEADLINE = [
     # round 10 additions
     "stats_welch_anova",
     "graph_jaccard_minhash",
+    "ml_ridge_normal_eq",
 ]
 
 

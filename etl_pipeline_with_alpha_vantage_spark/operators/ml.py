@@ -823,16 +823,14 @@ def ml_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols_fit(examples)
 
 
-def ols_fit(examples: DataFrame) -> DataFrame:
-    """OLS core over any (q, dc, yc) integer-feature frame (y and the
-    second feature in cents): one-scan moments + Cramer's rule. Exact
-    recovery proven at 5M rows on a noiseless synthetic plane by
-    tests/test_scale_smoke.py (beta_micro come back as the exact
-    generating coefficients)."""
+def _ols_moments(examples: DataFrame) -> DataFrame:
+    """One-scan sufficient moments (n, Σx, ΣxxT, ΣxTy) over any
+    (q, dc, yc) integer-feature frame — shared by the OLS and ridge
+    solvers."""
     q = F.col("q")
     dc = F.col("dc")
     yc = F.col("yc")
-    m = examples.agg(
+    return examples.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(q).cast("long").alias("s1"),
         F.sum(dc).cast("long").alias("s2"),
@@ -843,5 +841,105 @@ def ols_fit(examples: DataFrame) -> DataFrame:
         F.sum(q * yc).cast("long").alias("s1y"),
         F.sum(dc * yc).cast("long").alias("s2y"),
     )
-    d = m.selectExpr("n", *_OLS_CAST.split(", "))
+
+
+def ols_fit(examples: DataFrame) -> DataFrame:
+    """OLS core over any (q, dc, yc) integer-feature frame (y and the
+    second feature in cents): one-scan moments + Cramer's rule. Exact
+    recovery proven at 5M rows on a noiseless synthetic plane by
+    tests/test_scale_smoke.py (beta_micro come back as the exact
+    generating coefficients)."""
+    d = _ols_moments(examples).selectExpr("n", *_OLS_CAST.split(", "))
     return d.selectExpr("n", *_OLS_BETAS.split(", "))
+
+
+# --------------------------------------------------------------------------
+# Ridge via normal equations (the L2-stabilized twin of ml_ols_normal_eq)
+# --------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = 50  # per-row L2 penalty on the (unstandardized) slopes
+
+_RIDGE_ORACLE = f"""
+WITH m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+           CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS s2,
+           CAST(SUM(CAST(l_quantity AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s11,
+           CAST(SUM(CAST(l_quantity AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS s12,
+           CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS s22,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sy,
+           CAST(SUM(CAST(l_quantity AS BIGINT)
+                    * CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS s1y,
+           CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)
+                    * CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS s2y
+    FROM lineitem
+),
+r AS (
+    SELECT n, s1, s2,
+           CAST(s11 + {_RIDGE_LAMBDA} * n AS BIGINT) AS s11, s12,
+           CAST(s22 + {_RIDGE_LAMBDA} * n AS BIGINT) AS s22,
+           sy, s1y, s2y
+    FROM m
+),
+d AS (SELECT n, {_OLS_CAST} FROM r)
+SELECT n, {_OLS_BETAS} FROM d
+"""
+
+
+@query("ml_ridge_normal_eq", oracle=_RIDGE_ORACLE)
+def ml_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression (price ~ quantity + discount, λ = {lam} per
+    row) through the SAME one-scan normal-equations kernel as
+    ml_ols_normal_eq — the L2-stabilized fit a production pipeline
+    reaches for when features are collinear or the moment matrix is
+    near-singular (at 100 TB a nearly-constant feature makes the plain
+    OLS determinant catastrophically small; the +λn diagonal keeps the
+    solve conditioned). Intercept unpenalized (textbook), penalty
+    scaled by n so the shrinkage strength is per-row invariant — the
+    same data at 10× the rows shrinks identically.
+
+    Exactness: the penalty lands as s11 + λ·n and s22 + λ·n — exact
+    bigint additions on exact bigint moments BEFORE the double cast, so
+    the kernel shares ml_ols_normal_eq's bit-exact Cramer expressions
+    verbatim. λ = 0 degenerates to OLS exactly (asserted in tests).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    examples = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("dc"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("yc"),
+    )
+    return ridge_fit(examples, _RIDGE_LAMBDA)
+
+
+def ridge_fit(examples: DataFrame, lam: int) -> DataFrame:
+    """Ridge core over any (q, dc, yc) integer-feature frame: the OLS
+    moment pass with +λ·n added to the slope diagonals (exact bigint),
+    then the shared Cramer solve."""
+    r = _ols_moments(examples).select(
+        "n",
+        "s1",
+        "s2",
+        (F.col("s11") + F.lit(lam) * F.col("n")).cast("long").alias("s11"),
+        "s12",
+        (F.col("s22") + F.lit(lam) * F.col("n")).cast("long").alias("s22"),
+        "sy",
+        "s1y",
+        "s2y",
+    )
+    d = r.selectExpr("n", *_OLS_CAST.split(", "))
+    return d.selectExpr("n", *_OLS_BETAS.split(", "))
+
+
+ml_ridge_normal_eq.__doc__ = ml_ridge_normal_eq.__doc__.format(
+    lam=_RIDGE_LAMBDA
+)

@@ -308,3 +308,38 @@ def test_games_howell_matches_replay_on_random_cases(spark):
             for r in games_howell(ev).collect()
         }
         assert got == _gh_replay(groups), (case, groups)
+
+
+def test_ridge_lambda_zero_equals_ols_and_shrinks_monotonically(spark):
+    """λ=0 ridge must equal OLS bit-for-bit (same kernel, zero
+    diagonal addition), and the slope-norm must shrink monotonically
+    as λ grows — the defining property of the L2 penalty."""
+    import random
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.ml import (
+        ols_fit,
+        ridge_fit,
+    )
+
+    rng = random.Random(3030)
+    rows = []
+    for _ in range(4000):
+        q = rng.randint(1, 50)
+        dc = rng.randint(0, 10)
+        yc = 500 + 210 * q - 37 * dc + rng.randint(-40, 40)
+        rows.append((q, dc, yc))
+    ex = spark.createDataFrame(rows, "q long, dc long, yc long")
+    ols = ols_fit(ex).collect()[0]
+    r0 = ridge_fit(ex, 0).collect()[0]
+    assert (
+        r0["beta0_micro"],
+        r0["beta1_micro"],
+        r0["beta2_micro"],
+    ) == (ols["beta0_micro"], ols["beta1_micro"], ols["beta2_micro"])
+
+    norms = []
+    for lam in (0, 50, 500, 5000, 50000):
+        r = ridge_fit(ex, lam).collect()[0]
+        norms.append(r["beta1_micro"] ** 2 + r["beta2_micro"] ** 2)
+    assert norms == sorted(norms, reverse=True), norms
+    assert norms[-1] < norms[0]  # the penalty actually bites
