@@ -238,6 +238,7 @@ HEADLINE = [
     "stats_kruskal_wallis",
     # round 10 additions
     "stats_welch_anova",
+    "stats_games_howell",
     "graph_jaccard_minhash",
     "ml_ridge_normal_eq",
 ]
