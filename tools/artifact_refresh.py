@@ -127,7 +127,7 @@ def main() -> int:
             return v
         return default
 
-    rnd = opt("--round", "9")
+    rnd = opt("--round", "10")
     halved = opt("--halved", "/tmp/offgrid_sf05")
     up = opt("--up", "/tmp/offgrid_up")
     names = args
