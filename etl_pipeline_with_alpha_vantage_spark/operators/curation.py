@@ -1301,11 +1301,14 @@ def neyman_sample(
     at 1.5M rows (designed per-stratum variances force the exact
     largest-remainder split) by tests/test_scale_smoke.py."""
     c = F.round(F.col("value") * 100).cast("long")
+    # Lazy checkpoint: the k-stratum moment table feeds the weight,
+    # total, and allocation branches — one moment-pass fact scan (the
+    # md5-rank pick pass is the inherent second scan).
     mom = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("nh"),
         F.sum(c).cast("long").alias("s"),
         F.sum(c * c).cast("long").alias("q"),
-    )
+    ).localCheckpoint(eager=False)
     # w is pinned to an exact integer micro-grid BEFORE the cross-stratum
     # sum: SUM over doubles is accumulation-order-dependent (Spark partial
     # aggregation vs DuckDB sequential), and a ULP difference in wsum can

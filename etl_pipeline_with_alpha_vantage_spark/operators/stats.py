@@ -1952,7 +1952,14 @@ def welch_anova(frame: DataFrame) -> DataFrame:
         F.sum(c).cast("long").alias("s"),
         F.sum(c * c).cast("long").alias("q"),
     )
-    gw = g.select("event_type", "n", "s", F.expr(_WELCH_W_RAW).alias("w_raw"))
+    # The k-row moment table feeds FOUR downstream branches (tot0, gs,
+    # tot1, fin); without a checkpoint Spark compiles each branch with
+    # its own copy of the scan+reduce subtree — 4 static fact scans.
+    # A lazy localCheckpoint persists the dust once (MEMORY_AND_DISK),
+    # so the fact table is read exactly once per execution at any SF.
+    gw = g.select(
+        "event_type", "n", "s", F.expr(_WELCH_W_RAW).alias("w_raw")
+    ).localCheckpoint(eager=False)
     tot0 = gw.agg(
         F.sum("n").cast("long").alias("n_total"),
         F.count(F.lit(1)).cast("long").alias("k_groups"),
@@ -2105,8 +2112,14 @@ def kruskal_wallis(base: DataFrame) -> DataFrame:
     separated block design has closed-form doubled ranks and tie term,
     and the statistic matches a python double-for-double replay of the
     identical micro-pinned expression."""
-    gv = base.groupBy("grp", "cents").agg(
-        F.count(F.lit(1)).cast("long").alias("n_gv")
+    # Lazy checkpoint: the distinct-value reduction feeds the rank
+    # device, the per-group rollup, AND the tie term — one fact scan,
+    # not three; gv is bounded by k × distinct values, dust relative to
+    # the fact table (see welch_anova's note).
+    gv = (
+        base.groupBy("grp", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gv"))
+        .localCheckpoint(eager=False)
     )
     vt = gv.groupBy("cents").agg(F.sum("n_gv").cast("long").alias("t"))
     # Bucketed two-pass global prefix over the distinct-value dust.
@@ -2273,11 +2286,13 @@ def games_howell(frame: DataFrame) -> DataFrame:
     2-dp-exact values; see stats_games_howell. Fuzzed against a python
     replay by tests/test_round10_fuzz.py."""
     c = F.round(F.col("value") * 100).cast("long")
+    # Lazy checkpoint: the k-row moment table feeds both pair sides —
+    # one fact scan, not two (see welch_anova's note).
     g = frame.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(c).cast("long").alias("s"),
         F.sum(c * c).cast("long").alias("q"),
-    )
+    ).localCheckpoint(eager=False)
     a = g.select(
         F.col("event_type").alias("grp_a"),
         F.col("n").alias("n_a"),
