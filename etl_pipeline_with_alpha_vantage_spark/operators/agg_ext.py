@@ -378,11 +378,24 @@ def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     back — O(groups) state, no sort of the full data.
     """
     ev = table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    # The per-type medians are dust reused by both deviation passes —
+    # lazily checkpointed so the median pass's scan+percentile subtree
+    # isn't compiled (and re-executed) once per consumer. The three
+    # remaining fact scans are the algorithm's honest passes (median,
+    # deviation median, screen).
+    med = (
+        ev.groupBy("event_type")
+        .agg(F.percentile("value", 0.5).alias("med"))
+        .localCheckpoint(eager=False)
+    )
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    madt = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    madt = (
+        dev.groupBy("event_type")
+        .agg(F.percentile("adev", 0.5).alias("mad"))
+        .localCheckpoint(eager=False)
+    )
     return (
         dev.join(F.broadcast(madt), "event_type")
         .groupBy("event_type", "med", "mad")

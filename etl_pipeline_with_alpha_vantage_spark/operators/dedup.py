@@ -157,9 +157,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda a, bc: F.concat(a, F.lit(" "), bc),
     )
+    # The shingle postings feed the set-size rollup AND both sides of
+    # the inverted-index self-join; a lazy checkpoint builds the index
+    # once instead of re-scanning and re-shingling the corpus per
+    # consumer.
     grams = toks.select(
         "doc_id", F.explode(F.array_distinct(tri)).alias("gram")
-    )
+    ).localCheckpoint(eager=False)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -1037,9 +1041,11 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda a, bc: F.concat(a, F.lit(" "), bc),
     )
+    # Same one-pass inverted-index build as dedup_ngram_jaccard (lazy
+    # checkpoint: postings feed sizes + both self-join sides).
     grams = toks.select(
         "doc_id", F.explode(F.array_distinct(tri)).alias("gram")
-    )
+    ).localCheckpoint(eager=False)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
