@@ -241,6 +241,7 @@ HEADLINE = [
     "stats_games_howell",
     "graph_jaccard_minhash",
     "ml_ridge_normal_eq",
+    "stats_anova_twoway",
 ]
 
 

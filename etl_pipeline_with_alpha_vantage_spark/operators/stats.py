@@ -2315,3 +2315,202 @@ def games_howell(frame: DataFrame) -> DataFrame:
         F.expr(_GH_T).alias("t_micro"),
         F.expr(_GH_DF).alias("df"),
     ).orderBy("grp_a", "grp_b")
+
+
+# --------------------------------------------------------------------------
+# Two-way ANOVA with interaction (event_type × day-of-week cycle)
+# --------------------------------------------------------------------------
+
+# Per-group "raw between" term, the exact-bigint pinned form shared with
+# the one-way kernel: round(S²/n) as S/n*S on doubles cast from exact
+# bigints.
+_TW_RAW = "CAST(round(CAST(s AS DOUBLE) / n * s) AS BIGINT)"
+
+# Day-of-week cycle from epoch days — pure arithmetic so both engines
+# agree (calendar dayofweek() numbering differs across engines); the
+# micros value is exact below 2^53 so the double division is exact-safe.
+_TW_DOW_SPARK = (
+    "CAST(floor(unix_micros(ts) / 86400000000.0) AS BIGINT) % 7"
+)
+_TW_DOW_DUCK = "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) % 7"
+
+_TW_BAD = "a_levels <= 1 OR b_levels <= 1 OR n_total <= n_cells"
+
+
+def _tw_f(ss: str, df: str) -> str:
+    """Micro-pinned F ratio with the degenerate-pole guard (NULL instead
+    of an Inf-cast divergence — the one-way family's discipline)."""
+    return (
+        f"CASE WHEN {_TW_BAD} OR ss_within_c2 = 0 THEN NULL"
+        f" ELSE CAST(floor((CAST({ss} AS DOUBLE) / ({df}))"
+        f" / (CAST(ss_within_c2 AS DOUBLE) / (n_total - n_cells))"
+        f" * 1000000 + 0.5) AS BIGINT) END"
+    )
+
+
+_TW_FIN_COLS = f"""
+       n_total, a_levels, b_levels,
+       CAST(ss_a_c2 / 10000.0 AS DOUBLE) AS ss_a,
+       CAST(ss_b_c2 / 10000.0 AS DOUBLE) AS ss_b,
+       CAST((ss_cells_c2 - ss_a_c2 - ss_b_c2) / 10000.0 AS DOUBLE) AS ss_ab,
+       CAST(ss_within_c2 / 10000.0 AS DOUBLE) AS ss_within,
+       {_tw_f('ss_a_c2', 'a_levels - 1')} AS fa_micro,
+       {_tw_f('ss_b_c2', 'b_levels - 1')} AS fb_micro,
+       {_tw_f('ss_cells_c2 - ss_a_c2 - ss_b_c2',
+              '(a_levels - 1) * (b_levels - 1)')} AS fab_micro
+"""
+
+_TW_ORACLE = f"""
+WITH cells AS (
+    SELECT event_type AS fa,
+           {_TW_DOW_DUCK} AS fb,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                    * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+    FROM events GROUP BY 1, 2
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(SUM(s) AS BIGINT) AS s_all,
+           CAST(SUM(q) AS BIGINT) AS q_all,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(DISTINCT fa) AS BIGINT) AS a_levels,
+           CAST(COUNT(DISTINCT fb) AS BIGINT) AS b_levels,
+           CAST(SUM({_TW_RAW}) AS BIGINT) AS ss_cells_raw
+    FROM cells
+),
+ma AS (
+    SELECT CAST(SUM({_TW_RAW}) AS BIGINT) AS ss_a_raw
+    FROM (SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s
+          FROM cells GROUP BY fa)
+),
+mb AS (
+    SELECT CAST(SUM({_TW_RAW}) AS BIGINT) AS ss_b_raw
+    FROM (SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS s
+          FROM cells GROUP BY fb)
+),
+fin AS (
+    SELECT n_total, a_levels, b_levels, n_cells,
+           ss_a_raw - {_ANOVA_CORRECTION} AS ss_a_c2,
+           ss_b_raw - {_ANOVA_CORRECTION} AS ss_b_c2,
+           ss_cells_raw - {_ANOVA_CORRECTION} AS ss_cells_c2,
+           q_all - ss_cells_raw AS ss_within_c2
+    FROM tot CROSS JOIN ma CROSS JOIN mb
+)
+SELECT {_TW_FIN_COLS}
+FROM fin
+"""
+
+
+@query("stats_anova_twoway", oracle=_TW_ORACLE)
+def stats_anova_twoway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA with interaction: does mean event value vary by
+    event TYPE, by DAY-OF-WEEK cycle, and — the question neither
+    one-way pass can ask — does the type effect itself CHANGE across
+    days (interaction)? The factorial completion of the one-way family
+    (ANOVA → Levene → Welch → Games–Howell → this): a weekday-only
+    seasonality monitor and a type-only monitor both miss a type that
+    degrades only on weekends.
+
+    Decomposition: the textbook factor-margin sums of squares on the
+    (type × day) cell moment table — SS_A, SS_B from margins,
+    SS_AB = SS_cells − SS_A − SS_B, SS_within = SS_total − SS_cells.
+    Orthogonal (and the interaction term clean) under
+    balanced/proportional cell counts — the standard caveat; event
+    streams are close to proportional across a weekly cycle, and the
+    decomposition is deterministic regardless.
+
+    Scale shape: ONE partial-aggregated shuffle to the a×b cell moment
+    table, lazily checkpointed (it feeds the total, A-margin, and
+    B-margin branches — the stats-family one-scan discipline); both
+    margins and every SS are exact-bigint sums of per-group pinned
+    terms, so no float accumulation-order risk anywhere. The day factor
+    is pure epoch arithmetic (calendar dayofweek() numbering differs
+    across engines). Degenerate designs (single level, saturated cells,
+    zero residual) yield NULL F's in both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    return anova_twoway(
+        ev.select(
+            F.col("event_type").alias("fa"),
+            F.expr(_TW_DOW_SPARK).alias("fb"),
+            "value",
+        )
+    )
+
+
+def anova_twoway(frame: DataFrame) -> DataFrame:
+    """Two-way ANOVA core over any (fa, fb, value) frame with
+    2-dp-exact values; see stats_anova_twoway. Fuzzed against a
+    double-for-double python replay by tests/test_round10_fuzz.py."""
+    c = F.round(F.col("value") * 100).cast("long")
+    cells = (
+        frame.groupBy("fa", "fb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(c).cast("long").alias("s"),
+            F.sum(c * c).cast("long").alias("q"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("s").cast("long").alias("s_all"),
+        F.sum("q").cast("long").alias("q_all"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.count_distinct("fa").cast("long").alias("a_levels"),
+        F.count_distinct("fb").cast("long").alias("b_levels"),
+        F.sum(F.expr(_TW_RAW)).cast("long").alias("ss_cells_raw"),
+    )
+    ma = (
+        cells.groupBy("fa")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s").cast("long").alias("s"),
+        )
+        .agg(F.sum(F.expr(_TW_RAW)).cast("long").alias("ss_a_raw"))
+    )
+    mb = (
+        cells.groupBy("fb")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s").cast("long").alias("s"),
+        )
+        .agg(F.sum(F.expr(_TW_RAW)).cast("long").alias("ss_b_raw"))
+    )
+    fin = (
+        tot.crossJoin(F.broadcast(ma))
+        .crossJoin(F.broadcast(mb))
+        .select(
+            "n_total",
+            "a_levels",
+            "b_levels",
+            "n_cells",
+            (F.col("ss_a_raw") - F.expr(_ANOVA_CORRECTION)).alias("ss_a_c2"),
+            (F.col("ss_b_raw") - F.expr(_ANOVA_CORRECTION)).alias("ss_b_c2"),
+            (F.col("ss_cells_raw") - F.expr(_ANOVA_CORRECTION)).alias(
+                "ss_cells_c2"
+            ),
+            (F.col("q_all") - F.col("ss_cells_raw")).alias("ss_within_c2"),
+        )
+    )
+    return fin.select(
+        "n_total",
+        "a_levels",
+        "b_levels",
+        F.expr("CAST(ss_a_c2 / 10000.0 AS DOUBLE)").alias("ss_a"),
+        F.expr("CAST(ss_b_c2 / 10000.0 AS DOUBLE)").alias("ss_b"),
+        F.expr(
+            "CAST((ss_cells_c2 - ss_a_c2 - ss_b_c2) / 10000.0 AS DOUBLE)"
+        ).alias("ss_ab"),
+        F.expr("CAST(ss_within_c2 / 10000.0 AS DOUBLE)").alias("ss_within"),
+        F.expr(_tw_f("ss_a_c2", "a_levels - 1")).alias("fa_micro"),
+        F.expr(_tw_f("ss_b_c2", "b_levels - 1")).alias("fb_micro"),
+        F.expr(
+            _tw_f(
+                "ss_cells_c2 - ss_a_c2 - ss_b_c2",
+                "(a_levels - 1) * (b_levels - 1)",
+            )
+        ).alias("fab_micro"),
+    )

@@ -115,6 +115,7 @@ _NESTED_LOOP_OK = {
     "stats_kruskal_wallis",  # 1-row N/k + 1-row tie-term broadcasts
     "stats_welch_anova",  # 1-row wmax/N/k + 1-row Σpin broadcasts
     "stats_games_howell",  # k-row group self-join (non-equi pair orient)
+    "stats_anova_twoway",  # 1-row A-margin + 1-row B-margin broadcasts
 }
 
 

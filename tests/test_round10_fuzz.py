@@ -343,3 +343,123 @@ def test_ridge_lambda_zero_equals_ols_and_shrinks_monotonically(spark):
         norms.append(r["beta1_micro"] ** 2 + r["beta2_micro"] ** 2)
     assert norms == sorted(norms, reverse=True), norms
     assert norms[-1] < norms[0]  # the penalty actually bites
+
+
+def _tw_replay(groups: dict[tuple[str, int], list[int]]):
+    """Double-for-double replay of anova_twoway's pinned expressions on
+    integer cents keyed by (fa, fb)."""
+    cells = {
+        k: (len(v), sum(v), sum(c * c for c in v)) for k, v in groups.items()
+    }
+    n_total = sum(n for n, _, _ in cells.values())
+    s_all = sum(s for _, s, _ in cells.values())
+    q_all = sum(q for _, _, q in cells.values())
+    n_cells = len(cells)
+    a_lv = {k[0] for k in cells}
+    b_lv = {k[1] for k in cells}
+
+    def raw(n, s):
+        return _half_away(float(s) / n * s)
+
+    corr = _half_away(float(s_all) / n_total * s_all)
+    ss_cells_raw = sum(raw(n, s) for n, s, _ in cells.values())
+    ss_a_raw = 0
+    for a in a_lv:
+        n = sum(cells[k][0] for k in cells if k[0] == a)
+        s = sum(cells[k][1] for k in cells if k[0] == a)
+        ss_a_raw += raw(n, s)
+    ss_b_raw = 0
+    for b in b_lv:
+        n = sum(cells[k][0] for k in cells if k[1] == b)
+        s = sum(cells[k][1] for k in cells if k[1] == b)
+        ss_b_raw += raw(n, s)
+    ss_a = ss_a_raw - corr
+    ss_b = ss_b_raw - corr
+    ss_cells = ss_cells_raw - corr
+    ss_within = q_all - ss_cells_raw
+    ss_ab = ss_cells - ss_a - ss_b
+    bad = (
+        len(a_lv) <= 1
+        or len(b_lv) <= 1
+        or n_total <= n_cells
+        or ss_within == 0
+    )
+
+    def f(ss, df):
+        if bad:
+            return None
+        v = (float(ss) / df) / (
+            float(ss_within) / (n_total - n_cells)
+        )
+        return int(math.floor(v * 1_000_000 + 0.5))
+
+    return (
+        n_total,
+        len(a_lv),
+        len(b_lv),
+        ss_a / 10000.0,
+        ss_b / 10000.0,
+        ss_ab / 10000.0,
+        ss_within / 10000.0,
+        f(ss_a, len(a_lv) - 1),
+        f(ss_b, len(b_lv) - 1),
+        f(ss_ab, (len(a_lv) - 1) * (len(b_lv) - 1)),
+    )
+
+
+def test_twoway_kernel_matches_replay_on_random_cases(spark):
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        anova_twoway,
+    )
+
+    rng = random.Random(4040)
+    for case in range(5):
+        ka, kb = rng.randint(2, 4), rng.randint(2, 5)
+        groups = {}
+        for a in range(ka):
+            for b in range(kb):
+                if case and rng.random() < 0.2:
+                    continue  # missing cells: unbalanced design
+                groups[(f"t{a}", b)] = [
+                    rng.randint(0, rng.choice([4, 60, 4000]))
+                    for _ in range(rng.randint(1, 120))
+                ]
+        if len({k[0] for k in groups}) < 2 or len({k[1] for k in groups}) < 2:
+            continue
+        rows = [
+            (a, b, c / 100.0) for (a, b), v in groups.items() for c in v
+        ]
+        ev = spark.createDataFrame(rows, "fa string, fb long, value double")
+        r = anova_twoway(ev).collect()[0]
+        want = _tw_replay(groups)
+        got = (
+            r["n_total"], r["a_levels"], r["b_levels"],
+            r["ss_a"], r["ss_b"], r["ss_ab"], r["ss_within"],
+            r["fa_micro"], r["fb_micro"], r["fab_micro"],
+        )
+        assert got == want, (case, groups)
+
+
+def test_twoway_pure_interaction_design(spark):
+    """Balanced 2×2 with a pure crossover (+d when fa parity == fb,
+    −d otherwise, equal cell sizes): both margins are flat, so SS_A ==
+    SS_B == 0 exactly and ALL signal lands in the interaction —
+    SS_AB == N·d² cents² with the within-cell noise zero."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        anova_twoway,
+    )
+
+    per, d = 250, 300  # cents
+    rows = []
+    for a in range(2):
+        for b in range(2):
+            val = 10_000 + (d if a == b else -d)
+            rows += [(f"t{a}", b, val / 100.0)] * per
+    ev = spark.createDataFrame(rows, "fa string, fb long, value double")
+    r = anova_twoway(ev).collect()[0]
+    n = 4 * per
+    assert r["ss_a"] == 0.0 and r["ss_b"] == 0.0
+    assert r["ss_ab"] == n * d * d / 10000.0
+    # zero within-cell variance → residual pole → guarded NULL F's
+    assert r["ss_within"] == 0.0
+    assert r["fa_micro"] is None and r["fab_micro"] is None
