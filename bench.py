@@ -242,6 +242,7 @@ HEADLINE = [
     "graph_jaccard_minhash",
     "ml_ridge_normal_eq",
     "stats_anova_twoway",
+    "privacy_t_closeness",
 ]
 
 

@@ -846,3 +846,171 @@ def privacy_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 privacy_dp_release.__doc__ = privacy_dp_release.__doc__.format(b=_DP_EPS_INV)
+
+
+# --------------------------------------------------------------------------
+# Privacy audit III: t-closeness (ordered EMD vs the global distribution)
+# --------------------------------------------------------------------------
+
+_TCLOSE_T_MICRO = 200_000  # t = 0.2
+
+# Per-band EMD contribution: |cum_g/n_g − cum_all/N| cleared to the
+# common denominator — cum_g·N − cum_all·n_g is an exact integer, so the
+# per-band pin is exact and the cross-band sum order-free. Products run
+# in doubles cast from exact bigints (identical in both engines; the
+# int64 product would overflow first — the memory'd CAPM lesson).
+_TCLOSE_TERM = (
+    "CAST(round(abs(CAST(cum_g AS DOUBLE) * n_total"
+    " - CAST(cum_all AS DOUBLE) * n_g)) AS BIGINT)"
+)
+
+_TCLOSE_EMD = (
+    "CAST(round(1000000.0 * CAST(emd_sum AS DOUBLE)"
+    " / (CAST(n_g AS DOUBLE) * n_total * (m_bands - 1))) AS BIGINT)"
+)
+
+_TCLOSE_ORACLE = f"""
+WITH base AS (
+    SELECT c_nationkey AS nation, c_mktsegment AS segment,
+           CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band
+    FROM customer
+),
+cnt AS (
+    SELECT nation, segment, band, CAST(COUNT(*) AS BIGINT) AS n_gv
+    FROM base GROUP BY 1, 2, 3
+),
+bands AS (
+    SELECT band, CAST(SUM(n_gv) AS BIGINT) AS n_v FROM cnt GROUP BY band
+),
+grps AS (
+    SELECT nation, segment, CAST(SUM(n_gv) AS BIGINT) AS n_g
+    FROM cnt GROUP BY 1, 2
+),
+tot AS (
+    SELECT CAST(SUM(n_v) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS m_bands
+    FROM bands
+),
+dense AS (
+    SELECT g.nation, g.segment, g.n_g, b.band, b.n_v,
+           COALESCE(c.n_gv, 0) AS n_gv
+    FROM grps g
+    CROSS JOIN bands b
+    LEFT JOIN cnt c ON c.nation = g.nation AND c.segment = g.segment
+                   AND c.band = b.band
+),
+cums AS (
+    SELECT nation, segment, n_g, band,
+           CAST(SUM(n_gv) OVER (PARTITION BY nation, segment
+                ORDER BY band
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_g,
+           CAST(SUM(n_v) OVER (PARTITION BY nation, segment
+                ORDER BY band
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_all
+    FROM dense
+),
+emd AS (
+    SELECT nation, segment, n_g,
+           CAST(SUM({_TCLOSE_TERM.replace("n_total", "t.n_total")})
+                AS BIGINT) AS emd_sum
+    FROM cums CROSS JOIN tot t
+    GROUP BY 1, 2, 3
+)
+SELECT e.nation, e.segment, e.n_g AS n_records,
+       {_TCLOSE_EMD.replace("n_total", "t.n_total")
+                   .replace("m_bands", "t.m_bands")} AS emd_micro,
+       {_TCLOSE_EMD.replace("n_total", "t.n_total")
+                   .replace("m_bands", "t.m_bands")}
+           <= {_TCLOSE_T_MICRO} AS t_close
+FROM emd e CROSS JOIN tot t
+ORDER BY e.nation, e.segment
+"""
+
+
+@query("privacy_t_closeness", oracle=_TCLOSE_ORACLE)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (Li, Li & Venkatasubramanian 2007) — the third tier
+    of the release-readiness audit: k-anonymity stops linkage,
+    l-diversity stops a constant sensitive value, but a group whose
+    sensitive DISTRIBUTION is skewed far from the global one still
+    leaks (everyone in the group is *probably* in the top band). Per
+    quasi-identifier group (nation, segment), the ordered Earth Mover's
+    Distance between the group's balance-band distribution and the
+    global one, flagged against t = {t}.
+
+    Exactness: ordered 1-D EMD = mean |cumulative difference|; each
+    band's |cum_g/n_g − cum_all/N| clears to the common denominator
+    where cum_g·N − cum_all·n_g is an EXACT integer — pinned per band,
+    so the cross-band sum is an exact bigint and the final division one
+    deterministic double expression.
+
+    Scale shape: one partial-aggregated shuffle to (QI, band) counts
+    (dust — bands are bounded), lazily checkpointed (it feeds the band
+    margins, group margins, and dense grid — the stats-family one-scan
+    discipline); the dense grid is groups × bands dust, the cumulative
+    windows run inside each QI partition, and no fact-sized data moves
+    after the first reduction.
+    """
+    cust = table(spark, sf_dir, "customer")
+    cnt = (
+        cust.select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("band"),
+        )
+        .groupBy("nation", "segment", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gv"))
+        .localCheckpoint(eager=False)
+    )
+    bands = cnt.groupBy("band").agg(F.sum("n_gv").cast("long").alias("n_v"))
+    grps = cnt.groupBy("nation", "segment").agg(
+        F.sum("n_gv").cast("long").alias("n_g")
+    )
+    tot = bands.agg(
+        F.sum("n_v").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("m_bands"),
+    )
+    dense = (
+        grps.crossJoin(F.broadcast(bands))
+        .join(cnt, ["nation", "segment", "band"], "left")
+        .select(
+            "nation",
+            "segment",
+            "n_g",
+            "band",
+            "n_v",
+            F.coalesce("n_gv", F.lit(0)).cast("long").alias("n_gv"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("nation", "segment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = dense.select(
+        "nation",
+        "segment",
+        "n_g",
+        "band",
+        F.sum("n_gv").over(wcum).cast("long").alias("cum_g"),
+        F.sum("n_v").over(wcum).cast("long").alias("cum_all"),
+    )
+    emd = (
+        cums.crossJoin(F.broadcast(tot))
+        .groupBy("nation", "segment", "n_g", "n_total", "m_bands")
+        .agg(F.sum(F.expr(_TCLOSE_TERM)).cast("long").alias("emd_sum"))
+    )
+    return emd.select(
+        "nation",
+        "segment",
+        F.col("n_g").alias("n_records"),
+        F.expr(_TCLOSE_EMD).alias("emd_micro"),
+        (F.expr(_TCLOSE_EMD) <= _TCLOSE_T_MICRO).alias("t_close"),
+    ).orderBy("nation", "segment")
+
+
+privacy_t_closeness.__doc__ = privacy_t_closeness.__doc__.format(
+    t=_TCLOSE_T_MICRO / 1e6
+)

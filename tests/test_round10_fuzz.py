@@ -463,3 +463,38 @@ def test_twoway_pure_interaction_design(spark):
     # zero within-cell variance → residual pole → guarded NULL F's
     assert r["ss_within"] == 0.0
     assert r["fa_micro"] is None and r["fab_micro"] is None
+
+
+def test_t_closeness_closed_form_extremes(spark):
+    """Two-band design with a 50/50 global split: a group living
+    entirely in one band has ordered EMD exactly 0.5 (emd_micro
+    500000, not t-close at t=0.2); a group mirroring the global
+    distribution has EMD exactly 0."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.dq import (
+        privacy_t_closeness,
+    )
+
+    rows = []
+    # groups 'LOW'/'HIGH' are one-band; 'MIX' mirrors the global 50/50
+    for i in range(100):
+        rows.append((1, "LOW", 500.0))      # band 0
+        rows.append((1, "HIGH", 1500.0))    # band 1
+        rows.append((1, "MIX", 500.0 if i % 2 == 0 else 1500.0))
+    df = spark.createDataFrame(
+        rows, "c_nationkey long, c_mktsegment string, c_acctbal double"
+    )
+    import etl_pipeline_with_alpha_vantage_spark.operators.dq as dqmod
+    import etl_pipeline_with_alpha_vantage_spark.catalog as cat
+
+    orig = cat.table
+    try:
+        dqmod.table = lambda spark_, sf_dir_, name_: df
+        got = {
+            r.segment: (r.emd_micro, r.t_close)
+            for r in privacy_t_closeness(spark, "ignored").collect()
+        }
+    finally:
+        dqmod.table = orig
+    assert got["LOW"] == (500_000, False)
+    assert got["HIGH"] == (500_000, False)
+    assert got["MIX"] == (0, True)
