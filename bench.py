@@ -243,6 +243,8 @@ HEADLINE = [
     "ml_ridge_normal_eq",
     "stats_anova_twoway",
     "privacy_t_closeness",
+    "graph_clustering_global",
+    "graph_assortativity",
 ]
 
 

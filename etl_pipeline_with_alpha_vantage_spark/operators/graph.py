@@ -203,7 +203,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_JACCARD = 0.2  # pair-graph edge threshold
 _TRI_DF_CAP = 50    # drop shingles shared by > 50 docs (stopword shingles)
 
-_TRI_ORACLE = f"""
+# Shared CTE prefix (documents → near-duplicate pair edges) for the
+# triangle and clustering-coefficient oracles.
+_TRI_CTE_PREFIX = f"""
 WITH docs AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
@@ -230,7 +232,9 @@ pairs AS (
     JOIN sizes sb ON sb.doc_id = inter.doc_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
           >= {_TRI_JACCARD}
-),
+)"""
+
+_TRI_ORACLE = f"""{_TRI_CTE_PREFIX},
 deg AS (
     SELECT n, COUNT(*) AS d FROM (
         SELECT doc_a AS n FROM pairs UNION ALL SELECT doc_b FROM pairs
@@ -287,6 +291,22 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation-independent. Everything is integer arithmetic and exact
     division-compares — bit-stable on any engine or partitioning.
     """
+    return oriented_triangles(_dedup_pair_edges(spark, sf_dir))
+
+
+def _dedup_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-duplicate pair graph (doc_a < doc_b) behind
+    graph_triangles and graph_clustering_global: DF-capped trigram
+    inverted index → Jaccard-thresholded pairs, checkpointed (the edge
+    list feeds many self-join roles) and memoized on the session so the
+    two queries share one materialization per (session, sf_dir)."""
+    from ..catalog import _session_cache  # noqa: PLC0415
+
+    cache = _session_cache(spark)
+    key = ("dedup_pair_edges", sf_dir)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
     docs = spread(table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
         F.size("toks") >= 3
@@ -341,7 +361,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # list once — same discipline as CC's per-sweep checkpoint.
         .localCheckpoint(eager=False)
     )
-    return oriented_triangles(pairs)
+    cache[key] = pairs
+    return pairs
 
 
 def oriented_triangles(pairs: DataFrame) -> DataFrame:
@@ -1267,3 +1288,199 @@ def jaccard_minhash_scored(
 graph_jaccard_minhash.__doc__ = graph_jaccard_minhash.__doc__.format(
     cap=_JMH_HUB_CAP, k=32
 )
+
+
+# --------------------------------------------------------------------------
+# Graph topology metrics: global clustering coefficient + assortativity
+# --------------------------------------------------------------------------
+
+_CLUST_ORACLE = f"""{_TRI_CTE_PREFIX},
+deg AS (
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT doc_a AS n FROM pairs UNION ALL SELECT doc_b FROM pairs
+    ) GROUP BY n
+),
+eo AS (
+    SELECT CASE WHEN (da.d, p.doc_a) < (db.d, p.doc_b)
+                THEN p.doc_a ELSE p.doc_b END AS u,
+           CASE WHEN (da.d, p.doc_a) < (db.d, p.doc_b)
+                THEN p.doc_b ELSE p.doc_a END AS v
+    FROM pairs p
+    JOIN deg da ON da.n = p.doc_a
+    JOIN deg db ON db.n = p.doc_b
+),
+tri AS (
+    SELECT t1.u FROM eo t1
+    JOIN eo t2 ON t2.u = t1.v
+    JOIN eo t3 ON t3.u = t1.u AND t3.v = t2.v
+),
+agg AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT CAST(SUM(CAST(floor(d * (d - 1) / 2.0) AS BIGINT))
+                   AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges = 0 THEN NULL
+            ELSE CAST(round(1000000.0 * 3.0 * n_triangles / n_wedges)
+                 AS BIGINT) END AS clustering_micro
+FROM agg
+"""
+
+
+@query("graph_clustering_global", oracle=_CLUST_ORACLE)
+def graph_clustering_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the
+    near-duplicate pair graph: C = 3·triangles / wedges — the one
+    number that says whether near-dup pairs clump into dense boilerplate
+    clusters (C → 1, canonical-corpus picking pays off) or form thin
+    chains (C → 0, pairwise dedup suffices). Composes the two existing
+    exact kernels: the session-shared DF-capped pair graph
+    (_dedup_pair_edges — ONE materialization serves this and
+    graph_triangles) and the degree-ordered triangle enumeration
+    (oriented_triangles, O(sqrt(E)) wedge fan-out per node).
+
+    Exactness: triangles and wedges are exact integer counts; wedges
+    Σ d(d−1)/2 is exact through the double floor (integer-valued and
+    < 2^53 for d < 9.4e7); the coefficient is one deterministic double
+    division micro-pinned, NULL on the wedge-free degenerate graph.
+    """
+    return clustering_global_from(_dedup_pair_edges(spark, sf_dir))
+
+
+def clustering_global_from(pairs: DataFrame) -> DataFrame:
+    """Transitivity core over any undirected (doc_a, doc_b) edge list
+    (each edge once, endpoints distinct); see graph_clustering_global.
+    Closed-form-tested on K4 (C = 1) and a path (C = 0)."""
+    deg = (
+        pairs.select(F.col("doc_a").alias("n"))
+        .unionAll(pairs.select(F.col("doc_b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    counts = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("CAST(floor(d * (d - 1) / 2.0) AS BIGINT)"))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_tri = oriented_triangles(pairs).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    return (
+        counts.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN n_wedges = 0 THEN NULL"
+                " ELSE CAST(round(1000000.0 * 3.0 * n_triangles"
+                " / n_wedges) AS BIGINT) END"
+            ).alias("clustering_micro"),
+        )
+    )
+
+
+# Degree assortativity: Newman's r over the directed-both-ways edge
+# list — the moments are exact bigints, the clearing products run in
+# doubles cast from them (the int64 product would overflow first), and
+# by symmetry Σx = Σy / Σx² = Σy², so one moment set serves both ends.
+_ASSORT_R_EXPR = (
+    "CASE WHEN CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0"
+    " THEN NULL"
+    " ELSE CAST(round(1000000.0"
+    " * (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)"
+    " / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+    " AS BIGINT) END"
+)
+
+_ASSORT_ORACLE = f"""
+WITH sp AS (
+    SELECT DISTINCT CAST(l_suppkey * 2 AS BIGINT) AS src,
+                    CAST(l_partkey * 2 + 1 AS BIGINT) AS dst
+    FROM lineitem
+),
+und AS (
+    SELECT src, dst FROM sp
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM sp
+),
+deg AS (
+    SELECT src AS n, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY src
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(da.d) AS BIGINT) AS sx,
+           CAST(SUM(da.d * da.d) AS BIGINT) AS sxx,
+           CAST(SUM(da.d * db.d) AS BIGINT) AS sxy
+    FROM und e
+    JOIN deg da ON da.n = e.src
+    JOIN deg db ON db.n = e.dst
+)
+SELECT m AS n_directed_edges, sx, sxx, sxy,
+       {_ASSORT_R_EXPR} AS assortativity_micro
+FROM mom
+"""
+
+
+@query("graph_assortativity", oracle=_ASSORT_ORACLE)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the co-supply bipartite
+    graph: the Pearson correlation of endpoint degrees over the
+    directed-both-ways edge list — positive means hubs link to hubs
+    (a skew-join risk concentrates), negative means hubs fan out to
+    leaves (bipartite fact graphs typically anti-correlate). The
+    topology number that predicts whether the wedge-join family's hub
+    caps will actually bind at 100 TB.
+
+    Exactness: degrees are exact integer counts; the four moments
+    (m, Σx, Σx², Σxy) are exact bigint sums on any partitioning
+    (d² ≤ 2^63/|E| bounds degrees at ~3e6 for a billion-edge graph —
+    past that, pre-scale like functions/exact.py documents); the
+    clearing products (m·Σxy − ΣxΣy) run in doubles cast from exact
+    bigints — the int64 product would overflow first (the CAPM
+    lesson). By symmetry of the doubled edge list Σx = Σy and
+    Σx² = Σy², so the correlation needs ONE moment set. Scale shape:
+    the shared cached co-supply fixture, one broadcast-joined degree
+    tag per endpoint, one partial-aggregated global moment row. NULL
+    on the regular-graph pole (zero degree variance).
+    """
+    edges = _cosupply_edges(spark, sf_dir).select("src", "dst")
+    return assortativity_from(edges)
+
+
+def assortativity_from(edges: DataFrame) -> DataFrame:
+    """Assortativity core over any directed-both-ways (src, dst) edge
+    list; see graph_assortativity. Closed-form-tested on a star graph
+    (r = −1 exactly)."""
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    da = deg.select(F.col("src"), F.col("d").alias("xd"))
+    dd = deg.select(F.col("src").alias("dst"), F.col("d").alias("yd"))
+    mom = (
+        edges.join(F.broadcast(da), "src")
+        .join(F.broadcast(dd), "dst")
+        .select(
+            F.col("xd").cast("long").alias("xd"),
+            F.col("yd").cast("long").alias("yd"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("xd").cast("long").alias("sx"),
+            F.sum(F.col("xd") * F.col("xd")).cast("long").alias("sxx"),
+            F.sum(F.col("xd") * F.col("yd")).cast("long").alias("sxy"),
+        )
+    )
+    return mom.select(
+        F.col("m").alias("n_directed_edges"),
+        "sx",
+        "sxx",
+        "sxy",
+        F.expr(_ASSORT_R_EXPR).alias("assortativity_micro"),
+    )

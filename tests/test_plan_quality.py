@@ -117,6 +117,7 @@ _NESTED_LOOP_OK = {
     "stats_games_howell",  # k-row group self-join (non-equi pair orient)
     "stats_anova_twoway",  # 1-row A-margin + 1-row B-margin broadcasts
     "privacy_t_closeness",  # bounded band-grid + 1-row totals broadcasts
+    "graph_clustering_global",  # two 1-row count broadcasts (edges, tri)
 }
 
 

@@ -498,3 +498,50 @@ def test_t_closeness_closed_form_extremes(spark):
     assert got["LOW"] == (500_000, False)
     assert got["HIGH"] == (500_000, False)
     assert got["MIX"] == (0, True)
+
+
+def test_clustering_global_closed_forms(spark):
+    """K4: every one of the 12 wedges closes (C = 1, T = 4). A 5-node
+    path: 3 wedges, none close (C = 0)."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.graph import (
+        clustering_global_from,
+    )
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "doc_a long, doc_b long",
+    )
+    r = clustering_global_from(k4).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.clustering_micro == 1_000_000
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "doc_a long, doc_b long"
+    )
+    r = clustering_global_from(path).collect()[0]
+    assert (r.n_wedges, r.n_triangles, r.clustering_micro) == (3, 0, 0)
+
+
+def test_assortativity_star_is_minus_one(spark):
+    """A star graph is maximally disassortative: every edge pairs the
+    degree-k hub with a degree-1 leaf, so r = −1 exactly. A cycle is
+    degree-regular — zero degree variance — and must NULL, not Inf."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.graph import (
+        assortativity_from,
+    )
+
+    k = 40
+    und = [(0, i) for i in range(1, k + 1)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    r = assortativity_from(edges).collect()[0]
+    assert r.n_directed_edges == 2 * k
+    assert r.assortativity_micro == -1_000_000
+
+    cyc = [(i, (i + 1) % 10) for i in range(10)]
+    edges = spark.createDataFrame(
+        cyc + [(b, a) for a, b in cyc], "src long, dst long"
+    )
+    r = assortativity_from(edges).collect()[0]
+    assert r.assortativity_micro is None
