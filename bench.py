@@ -245,6 +245,7 @@ HEADLINE = [
     "privacy_t_closeness",
     "graph_clustering_global",
     "graph_assortativity",
+    "trend_mann_kendall_seasonal",
 ]
 
 

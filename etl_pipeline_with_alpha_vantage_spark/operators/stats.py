@@ -2514,3 +2514,98 @@ def anova_twoway(frame: DataFrame) -> DataFrame:
             )
         ).alias("fab_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal Mann–Kendall (Hirsch–Slack) — trend through seasonality
+# --------------------------------------------------------------------------
+
+# Same identical-SQL-text device as trend_mann_kendall: the readout
+# below runs verbatim on Spark (over the checkpointed `monthly` view)
+# and inside the DuckDB oracle's WITH chain.
+_SMK_READOUT_SQL = """
+WITH pairs AS (
+    SELECT a.nation,
+           CASE WHEN b.rev_cents > a.rev_cents THEN 1
+                WHEN b.rev_cents < a.rev_cents THEN -1
+                ELSE 0 END AS sgn
+    FROM monthly a
+    JOIN monthly b ON b.nation = a.nation
+                  AND b.ym % 100 = a.ym % 100
+                  AND b.ym > a.ym
+),
+s_stat AS (
+    SELECT nation, CAST(SUM(sgn) AS BIGINT) AS s FROM pairs GROUP BY nation
+),
+seas AS (
+    SELECT nation, ym % 100 AS season, CAST(COUNT(*) AS BIGINT) AS n
+    FROM monthly GROUP BY 1, 2
+),
+ties AS (
+    SELECT nation, season,
+           CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+    FROM (SELECT nation, ym % 100 AS season, CAST(COUNT(*) AS BIGINT) AS t
+          FROM monthly GROUP BY nation, ym % 100, rev_cents)
+    GROUP BY 1, 2
+),
+var18 AS (
+    SELECT s.nation,
+           CAST(SUM(s.n * (s.n - 1) * (2 * s.n + 5)
+                    - COALESCE(t.tie_term, 0)) AS BIGINT) AS var18
+    FROM seas s
+    LEFT JOIN ties t ON t.nation = s.nation AND t.season = s.season
+    GROUP BY s.nation
+),
+counts AS (
+    SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_months
+    FROM monthly GROUP BY nation
+)
+SELECT c.nation,
+       c.n_months,
+       s.s AS s_stat,
+       v.var18,
+       CASE WHEN v.var18 = 0 THEN NULL
+            ELSE CAST(round(
+                (s.s - CASE WHEN s.s > 0 THEN 1
+                            WHEN s.s < 0 THEN -1 ELSE 0 END)
+                / sqrt(v.var18 / 18.0) * 1000000) AS BIGINT) END AS z_micro
+FROM counts c
+JOIN s_stat s ON s.nation = c.nation
+JOIN var18 v ON v.nation = c.nation
+ORDER BY c.nation
+"""
+
+_SMK_ORACLE = (
+    "WITH monthly AS ("
+    + _MK_MONTHLY_SQL
+    + "), "
+    + _SMK_READOUT_SQL.lstrip()[len("WITH ") :]
+)
+
+
+@query("trend_mann_kendall_seasonal", oracle=_SMK_ORACLE)
+def trend_mann_kendall_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann–Kendall (Hirsch & Slack 1984): the trend monitor
+    for metrics with a seasonal cycle — plain MK reads December-vs-July
+    level shifts as "trend", so it compares values ONLY within the same
+    calendar month across years: S = Σ_seasons S_season, 18·Var =
+    Σ_seasons [n(n−1)(2n+5) − tie term] per season, z with the
+    continuity correction. The standard companion the hydrology
+    literature built for exactly the revenue-style series
+    trend_mann_kendall watches.
+
+    Same exactness device as the plain test: S and 18·Var are exact
+    integers, z is one identical IEEE sqrt/divide text on both engines,
+    and the season key ym % 100 is pure integer arithmetic. The
+    degenerate pole (every season a singleton → zero variance) NULLs
+    in both engines. Scale shape unchanged: one partial-aggregated
+    reduction to nations×months dust (the checkpointed `monthly` view
+    shared with MK/Theil–Sen), then the within-season pair enumeration
+    runs on 1/12th of even that dust's pair count.
+    """
+    for t in ("orders", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    spark.sql(_MK_MONTHLY_SQL).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("monthly")
+    return spark.sql(_SMK_READOUT_SQL)

@@ -545,3 +545,42 @@ def test_assortativity_star_is_minus_one(spark):
     )
     r = assortativity_from(edges).collect()[0]
     assert r.assortativity_micro is None
+
+
+def test_seasonal_mk_closed_forms(spark):
+    """Designed series over 6 years × 12 months: (a) strictly rising
+    within every calendar month → every within-season pair is +1, so
+    S = 12·C(6,2) = 180 exactly with the no-ties variance; (b) a pure
+    seasonal cycle (every year identical) → all within-season pairs
+    tied, S = 0 and zero variance → guarded NULL z."""
+    import math
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        _SMK_READOUT_SQL,
+    )
+
+    years, months = 6, 12
+    rising = [
+        (0, (1992 + y) * 100 + m + 1, 1000 + 50 * y + 7 * m)
+        for y in range(years)
+        for m in range(months)
+    ]
+    seasonal = [
+        (1, (1992 + y) * 100 + m + 1, 1000 + 900 * m)
+        for y in range(years)
+        for m in range(months)
+    ]
+    spark.createDataFrame(
+        rising + seasonal, "nation long, ym long, rev_cents long"
+    ).createOrReplaceTempView("monthly")
+    got = {r.nation: r for r in spark.sql(_SMK_READOUT_SQL).collect()}
+
+    s = 12 * years * (years - 1) // 2
+    var18 = 12 * years * (years - 1) * (2 * years + 5)
+    z = (s - 1) / math.sqrt(var18 / 18.0)
+    r0 = got[0]
+    assert (r0.n_months, r0.s_stat, r0.var18) == (72, s, var18)
+    assert r0.z_micro == round(z * 1e6)
+
+    r1 = got[1]
+    assert (r1.s_stat, r1.var18, r1.z_micro) == (0, 0, None)
