@@ -246,6 +246,7 @@ HEADLINE = [
     "graph_clustering_global",
     "graph_assortativity",
     "trend_mann_kendall_seasonal",
+    "eval_model_brier",
 ]
 
 

@@ -1676,3 +1676,85 @@ def eval_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Model Brier score: mean squared probability error for the scorer
+# --------------------------------------------------------------------------
+
+_BRIER_ORACLE = f"""
+WITH feats AS (
+    SELECT source,
+           len(string_split(text, ' ')) AS n_tok,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq,
+           length(text) - (len(string_split(text, ' ')) - 1) AS word_chars
+    FROM documents
+),
+scored AS (
+    SELECT source,
+           {_CAL_SCORE_SQL} AS score_micro,
+           CASE WHEN n_uniq * 10 >= 7 * n_tok THEN 1 ELSE 0 END AS y
+    FROM feats
+),
+err AS (
+    SELECT source, y,
+           (score_micro - 1000000 * y) * (score_micro - 1000000 * y) AS e
+    FROM scored
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(round(CAST(SUM(e) AS DOUBLE) / COUNT(*) / 1000000.0)
+            AS BIGINT) AS brier_micro
+FROM err
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("eval_model_brier", oracle=_BRIER_ORACLE)
+def eval_model_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score per source for the deployed quality scorer — the
+    strictly proper scoring rule that completes the eval triad:
+    calibration bins show WHERE the scorer drifts, AUC shows whether it
+    RANKS, Brier = mean (p̂ − y)² penalizes both at once (and, unlike
+    AUC, punishes a well-ranked but mis-scaled scorer). Same
+    integer-exact TTR reference label as the siblings.
+
+    Exactness: per-doc squared error (score_micro − 1e6·y)² is an exact
+    integer ≤ 1e12, so the per-source sum is an exact bigint on any
+    partitioning (headroom to ~9e6 docs/source; past that pre-scale the
+    pin to centi-units, the functions/exact.py discipline) and the mean
+    is one deterministic double division, micro-pinned. Scale shape:
+    the same zero-shuffle scoring chain as text_quality_model, then one
+    partial-aggregated rollup on the source key.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    word_chars = F.length("text") - (n_tok - 1)
+    z = (
+        F.lit(_QM_W[0])
+        + _QM_W[1] * (n_tok.cast("double") / 100)
+        + _QM_W[2] * (n_uniq.cast("double") / n_tok)
+        + _QM_W[3] * (word_chars.cast("double") / n_tok / 10)
+    )
+    score_micro = F.round(
+        (1.0 / (1.0 + F.exp(-z))) * 1_000_000
+    ).cast("long")
+    y = F.when(n_uniq * 10 >= 7 * n_tok, 1).otherwise(0).cast("long")
+    e = (score_micro - 1_000_000 * y) * (score_micro - 1_000_000 * y)
+    return (
+        docs.select("source", y.alias("y"), e.alias("e"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.expr(
+                "CAST(round(CAST(SUM(e) AS DOUBLE) / COUNT(*)"
+                " / 1000000.0) AS BIGINT)"
+            ).alias("brier_micro"),
+        )
+        .orderBy("source")
+    )

