@@ -830,14 +830,31 @@ def graph_linkpred_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ra_scored_pairs(
-    sp: DataFrame, hub_cap: int = _RA_HUB_CAP
+    sp: DataFrame,
+    hub_cap: int = _RA_HUB_CAP,
+    wedge_observation=None,
 ) -> DataFrame:
     """RA scoring core over any distinct (supp, part) bipartite edge
     frame: degree-capped wedge self-join keyed on the shared neighbor,
     exact integer micro-weights 1/deg. Volume invariants (proven at 1M
     edges by tests/test_scale_smoke.py): wedge count == Σ C(d, 2) and
     Σ ra_micro over all pairs == Σ C(d, 2)·round(1e6/d) over kept
-    degrees — the closed forms the hub cap is sized against."""
+    degrees — the closed forms the hub cap is sized against.
+
+    The hub cap is PHYSICAL, not just logical: the kept-parts list is
+    joined onto BOTH inputs of the self-join (plain join carrying
+    w_micro on one side, left-semi on the other), so a super-hub part
+    never enters the wedge expansion at all. The naive formulation —
+    self-join first, cap-join after — passes every output assertion
+    while still materializing ~d²/2 intermediate rows per hub, because
+    Catalyst executes joins in the written order (no CBO reorder);
+    tests/test_round11_plans.py pins the fixed shape with a plan-walk
+    AND an Observation row counter on the wedge stage.
+
+    ``wedge_observation``: an optional ``pyspark.sql.Observation``;
+    when given, a count metric named ``wedges`` is attached to the
+    post-join wedge stage so tests can assert the INTERMEDIATE volume
+    (== Σ C(d_kept, 2)), which output-side assertions cannot see."""
     deg = (
         sp.groupBy("part")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
@@ -847,13 +864,18 @@ def ra_scored_pairs(
             F.expr("CAST(round(1000000.0 / d) AS BIGINT)"),
         )
     )
-    a = sp.select("part", F.col("supp").alias("supp_a"))
-    b = sp.select("part", F.col("supp").alias("supp_b"))
-    wedges = (
-        a.join(b, "part")
-        .filter(F.col("supp_a") < F.col("supp_b"))
-        .join(deg.select("part", "w_micro"), "part")
+    kept = deg.select("part", "w_micro")
+    a = sp.join(kept, "part").select(
+        "part", "w_micro", F.col("supp").alias("supp_a")
     )
+    b = sp.join(kept.select("part"), "part", "semi").select(
+        "part", F.col("supp").alias("supp_b")
+    )
+    wedges = a.join(b, "part").filter(F.col("supp_a") < F.col("supp_b"))
+    if wedge_observation is not None:
+        wedges = wedges.observe(
+            wedge_observation, F.count(F.lit(1)).alias("wedges")
+        )
     return wedges.groupBy("supp_a", "supp_b").agg(
         F.sum("w_micro").cast("long").alias("ra_micro"),
         F.count(F.lit(1)).cast("long").alias("n_common"),
@@ -928,11 +950,20 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def jaccard_scored_pairs(sp: DataFrame) -> DataFrame:
+def jaccard_scored_pairs(
+    sp: DataFrame, wedge_observation=None
+) -> DataFrame:
     """Jaccard scoring core over any distinct (supp, part) frame;
     closed-form-proven at volume (block design: every within-block pair
     scores exactly g/(g+2), cross-block pairs impossible, private
-    degree-1 parts pruned losslessly) by tests/test_scale_smoke.py."""
+    degree-1 parts pruned losslessly) by tests/test_scale_smoke.py.
+
+    The degree-1 prune is PHYSICAL: pdeg is left-semi-joined onto BOTH
+    self-join inputs, so private parts never enter the wedge expansion
+    (the prior expand-then-filter shape paid the full Σ d² before
+    discarding — see ra_scored_pairs). ``wedge_observation`` attaches a
+    ``wedges`` count metric to the post-join stage for intermediate-
+    volume tests."""
     pdeg = (
         sp.groupBy("part")
         .agg(F.count(F.lit(1)).alias("pd"))
@@ -940,13 +971,16 @@ def jaccard_scored_pairs(sp: DataFrame) -> DataFrame:
         .select("part")
     )
     sdeg = sp.groupBy("supp").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    a = sp.select("part", F.col("supp").alias("supp_a"))
-    b = sp.select("part", F.col("supp").alias("supp_b"))
+    sp_k = sp.join(pdeg, "part", "semi")
+    a = sp_k.select("part", F.col("supp").alias("supp_a"))
+    b = sp_k.select("part", F.col("supp").alias("supp_b"))
+    wedges = a.join(b, "part").filter(F.col("supp_a") < F.col("supp_b"))
+    if wedge_observation is not None:
+        wedges = wedges.observe(
+            wedge_observation, F.count(F.lit(1)).alias("wedges")
+        )
     common = (
-        a.join(b, "part")
-        .filter(F.col("supp_a") < F.col("supp_b"))
-        .join(pdeg, "part")
-        .groupBy("supp_a", "supp_b")
+        wedges.groupBy("supp_a", "supp_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
     da = sdeg.select(F.col("supp").alias("supp_a"), F.col("d").alias("da"))
@@ -1130,7 +1164,9 @@ def graph_jaccard_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets shrink as hub-set similarity falls (identical hub sets
     always collide — that is LSH's contract, and such pairs' estimates
     are EXACT since their signatures agree everywhere), and a
-    broadcast-joined scoring pass on the candidate dust. Accuracy and
+    scoring pass joining degrees/signatures onto the candidate dust
+    (unhinted — those tables are O(V); AQE broadcasts the small side at
+    test scale and shuffle-joins at fact scale). Accuracy and
     skew-boundedness are pinned by a designed 1500-supplier volume test
     with a genuine 1500-degree super-hub
     (tests/test_round10_fuzz.py).
@@ -1145,10 +1181,29 @@ def graph_jaccard_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def jaccard_minhash_scored(
-    sp: DataFrame, hub_cap: int = _JMH_HUB_CAP
+    sp: DataFrame,
+    hub_cap: int = _JMH_HUB_CAP,
+    wedge_observation=None,
 ) -> DataFrame:
     """Hybrid exact/MinHash Jaccard core over any distinct (supp, part)
-    frame; see graph_jaccard_minhash."""
+    frame; see graph_jaccard_minhash.
+
+    Two plan properties are load-bearing at 100 TB (round-11 fixes,
+    pinned by tests/test_round11_plans.py):
+
+    * the ≤cap `lo` filter is applied to BOTH wedge-join inputs BEFORE
+      the self-join (left-semi each side), so a super-hub part never
+      materializes intermediate wedges — the prior shape joined `lo`
+      after the expansion and paid ~d²/2 rows per hub first;
+    * none of the O(V) tables (lo/hub part lists, per-supplier degree
+      and signature tables) carries a forced ``F.broadcast`` — they
+      scale linearly with the graph, and a forced hint on a 10⁸-row
+      "dimension" is a driver-heap OOM. AQE broadcasts them when they
+      are actually small; the only residual hints in this file are
+      provably bounded dust.
+
+    ``wedge_observation`` attaches a ``wedges`` count metric to the
+    exact-side post-join stage for intermediate-volume tests."""
     from .dedup import (  # noqa: PLC0415
         _base60,
         _member_coeffs,
@@ -1171,17 +1226,20 @@ def jaccard_minhash_scored(
         F.count(F.lit(1)).cast("long").alias("d")
     )
 
-    a = sp.select("part", F.col("supp").alias("supp_a"))
-    b = sp.select("part", F.col("supp").alias("supp_b"))
+    sp_lo = sp.join(lo, "part", "semi")
+    a = sp_lo.select("part", F.col("supp").alias("supp_a"))
+    b = sp_lo.select("part", F.col("supp").alias("supp_b"))
+    wedges_lo = a.join(b, "part").filter(F.col("supp_a") < F.col("supp_b"))
+    if wedge_observation is not None:
+        wedges_lo = wedges_lo.observe(
+            wedge_observation, F.count(F.lit(1)).alias("wedges")
+        )
     cand_lo = (
-        a.join(b, "part")
-        .filter(F.col("supp_a") < F.col("supp_b"))
-        .join(F.broadcast(lo), "part")
-        .groupBy("supp_a", "supp_b")
+        wedges_lo.groupBy("supp_a", "supp_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_lo"))
     )
 
-    hsp = sp.join(F.broadcast(hub), "part").select(
+    hsp = sp.join(hub, "part", "semi").select(
         "supp", _base60(F.col("part").cast("string")).alias("h")
     )
     sig = hsp.groupBy("supp").agg(
@@ -1247,10 +1305,10 @@ def jaccard_minhash_scored(
     da = sdeg.select(F.col("supp").alias("supp_a"), F.col("d").alias("d_a"))
     db = sdeg.select(F.col("supp").alias("supp_b"), F.col("d").alias("d_b"))
     scored = (
-        cand.join(F.broadcast(sa), "supp_a", "left")
-        .join(F.broadcast(sb), "supp_b", "left")
-        .join(F.broadcast(da), "supp_a")
-        .join(F.broadcast(db), "supp_b")
+        cand.join(sa, "supp_a", "left")
+        .join(sb, "supp_b", "left")
+        .join(da, "supp_a")
+        .join(db, "supp_b")
         .select(
             "supp_a",
             "supp_b",
@@ -1446,9 +1504,11 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigints — the int64 product would overflow first (the CAPM
     lesson). By symmetry of the doubled edge list Σx = Σy and
     Σx² = Σy², so the correlation needs ONE moment set. Scale shape:
-    the shared cached co-supply fixture, one broadcast-joined degree
-    tag per endpoint, one partial-aggregated global moment row. NULL
-    on the regular-graph pole (zero degree variance).
+    the shared cached co-supply fixture, one degree tag joined per
+    endpoint (unhinted — the degree table is O(V), so AQE picks the
+    strategy; a forced broadcast would OOM the driver on a billion-node
+    graph), one partial-aggregated global moment row. NULL on the
+    regular-graph pole (zero degree variance).
     """
     edges = _cosupply_edges(spark, sf_dir).select("src", "dst")
     return assortativity_from(edges)
@@ -1463,9 +1523,11 @@ def assortativity_from(edges: DataFrame) -> DataFrame:
     )
     da = deg.select(F.col("src"), F.col("d").alias("xd"))
     dd = deg.select(F.col("src").alias("dst"), F.col("d").alias("yd"))
+    # deg is O(V) — never force-broadcast a table that scales with the
+    # graph; AQE broadcasts it when it is actually small.
     mom = (
-        edges.join(F.broadcast(da), "src")
-        .join(F.broadcast(dd), "dst")
+        edges.join(da, "src")
+        .join(dd, "dst")
         .select(
             F.col("xd").cast("long").alias("xd"),
             F.col("yd").cast("long").alias("yd"),

@@ -203,10 +203,18 @@ def test_jaccard_minhash_superhub_volume_and_accuracy(spark):
     super-hub contributes signature rows, never wedges; (b) every
     exact-path (within-block) pair survives with its exact
     n_common_lo; (c) the sketch estimate tracks the true full-set
-    Jaccard within the K=32 MinHash error envelope."""
+    Jaccard within the K=32 MinHash error envelope; (d — round 11) the
+    INTERMEDIATE wedge volume, observed ON the wedge stage, equals
+    Σ C(d_kept, 2) exactly — output counts alone could not distinguish
+    a physical cap from an expand-then-discard plan."""
     import statistics
+    from collections import Counter
+    from math import comb
+
+    from pyspark.sql import Observation
 
     from etl_pipeline_with_alpha_vantage_spark.operators.graph import (
+        _JMH_HUB_CAP,
         jaccard_minhash_scored,
     )
 
@@ -220,10 +228,22 @@ def test_jaccard_minhash_superhub_volume_and_accuracy(spark):
         sets[s] = frozenset(ps)
         rows += [(s, p) for p in ps]
     sp = spark.createDataFrame(rows, "supp long, part long")
-    got = jaccard_minhash_scored(sp).collect()
+    obs = Observation()
+    got = jaccard_minhash_scored(sp, wedge_observation=obs).collect()
 
     # (a) skew-boundedness: 63k candidates measured vs 1.12M all-pairs.
     assert len(got) < 100_000, len(got)
+
+    # (d) physical cap: wedge-stage rows == Σ C(d_kept, 2) — the
+    # super-hub and family-hub parts (d > cap) contribute ZERO.
+    pdeg = Counter(p for _, p in rows)
+    expected_wedges = sum(
+        comb(d, 2) for d in pdeg.values() if 2 <= d <= _JMH_HUB_CAP
+    )
+    assert obs.get["wedges"] == expected_wedges, (
+        obs.get,
+        expected_wedges,
+    )
 
     # (b)+(c): exact path intact, estimates inside the sketch envelope.
     errs, block_pairs = [], set()
