@@ -388,7 +388,7 @@ def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.percentile("value", 0.5).alias("med"))
         .localCheckpoint(eager=False)
     )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(  # bounded: enum/bucket-keyed rollup (bounded group count)
         "adev", F.abs(F.col("value") - F.col("med"))
     )
     madt = (
@@ -397,7 +397,7 @@ def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     return (
-        dev.join(F.broadcast(madt), "event_type")
+        dev.join(F.broadcast(madt), "event_type")  # bounded: enum/bucket-keyed rollup (bounded group count)
         .groupBy("event_type", "med", "mad")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -469,7 +469,7 @@ def agg_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
     )
     return (
-        o.crossJoin(F.broadcast(b))
+        o.crossJoin(F.broadcast(b))  # bounded: 1-row global aggregate
         .groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -544,7 +544,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     recency = F.datediff(
         F.col("corpus_last").cast("date"), F.col("last_order").cast("date")
     ).cast("long")
-    return per_cust.crossJoin(F.broadcast(b)).select(
+    return per_cust.crossJoin(F.broadcast(b)).select(  # bounded: 1-row global aggregate
         "custkey",
         recency.alias("recency_days"),
         F.col("frequency").cast("long").alias("frequency"),
@@ -672,7 +672,7 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(fa, "part_a")
         .join(fb, "part_b")
-        .crossJoin(F.broadcast(n_orders))
+        .crossJoin(F.broadcast(n_orders))  # bounded: 1-row global aggregate
         .select(
             "part_a",
             "part_b",
@@ -798,7 +798,7 @@ def agg_exact_median_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_row = vals.agg(F.count(F.lit(1)).alias("n"))
     # k1/k2: 1-based middle order statistics (equal when n is odd)
     targets = (
-        cum.join(F.broadcast(n_row))
+        cum.join(F.broadcast(n_row))  # bounded: 1-row global aggregate
         .withColumn("k1", (F.col("n") + 1) / 2)
         .withColumn("k2", (F.col("n") + 2) / 2)
         .select(
@@ -932,8 +932,8 @@ def abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = rev.agg(F.sum("rev_cents").alias("t"))
     cum = (
-        local.join(F.broadcast(prior), "bucket")
-        .join(F.broadcast(tot))
+        local.join(F.broadcast(prior), "bucket")  # bounded: enum/bucket-keyed rollup (bounded group count)
+        .join(F.broadcast(tot))  # bounded: 1-row global aggregate
         .withColumn("cum_cents", F.col("offset") + F.col("local_cum"))
     )
     share = F.col("cum_cents").cast("double") / F.col("t")
@@ -1035,7 +1035,7 @@ def agg_exact_percentiles_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         targets, "pct double, tb long, trank long, w double"
     )
     picked = ranked.join(
-        F.broadcast(tdf),
+        F.broadcast(tdf),  # bounded: query/probe-set dust (N_QUERIES-bounded)
         (ranked["b"] == tdf["tb"]) & (ranked["rn"] == tdf["trank"]),
     )
     return picked.groupBy("pct").agg(
@@ -1288,8 +1288,8 @@ def churn_rate_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     churned = (F.col("last_order") < F.col("cutoff")).cast("long")
     return (
         lastorder.join(cust, lastorder.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .crossJoin(F.broadcast(horizon))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)  # bounded: fixed dim (nation 25 / region 5 rows)
+        .crossJoin(F.broadcast(horizon))  # bounded: 1-row global aggregate
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_buyers"),

@@ -121,7 +121,7 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") * 50.0).alias("band_lo"),
         ((F.col("id") + 1) * 50.0).alias("band_hi"),
     )
-    joined = F.broadcast(bands).join(
+    joined = F.broadcast(bands).join(  # bounded: literal 8-row band grid (spark.range)
         ev,
         (ev.value >= bands.band_lo) & (ev.value < bands.band_hi),
         "left",

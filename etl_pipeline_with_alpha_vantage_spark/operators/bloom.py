@@ -143,7 +143,7 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verdicts = (
         fanout(cust, "c_custkey")
-        .join(F.broadcast(bloom), "word", "left")
+        .join(F.broadcast(bloom), "word", "left")  # bounded: bitmap table: <= m/64 words regardless of build size
         .groupBy("c_custkey")
         .agg(
             F.min(

@@ -468,7 +468,7 @@ def cms_audit_heavy_hitters(df, key_col: str, top_k: int):
         F.col("p.cell").alias("cell"),
     )
     est = (
-        F.broadcast(probe_keys)
+        F.broadcast(probe_keys)  # bounded: query/probe-set dust (N_QUERIES-bounded)
         .join(cells, ["depth", "cell"])
         .groupBy(key_col, "exact_cnt")
         .agg(F.min("cnt").alias("cms_est"))
@@ -885,7 +885,7 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        cnts.join(F.broadcast(ratio), "bucket")
+        cnts.join(F.broadcast(ratio), "bucket")  # bounded: enum/bucket-keyed rollup (bounded group count)
         .groupBy("doc_id")
         .agg(
             F.sum(F.col("cnt") * F.col("lr_micro"))
@@ -992,7 +992,7 @@ def corpus_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, bc: F.concat(a, F.lit(" "), bc),
     )
     grams = (
-        toks.crossJoin(F.broadcast(mx))
+        toks.crossJoin(F.broadcast(mx))  # bounded: 1-row global aggregate
         .select(
             F.floor(
                 F.col("doc_id") * float(_NOVELTY_BATCHES) / F.col("m")
@@ -1127,7 +1127,7 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim", F.col("e").alias("ce")
         )
         return (
-            pts.join(F.broadcast(center), "dim")
+            pts.join(F.broadcast(center), "dim")  # bounded: per-dimension constants (d-bounded)
             .groupBy("vec_id")
             .agg(
                 F.sum(
@@ -1324,7 +1324,7 @@ def neyman_sample(
         ).alias("w_micro"),
     )
     tot = wts.agg(F.sum("w_micro").cast("long").alias("wsum"))
-    alloc = wts.crossJoin(F.broadcast(tot)).select(
+    alloc = wts.crossJoin(F.broadcast(tot)).select(  # bounded: 1-row global aggregate
         "event_type",
         "nh",
         F.expr(
@@ -1341,7 +1341,7 @@ def neyman_sample(
     )
     wrank = Window.orderBy(F.col("frac").desc(), "event_type")
     final_alloc = (
-        alloc.crossJoin(F.broadcast(short))
+        alloc.crossJoin(F.broadcast(short))  # bounded: 1-row global aggregate
         .withColumn("pri", F.row_number().over(wrank))
         .select(
             "event_type",
@@ -1358,7 +1358,7 @@ def neyman_sample(
         "rn", F.row_number().over(wpick)
     )
     return (
-        ranked.join(F.broadcast(final_alloc), "event_type")
+        ranked.join(F.broadcast(final_alloc), "event_type")  # bounded: enum/bucket-keyed rollup (bounded group count)
         .filter(F.col("rn") <= F.col("k"))
         .select("event_type", "event_id")
     )

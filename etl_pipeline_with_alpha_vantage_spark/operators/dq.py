@@ -265,8 +265,12 @@ def gdpr_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     dsr = ev.filter(F.col("user_id") % 1000 < 5).select("user_id").distinct()
+    # dsr is user-scaled (grows with the fact table) — unhinted: AQE
+    # broadcasts the typical dust-sized erasure list at runtime and
+    # falls back to a shuffle join for a bulk-erasure batch instead of
+    # forcing an unbounded build side onto the driver (round 11).
     flagged = ev.join(
-        F.broadcast(dsr.withColumn("purge", F.lit(1))), "user_id", "left"
+        dsr.withColumn("purge", F.lit(1)), "user_id", "left"
     ).select(
         "event_type",
         "user_id",
@@ -864,9 +868,15 @@ _TCLOSE_TERM = (
     " - CAST(cum_all AS DOUBLE) * n_g)) AS BIGINT)"
 )
 
+# m_bands = 1 degenerate (every balance in one band): the normalizer
+# n_g*n_total*(m_bands-1) is 0 and 0/0 = NaN — Spark's CAST(NaN AS
+# BIGINT) yields 0 while DuckDB's raises, so BOTH engines guard to NULL
+# (the _WELCH_F_EXPR pole pattern; one-band case in the degenerate
+# fuzz tests).
 _TCLOSE_EMD = (
-    "CAST(round(1000000.0 * CAST(emd_sum AS DOUBLE)"
-    " / (CAST(n_g AS DOUBLE) * n_total * (m_bands - 1))) AS BIGINT)"
+    "CASE WHEN m_bands <= 1 THEN NULL"
+    " ELSE CAST(round(1000000.0 * CAST(emd_sum AS DOUBLE)"
+    " / (CAST(n_g AS DOUBLE) * n_total * (m_bands - 1))) AS BIGINT) END"
 )
 
 _TCLOSE_ORACLE = f"""
@@ -973,7 +983,7 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("m_bands"),
     )
     dense = (
-        grps.crossJoin(F.broadcast(bands))
+        grps.crossJoin(F.broadcast(bands))  # bounded: fixed quantile band grid
         .join(cnt, ["nation", "segment", "band"], "left")
         .select(
             "nation",
@@ -998,7 +1008,7 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_v").over(wcum).cast("long").alias("cum_all"),
     )
     emd = (
-        cums.crossJoin(F.broadcast(tot))
+        cums.crossJoin(F.broadcast(tot))  # bounded: 1-row global aggregate
         .groupBy("nation", "segment", "n_g", "n_total", "m_bands")
         .agg(F.sum(F.expr(_TCLOSE_TERM)).cast("long").alias("emd_sum"))
     )

@@ -1428,8 +1428,8 @@ def clustering_global_from(pairs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
     return (
-        counts.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(n_tri))
+        counts.crossJoin(F.broadcast(n_edges))  # bounded: 1-row global aggregate
+        .crossJoin(F.broadcast(n_tri))  # bounded: 1-row global aggregate
         .select(
             "n_nodes",
             "n_edges",

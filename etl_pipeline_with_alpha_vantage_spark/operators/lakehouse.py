@@ -483,7 +483,7 @@ def mor_read(
     dv_df = spark.read.parquet(dv)
     delta_df = spark.read.parquet(delta)
     return base_df.join(
-        F.broadcast(dv_df), ["c_custkey", "c_mktsegment"], "left_anti"
+        F.broadcast(dv_df), ["c_custkey", "c_mktsegment"], "left_anti"  # bounded: deletion vector (change-set-sized by contract)
     ).unionByName(delta_df)
 
 

@@ -143,7 +143,7 @@ def ml_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(0.0, 0.0, 0.0)], "b double, w1 double, w2 double"
     )
     for _ in range(_GD_ITERS):
-        j = feats.crossJoin(F.broadcast(weights))
+        j = feats.crossJoin(F.broadcast(weights))  # bounded: 1-row weight vector
         resid = (
             1.0
             / (
@@ -168,7 +168,7 @@ def ml_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g2"),
             F.count(F.lit(1)).alias("n"),
         )
-        weights = weights.crossJoin(F.broadcast(g)).select(
+        weights = weights.crossJoin(F.broadcast(g)).select(  # bounded: 1-row global aggregate
             (
                 F.col("b")
                 - _GD_LR
@@ -188,7 +188,7 @@ def ml_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1_000_000.0
             ).alias("w2"),
         )
-    final = feats.crossJoin(F.broadcast(weights))
+    final = feats.crossJoin(F.broadcast(weights))  # bounded: 1-row weight vector
     p = 1.0 / (
         1.0
         + F.exp(
@@ -321,8 +321,8 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tot"),
     )
     priors = (
-        cls.crossJoin(F.broadcast(n_train))
-        .crossJoin(F.broadcast(vocab))
+        cls.crossJoin(F.broadcast(n_train))  # bounded: 1-row global aggregate
+        .crossJoin(F.broadcast(vocab))  # bounded: 1-row distinct-count
         .select(
             "lang",
             F.round(
@@ -343,7 +343,7 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         train.groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .join(cls.select("lang", "tot"), "lang")
-        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(vocab))  # bounded: 1-row distinct-count
         .select(
             "lang",
             "tok",
@@ -364,7 +364,7 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "logp_micro",
     )
     scored = (
-        test_tok.crossJoin(F.broadcast(priors))
+        test_tok.crossJoin(F.broadcast(priors))  # bounded: enum/bucket-keyed rollup (bounded group count)
         .join(
             model,
             (F.col("m_lang") == F.col("cls_lang"))
@@ -688,7 +688,7 @@ def stump_best_split(examples: DataFrame) -> DataFrame:
         F.sum("p").cast("long").alias("p_total"),
     )
     scored = (
-        pre.crossJoin(F.broadcast(tot))
+        pre.crossJoin(F.broadcast(tot))  # bounded: 1-row global aggregate
         .filter(F.col("nl") < F.col("n_total"))
         .select(
             F.col("q").alias("split_q"),

@@ -194,7 +194,7 @@ def pack_greedy_blocked(
         return pdf.drop(columns=["_blk", "_bin_base", "_state_in"])
 
     return (
-        blocked.join(F.broadcast(inc_df), key_cols)
+        blocked.join(F.broadcast(inc_df), key_cols)  # bounded: per-block offsets: corpus/BLOCK rows (~1e-4 of docs)
         .groupBy(*key_cols)
         .applyInPandas(replay, out_schema)
     )

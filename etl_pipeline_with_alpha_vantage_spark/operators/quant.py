@@ -1249,7 +1249,7 @@ def capm_beta(ev: DataFrame) -> DataFrame:
         .alias("mret_micro"),
     ).filter(F.col("mret_micro").isNotNull())
 
-    joined = rets.join(F.broadcast(mrets), "bar").select(
+    joined = rets.join(F.broadcast(mrets), "bar").select(  # bounded: per-bar market series (time-grid, not data-scaled)
         "event_type",
         F.col("ret_micro").alias("ra"),
         F.col("mret_micro").alias("rm"),

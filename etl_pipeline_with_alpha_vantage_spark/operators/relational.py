@@ -270,8 +270,8 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
-    dims = F.broadcast(
-        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+    dims = F.broadcast(  # bounded: fixed dims: nation join region (25 rows)
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(  # bounded: fixed dim (nation 25 / region 5 rows)
             "n_nationkey", "n_name", "r_name"
         )
     )

@@ -105,12 +105,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_c = F.round(F.col("l_discount") * 100).cast("long")
     return (
-        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),  # bounded: fixed dim (nation 25 / region 5 rows)
                c.c_nationkey == n.n_nationkey)
         .join(o, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            F.broadcast(s),  # bounded: filtered supplier dim (fact/10^5); author-known bound
             (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .groupBy("n_name")
@@ -707,7 +707,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)  # bounded: fixed dim (nation, 25 rows)
     )
     return (
         joined.groupBy("c_custkey", "c_name", "n_name")
@@ -760,7 +760,7 @@ def part_brand_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
     ).cast("long")
     rev = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)  # bounded: filtered part dim (fact/10^4); author-known bound the size-only estimator lacks
         .groupBy("p_brand", "p_partkey")
         .agg(F.sum(rev4).alias("rev4"))
     )
@@ -816,7 +816,7 @@ def percentile_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("p50"),
         F.percentile_approx("value", 0.95, 10000).alias("p95"),
     )
-    j = ev.join(F.broadcast(sk), "event_type")
+    j = ev.join(F.broadcast(sk), "event_type")  # bounded: enum/bucket-keyed rollup (bounded group count)
     counted = j.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.count_if(F.col("value") < F.col("p50")).alias("lt50"),

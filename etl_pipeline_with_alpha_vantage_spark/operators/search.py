@@ -235,7 +235,7 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = (
         postings.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(corpus))  # bounded: 1-row global aggregate
         .select(
             "tok",
             F.round(
@@ -253,7 +253,7 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     contrib = (
-        postings.join(F.broadcast(idf), "tok")
+        postings.join(F.broadcast(idf), "tok")  # bounded: enum/bucket-keyed rollup (bounded group count)
         .join(lens, "doc_id")
         .select(
             "doc_id",
@@ -420,7 +420,7 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cosines = (
         emb.filter(F.col("vec_id") != _RRF_QUERY_VEC)
-        .crossJoin(F.broadcast(qv))
+        .crossJoin(F.broadcast(qv))  # bounded: query/probe-set dust (N_QUERIES-bounded)
         .select(
             F.col("vec_id").alias("doc_id"),
             F.round(

@@ -105,7 +105,7 @@ def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("qnorm"),
     )
     pairs = emb.join(
-        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")  # bounded: query/probe-set dust (N_QUERIES-bounded)
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -273,7 +273,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_ids = (
         exploded.select("vec_id", "t", "bucket")
         .join(
-            F.broadcast(
+            F.broadcast(  # bounded: query key set (N_QUERIES x n_tables)
                 q.select("query_id", "qt", "qbucket")
             ),
             (F.col("t") == F.col("qt"))
@@ -299,9 +299,9 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = (
-        F.broadcast(cand_ids)
+        F.broadcast(cand_ids)  # bounded: query/probe-set dust (N_QUERIES-bounded)
         .join(corpus_vecs, "neighbor_id")
-        .join(F.broadcast(qvecs), "query_id")
+        .join(F.broadcast(qvecs), "query_id")  # bounded: query/probe-set dust (N_QUERIES-bounded)
         .select(
             "query_id",
             "neighbor_id",
@@ -563,7 +563,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         corpus.join(
-            F.broadcast(probe_df.join(q, "query_id")),
+            F.broadcast(probe_df.join(q, "query_id")),  # bounded: probe fan-out (N_QUERIES x nprobe rows)
             on=["cell"],
         )
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -625,7 +625,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("emb_b"),
         F.col("norm").alias("norm_b"),
     )
-    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b")).select(
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b")).select(  # bounded: brute-force baseline op: corpus-sized BY DESIGN; scale path = semdedup/LSH siblings
         "vec_a",
         "vec_b",
         F.round(
@@ -857,7 +857,7 @@ def _semdedup_block_frame(
         F.lit(1), F.ceil(F.col("_n") / F.lit(int(max_rows)))
     ).cast("int")
     bucketed = emb.join(
-        F.broadcast(sizes.select(cell_col, nb.alias("_nb"))), cell_col
+        F.broadcast(sizes.select(cell_col, nb.alias("_nb"))), cell_col  # bounded: per-IVF-cell sizes (nlist-bounded)
     ).withColumn("bkt", F.pmod(F.col("vec_id"), F.col("_nb")).cast("int"))
     return (
         bucketed.select(
@@ -1083,7 +1083,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("maxs"),
     )
     zipped = (
-        e.join(F.broadcast(ranges))
+        e.join(F.broadcast(ranges))  # bounded: per-dimension constants (d-bounded)
         .select(
             "vec_id",
             F.arrays_zip(
@@ -1195,7 +1195,7 @@ def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("maxs"),
     )
     dbl = F.transform("embedding", lambda v: v.cast("double"))
-    zipped = e.join(F.broadcast(ranges)).select(
+    zipped = e.join(F.broadcast(ranges)).select(  # bounded: per-dimension constants (d-bounded)
         "vec_id",
         F.arrays_zip(
             dbl.alias("x"), F.col("mins").alias("mn"), F.col("maxs").alias("mx")
@@ -1219,7 +1219,7 @@ def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v,
     )
     pairs = corpus.join(
-        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")  # bounded: query/probe-set dust (N_QUERIES-bounded)
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -1563,7 +1563,7 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("s") * F.col("s")).alias("csq"), F.max("n").alias("n")
     )
     per_vec = (
-        elems.join(F.broadcast(cells), ["label", "dim"])
+        elems.join(F.broadcast(cells), ["label", "dim"])  # bounded: per-dimension constants (d-bounded)
         .groupBy("vec_id", "label")
         .agg(
             F.sum(F.col("e") * F.col("e")).alias("qv"),
@@ -1571,7 +1571,7 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scale2 = _SCATTER_SCALE * float(_SCATTER_SCALE)
-    dists = per_vec.join(F.broadcast(label_const), "label").select(
+    dists = per_vec.join(F.broadcast(label_const), "label").select(  # bounded: enum/bucket-keyed rollup (bounded group count)
         "vec_id",
         "label",
         F.round(
@@ -1811,7 +1811,7 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(q, i) for i, q in enumerate(qids)], "query_id long, qidx int"
     )
     scored = (
-        codes.crossJoin(F.broadcast(queries))
+        codes.crossJoin(F.broadcast(queries))  # bounded: query/probe-set dust (N_QUERIES-bounded)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -1923,7 +1923,7 @@ def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("unit").alias("qunit")
     )
     exact = (
-        shortlist.join(F.broadcast(q_units), "query_id")
+        shortlist.join(F.broadcast(q_units), "query_id")  # bounded: query/probe-set dust (N_QUERIES-bounded)
         .join(
             units.select(
                 F.col("vec_id").alias("neighbor_id"), "unit"
@@ -2279,7 +2279,7 @@ def pca_power_sweeps(
     for _ in range(iters):
         u = (
             cells.join(
-                F.broadcast(v.withColumnRenamed("idx", "gj")), "gj"
+                F.broadcast(v.withColumnRenamed("idx", "gj")), "gj"  # bounded: d-row eigenvector (PCA dim)
             )
             .groupBy("gi")
             .agg(
@@ -2431,7 +2431,7 @@ def similarity_lsh_multiprobe_topk(
     )
     cand_ids = (
         exploded.join(
-            F.broadcast(q_probes),
+            F.broadcast(q_probes),  # bounded: query/probe-set dust (N_QUERIES-bounded)
             (F.col("t") == F.col("qt"))
             & (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
@@ -2448,9 +2448,9 @@ def similarity_lsh_multiprobe_topk(
         F.col("norm").alias("qnorm"),
     )
     cand = (
-        F.broadcast(cand_ids)
+        F.broadcast(cand_ids)  # bounded: query/probe-set dust (N_QUERIES-bounded)
         .join(corpus_vecs, "neighbor_id")
-        .join(F.broadcast(qvecs), "query_id")
+        .join(F.broadcast(qvecs), "query_id")  # bounded: query/probe-set dust (N_QUERIES-bounded)
         .select(
             "query_id",
             "neighbor_id",

@@ -81,7 +81,7 @@ def pareto_frontier(
         .select(cost_col, "_max_gain")
     )
     return (
-        df.join(F.broadcast(frontier), cost_col)
+        df.join(F.broadcast(frontier), cost_col)  # bounded: prefix-max frontier (<= cost-bucket grid)
         .filter(F.col(gain_col) == F.col("_max_gain"))
         .drop("_max_gain")
     )
@@ -671,7 +671,7 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 2
     )
     per_user = (
-        ev.crossJoin(F.broadcast(span))
+        ev.crossJoin(F.broadcast(span))  # bounded: 1-row global aggregate
         .groupBy("user_id")
         .agg(
             F.first(arm).alias("arm"),
@@ -714,7 +714,7 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_x = F.sum("x_c") / 100.0 / F.count(F.lit(1))
     mean_y = F.sum("y_c") / 100.0 / F.count(F.lit(1))
     return (
-        per_user.crossJoin(F.broadcast(theta))
+        per_user.crossJoin(F.broadcast(theta))  # bounded: 1-row global aggregate
         .groupBy("arm")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
@@ -834,7 +834,7 @@ def ab_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hit = F.col("action") == F.col("target_action")
     weighted = (
-        logs.join(F.broadcast(target), "ctx")
+        logs.join(F.broadcast(target), "ctx")  # bounded: enum/bucket-keyed rollup (bounded group count)
         .groupBy("ctx", "target_action")
         .agg(
             F.count(F.lit(1)).alias("n_logged"),
@@ -1588,7 +1588,7 @@ def ks_statistic(base: DataFrame) -> DataFrame:
         F.sum("n_b").cast("long").alias("nb"),
     )
     agg = (
-        p.join(F.broadcast(tot), "grp")
+        p.join(F.broadcast(tot), "grp")  # bounded: k-row per-group totals (bounded group count)
         .groupBy("grp", "na", "nb")
         .agg(
             F.max(
@@ -1792,7 +1792,7 @@ def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = raw.groupBy("event_type").agg(
         F.round(2 * F.median("c")).cast("long").alias("med2")
     )
-    z = raw.join(F.broadcast(med), "event_type").select(
+    z = raw.join(F.broadcast(med), "event_type").select(  # bounded: enum/bucket-keyed rollup (bounded group count)
         "event_type",
         (F.abs(2 * F.col("c") - F.col("med2")) / 100.0).alias("value"),
     )
@@ -1830,9 +1830,15 @@ _WELCH_WM_PIN = (
     " ELSE CAST(round(CAST(s_pin AS DOUBLE) * s / n) AS BIGINT) END"
 )
 
-# Between-group term s_pin·(mean−x̄w)², carried at micro downscale so
-# s_pin·dm² (≤ 1e12·1e12) re-fits int64; the 1e6 factor is restored in
-# the final F expression.
+# Between-group term s_pin·(mean−x̄w)², carried at micro downscale; the
+# 1e6 factor is restored in the final F expression. DOMAIN BOUND (r11,
+# corrected): A_pin = s_pin·dm²/1e6 with s_pin ≤ 1e12, so the
+# max-weight group overflows int64 once |mean_j − x̄w| exceeds
+# √(2^63/1e6) ≈ 3.0e6 cents (~$30k mean deviation for the
+# lowest-variance group). Past that pole Spark's non-ANSI double→bigint
+# CAST clamps while DuckDB raises — the bound is asserted against the
+# fixture in tests/test_round11_fuzz.py; re-pin to 1e9 if a future
+# corpus's dominant group can deviate further.
 _WELCH_A_PIN = (
     "CASE WHEN w_raw IS NULL OR ssum <= 0 THEN CAST(0 AS BIGINT)"
     " ELSE CAST(round(CAST(s_pin AS DOUBLE)"
@@ -1968,7 +1974,7 @@ def welch_anova(frame: DataFrame) -> DataFrame:
         ).alias("any_bad"),
         F.max("w_raw").alias("wmax"),
     )
-    gs = gw.crossJoin(F.broadcast(tot0)).select(
+    gs = gw.crossJoin(F.broadcast(tot0)).select(  # bounded: 1-row global aggregate
         "event_type",
         "n",
         "s",
@@ -1984,7 +1990,7 @@ def welch_anova(frame: DataFrame) -> DataFrame:
         F.sum(F.expr(_WELCH_WM_PIN)).cast("long").alias("wmsum"),
     )
     fin = (
-        gs.crossJoin(F.broadcast(tot1))
+        gs.crossJoin(F.broadcast(tot1))  # bounded: 1-row global aggregate
         .groupBy("n_total", "k_groups", "any_bad", "wmax", "ssum")
         .agg(
             F.sum(F.expr(_WELCH_A_PIN)).cast("long").alias("asum"),
@@ -2170,7 +2176,7 @@ def kruskal_wallis(base: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("k_groups"),
     )
     hsum = (
-        per_g.crossJoin(F.broadcast(tot0))
+        per_g.crossJoin(F.broadcast(tot0))  # bounded: 1-row global aggregate
         .groupBy("n_total", "k_groups")
         .agg(
             F.sum(F.expr(_KW_TERM_EXPR)).cast("long").alias("hterm_sum")
@@ -2183,7 +2189,7 @@ def kruskal_wallis(base: DataFrame) -> DataFrame:
         .cast("long")
         .alias("tie")
     )
-    return hsum.crossJoin(F.broadcast(ties)).select(
+    return hsum.crossJoin(F.broadcast(ties)).select(  # bounded: 1-row global aggregate
         "n_total", "k_groups", "tie", F.expr(_KW_H_EXPR).alias("h_micro")
     )
 
@@ -2305,7 +2311,7 @@ def games_howell(frame: DataFrame) -> DataFrame:
         F.col("s").alias("s_b"),
         F.col("q").alias("q_b"),
     )
-    pairs = a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+    pairs = a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))  # bounded: k-row per-group moment table (bounded group count)
     return pairs.select(
         "grp_a",
         "grp_b",
@@ -2480,8 +2486,8 @@ def anova_twoway(frame: DataFrame) -> DataFrame:
         .agg(F.sum(F.expr(_TW_RAW)).cast("long").alias("ss_b_raw"))
     )
     fin = (
-        tot.crossJoin(F.broadcast(ma))
-        .crossJoin(F.broadcast(mb))
+        tot.crossJoin(F.broadcast(ma))  # bounded: 1-row global aggregate
+        .crossJoin(F.broadcast(mb))  # bounded: 1-row global aggregate
         .select(
             "n_total",
             "a_levels",

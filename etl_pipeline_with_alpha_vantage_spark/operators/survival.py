@@ -110,7 +110,7 @@ def churn_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.to_date("o_orderdate")).alias("last_d"),
     )
     mx = orders.agg(F.max(F.to_date("o_orderdate")).alias("mx"))
-    flagged = per.crossJoin(F.broadcast(mx)).select(
+    flagged = per.crossJoin(F.broadcast(mx)).select(  # bounded: 1-row global aggregate
         "t_days",
         F.when(
             F.datediff(F.col("mx"), F.col("last_d")) < _KM_HORIZON_DAYS, 0

@@ -419,7 +419,7 @@ def encode_categoricals(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.dense_rank().over(Window.orderBy("source")) - 1).cast("long"),
         )
     )
-    return docs.select("doc_id", "source").join(F.broadcast(vocab), "source").select(
+    return docs.select("doc_id", "source").join(F.broadcast(vocab), "source").select(  # bounded: distinct sources (enum-sized)
         "doc_id", "source", "source_id"
     )
 
@@ -538,7 +538,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # .count() action: declaring it keeps query construction lazy and
     # lets Catalyst serve the count from parquet row-group metadata.
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = tf.join(df, "term").join(F.broadcast(n)).select(
+    scored = tf.join(df, "term").join(F.broadcast(n)).select(  # bounded: 1-row global aggregate
         "doc_id",
         "term",
         "tf",
@@ -919,7 +919,8 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled-cents aggregates.
 
     Scale shape: one explode → (term) partial-agg shuffle builds the
-    vocabulary (dimension-sized — broadcastable the way freq dims are);
+    vocabulary (vocabulary-scaled, so the join is UNhinted — AQE
+    broadcasts it while it fits and shuffle-joins past that);
     token rows join it and collapse map-side onto doc_id. The corpus
     token count is a 1-row broadcast. At 100 TB: two fact-sized
     shuffles (vocab build, per-doc agg), no sort, no window.
@@ -931,8 +932,11 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     n = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
     scored = (
-        toks.join(F.broadcast(vocab), "term")
-        .crossJoin(F.broadcast(n))
+        # vocab is corpus-vocabulary-scaled — unhinted (round 11): AQE
+        # broadcasts it while small; a 100 TB corpus's 10⁸-term vocab
+        # shuffle-joins instead of OOMing the driver.
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(n))  # bounded: 1-row corpus token count
         .select(
             "doc_id",
             F.round(
@@ -1028,9 +1032,13 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("tok").alias("v"))
     )
     scored = (
-        bg.join(F.broadcast(bc), ["w1", "w2"])
-        .join(F.broadcast(uc), "w1")
-        .crossJoin(F.broadcast(v))
+        # bc/uc are corpus-VOCABULARY-scaled (bigram/unigram count
+        # tables) — unhinted: AQE broadcasts them while small and
+        # shuffle-joins a 100 TB corpus's billion-row bigram table
+        # instead of OOMing the driver (round 11; the graph-kernel rule).
+        bg.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(v))  # bounded: 1-row global count_distinct
         .select(
             "doc_id",
             F.round(
@@ -1106,7 +1114,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_VOCAB_TOPK)
         .select("tok", F.lit(1).alias("in_vocab"))
     )
-    tagged = toks.join(F.broadcast(vocab), "tok", "left")
+    tagged = toks.join(F.broadcast(vocab), "tok", "left")  # bounded: top-K-limited vocab (_VOCAB_TOPK)
     return (
         tagged.groupBy("source")
         .agg(

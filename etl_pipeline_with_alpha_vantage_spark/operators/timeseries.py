@@ -1275,7 +1275,7 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "doc_id", F.row_number().over(w).alias("rn")
     )
     return (
-        ranked.join(F.broadcast(quota))
+        ranked.join(F.broadcast(quota))  # bounded: enum/bucket-keyed rollup (bounded group count)
         .filter(F.col("rn") <= F.col("q"))
         .select("lang", "doc_id")
     )
@@ -2423,7 +2423,7 @@ def seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("seasonal_micro")
     )
     return (
-        det.join(F.broadcast(seas), "weekday")
+        det.join(F.broadcast(seas), "weekday")  # bounded: enum/bucket-keyed rollup (bounded group count)
         .select(
             "epoch_day",
             "n_rows",
@@ -2617,7 +2617,7 @@ def anomaly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("event_type").orderBy("day")
     cusum = (
-        daily.join(F.broadcast(tot), "event_type")
+        daily.join(F.broadcast(tot), "event_type")  # bounded: 1-row global aggregate
         .withColumn(
             "cusum_scaled",
             F.sum(

@@ -330,7 +330,7 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", toks(sym).alias("chars"), toks(enc).alias("toks"))
     )
     return (
-        occ.join(F.broadcast(vocab), "word")
+        occ.join(F.broadcast(vocab), "word")  # bounded: BPE vocab: alphabet + n_merges (config-capped)
         .groupBy("source")
         .agg(
             F.sum("n_occ").alias("n_words"),

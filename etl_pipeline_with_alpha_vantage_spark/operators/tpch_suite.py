@@ -141,11 +141,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19")
     ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
     return (
-        li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
-        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)  # bounded: filtered supplier dim (fact/10^5); author-known bound
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))  # bounded: fixed dim (nation 25 / region 5 rows)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
-        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))  # bounded: fixed dim (nation 25 / region 5 rows)
         .filter(pair)
         .groupBy(
             "supp_nation",
@@ -213,13 +213,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _rev_c()
     nat7 = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)  # bounded: filtered part dim (fact/10^4); author-known bound the size-only estimator lacks
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
-        .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
-        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n1_region"))
-        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
-        .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))  # bounded: fixed dim (nation 25 / region 5 rows)
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n1_region"))  # bounded: fixed dim (nation 25 / region 5 rows)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)  # bounded: filtered supplier dim (fact/10^5); author-known bound
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))  # bounded: fixed dim (nation 25 / region 5 rows)
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             (F.sum(nat7).cast("double") / F.sum(rev).cast("double")).alias(
@@ -269,10 +269,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", F.col("n_name").alias("nation")
     )
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
-        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)  # bounded: filtered part dim (fact/10^4); author-known bound the size-only estimator lacks
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)  # bounded: filtered supplier dim (fact/10^5); author-known bound
         .join(o, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))  # bounded: fixed dim (nation, 25 rows)
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg((F.sum(_rev_c()) / 1_000_000.0).cast("double").alias("profit"))
     )
@@ -405,7 +405,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _rev_c()
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)  # bounded: filtered part dim (fact/10^4); author-known bound the size-only estimator lacks
         .agg(
             (
                 F.lit(100.0)
@@ -460,8 +460,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_rev = revenue.agg(F.max("rev_c").alias("max_rev_c"))
     return (
-        revenue.join(F.broadcast(max_rev), F.col("rev_c") == F.col("max_rev_c"))
-        .join(F.broadcast(s), s.s_suppkey == F.col("supplier_no"))
+        revenue.join(F.broadcast(max_rev), F.col("rev_c") == F.col("max_rev_c"))  # bounded: 1-row global aggregate
+        .join(F.broadcast(s), s.s_suppkey == F.col("supplier_no"))  # bounded: filtered supplier dim (fact/10^5); author-known bound
         .select(
             "s_suppkey",
             "s_name",
@@ -513,7 +513,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)  # bounded: filtered part dim (fact/10^4); author-known bound the size-only estimator lacks
         .join(part_avg, F.col("avg_partkey") == li.l_partkey)
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
@@ -623,7 +623,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)  # bounded: filtered part dim (fact/10^4); author-known bound the size-only estimator lacks
         .filter(band)
         .agg(
             (F.sum(_rev_c()) / 1_000_000.0).cast("double").alias("revenue"),
@@ -689,7 +689,7 @@ def q22_dormant_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(davg("c_acctbal").alias("a"))
     )
     eligible = (
-        c.join(F.broadcast(avg_bal))
+        c.join(F.broadcast(avg_bal))  # bounded: 1-row global aggregate
         .filter(
             (F.col("c_acctbal") > F.col("a"))
             & code.isin("13", "31", "23", "29", "30", "18", "17")
@@ -801,7 +801,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
     return (
-        flagged.join(F.broadcast(dim), flagged.l_suppkey == dim.s_suppkey)
+        flagged.join(F.broadcast(dim), flagged.l_suppkey == dim.s_suppkey)  # bounded: filtered supplier dim (fact/10^5); author-known bound
         .groupBy("s_name")
         .agg(F.sum("n_late_items").cast("long").alias("numwait"))
     )
@@ -844,7 +844,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(F.sum(_rev_c()).alias("rev_c"))
     total = per_part.agg(F.sum("rev_c").alias("tot_c"))
     return (
-        per_part.join(F.broadcast(total))
+        per_part.join(F.broadcast(total))  # bounded: 1-row global aggregate
         .filter(F.col("rev_c") * 1500 > F.col("tot_c"))
         .select(
             F.col("l_partkey").alias("partkey"),
@@ -901,8 +901,8 @@ def q16_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").endswith("7")
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)  # bounded: filtered part dim (fact/10^4); author-known bound the size-only estimator lacks
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")  # bounded: filtered supplier denylist (fact/10^5)
         .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -969,7 +969,7 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     return (
         sh.filter(F.col("qty_c") * 8 > F.col("tot_c"))
-        .join(F.broadcast(s), sh.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(s), sh.l_suppkey == s.s_suppkey)  # bounded: filtered supplier dim (fact/10^5); author-known bound
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
     )
@@ -1049,8 +1049,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey",
             (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
         )
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
-        .join(F.broadcast(eu), F.col("l_suppkey") == eu.s_suppkey)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)  # bounded: filtered part dim (fact/10^4); author-known bound the size-only estimator lacks
+        .join(F.broadcast(eu), F.col("l_suppkey") == eu.s_suppkey)  # bounded: supplier x nation x region dim (fact/10^5); hint beats multiplied join size estimate
         .repartition("l_partkey")
         .groupBy("l_partkey", "p_name", "s_name", "n_name", "s_acctbal")
         .agg(F.min("unit").alias("unit_cost"))

@@ -467,7 +467,7 @@ def grouped_minmax_scale_salted(
         F.min("pmin").alias("vmin"), F.max("pmax").alias("vmax")
     )
     return (
-        salted.join(F.broadcast(stats), "event_type")
+        salted.join(F.broadcast(stats), "event_type")  # bounded: enum/bucket-keyed rollup (bounded group count)
         .groupBy("event_type", "salt")
         .applyInPandas(_apply_scale_merged, _SCALE_SCHEMA)
     )

@@ -141,7 +141,7 @@ def export_zorder(
         )
 
     ranked = (
-        df.join(F.broadcast(bounds))
+        df.join(F.broadcast(bounds))  # bounded: 1-row global aggregate
         .withColumn("_zx", scale(col_x, "_xmin", "_xmax"))
         .withColumn("_zy", scale(col_y, "_ymin", "_ymax"))
         .drop("_xmin", "_xmax", "_ymin", "_ymax")

@@ -407,14 +407,17 @@ def enrich_events_with_segment(events: DataFrame, customer: DataFrame) -> DataFr
     a stream-static equi-join is stateless (each micro-batch probes the
     static side), so no watermark is needed and append mode is legal.
 
-    The dim side is explicitly broadcast: at 100 TB of events the static
-    table is re-read per micro-batch, and shipping it to executors once
-    per batch beats shuffling the stream every time.
+    The dim side is deliberately UNhinted (round 11): customer is an
+    O(SF) table, and a forced broadcast of a 10⁹-row dim is a driver
+    OOM. The planner's size-based selection broadcasts it per
+    micro-batch while it fits the threshold (the common case, and what
+    every local run plans) and degrades to a shuffle join instead of
+    crashing when it doesn't.
     """
     dim = customer.select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    return events.join(F.broadcast(dim), "user_id").select(
+    return events.join(dim, "user_id").select(
         "event_id", "user_id", "event_type", "value", "c_mktsegment"
     )
 
