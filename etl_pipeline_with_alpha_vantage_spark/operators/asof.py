@@ -344,6 +344,20 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SECOND", F.col("value").cast("long") * 60, F.col("ts")
         ).alias("e"),
     )
+    return interval_overlap_pairs(iv)
+
+
+def interval_overlap_pairs(
+    iv: DataFrame, candidate_observation=None
+) -> DataFrame:
+    """interval_overlap_join's bucket-block→verify core over any
+    ``(user_id, event_id, s, e)`` interval frame.
+
+    ``candidate_observation``: optional ``pyspark.sql.Observation``
+    attaching a ``candidates`` count metric between the (user, bucket)
+    equi-join and the exact-overlap verify, so volume tests assert the
+    intermediate bucket-candidate mass (Σ over (user, bucket) groups of
+    C(c, 2)) on the executed plan."""
     hour = 3600 * 1_000_000
     bucketed = iv.select(
         "user_id",
@@ -358,14 +372,19 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
+    raw = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.event_id") < F.col("b.event_id")),
+    )
+    if candidate_observation is not None:
+        raw = raw.observe(
+            candidate_observation, F.count(F.lit(1)).alias("candidates")
+        )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.event_id") < F.col("b.event_id"))
-            & (F.col("a.s") < F.col("b.e"))
-            & (F.col("b.s") < F.col("a.e")),
+        raw.filter(
+            (F.col("a.s") < F.col("b.e")) & (F.col("b.s") < F.col("a.e"))
         )
         .select(
             F.col("a.user_id").alias("user_id"),

@@ -912,12 +912,24 @@ def _semdedup_block_pairs(key, pdf):
     )
 
 
-def semdedup_prune(emb: DataFrame, max_rows: int) -> DataFrame:
+def semdedup_prune(
+    emb: DataFrame, max_rows: int, block_observation=None
+) -> DataFrame:
     """Cell-blocked SemDeDup prune over ``(vec_id, cell, emb)`` with the
     blocked (skew-split) kernel: every vector with its closer-duplicate
     count and kept verdict. Exact — blocking changes scheduling, never
-    the pair set."""
+    the pair set.
+
+    ``block_observation``: optional ``pyspark.sql.Observation``
+    attaching a ``replicated`` count metric to the block task frame
+    INSIDE this kernel's own plan, so the Σ s·nb shuffle-volume
+    invariant is measured on the executed prune, not on a separately
+    built twin of the frame."""
     rep = _semdedup_block_frame(emb, max_rows)
+    if block_observation is not None:
+        rep = rep.observe(
+            block_observation, F.count(F.lit(1)).alias("replicated")
+        )
     pairs = rep.groupBy("cell", "bi", "bj").applyInPandas(
         _semdedup_block_pairs, _PAIR_SCHEMA
     )

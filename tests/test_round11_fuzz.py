@@ -105,3 +105,62 @@ def test_brier_int64_headroom_holds_on_fixture(sf_dir):
         "SELECT source, COUNT(*) FROM documents GROUP BY 1"
     ).fetchall():
         assert n < 9_200_000 / 10, (src, n)
+
+
+def test_interval_overlap_candidate_volume_observed_on_kernel(spark):
+    """interval_overlap_pairs' bucket-block volume, measured ON the
+    executed kernel via an Observation between the (user, bucket)
+    equi-join and the exact-overlap verify: candidates == Σ over
+    (user, bucket) groups of C(c, 2). The fixture makes the pre/post
+    gap real: per user and hour, two DISJOINT 10-minute intervals share
+    the hour bucket but never overlap (pruned by the verify), plus one
+    all-day interval overlapping everything."""
+    import datetime as dt
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.asof import (
+        interval_overlap_pairs,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(20):
+        for h in range(24):
+            s1 = base + dt.timedelta(hours=h, minutes=5)
+            s2 = base + dt.timedelta(hours=h, minutes=30)
+            rows.append((u, u * 100 + 2 * h, s1, s1 + dt.timedelta(minutes=10)))
+            rows.append((u, u * 100 + 2 * h + 1, s2, s2 + dt.timedelta(minutes=10)))
+        rows.append((u, u * 100 + 90, base, base + dt.timedelta(hours=24)))
+    iv = spark.createDataFrame(
+        rows, "user_id long, event_id long, s timestamp, e timestamp"
+    )
+    hour = 3600 * 1_000_000
+    bucketed = iv.select(
+        "user_id",
+        "event_id",
+        F.explode(
+            F.sequence(
+                (F.unix_micros("s") / hour).cast("long"),
+                (F.unix_micros("e") / hour).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    expected_cand = (
+        bucketed.groupBy("user_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) DIV 2")).cast("long"))
+        .collect()[0][0]
+    )
+    obs = Observation()
+    got = interval_overlap_pairs(iv, candidate_observation=obs).count()
+    assert obs.get["candidates"] == expected_cand, (
+        obs.get,
+        expected_cand,
+    )
+    # verify prunes: only the all-day interval truly overlaps the
+    # 10-min slots (48 pairs per user); the same-bucket disjoint slot
+    # pairs are discarded by the exact predicate.
+    assert got == 20 * 48
+    assert expected_cand > got  # the observe point is genuinely pre-verify
