@@ -197,6 +197,165 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Personalized PageRank (random walk with restart) over the same fixture
+# --------------------------------------------------------------------------
+
+_PPR_ITERS = 3
+_PPR_INIT = 1_000_000  # initial rank units on each SOURCE node
+_PPR_RESTART = 150_000  # per-iteration restart mass per source node
+# Source set: every 7th supplier (suppkey % 7 == 0) — deterministic from
+# the data, ~14% of supplier nodes. As a node_id predicate:
+# node_id % 2 = 0 (supplier) AND (node_id DIV 2) % 7 = 0.
+_PPR_SRC_SQL = "(node_id % 2 = 0 AND (node_id DIV 2) % 7 = 0)"
+
+
+def ppr_sweeps(edges_deg: DataFrame, iters: int = _PPR_ITERS) -> DataFrame:
+    """Personalized-PageRank iteration core over any (src, dst, outdeg)
+    edge frame whose node ids encode the source predicate
+    ``_PPR_SRC_SQL``: iters × [join(edges, ranks on src) → groupBy(dst)
+    integer sum with restart mass injected ONLY at source nodes].
+    Returns (node_id, rank_units).
+
+    Same all-integer exactness contract as pagerank_sweeps (truncating
+    DIV shares, integer damping — associative on any partitioning, so
+    bit-exact vs the chained-CTE oracle); the restart term is a pure
+    node_id expression, so personalization costs ZERO extra joins. The
+    inflow keyset equals the node set (undirected doubling — every node
+    has in-edges), so no left-join backfill is needed: non-source nodes
+    far from the source set simply carry rank 0 until mass reaches
+    them. shuffle_hash on the rank side keeps the checkpointed edge
+    partitioning; only the rank vector moves per iteration."""
+    restart = F.expr(
+        f"CASE WHEN {_PPR_SRC_SQL} THEN {_PPR_RESTART} ELSE 0 END"
+    )
+    ranks = (
+        edges_deg.select(F.col("src").alias("node_id"))
+        .distinct()
+        .withColumn(
+            "rank_units",
+            F.expr(
+                f"CASE WHEN {_PPR_SRC_SQL} THEN {_PPR_INIT} ELSE 0 END"
+            ).cast("long"),
+        )
+    )
+    for _ in range(iters):
+        ranks = (
+            edges_deg.join(
+                ranks.withColumnRenamed("node_id", "src").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node_id"),
+                F.expr("rank_units DIV outdeg").alias("share"),
+            )
+            .groupBy("node_id")
+            .agg(
+                (restart + F.expr("(850 * sum(share)) DIV 1000"))
+                .cast("long")
+                .alias("rank_units")
+            )
+        )
+    return ranks
+
+
+def _ppr_oracle() -> str:
+    """Chained-CTE replay of the integer personalized-PageRank
+    recurrence (the _pr_oracle builder with a source-predicate restart
+    term; DuckDB's // truncates like Spark's DIV on these non-negative
+    units)."""
+    src = "(n.node_id % 2 = 0 AND (n.node_id // 2) % 7 = 0)"
+    its = []
+    prev = "r0"
+    for k in range(1, _PPR_ITERS + 1):
+        its.append(
+            f"""r{k} AS (
+    SELECT n.node_id,
+           CASE WHEN {src} THEN {_PPR_RESTART} ELSE 0 END
+           + ((850 * COALESCE(SUM(
+               (p.rank_units // d.outdeg)
+           ), 0)) // 1000) AS rank_units
+    FROM nodes n
+    LEFT JOIN edges e ON e.dst = n.node_id
+    LEFT JOIN {prev} p ON p.node_id = e.src
+    LEFT JOIN deg d ON d.node_id = e.src
+    GROUP BY n.node_id
+)"""
+        )
+        prev = f"r{k}"
+    chained = ",\n".join(its)
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT l_suppkey AS suppkey, l_partkey AS partkey FROM lineitem
+),
+edges AS (
+    SELECT suppkey * 2 AS src, partkey * 2 + 1 AS dst FROM pairs
+    UNION ALL
+    SELECT partkey * 2 + 1 AS src, suppkey * 2 AS dst FROM pairs
+),
+nodes AS (
+    SELECT DISTINCT src AS node_id FROM edges
+),
+deg AS (
+    SELECT src AS node_id, COUNT(*) AS outdeg FROM edges GROUP BY src
+),
+r0 AS (
+    SELECT node_id,
+           CASE WHEN node_id % 2 = 0 AND (node_id // 2) % 7 = 0
+                THEN {_PPR_INIT} ELSE 0 END AS rank_units
+    FROM nodes
+),
+{chained}
+SELECT node_id,
+       CASE WHEN node_id % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
+       CAST(node_id // 2 AS BIGINT) AS entity_key,
+       CAST(rank_units AS BIGINT) AS rank_units
+FROM {prev}
+"""
+
+
+@query("graph_pagerank_personalized", oracle=_ppr_oracle())
+def graph_pagerank_personalized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Personalized PageRank / random walk with restart (Haveliwala
+    2002; Tong, Faloutsos & Pan 2006) seeded at every 7th supplier —
+    "which parts and suppliers are most reachable FROM this cohort"
+    rather than graph_pagerank's global centrality. The
+    proximity-scoring primitive behind recommendation ("suppliers like
+    these"), spam/fraud cohort expansion, and seed-set label spreading.
+
+    Exactness and scale shape are graph_pagerank's, unchanged: the
+    session-memoized checkpointed edge fixture shuffles once, each of
+    the {iters} sweeps joins it to the moving integer rank vector
+    (shuffle_hash — the planner can never broadcast the fact-scale
+    edges), and the restart/seed term is a pure node_id expression, so
+    personalization adds zero joins, zero shuffles, and zero float
+    drift (all-integer recurrence, bit-exact vs the chained-CTE
+    oracle). Seeds carry {init} units; per-sweep restart mass is
+    {restart} units per seed with 0.85 integer damping.
+    """
+    edges_deg = _cosupply_edges(spark, sf_dir)
+    ranks = ppr_sweeps(edges_deg, _PPR_ITERS)
+    return ranks.select(
+        "node_id",
+        F.when(F.col("node_id") % 2 == 0, "supplier")
+        .otherwise("part")
+        .alias("node_type"),
+        F.expr("node_id DIV 2").cast("long").alias("entity_key"),
+        F.col("rank_units").cast("long").alias("rank_units"),
+    )
+
+
+graph_pagerank_personalized.__doc__ = (
+    graph_pagerank_personalized.__doc__.format(
+        iters=_PPR_ITERS, init=_PPR_INIT, restart=_PPR_RESTART
+    )
+)
+
+
+# --------------------------------------------------------------------------
 # Triangle enumeration over the near-duplicate pair graph
 # --------------------------------------------------------------------------
 

@@ -164,3 +164,48 @@ def test_interval_overlap_candidate_volume_observed_on_kernel(spark):
     # pairs are discarded by the exact predicate.
     assert got == 20 * 48
     assert expected_cand > got  # the observe point is genuinely pre-verify
+
+
+def test_ppr_sweeps_matches_pure_python_replay(spark):
+    """ppr_sweeps' all-integer recurrence replayed in arbitrary-
+    precision Python on a random bipartite graph. Ids are chosen so the
+    hardcoded seed predicate (even node_id with (id DIV 2) % 7 == 0)
+    selects a known non-empty subset, and the final assertion checks
+    mass genuinely propagated beyond the seeds."""
+    import random
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.graph import (
+        _PPR_INIT,
+        _PPR_RESTART,
+        ppr_sweeps,
+    )
+
+    rng = random.Random(1107)
+    pairs = {
+        (rng.randrange(40) * 2, rng.randrange(40) * 2 + 1)
+        for _ in range(160)
+    }
+    und = [(s, d) for s, d in pairs] + [(d, s) for s, d in pairs]
+    outdeg = {}
+    for s, _ in und:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rows = [(s, d, outdeg[s]) for s, d in und]
+    df = spark.createDataFrame(rows, "src long, dst long, outdeg long")
+
+    def is_src(n):
+        return n % 2 == 0 and (n // 2) % 7 == 0
+
+    ranks = {n: (_PPR_INIT if is_src(n) else 0) for n in outdeg}
+    for _ in range(3):
+        inflow = {n: 0 for n in outdeg}
+        for s, d in und:
+            inflow[d] += ranks[s] // outdeg[s]
+        ranks = {
+            n: (_PPR_RESTART if is_src(n) else 0)
+            + (850 * inflow[n]) // 1000
+            for n in outdeg
+        }
+    got = {r.node_id: r.rank_units for r in ppr_sweeps(df, 3).collect()}
+    assert got == ranks
+    assert any(is_src(n) for n in outdeg)  # seed set non-empty
+    assert any(v > 0 and not is_src(n) for n, v in got.items())
