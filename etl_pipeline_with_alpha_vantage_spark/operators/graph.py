@@ -888,6 +888,149 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Link prediction: resource-allocation index over the bipartite graph
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# HITS (hubs & authorities) over the DIRECTED supplier→part graph
+# --------------------------------------------------------------------------
+
+_HITS_ITERS = 2
+_HITS_SCALE = 1_000_000
+
+
+def hits_sweeps(sp: DataFrame, iters: int = _HITS_ITERS) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999) over any distinct directed
+    (supp, part) bipartite edge frame: suppliers are hubs, parts are
+    authorities — the textbook co-citation use. Per sweep:
+    a_raw(p) = Σ over edges s→p of h(s), rescaled to
+    a(p) = a_raw·SCALE DIV max(a_raw); then h_raw(s) = Σ over edges
+    s→p of a(p), rescaled likewise. Returns
+    (node_type, entity_key, score_units) for both sides.
+
+    Exactness: every reduction is an int64 SUM or MAX — both
+    order-insensitive — and the rescale is truncating integer division
+    by an exact max, so the whole recurrence is bit-identical on any
+    partitioning and replayed verbatim by the chained-CTE oracle (the
+    graph_pagerank discipline; max-rescaling replaces PR's damping as
+    the growth bound: scores stay ≤ 1e6 so a_raw ≤ deg_max·1e6 —
+    int64-safe to ~9e12-degree hubs). Scale shape: the shared
+    checkpointed (supp, part) fixture (zero extra fact scans), two
+    keyed aggregations per sweep riding its partitioning, and a 1-row
+    max broadcast per rescale (bounded dust). Each raw score table is
+    localCheckpoint'd per sweep (the graph_kcore_peel round-boundary
+    discipline): the max-rescale reads its input TWICE (values + the
+    1-row max), so an unbroken lineage DOUBLES the subtree per stage —
+    2^(2·sweeps) static-plan copies of the first aggregation (68
+    shuffles at 2 sweeps, measured); truncating at the round boundary
+    keeps the plan linear, and the materialized per-side score tables
+    are exactly the state any iterative engine holds between sweeps
+    anyway."""
+    h = sp.select("supp").distinct().withColumn(
+        "h", F.lit(_HITS_SCALE).cast("long")
+    )
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            sp.join(h, "supp")
+            .groupBy("part")
+            .agg(F.sum("h").cast("long").alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        a_max = a_raw.agg(F.max("raw").alias("mx"))
+        a = (
+            a_raw.crossJoin(F.broadcast(a_max))  # bounded: 1-row global max
+            .select(
+                "part",
+                F.expr(f"(raw * {_HITS_SCALE}) DIV mx").alias("a"),
+            )
+        )
+        h_raw = (
+            sp.join(a, "part")
+            .groupBy("supp")
+            .agg(F.sum("a").cast("long").alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        h_max = h_raw.agg(F.max("raw").alias("mx"))
+        h = (
+            h_raw.crossJoin(F.broadcast(h_max))  # bounded: 1-row global max
+            .select(
+                "supp",
+                F.expr(f"(raw * {_HITS_SCALE}) DIV mx").alias("h"),
+            )
+        )
+    hubs = h.select(
+        F.lit("supplier").alias("node_type"),
+        F.col("supp").alias("entity_key"),
+        F.col("h").cast("long").alias("score_units"),
+    )
+    auths = a.select(
+        F.lit("part").alias("node_type"),
+        F.col("part").alias("entity_key"),
+        F.col("a").cast("long").alias("score_units"),
+    )
+    return hubs.unionByName(auths)
+
+
+def _hits_oracle() -> str:
+    """Chained-CTE replay of the integer HITS recurrence."""
+    its = []
+    prev_h = "h0"
+    prev_a = None
+    for k in range(1, _HITS_ITERS + 1):
+        its.append(
+            f"""a{k}raw AS (
+    SELECT p.part, SUM(h.h) AS raw
+    FROM pairs p JOIN {prev_h} h ON h.supp = p.supp
+    GROUP BY p.part
+),
+a{k} AS (
+    SELECT part, (raw * {_HITS_SCALE}) // (SELECT MAX(raw) FROM a{k}raw)
+           AS a
+    FROM a{k}raw
+),
+h{k}raw AS (
+    SELECT p.supp, SUM(a.a) AS raw
+    FROM pairs p JOIN a{k} a ON a.part = p.part
+    GROUP BY p.supp
+),
+h{k} AS (
+    SELECT supp, (raw * {_HITS_SCALE}) // (SELECT MAX(raw) FROM h{k}raw)
+           AS h
+    FROM h{k}raw
+)"""
+        )
+        prev_h = f"h{k}"
+        prev_a = f"a{k}"
+    chained = ",\n".join(its)
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS supp,
+                    CAST(l_partkey AS BIGINT) AS part
+    FROM lineitem
+),
+h0 AS (
+    SELECT DISTINCT supp, CAST({_HITS_SCALE} AS BIGINT) AS h FROM pairs
+),
+{chained}
+SELECT 'supplier' AS node_type, supp AS entity_key,
+       CAST(h AS BIGINT) AS score_units
+FROM {prev_h}
+UNION ALL
+SELECT 'part', part, CAST(a AS BIGINT) FROM {prev_a}
+"""
+
+
+@query("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the directed supplier→part graph:
+    which suppliers stock the important catalog (hubs) and which parts
+    are stocked by the important suppliers (authorities) — mutually
+    recursive centrality that PageRank's single score conflates, and
+    the classic bipartite co-citation analysis. See hits_sweeps for the
+    integer-exact recurrence and the 100 TB shape (shared checkpointed
+    pair fixture, two keyed aggs per sweep, 1-row max broadcasts)."""
+    sp = _supplier_part_pairs(spark, sf_dir)
+    return hits_sweeps(sp, _HITS_ITERS)
+
+
 # Distinct (supp, part) pair table shared by BOTH link-prediction
 # queries (RA and Jaccard): the fact-scan + distinct is their dominant
 # fixed cost, so it is materialized ONCE per (session, sf_dir) —

@@ -118,6 +118,7 @@ _NESTED_LOOP_OK = {
     "stats_anova_twoway",  # 1-row A-margin + 1-row B-margin broadcasts
     "privacy_t_closeness",  # bounded band-grid + 1-row totals broadcasts
     "graph_clustering_global",  # two 1-row count broadcasts (edges, tri)
+    "graph_hits",  # 1-row global-max broadcast per rescale
 }
 
 

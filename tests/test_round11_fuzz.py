@@ -209,3 +209,44 @@ def test_ppr_sweeps_matches_pure_python_replay(spark):
     assert got == ranks
     assert any(is_src(n) for n in outdeg)  # seed set non-empty
     assert any(v > 0 and not is_src(n) for n, v in got.items())
+
+
+def test_hits_sweeps_matches_pure_python_replay(spark):
+    """hits_sweeps' integer max-rescaled recurrence replayed in
+    arbitrary-precision Python on a random bipartite graph, plus the
+    star pole: a catalog where one part is stocked by every supplier
+    must give that part authority exactly 1e6 (the max)."""
+    import random
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.graph import (
+        _HITS_SCALE,
+        hits_sweeps,
+    )
+
+    rng = random.Random(2211)
+    pairs = {(rng.randrange(30), rng.randrange(40)) for _ in range(150)}
+    pairs |= {(s, 999) for s in range(30)}  # the universal part
+    df = spark.createDataFrame(sorted(pairs), "supp long, part long")
+
+    h = {s: _HITS_SCALE for s, _ in pairs}
+    a = {}
+    for _ in range(2):
+        a_raw = {}
+        for s, p in pairs:
+            a_raw[p] = a_raw.get(p, 0) + h[s]
+        mx = max(a_raw.values())
+        a = {p: (v * _HITS_SCALE) // mx for p, v in a_raw.items()}
+        h_raw = {}
+        for s, p in pairs:
+            h_raw[s] = h_raw.get(s, 0) + a[p]
+        mx = max(h_raw.values())
+        h = {s: (v * _HITS_SCALE) // mx for s, v in h_raw.items()}
+
+    got_h, got_a = {}, {}
+    for r in hits_sweeps(df, 2).collect():
+        (got_h if r.node_type == "supplier" else got_a)[
+            r.entity_key
+        ] = r.score_units
+    assert got_h == h
+    assert got_a == a
+    assert got_a[999] == _HITS_SCALE  # the universal part IS the max
