@@ -598,7 +598,9 @@ _BASKET_ITEM_CAP = 64
 
 
 @query("basket_affinity", oracle=_BASKET_ORACLE)
-def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def basket_affinity(
+    spark: SparkSession, sf_dir: str, pair_observation=None
+) -> DataFrame:
     """Market-basket affinity: part pairs co-ordered in the same order,
     with lift = P(a,b) / (P(a)·P(b)) — the co-occurrence statistic
     behind recommendations and affinity analysis.
@@ -617,6 +619,14 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     every exploded item and a regroup — measurably slower than letting
     the dust-sized post-floor joins do it. Lift is one IEEE expression
     over exact integers — engine-identical.
+
+    ``pair_observation``: optional ``pyspark.sql.Observation``; when
+    given, a count metric named ``pair_rows`` is attached to the
+    exploded pair stage (after the in-row expansion, BEFORE the
+    support-floor aggregate) so tests can assert the INTERMEDIATE
+    volume equals the closed form Σ over orders of C(min(b, cap), 2) —
+    the cap²/2 bound the item cap enforces, invisible to output-side
+    assertions once the support floor prunes rare pairs.
     """
     li = table(spark, sf_dir, "lineitem")
     baskets = (
@@ -651,9 +661,13 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    exploded = baskets.select(F.explode(pair_arr).alias("p"))
+    if pair_observation is not None:
+        exploded = exploded.observe(
+            pair_observation, F.count(F.lit(1)).alias("pair_rows")
+        )
     pairs = (
-        baskets.select(F.explode(pair_arr).alias("p"))
-        .select("p.part_a", "p.part_b")
+        exploded.select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_together"))
         .filter(F.col("n_together") >= _BASKET_MIN_PAIRS)

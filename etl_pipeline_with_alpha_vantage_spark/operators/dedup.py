@@ -745,7 +745,9 @@ WHERE n_shared_grams >= 2
 
 
 @query("decontaminate_splits", oracle=_DECON_ORACLE)
-def decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decontaminate_splits(
+    spark: SparkSession, sf_dir: str, pair_observation=None
+) -> DataFrame:
     """Passage-level train/test decontamination: flag train documents
     sharing >= 2 distinct word-trigrams with any test document — the
     eval-leakage sweep run before a training set ships (document-level
@@ -759,6 +761,13 @@ def decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the test side is ~10% of the corpus, so the probe stays small.
     At 100 TB, cap hot-shingle document frequency first (stop-shingle
     pruning) exactly as for the Jaccard pair-finder.
+
+    ``pair_observation``: optional ``pyspark.sql.Observation``; when
+    given, a count metric named ``shared_gram_pairs`` is attached to
+    the train⨝test gram join output (BEFORE the per-pair aggregate) so
+    tests can assert the INTERMEDIATE volume equals the closed form
+    Σ over grams of df_train(g)·df_test(g) — the inverted-index
+    fan-out the ≥2-shared-grams output floor hides.
     """
     docs = table(spark, sf_dir, "documents")
     bucket = (
@@ -790,9 +799,13 @@ def decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = grams.filter(F.col("bucket") >= 90).select(
         F.col("doc_id").alias("test_doc"), "gram"
     )
+    shared = train.join(test, "gram")
+    if pair_observation is not None:
+        shared = shared.observe(
+            pair_observation, F.count(F.lit(1)).alias("shared_gram_pairs")
+        )
     return (
-        train.join(test, "gram")
-        .groupBy("train_doc", "test_doc")
+        shared.groupBy("train_doc", "test_doc")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .filter(F.col("n_shared_grams") >= 2)
     )
@@ -1133,7 +1146,9 @@ FROM toks tk LEFT JOIN per_doc pd ON tk.doc_id = pd.doc_id
 
 
 @query("dedup_span_ngrams", oracle=_SPAN_ORACLE)
-def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_span_ngrams(
+    spark: SparkSession, sf_dir: str, span_observation=None
+) -> DataFrame:
     """X15: duplicated-span accounting — the n-gram form of exact-substring
     dedup (the "dedup training data makes LMs better" recipe: drop or
     down-weight spans that repeat verbatim across the corpus).
@@ -1164,6 +1179,14 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting list or a per-doc timeline. Mirrors the reference's
     idempotent re-load semantics (``/root/reference/etl.py:127,142``) at
     span granularity rather than row granularity.
+
+    ``span_observation``: optional ``pyspark.sql.Observation``; when
+    given, a count metric named ``dup_occurrences`` is attached to the
+    duplicated-gram join-back (step 3, BEFORE the lag-window union
+    step) so tests can assert the INTERMEDIATE volume equals the
+    closed form Σ over grams with count ≥ 2 of that count — the
+    inverted-index bound the DF shuffle enforces, which the per-doc
+    output totals cannot see.
     """
     docs = spread(table(spark, sf_dir, "documents"))
     n = _SPAN_N
@@ -1190,6 +1213,10 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gh")
     )
     dupstarts = g.join(dup, "gh").select("doc_id", "start")
+    if span_observation is not None:
+        dupstarts = dupstarts.observe(
+            span_observation, F.count(F.lit(1)).alias("dup_occurrences")
+        )
     w = Window.partitionBy("doc_id").orderBy("start")
     gap = F.col("start") - F.lag("start").over(w)
     contrib = F.when(gap.isNull(), F.lit(n)).otherwise(

@@ -524,7 +524,7 @@ def _dedup_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
-def oriented_triangles(pairs: DataFrame) -> DataFrame:
+def oriented_triangles(pairs: DataFrame, wedge_observation=None) -> DataFrame:
     """Degree-ordered triangle enumeration over an undirected edge list
     ``(doc_a, doc_b)`` (each edge listed exactly once, endpoints
     distinct). Every edge is oriented from its lower-(degree, id)
@@ -533,7 +533,14 @@ def oriented_triangles(pairs: DataFrame) -> DataFrame:
     hub-vertex discipline shared by graph_triangles (which feeds it the
     near-duplicate pair graph) and the volume suite (which feeds it a
     generated graph with a closed-form triangle count). Output triples
-    are canonicalized doc_a < doc_b < doc_c."""
+    are canonicalized doc_a < doc_b < doc_c.
+
+    ``wedge_observation``: optional ``pyspark.sql.Observation``; when
+    given, a count metric named ``wedges`` is attached to the
+    degree-ordered wedge stage (t1⨝t2, BEFORE the closing t3 join) so
+    tests can assert the INTERMEDIATE volume equals the closed form
+    Σ over nodes m of in_eo(m)·out_eo(m) — the bound the orientation
+    exists to enforce, which output-side triangle counts cannot see."""
     deg = (
         pairs.select(F.col("doc_a").alias("n"))
         .unionAll(pairs.select(F.col("doc_b").alias("n")))
@@ -560,9 +567,13 @@ def oriented_triangles(pairs: DataFrame) -> DataFrame:
         .alias("v"),
     )
     t1, t2, t3 = eo.alias("t1"), eo.alias("t2"), eo.alias("t3")
+    wedges = t1.join(t2, F.col("t2.u") == F.col("t1.v"))
+    if wedge_observation is not None:
+        wedges = wedges.observe(
+            wedge_observation, F.count(F.lit(1)).alias("wedges")
+        )
     tri = (
-        t1.join(t2, F.col("t2.u") == F.col("t1.v"))
-        .join(
+        wedges.join(
             t3,
             (F.col("t3.u") == F.col("t1.u"))
             & (F.col("t3.v") == F.col("t2.v")),
@@ -910,8 +921,13 @@ def hits_sweeps(sp: DataFrame, iters: int = _HITS_ITERS) -> DataFrame:
     by an exact max, so the whole recurrence is bit-identical on any
     partitioning and replayed verbatim by the chained-CTE oracle (the
     graph_pagerank discipline; max-rescaling replaces PR's damping as
-    the growth bound: scores stay ≤ 1e6 so a_raw ≤ deg_max·1e6 —
-    int64-safe to ~9e12-degree hubs). Scale shape: the shared
+    the growth bound: scores stay ≤ 1e6 so raw ≤ deg_max·1e6, and the
+    binding constraint is the rescale's pre-division multiply
+    raw·SCALE ≤ deg_max·1e12 — int64-safe to ~9.2e6-degree hubs, past
+    which Spark's non-ANSI arithmetic would wrap while DuckDB raises;
+    tests/test_round12.py tripwires the fixture's max degree an order
+    of magnitude inside that pole, the _WELCH_A_PIN discipline).
+    Scale shape: the shared
     checkpointed (supp, part) fixture (zero extra fact scans), two
     keyed aggregations per sweep riding its partitioning, and a 1-row
     max broadcast per rescale (bounded dust). Each raw score table is

@@ -119,8 +119,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 25-row nation dim joins twice under different aliases with a
     disjunctive pair filter across both.
 
-    Scale: both nation copies broadcast; supplier broadcasts; the only
-    real exchanges are lineitem⨝orders (orderkey) and ⨝customer
+    Scale: both nation copies broadcast (fixed 25-row dim); supplier is
+    SF-scaled so it carries no hint — AQE picks broadcast at supported
+    scales and falls back to shuffle on a billion-supplier corpus. The
+    heavy exchanges are lineitem⨝orders (orderkey) and ⨝customer
     (custkey). The pair filter cannot be pushed into either scan alone —
     it's evaluated right after the dims attach, before the wide join.
     """
@@ -141,7 +143,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19")
     ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
     return (
-        li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)  # bounded: filtered supplier dim (fact/10^5); author-known bound
+        li.join(s, s.s_suppkey == li.l_suppkey)  # SF-scaled (unfiltered supplier): no hint, AQE decides
         .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))  # bounded: fixed dim (nation 25 / region 5 rows)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
@@ -193,7 +195,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio hash-matches without any tolerance.
 
     Scale: part is filtered to one of six types before the join (pushed
-    to the scan); all four dims broadcast; two fact shuffles remain.
+    to the scan); nation/region broadcast (fixed dims); part/supplier
+    are SF-scaled and unhinted — AQE selects their join strategy by
+    measured size; two fact shuffles remain.
     """
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     li = table(spark, sf_dir, "lineitem")
@@ -213,12 +217,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _rev_c()
     nat7 = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)  # bounded: filtered part dim (fact/10^4); author-known bound the size-only estimator lacks
+        li.join(p, p.p_partkey == li.l_partkey)  # SF-scaled (1/6 of part): no hint, AQE decides
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
         .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))  # bounded: fixed dim (nation 25 / region 5 rows)
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("n1_region"))  # bounded: fixed dim (nation 25 / region 5 rows)
-        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)  # bounded: filtered supplier dim (fact/10^5); author-known bound
+        .join(s, s.s_suppkey == li.l_suppkey)  # SF-scaled (unfiltered supplier): no hint, AQE decides
         .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))  # bounded: fixed dim (nation 25 / region 5 rows)
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -257,9 +261,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     topology (part-filtered lineitem ⨝ orders ⨝ supplier→nation) is
     unchanged.
 
-    Scale: `p_name LIKE '%widget%'` can't prune row groups (no prefix),
-    but the part side still broadcasts post-filter; the high-cardinality
-    group key (nation × year) aggregates map-side first.
+    Scale: `p_name LIKE '%widget%'` can't prune row groups (no prefix);
+    the filtered part side is still SF-scaled, so it carries no hint —
+    AQE broadcasts it while it fits and shuffles past that; the
+    high-cardinality group key (nation × year) aggregates map-side
+    first.
     """
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     li = table(spark, sf_dir, "lineitem")
@@ -269,8 +275,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", F.col("n_name").alias("nation")
     )
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)  # bounded: filtered part dim (fact/10^4); author-known bound the size-only estimator lacks
-        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)  # bounded: filtered supplier dim (fact/10^5); author-known bound
+        li.join(p, p.p_partkey == li.l_partkey)  # SF-scaled (LIKE-filtered part): no hint, AQE decides
+        .join(s, s.s_suppkey == li.l_suppkey)  # SF-scaled (unfiltered supplier): no hint, AQE decides
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))  # bounded: fixed dim (nation, 25 rows)
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
@@ -392,8 +398,9 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
 
 @query("q14_promo_share", oracle=_Q14_ORACLE)
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: single-month scan, broadcast part join, global
-    conditional ratio (promo revenue %). Exactness as Q8: two exact
+    """TPC-H Q14: single-month scan, a part join AQE sizes at
+    runtime (part is SF-scaled, so no forced hint), global conditional
+    ratio (promo revenue %). Exactness as Q8: two exact
     bigint sums, one deterministic double division, scaled by the literal
     100.0 in the same order on both engines.
     """
@@ -405,7 +412,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _rev_c()
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)  # bounded: filtered part dim (fact/10^4); author-known bound the size-only estimator lacks
+        li.join(p, p.p_partkey == li.l_partkey)  # SF-scaled (unfiltered part): no hint, AQE decides
         .agg(
             (
                 F.lit(100.0)
@@ -461,7 +468,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = revenue.agg(F.max("rev_c").alias("max_rev_c"))
     return (
         revenue.join(F.broadcast(max_rev), F.col("rev_c") == F.col("max_rev_c"))  # bounded: 1-row global aggregate
-        .join(F.broadcast(s), s.s_suppkey == F.col("supplier_no"))  # bounded: filtered supplier dim (fact/10^5); author-known bound
+        .join(s, s.s_suppkey == F.col("supplier_no"))  # SF-scaled (unfiltered supplier); the max-filtered side is tiny, AQE broadcasts it
         .select(
             "s_suppkey",
             "s_name",
@@ -513,7 +520,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)  # bounded: filtered part dim (fact/10^4); author-known bound the size-only estimator lacks
+        li.join(p, p.p_partkey == li.l_partkey)  # SF-scaled (1/25 of part): no hint, AQE decides
         .join(part_avg, F.col("avg_partkey") == li.l_partkey)
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
@@ -623,7 +630,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)  # bounded: filtered part dim (fact/10^4); author-known bound the size-only estimator lacks
+        li.join(p, p.p_partkey == li.l_partkey)  # SF-scaled (unfiltered part): no hint, AQE decides
         .filter(band)
         .agg(
             (F.sum(_rev_c()) / 1_000_000.0).cast("double").alias("revenue"),
@@ -801,7 +808,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
     return (
-        flagged.join(F.broadcast(dim), flagged.l_suppkey == dim.s_suppkey)  # bounded: filtered supplier dim (fact/10^5); author-known bound
+        flagged.join(dim, flagged.l_suppkey == dim.s_suppkey)  # SF-scaled (3-nation supplier slice): no hint, AQE decides
         .groupBy("s_name")
         .agg(F.sum("n_late_items").cast("long").alias("numwait"))
     )
@@ -885,9 +892,10 @@ def q16_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (l_partkey, l_suppkey) pairs observed in lineitem; no s_comment —
     the "complaints" denylist is s_name LIKE '%7'.
 
-    Plan: the part filter broadcasts INTO the fact scan (semi-reduces
-    lineitem before anything shuffles), the denylist is a broadcast
-    anti-join, and the distinct-pair step is subsumed by
+    Plan: at supported scales AQE runs the weakly-filtered part join and
+    the denylist anti-join as broadcasts (semi-reducing lineitem before
+    anything shuffles) — both frames are SF-scaled, so neither is
+    force-hinted; the distinct-pair step is subsumed by
     count_distinct's own partial-distinct — one exchange total, keyed
     on the output groups, never a standalone pairs materialization.
     """
@@ -901,8 +909,8 @@ def q16_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").endswith("7")
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)  # bounded: filtered part dim (fact/10^4); author-known bound the size-only estimator lacks
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")  # bounded: filtered supplier denylist (fact/10^5)
+        li.join(p, li.l_partkey == p.p_partkey)  # SF-scaled (weakly filtered part): no hint, AQE decides
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")  # SF-scaled (~1/10 of supplier): no hint, AQE decides
         .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -947,8 +955,8 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (partkey, suppkey) aggregate AND the per-part total, which is a
     window over that aggregate rather than a rollup + join-back — the
     window rides the same hash(partkey) clustering, so the fact table
-    crosses the wire exactly once; supplier broadcasts; the final count
-    shuffles ~|suppliers| rows.
+    crosses the wire exactly once; the SF-scaled supplier join is
+    unhinted (AQE decides); the final count shuffles ~|suppliers| rows.
     """
     li = table(spark, sf_dir, "lineitem")
     ps = (
@@ -969,7 +977,7 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     return (
         sh.filter(F.col("qty_c") * 8 > F.col("tot_c"))
-        .join(F.broadcast(s), sh.l_suppkey == s.s_suppkey)  # bounded: filtered supplier dim (fact/10^5); author-known bound
+        .join(s, sh.l_suppkey == s.s_suppkey)  # SF-scaled (unfiltered supplier): no hint, AQE decides
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
     )
@@ -1020,9 +1028,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (l_extendedprice / l_quantity: one IEEE division, deterministic and
     oracle-exact; MIN is order-insensitive).
 
-    Plan: both dim filters broadcast INTO the fact scan first (size-15
-    parts keep ~2% of rows, the EUROPE supplier set ~20%), so the single
-    explicit repartition(partkey) exchanges only the surviving sliver;
+    Plan: both dim filters attach before the explicit repartition
+    (size-15 parts keep ~2% of rows, the EUROPE supplier set ~20% —
+    both SF-scaled, so unhinted; AQE broadcasts them while they fit),
+    and the repartition(partkey) exchanges only the surviving sliver;
     the (part, supplier, attrs) aggregate and the per-part min window
     both ride that clustering, and ties at the minimum all surface,
     exactly as in the reference query.
@@ -1049,8 +1058,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey",
             (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
         )
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)  # bounded: filtered part dim (fact/10^4); author-known bound the size-only estimator lacks
-        .join(F.broadcast(eu), F.col("l_suppkey") == eu.s_suppkey)  # bounded: supplier x nation x region dim (fact/10^5); hint beats multiplied join size estimate
+        .join(p, F.col("l_partkey") == p.p_partkey)  # SF-scaled (1/50 of part): no hint, AQE decides
+        .join(eu, F.col("l_suppkey") == eu.s_suppkey)  # SF-scaled (EUROPE supplier slice): no hint, AQE decides
         .repartition("l_partkey")
         .groupBy("l_partkey", "p_name", "s_name", "n_name", "s_acctbal")
         .agg(F.min("unit").alias("unit_cost"))

@@ -7,12 +7,15 @@ the UNFILTERED edge list and applied the cap afterwards — a degree-d
 super-hub still materialized ~d²/2 intermediate rows. These tests pin
 the fix two independent ways:
 
-* a plan WALK over ``optimizedPlan().toString()`` asserting the degree
-  filter is a descendant of BOTH wedge-join children (Catalyst keeps
-  written join order without CBO, so the shape is stable);
+* a plan WALK over the ``optimizedPlan()`` TREE (py4j: ``children()``
+  traversal, not text-column parsing — ADVICE r11: the textual layout
+  shifts across Spark versions/CBO settings even when the physical
+  shape is still correct) asserting the degree filter is a descendant
+  of BOTH wedge-join children;
 * an ``Observation`` row counter ON the wedge stage asserting the
   intermediate volume equals the closed form Σ C(d_kept, 2) — the
-  measurement the round-10 skew test lacked.
+  measurement the round-10 skew test lacked. This is the PRIMARY pin;
+  the tree walk is the structural cross-check.
 """
 
 from __future__ import annotations
@@ -33,39 +36,43 @@ from etl_pipeline_with_alpha_vantage_spark.operators.graph import (
 registry.load_all()
 
 
-def _optimized(spark, name, sf_dir) -> str:
+def _optimized(spark, name, sf_dir):
     df = registry.QUERIES[name](spark, sf_dir)
-    return df._jdf.queryExecution().optimizedPlan().toString()
+    return df._jdf.queryExecution().optimizedPlan()
 
 
-def _wedge_children(plan: str) -> tuple[str, str]:
-    """Split the textual logical-plan tree at the wedge self-join (the
-    Join Inner whose condition compares supp_a with supp_b) and return
-    the two child subtrees. Child-1 lines carry a ':' continuation at
-    the child column; child-2 lines do not."""
-    lines = plan.splitlines()
-    idx = next(
-        i
-        for i, l in enumerate(lines)
-        if "Join Inner" in l
-        and "supp_a#" in l
-        and "supp_b#" in l
-        and "<" in l
-    )
-    head = lines[idx]
-    col = max(head.find("+-"), head.find(":-"))
-    child_col = col + 3 if col >= 0 else 0
-    sub1, sub2 = [], []
-    for l in lines[idx + 1 :]:
-        marker = max(l.find("+-"), l.find(":-"))
-        if marker < child_col:
-            break
-        if len(l) > child_col and l[child_col] == ":":
-            sub1.append(l)
-        else:
-            sub2.append(l)
-    assert sub1 and sub2, plan
-    return "\n".join(sub1), "\n".join(sub2)
+def _jchildren(node):
+    """Children of a Catalyst TreeNode via py4j (Scala Seq → list)."""
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.length())]
+
+
+def _wedge_children(plan) -> tuple[str, str]:
+    """Walk the logical-plan TREE (not its textual rendering) to the
+    wedge self-join — the Join node whose own one-line description
+    carries both supp_a and supp_b in a '<' condition — and return each
+    child SUBTREE's text for the regex assertions. Tree traversal is
+    stable across Spark's plan-string layout changes and join-order
+    rewrites; asserting on BOTH children keeps the check order-
+    independent even if a reorder swaps them."""
+    stack = [plan]
+    while stack:
+        n = stack.pop()
+        head = n.simpleString(200)
+        if (
+            n.nodeName() == "Join"
+            and "supp_a#" in head
+            and "supp_b#" in head
+            and "<" in head
+        ):
+            kids = _jchildren(n)
+            assert len(kids) == 2, head
+            return kids[0].toString(), kids[1].toString()
+        # pre-order (parent, then children left→right), matching the
+        # rendering order so the hybrid kernel's FIRST candidate — the
+        # exact wedge join — wins over the later LSH band-pair join
+        stack.extend(reversed(_jchildren(n)))
+    raise AssertionError(f"no wedge self-join found in:\n{plan.toString()}")
 
 
 @pytest.mark.parametrize(

@@ -1,0 +1,214 @@
+"""Round-12 pins: ADVICE r11 items + Observation volume extensions.
+
+* HITS int64 pole tripwire (ADVICE r11): the binding constraint of the
+  integer HITS recurrence is the rescale's PRE-DIVISION multiply
+  ``raw * SCALE DIV mx`` — raw ≤ deg_max·1e6, so raw·1e6 wraps int64
+  once deg_max exceeds ~9.2e6 (2⁶³/1e12), where Spark's non-ANSI
+  arithmetic wraps silently while DuckDB raises on BIGINT overflow.
+  The fixture tripwire (the ``_WELCH_A_PIN`` discipline) asserts the
+  corpus' max degree on BOTH bipartite sides sits an order of
+  magnitude inside that pole.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+
+def test_hits_rescale_degree_pole_holds_on_fixture(sf_dir):
+    """hits_sweeps (graph.py): raw scores are bounded by deg·SCALE with
+    SCALE = 1e6, and the rescale multiplies raw by SCALE again before
+    the exact DIV — int64-safe only while max degree < 2⁶³/1e12 ≈
+    9.2e6. Assert the fixture's max part in-degree (suppliers per
+    part) AND max supplier out-degree (parts per supplier) stay an
+    order of magnitude inside the pole, so the exact-bigint recurrence
+    is safe on this corpus with margin."""
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'lineitem.parquet')}'"
+    )
+    (dmax_part, dmax_supp) = con.sql(
+        """
+        WITH sp AS (
+            SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS supp,
+                            CAST(l_partkey AS BIGINT) AS part
+            FROM lineitem
+        )
+        SELECT (SELECT MAX(d) FROM (
+                    SELECT COUNT(*) AS d FROM sp GROUP BY part)),
+               (SELECT MAX(d) FROM (
+                    SELECT COUNT(*) AS d FROM sp GROUP BY supp))
+        """
+    ).fetchone()
+    pole = 9_200_000
+    assert dmax_part < pole / 10, dmax_part
+    assert dmax_supp < pole / 10, dmax_supp
+
+
+# --------------------------------------------------------------------------
+# Observation intermediate-volume pins (VERDICT r11 task 1): the four
+# blocked kernels that previously proved only OUTPUT-side bounds now
+# expose a counter ON the bounded stage; each test replays the closed
+# form in pure Python and asserts the measured volume equals it.
+# --------------------------------------------------------------------------
+
+
+def _tri_expected_wedges(pairs):
+    """Pure-Python replay of the degree-ordered orientation: wedge rows
+    of the t1⨝t2 stage == Σ over nodes m of in_eo(m)·out_eo(m)."""
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    ine, oute = Counter(), Counter()
+    for a, b in pairs:
+        u, v = (a, b) if (deg[a], a) < (deg[b], b) else (b, a)
+        oute[u] += 1
+        ine[v] += 1
+    return sum(ine[m] * oute[m] for m in set(ine) | set(oute))
+
+
+def test_triangle_wedge_volume_is_closed_form_and_hub_bounded(spark):
+    """oriented_triangles: a 20-leaf star hub contributes ZERO wedges
+    (all star edges orient INTO the hub: out_eo(hub) = 0) while the
+    naive undirected wedge join would materialize C(20,2) = 190 rows
+    through it. The counter on the t1⨝t2 stage must read exactly
+    Σ in_eo(m)·out_eo(m)."""
+    from math import comb
+
+    from pyspark.sql import Observation
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.graph import (
+        oriented_triangles,
+    )
+
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]  # K4
+    pairs += [(100, 200 + i) for i in range(20)]  # star hub, no triangles
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    obs = Observation()
+    tri = oriented_triangles(df, wedge_observation=obs)
+    n_tri = tri.count()
+    assert n_tri == 4  # the K4's C(4,3) triangles, none through the hub
+    expected = _tri_expected_wedges(pairs)
+    assert expected < comb(20, 2)  # the bound the orientation buys
+    assert obs.get["wedges"] == expected, (obs.get, expected)
+
+
+def test_basket_pair_volume_is_closed_form_and_capped(spark, tmp_path):
+    """basket_affinity: the in-row pair expansion must materialize
+    exactly Σ over orders of C(min(b, cap), 2) rows — a 70-item
+    mega-basket contributes C(64,2), not C(70,2)."""
+    from math import comb
+
+    from pyspark.sql import Observation
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.agg_ext import (
+        _BASKET_ITEM_CAP,
+        basket_affinity,
+    )
+
+    rows = []
+    rows += [(1, p) for p in range(5)]  # 5-item basket
+    rows += [(1, 0)]  # duplicate line: collect_set dedups it
+    rows += [(2, 10), (2, 11)]  # 2-item basket
+    rows += [(3, 1000 + p) for p in range(70)]  # mega-basket > cap
+    rows += [(4, 42)]  # singleton: zero pairs
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    obs = Observation()
+    out = basket_affinity(spark, str(tmp_path), pair_observation=obs)
+    out.count()  # support floor (>=3) prunes everything — that's the point
+    assert _BASKET_ITEM_CAP == 64
+    expected = comb(5, 2) + comb(2, 2) + comb(64, 2) + 0
+    assert obs.get["pair_rows"] == expected, (obs.get, expected)
+
+
+def test_span_dup_occurrence_volume_is_closed_form(spark, tmp_path):
+    """dedup_span_ngrams: the duplicated-gram join-back materializes
+    exactly Σ over 8-grams with corpus count ≥ 2 of that count —
+    replayed in Python over positional token 8-grams."""
+    from collections import Counter
+
+    from pyspark.sql import Observation
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.dedup import (
+        _SPAN_N,
+        dedup_span_ngrams,
+    )
+
+    shared = [f"s{i}" for i in range(10)]  # 10-token span shared verbatim
+    docs = [
+        (1, " ".join([f"a{i}" for i in range(6)] + shared)),
+        (2, " ".join(shared + [f"b{i}" for i in range(6)])),
+        (3, " ".join([f"c{i}" for i in range(12)])),  # clean doc
+        (4, "too short"),  # < 8 tokens: no grams at all
+    ]
+    counts = Counter()
+    for _id, text in docs:
+        t = text.split(" ")
+        for i in range(len(t) - _SPAN_N + 1):
+            counts[tuple(t[i : i + _SPAN_N])] += 1
+    expected = sum(c for c in counts.values() if c >= 2)
+    assert expected == 2 * (10 - _SPAN_N + 1)  # sanity: 3 shared grams ×2
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    obs = Observation()
+    out = dedup_span_ngrams(spark, str(tmp_path), span_observation=obs)
+    # collect(), not count(): a count-only action lets Catalyst drop the
+    # left join to per_doc (its aggregate keys are unique), and with it
+    # the whole observed subtree — obs.get would then hang on an empty
+    # metrics row.
+    assert len(out.collect()) == len(docs)
+    assert obs.get["dup_occurrences"] == expected, (obs.get, expected)
+
+
+def _md5_bucket(doc_id: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+
+def test_decontaminate_shared_gram_volume_is_closed_form(spark, tmp_path):
+    """decontaminate_splits: the train⨝test gram join materializes
+    exactly Σ over distinct trigrams of df_train(g)·df_test(g) —
+    replayed in Python with the same md5 split buckets."""
+    from collections import Counter
+
+    from pyspark.sql import Observation
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.dedup import (
+        decontaminate_splits,
+    )
+
+    train_ids = [i for i in range(200) if _md5_bucket(i) < 80][:3]
+    test_ids = [i for i in range(200) if _md5_bucket(i) >= 90][:2]
+    assert len(train_ids) == 3 and len(test_ids) == 2
+    leak = "alpha beta gamma delta"  # 2 shared trigrams
+    docs = [(i, f"{leak} t{i} u{i} v{i}") for i in train_ids]
+    docs += [(i, f"w{i} {leak} x{i}") for i in test_ids]
+    tri_df = {"train": Counter(), "test": Counter()}
+    for i, text in docs:
+        side = "train" if _md5_bucket(i) < 80 else "test"
+        t = text.split(" ")
+        grams = {tuple(t[j : j + 3]) for j in range(len(t) - 2)}
+        for g in grams:
+            tri_df[side][g] += 1
+    expected = sum(
+        c * tri_df["test"][g] for g, c in tri_df["train"].items()
+    )
+    assert expected >= 2 * len(train_ids) * len(test_ids)  # the leak
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    obs = Observation()
+    out = decontaminate_splits(spark, str(tmp_path), pair_observation=obs)
+    got = out.count()
+    assert got == len(train_ids) * len(test_ids)  # every pair shares 2
+    assert obs.get["shared_gram_pairs"] == expected, (obs.get, expected)
