@@ -1823,11 +1823,29 @@ _WELCH_S_PIN = (
     " ELSE CAST(round(1000000000000.0 * w_raw / wmax) AS BIGINT) END"
 )
 
+# Runtime poles (r12, VERDICT item 3): the two pinned products clamp
+# silently in Spark / raise in DuckDB past their int64 bounds, so each
+# pole is now an IN-PLAN guard — the over-pole group contributes 0 to
+# the pinned sum, a flag records it, and the final F/df2 are NULL with
+# over_pole = 1 in BOTH engines (the t-closeness NULL-guard pattern),
+# instead of a silent cross-engine divergence on an off-fixture corpus.
+_WELCH_MEAN_POLE = 9.0e6  # cents; s_pin·mean wraps at |mean| ≈ 9.2e6
+_WELCH_DM_POLE = 3.0e6  # cents; s_pin·dm²/1e6 wraps at |dm| ≈ 3.03e6
+
 # Σ s_pin·mean_j term, pinned per group before the exact bigint sum
-# (s_pin ≤ 1e12, mean ≤ 9.2e6 cents → product fits int64).
+# (s_pin ≤ 1e12, guarded |mean| < 9.0e6 cents → product fits int64).
 _WELCH_WM_PIN = (
     "CASE WHEN w_raw IS NULL THEN CAST(0 AS BIGINT)"
+    f" WHEN abs(CAST(s AS DOUBLE) / n) >= {_WELCH_MEAN_POLE}"
+    " THEN CAST(0 AS BIGINT)"
     " ELSE CAST(round(CAST(s_pin AS DOUBLE) * s / n) AS BIGINT) END"
+)
+
+# Group-mean pole flag, aggregated in the same pass as wmsum.
+_WELCH_WM_OVER = (
+    "CASE WHEN w_raw IS NOT NULL"
+    f" AND abs(CAST(s AS DOUBLE) / n) >= {_WELCH_MEAN_POLE}"
+    " THEN 1 ELSE 0 END"
 )
 
 # Between-group term s_pin·(mean−x̄w)², carried at micro downscale; the
@@ -1835,16 +1853,25 @@ _WELCH_WM_PIN = (
 # corrected): A_pin = s_pin·dm²/1e6 with s_pin ≤ 1e12, so the
 # max-weight group overflows int64 once |mean_j − x̄w| exceeds
 # √(2^63/1e6) ≈ 3.0e6 cents (~$30k mean deviation for the
-# lowest-variance group). Past that pole Spark's non-ANSI double→bigint
-# CAST clamps while DuckDB raises — the bound is asserted against the
-# fixture in tests/test_round11_fuzz.py; re-pin to 1e9 if a future
-# corpus's dominant group can deviate further.
+# lowest-variance group). The pole is guarded IN-PLAN (r12): an
+# over-pole group contributes 0 here and trips the a_over flag, which
+# NULLs F/df2 in both engines; the fixture-margin assertion stays in
+# tests/test_round11_fuzz.py.
 _WELCH_A_PIN = (
     "CASE WHEN w_raw IS NULL OR ssum <= 0 THEN CAST(0 AS BIGINT)"
+    " WHEN abs(CAST(s AS DOUBLE) / n - CAST(wmsum AS DOUBLE) / ssum)"
+    f" >= {_WELCH_DM_POLE} THEN CAST(0 AS BIGINT)"
     " ELSE CAST(round(CAST(s_pin AS DOUBLE)"
     " * (CAST(s AS DOUBLE) / n - CAST(wmsum AS DOUBLE) / ssum)"
     " * (CAST(s AS DOUBLE) / n - CAST(wmsum AS DOUBLE) / ssum)"
     " / 1000000.0) AS BIGINT) END"
+)
+
+# Mean-deviation pole flag, aggregated in the same pass as asum.
+_WELCH_A_OVER = (
+    "CASE WHEN w_raw IS NOT NULL AND ssum > 0"
+    " AND abs(CAST(s AS DOUBLE) / n - CAST(wmsum AS DOUBLE) / ssum)"
+    f" >= {_WELCH_DM_POLE} THEN 1 ELSE 0 END"
 )
 
 # Welch correction term (1 − w_j/W)²/(n_j−1), pico-pinned; w_j/W equals
@@ -1860,7 +1887,8 @@ _WELCH_U_PIN = (
 # any undefined group, one group, or an all-degenerate weight table —
 # unguarded /0 diverges engines (Spark CASTs Inf, DuckDB raises).
 _WELCH_F_EXPR = (
-    "CASE WHEN any_bad = 1 OR k_groups <= 1 OR ssum <= 0 THEN NULL"
+    "CASE WHEN any_bad = 1 OR wm_over = 1 OR a_over = 1"
+    " OR k_groups <= 1 OR ssum <= 0 THEN NULL"
     " ELSE CAST(round(wmax * CAST(asum AS DOUBLE) / 1000000.0"
     " / (k_groups - 1)"
     " / (1.0 + 2.0 * (k_groups - 2)"
@@ -1873,7 +1901,8 @@ _WELCH_F_EXPR = (
 # expression on exact integers — a micro-pinned bigint would overflow
 # when U is tiny, i.e. huge balanced groups).
 _WELCH_DF2_EXPR = (
-    "CASE WHEN any_bad = 1 OR k_groups <= 1 OR ssum <= 0 OR usum <= 0"
+    "CASE WHEN any_bad = 1 OR wm_over = 1 OR a_over = 1"
+    " OR k_groups <= 1 OR ssum <= 0 OR usum <= 0"
     " THEN NULL"
     " ELSE CAST((CAST(k_groups AS DOUBLE) * k_groups - 1)"
     " / (3.0 * (CAST(usum AS DOUBLE) / 1000000000000.0)) AS DOUBLE) END"
@@ -1905,17 +1934,20 @@ gs AS (
 ),
 tot1 AS (
     SELECT CAST(SUM(s_pin) AS BIGINT) AS ssum,
-           CAST(SUM({_WELCH_WM_PIN}) AS BIGINT) AS wmsum
+           CAST(SUM({_WELCH_WM_PIN}) AS BIGINT) AS wmsum,
+           CAST(MAX({_WELCH_WM_OVER}) AS BIGINT) AS wm_over
     FROM gs
 ),
 fin AS (
     SELECT CAST(SUM({_WELCH_A_PIN}) AS BIGINT) AS asum,
-           CAST(SUM({_WELCH_U_PIN}) AS BIGINT) AS usum
+           CAST(SUM({_WELCH_U_PIN}) AS BIGINT) AS usum,
+           CAST(MAX({_WELCH_A_OVER}) AS BIGINT) AS a_over
     FROM gs CROSS JOIN tot1
 )
 SELECT n_total, k_groups,
        {_WELCH_F_EXPR} AS f_micro,
-       {_WELCH_DF2_EXPR} AS df2
+       {_WELCH_DF2_EXPR} AS df2,
+       CAST(GREATEST(wm_over, a_over) AS BIGINT) AS over_pole
 FROM tot0 CROSS JOIN tot1 CROSS JOIN fin
 """
 
@@ -1988,13 +2020,17 @@ def welch_anova(frame: DataFrame) -> DataFrame:
     tot1 = gs.agg(
         F.sum("s_pin").cast("long").alias("ssum"),
         F.sum(F.expr(_WELCH_WM_PIN)).cast("long").alias("wmsum"),
+        F.max(F.expr(_WELCH_WM_OVER)).cast("long").alias("wm_over"),
     )
     fin = (
         gs.crossJoin(F.broadcast(tot1))  # bounded: 1-row global aggregate
-        .groupBy("n_total", "k_groups", "any_bad", "wmax", "ssum")
+        .groupBy(
+            "n_total", "k_groups", "any_bad", "wmax", "ssum", "wm_over"
+        )
         .agg(
             F.sum(F.expr(_WELCH_A_PIN)).cast("long").alias("asum"),
             F.sum(F.expr(_WELCH_U_PIN)).cast("long").alias("usum"),
+            F.max(F.expr(_WELCH_A_OVER)).cast("long").alias("a_over"),
         )
     )
     return fin.select(
@@ -2002,6 +2038,7 @@ def welch_anova(frame: DataFrame) -> DataFrame:
         "k_groups",
         F.expr(_WELCH_F_EXPR).alias("f_micro"),
         F.expr(_WELCH_DF2_EXPR).alias("df2"),
+        F.greatest("wm_over", "a_over").cast("long").alias("over_pole"),
     )
 
 

@@ -1730,12 +1730,15 @@ def eval_model_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact TTR reference label as the siblings.
 
     Exactness: per-doc squared error (score_micro − 1e6·y)² is an exact
-    integer ≤ 1e12, so the per-source sum is an exact bigint on any
-    partitioning (headroom to ~9e6 docs/source; past that pre-scale the
-    pin to centi-units, the functions/exact.py discipline) and the mean
-    is one deterministic double division, micro-pinned. Scale shape:
-    the same zero-shuffle scoring chain as text_quality_model, then one
-    partial-aggregated rollup on the source key.
+    integer ≤ 1e12; the per-source sum runs in DECIMAL(38,0) (r12 —
+    VERDICT item 3: an int64 sum wrapped silently past ~9.2e6
+    docs/source while DuckDB's HUGEINT promotion kept going, a
+    documented-but-unguarded divergence; decimal matches HUGEINT
+    exactly to 1e38, i.e. any corpus), and the mean is one
+    deterministic double division, micro-pinned. Scale shape: the same
+    zero-shuffle scoring chain as text_quality_model, then one
+    partial-aggregated rollup on the source key (the 16-byte decimal
+    accumulator still partial-aggregates map-side).
     """
     docs = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -1760,8 +1763,8 @@ def eval_model_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("y").cast("long").alias("n_pos"),
             F.expr(
-                "CAST(round(CAST(SUM(e) AS DOUBLE) / COUNT(*)"
-                " / 1000000.0) AS BIGINT)"
+                "CAST(round(CAST(SUM(CAST(e AS DECIMAL(38,0))) AS DOUBLE)"
+                " / COUNT(*) / 1000000.0) AS BIGINT)"
             ).alias("brier_micro"),
         )
         .orderBy("source")

@@ -90,10 +90,13 @@ def test_welch_a_pin_domain_bound_holds_on_fixture(sf_dir):
 
 
 def test_brier_int64_headroom_holds_on_fixture(sf_dir):
-    """ADVICE r10: eval_model_brier sums per-doc squared error (≤1e12
-    each) as Spark int64 while DuckDB promotes to HUGEINT — Spark wraps
-    silently past ~9.2e6 docs per source. Tripwire: assert the fixture
-    stays an order of magnitude inside the documented headroom."""
+    """ADVICE r10: eval_model_brier summed per-doc squared error (≤1e12
+    each) as Spark int64 while DuckDB promotes to HUGEINT — wrapping
+    silently past ~9.2e6 docs per source. Since r12 the kernel sums in
+    DECIMAL(38,0) (exact to 1e38, matching HUGEINT at any corpus —
+    pole removed; tests/test_round12.py proves the accumulator past
+    the old bound); this tripwire remains as a record of fixture
+    scale."""
     import os
 
     con = duckdb.connect()

@@ -212,3 +212,91 @@ def test_decontaminate_shared_gram_volume_is_closed_form(spark, tmp_path):
     got = out.count()
     assert got == len(train_ids) * len(test_ids)  # every pair shares 2
     assert obs.get["shared_gram_pairs"] == expected, (obs.get, expected)
+
+
+# --------------------------------------------------------------------------
+# Welch over-pole runtime guard (VERDICT r11 task 3): past the pinned
+# products' int64 poles both engines must yield NULL + over_pole = 1
+# instead of Spark clamping while DuckDB raises.
+# --------------------------------------------------------------------------
+
+
+def _welch_both_engines(spark, rows):
+    import duckdb
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        _WELCH_ORACLE,
+        welch_anova,
+    )
+
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    got = welch_anova(ev).collect()[0]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE events (event_type VARCHAR, value DOUBLE)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    want = con.sql(_WELCH_ORACLE).fetchone()
+    return got, want
+
+
+def test_welch_dm_pole_nulls_and_flags_in_both_engines(spark):
+    """Two tight groups with means ~$0 and ~$70k: |mean − x̄w| crosses
+    the 3.0e6-cent A-pin pole, so F/df2 are NULL with over_pole = 1 in
+    BOTH engines — and crucially the DuckDB replay RUNS (the unguarded
+    form raised on BIGINT overflow)."""
+    rows = [("lo", 0.00), ("lo", 0.01), ("lo", 0.02)]
+    rows += [("hi", 70_000.00), ("hi", 70_000.01), ("hi", 70_000.02)]
+    got, want = _welch_both_engines(spark, rows)
+    assert got["f_micro"] is None and got["df2"] is None
+    assert got["over_pole"] == 1
+    assert want[2] is None and want[3] is None and want[4] == 1
+
+
+def test_welch_mean_pole_nulls_and_flags_in_both_engines(spark):
+    """Group means ~$1M (1e8 cents) cross the 9.0e6-cent WM-pin pole
+    even though they'd agree on the A term — same NULL + flag."""
+    rows = [("a", 1_000_000.00), ("a", 1_000_000.01), ("a", 1_000_000.02)]
+    rows += [("b", 1_000_000.05), ("b", 1_000_000.06), ("b", 1_000_000.07)]
+    got, want = _welch_both_engines(spark, rows)
+    assert got["f_micro"] is None and got["df2"] is None
+    assert got["over_pole"] == 1
+    assert want[2] is None and want[3] is None and want[4] == 1
+
+
+def test_welch_in_bound_corpus_keeps_exact_f_and_zero_flag(spark):
+    """An ordinary heteroscedastic corpus stays far inside both poles:
+    the guards must not perturb the exact pinned F — both engines
+    produce identical non-NULL values and over_pole = 0."""
+    rows = [("t", 10.00 + 0.01 * (i % 3)) for i in range(40)]
+    rows += [("w", 12.00 + 0.40 * (i % 25)) for i in range(30)]
+    got, want = _welch_both_engines(spark, rows)
+    assert got["f_micro"] is not None and got["over_pole"] == 0
+    assert (
+        got["n_total"],
+        got["k_groups"],
+        got["f_micro"],
+        got["df2"],
+        got["over_pole"],
+    ) == tuple(want)
+
+
+def test_brier_decimal_sum_is_exact_past_the_old_int64_pole(spark):
+    """eval_model_brier's aggregate (VERDICT r11 task 3): the squared-
+    error sum now accumulates in DECIMAL(38,0). Drive the exact
+    aggregation expression over 10M rows of the worst-case per-doc
+    value (e = 1e12): the true sum 1e19 exceeds int64 max (~9.22e18) —
+    the old accumulator wrapped here — and both Spark and DuckDB must
+    return it exactly, along with the identical rounded brier mean."""
+    n, e = 10_000_000, 10**12
+    df = spark.range(n).selectExpr(f"CAST({e} AS BIGINT) AS e")
+    row = df.selectExpr(
+        "SUM(CAST(e AS DECIMAL(38,0))) AS s",
+        "CAST(round(CAST(SUM(CAST(e AS DECIMAL(38,0))) AS DOUBLE)"
+        " / COUNT(*) / 1000000.0) AS BIGINT) AS brier_micro",
+    ).collect()[0]
+    assert int(row["s"]) == n * e  # > 2^63: exact only in decimal
+    want = duckdb.sql(
+        f"SELECT SUM(e), CAST(round(CAST(SUM(e) AS DOUBLE)"
+        f" / COUNT(*) / 1000000.0) AS BIGINT)"
+        f" FROM (SELECT CAST({e} AS BIGINT) AS e FROM range({n}))"
+    ).fetchone()
+    assert (int(row["s"]), row["brier_micro"]) == (int(want[0]), want[1])
