@@ -602,8 +602,12 @@ def oriented_triangles(pairs: DataFrame, wedge_observation=None) -> DataFrame:
 _LPA_ITERS = 3
 
 
-def _lpa_oracle() -> str:
-    """Chained-CTE replay of the synchronous LPA recurrence."""
+def _lpa_chain_ctes() -> tuple[str, str]:
+    """The shared chained-CTE prefix replaying the synchronous LPA
+    recurrence (pairs → doubled edges → l0 → … → l{K}); returns
+    (cte_text_without_WITH, final_label_cte_name). Reused by the LPA
+    oracle and the modularity oracle so both replay the identical
+    partition."""
     its = []
     prev = "l0"
     for k in range(1, _LPA_ITERS + 1):
@@ -623,8 +627,7 @@ l{k} AS (
         )
         prev = f"l{k}"
     chained = ",\n".join(its)
-    return f"""
-WITH pairs AS (
+    ctes = f"""pairs AS (
     SELECT DISTINCT l_suppkey AS suppkey, l_partkey AS partkey FROM lineitem
 ),
 edges AS (
@@ -635,7 +638,15 @@ edges AS (
 l0 AS (
     SELECT DISTINCT src AS node_id, src AS label FROM edges
 ),
-{chained},
+{chained}"""
+    return ctes, prev
+
+
+def _lpa_oracle() -> str:
+    """Chained-CTE replay of the synchronous LPA recurrence."""
+    ctes, prev = _lpa_chain_ctes()
+    return f"""
+WITH {ctes},
 sized AS (
     SELECT node_id, label,
            COUNT(*) OVER (PARTITION BY label) AS community_size
@@ -670,6 +681,44 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the plan like PageRank's — no convergence detection, no
     driver round-trips.
     """
+    labels = _lpa_final_labels(spark, sf_dir)
+    sized = labels.select(
+        "node_id",
+        "label",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("community_size"),
+    )
+    return sized.select(
+        "node_id",
+        F.when(F.col("node_id") % 2 == 0, "supplier")
+        .otherwise("part")
+        .alias("node_type"),
+        (F.col("node_id") / 2).cast("long").alias("entity_key"),
+        F.col("label").cast("long").alias("label"),
+        F.col("community_size").cast("long").alias("community_size"),
+    )
+
+
+graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
+    it=_LPA_ITERS
+)
+
+
+def _lpa_final_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final LPA label table (node_id, label) after the fixed
+    sweeps — the shared detect step behind graph_label_propagation
+    (which sizes it) and graph_modularity (which scores it). Memoized
+    per (session, sf_dir) and lazily checkpointed: node-dust relative
+    to the fact table, so materializing it once is the 2×-win side of
+    the checkpoint-dust/recompute-corpus discipline."""
+    from ..catalog import _session_cache  # noqa: PLC0415
+
+    cache = _session_cache(spark)
+    key = ("lpa_labels", sf_dir)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
     edges = _cosupply_edges(spark, sf_dir).select("src", "dst")
     labels = edges.select(F.col("src").alias("node_id")).distinct().select(
         "node_id", F.col("node_id").alias("label")
@@ -693,27 +742,118 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node_id"))
             .agg(F.expr("mode(label, true)").alias("label"))
         )
-    sized = labels.select(
-        "node_id",
-        "label",
-        F.count(F.lit(1))
-        .over(Window.partitionBy("label"))
-        .alias("community_size"),
-    )
-    return sized.select(
-        "node_id",
-        F.when(F.col("node_id") % 2 == 0, "supplier")
-        .otherwise("part")
-        .alias("node_type"),
-        (F.col("node_id") / 2).cast("long").alias("entity_key"),
-        F.col("label").cast("long").alias("label"),
-        F.col("community_size").cast("long").alias("community_size"),
-    )
+    labels = labels.localCheckpoint(eager=False)
+    cache[key] = labels
+    return labels
 
 
-graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
-    it=_LPA_ITERS
+# --------------------------------------------------------------------------
+# Modularity — scoring the LPA partition (detect → SCORE)
+# --------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    """LPA chain + Newman–Girvan modularity accounting per community."""
+    ctes, prev = _lpa_chain_ctes()
+    return f"""
+WITH {ctes},
+lab AS (SELECT node_id, label FROM {prev}),
+deg AS (SELECT src AS node_id, COUNT(*) AS outdeg FROM edges GROUP BY src),
+mm AS (SELECT COUNT(*) AS m2 FROM edges),
+intra AS (
+    SELECT lu.label, COUNT(*) AS e2
+    FROM edges e
+    JOIN lab lu ON lu.node_id = e.src
+    JOIN lab lv ON lv.node_id = e.dst
+    WHERE lu.label = lv.label
+    GROUP BY lu.label
+),
+comm AS (
+    SELECT l.label, COUNT(*) AS n_nodes, SUM(d.outdeg) AS dsum
+    FROM lab l JOIN deg d ON d.node_id = l.node_id
+    GROUP BY l.label
 )
+SELECT CAST(c.label AS BIGINT)                  AS label,
+       CAST(c.n_nodes AS BIGINT)               AS n_nodes,
+       CAST(c.dsum AS BIGINT)                  AS degree_sum,
+       CAST(COALESCE(i.e2, 0) // 2 AS BIGINT)  AS intra_edges,
+       CAST(round(1000000.0 * (
+            CAST(COALESCE(i.e2, 0) AS DOUBLE) / mm.m2
+            - (CAST(c.dsum AS DOUBLE) / mm.m2)
+              * (CAST(c.dsum AS DOUBLE) / mm.m2))) AS BIGINT) AS modq_micro
+FROM comm c
+LEFT JOIN intra i ON i.label = c.label
+CROSS JOIN mm
+"""
+
+
+@query("graph_modularity", oracle=_modularity_oracle())
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman–Girvan modularity of the LPA communities over the
+    co-supply graph — the score step that completes detect→score
+    (communities without a quality number are unfalsifiable; Q says
+    whether the partition beats the degree-preserving random graph).
+    Per community c: Q_c = e_c/m − (d_c/2m)², emitted micro-pinned
+    alongside its exact integer ingredients (node count, degree sum,
+    intra-community edge count); Σ Q_c is the classic global Q.
+
+    Exactness: on the DOUBLED edge fixture every ingredient is an
+    exact bigint count (e2_c = 2e_c, m2 = 2m, d_c = Σ outdeg), and
+    Q_c = e2_c/m2 − (dsum_c/m2)² is two IEEE divisions, one multiply,
+    one subtract on those integers — deterministic on both engines, so
+    the micro pin hash-matches. The oracle replays the identical LPA
+    chain via the shared CTE prefix.
+
+    Scale shape: labels come from the memoized checkpointed LPA dust
+    (shared with graph_label_propagation — zero extra sweeps); the
+    intra count is two node-keyed joins riding the checkpointed edge
+    fixture's partitioning (no forced broadcast — labels are O(V),
+    AQE decides); degree/community rollups are keyed aggregations on
+    dust; m2 is a 1-row broadcast. Nothing quadratic anywhere: the
+    heavy object is the edge list itself, touched a bounded number of
+    times."""
+    edges = _cosupply_edges(spark, sf_dir)
+    lab = _lpa_final_labels(spark, sf_dir)
+    mm = edges.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    lu = lab.select(F.col("node_id").alias("src"), F.col("label").alias("lu"))
+    lv = lab.select(F.col("node_id").alias("dst"), F.col("label").alias("lv"))
+    intra = (
+        edges.select("src", "dst")
+        .join(lu, "src")
+        .join(lv, "dst")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e2"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    comm = (
+        lab.join(deg, "node_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("outdeg").cast("long").alias("dsum"),
+        )
+    )
+    return (
+        comm.join(intra, "label", "left")
+        .crossJoin(F.broadcast(mm))  # bounded: 1-row global aggregate
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_nodes",
+            F.col("dsum").alias("degree_sum"),
+            F.expr("CAST(coalesce(e2, 0) DIV 2 AS BIGINT)").alias(
+                "intra_edges"
+            ),
+            F.expr(
+                "CAST(round(1000000.0 * ("
+                "CAST(coalesce(e2, 0) AS DOUBLE) / m2"
+                " - (CAST(dsum AS DOUBLE) / m2)"
+                " * (CAST(dsum AS DOUBLE) / m2))) AS BIGINT)"
+            ).alias("modq_micro"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

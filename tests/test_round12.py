@@ -300,3 +300,25 @@ def test_brier_decimal_sum_is_exact_past_the_old_int64_pole(spark):
         f" FROM (SELECT CAST({e} AS BIGINT) AS e FROM range({n}))"
     ).fetchone()
     assert (int(row["s"]), row["brier_micro"]) == (int(want[0]), want[1])
+
+
+def test_modularity_partition_invariants(spark, sf_dir):
+    """graph_modularity (r12 capability): the per-community accounting
+    must tile the graph exactly — node counts sum to V, degree sums to
+    2m, intra edges to at most m — and the global Q = Σ Q_c stays in
+    Newman's [-1/2, 1) range."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.graph import (
+        _cosupply_edges,
+        graph_modularity,
+    )
+
+    out = graph_modularity(spark, sf_dir).collect()
+    assert out
+    edges = _cosupply_edges(spark, sf_dir)
+    m2 = edges.count()
+    v = edges.select("src").distinct().count()
+    assert sum(r["n_nodes"] for r in out) == v
+    assert sum(r["degree_sum"] for r in out) == m2
+    assert sum(r["intra_edges"] for r in out) <= m2 // 2
+    q = sum(r["modq_micro"] for r in out) / 1e6
+    assert -0.5 <= q < 1.0, q
