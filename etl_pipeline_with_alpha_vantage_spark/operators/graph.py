@@ -1687,7 +1687,16 @@ def jaccard_minhash_scored(
     sp_lo = sp.join(lo, "part", "semi")
     a = sp_lo.select("part", F.col("supp").alias("supp_a"))
     b = sp_lo.select("part", F.col("supp").alias("supp_b"))
-    wedges_lo = a.join(b, "part").filter(F.col("supp_a") < F.col("supp_b"))
+    # shuffle_hash, not AQE's choice: at test SFs AQE broadcasts the
+    # ~|E| probe side (a corpus-sized frame through the driver — the
+    # exact anti-pattern the broadcast lint exists for, and slower:
+    # isolated 1.9 s → 1.5 s); at fact scale it would fall back to
+    # sort-merge and pay a sort. Both sides already ride the fixture's
+    # hash(part) clustering, so the hash join plans with zero extra
+    # exchanges at any SF.
+    wedges_lo = a.join(b.hint("shuffle_hash"), "part").filter(
+        F.col("supp_a") < F.col("supp_b")
+    )
     if wedge_observation is not None:
         wedges_lo = wedges_lo.observe(
             wedge_observation, F.count(F.lit(1)).alias("wedges")
