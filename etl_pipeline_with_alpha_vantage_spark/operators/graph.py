@@ -197,6 +197,168 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Weighted PageRank over co-supply edge multiplicities
+# --------------------------------------------------------------------------
+
+# Per-edge multiplicity clip. Co-supply counts above this carry no
+# extra centrality signal, and the clip is what keeps the recurrence's
+# one product int64-exact: rank mass is bounded by V·1e6 + teleport, so
+# rank·w ≤ (V·1e6)·1000 stays inside 2^63 for any graph to ~9e9 nodes.
+# Mirrored verbatim in the oracle (LEAST), so it is part of the defined
+# semantics, not a lossy approximation; the TPC-H-shaped fixture never
+# reaches it (multiplicities are small — tripwired in
+# tests/test_round12.py an order of magnitude inside).
+_PRW_WCAP = 1000
+
+
+def _cosupply_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized WEIGHTED undirected co-supply edge list: (src, dst, w,
+    wsum) where w = clipped lineitem multiplicity of the (supp, part)
+    pair and wsum = src's total outgoing weight. Same checkpoint-once
+    discipline as _cosupply_edges — the weighted family's shared
+    fixture (one fact scan per session/sf_dir)."""
+    from ..catalog import _session_cache  # noqa: PLC0415
+
+    cache = _session_cache(spark)
+    key = ("cosupply_edges_weighted", sf_dir)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
+    li = table(spark, sf_dir, "lineitem")
+    mult = (
+        li.groupBy(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("l_partkey") * 2 + 1).alias("p"),
+        )
+        .agg(
+            F.least(F.count(F.lit(1)), F.lit(_PRW_WCAP))
+            .cast("long")
+            .alias("w")
+        )
+    )
+    und = mult.select(
+        F.col("s").alias("src"), F.col("p").alias("dst"), "w"
+    ).unionAll(
+        mult.select(F.col("p").alias("src"), F.col("s").alias("dst"), "w")
+    )
+    wd = und.groupBy("src").agg(F.sum("w").cast("long").alias("wsum"))
+    edges = und.join(wd, "src").localCheckpoint(eager=True)
+    cache[key] = edges
+    return edges
+
+
+def _prw_oracle() -> str:
+    """Chained-CTE replay of the integer weighted-PageRank recurrence."""
+    its = []
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        its.append(
+            f"""r{k} AS (
+    SELECT n.node_id,
+           150000 + ((850 * COALESCE(SUM(
+               ((p.rank_units * e.w) // d.wsum)
+           ), 0)) // 1000) AS rank_units
+    FROM nodes n
+    LEFT JOIN edges e ON e.dst = n.node_id
+    LEFT JOIN {prev} p ON p.node_id = e.src
+    LEFT JOIN wd d ON d.node_id = e.src
+    GROUP BY n.node_id
+)"""
+        )
+        prev = f"r{k}"
+    chained = ",\n".join(its)
+    return f"""
+WITH mult AS (
+    SELECT l_suppkey * 2 AS s, l_partkey * 2 + 1 AS p,
+           LEAST(COUNT(*), {_PRW_WCAP}) AS w
+    FROM lineitem GROUP BY 1, 2
+),
+edges AS (
+    SELECT s AS src, p AS dst, w FROM mult
+    UNION ALL
+    SELECT p AS src, s AS dst, w FROM mult
+),
+nodes AS (
+    SELECT DISTINCT src AS node_id FROM edges
+),
+wd AS (
+    SELECT src AS node_id, SUM(w) AS wsum FROM edges GROUP BY src
+),
+r0 AS (
+    SELECT node_id, {_PR_INIT} AS rank_units FROM nodes
+),
+{chained}
+SELECT node_id,
+       CASE WHEN node_id % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
+       CAST(node_id // 2 AS BIGINT) AS entity_key,
+       CAST(rank_units AS BIGINT) AS rank_units
+FROM {prev}
+"""
+
+
+@query("graph_pagerank_weighted", oracle=_prw_oracle())
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over co-supply edge MULTIPLICITIES: the plain
+    kernel treats a supplier that shipped a part once and one that
+    ships it daily as the same edge; here each edge carries its clipped
+    lineitem multiplicity and a node's rank divides across neighbors
+    proportionally (share = rank·w DIV wsum — the weighted random-walk
+    transition, truncating-integer form). Same all-integer damped
+    recurrence, fixed 3 sweeps, and order-insensitive integer sums as
+    graph_pagerank, so the chained-CTE oracle replays it bit-for-bit.
+
+    Exactness pole: the one product rank·w is int64-safe because w is
+    clipped at {cap} (mirrored LEAST in the oracle — defined
+    semantics) and rank mass is bounded by V·1e6; the fixture's
+    multiplicities are tripwired far inside the clip.
+
+    Scale shape: its own session-memoized weighted fixture (one fact
+    scan: groupBy multiplicity → doubling → out-strength join →
+    eager checkpoint); per sweep join(edges, ranks on src) with the
+    shuffle_hash hint → groupBy(dst) partial-aggregated sum — only the
+    per-iteration rank vector moves, the planner can never broadcast
+    the fact-scale edge side."""
+    edges = _cosupply_edges_weighted(spark, sf_dir)
+    ranks = (
+        edges.select(F.col("src").alias("node_id"))
+        .distinct()
+        .withColumn("rank_units", F.lit(_PR_INIT).cast("long"))
+    )
+    for _ in range(_PR_ITERS):
+        ranks = (
+            edges.join(
+                ranks.withColumnRenamed("node_id", "src").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node_id"),
+                F.expr("(rank_units * w) DIV wsum").alias("share"),
+            )
+            .groupBy("node_id")
+            .agg(
+                (F.lit(150000) + F.expr("(850 * sum(share)) DIV 1000"))
+                .cast("long")
+                .alias("rank_units")
+            )
+        )
+    return ranks.select(
+        "node_id",
+        F.when(F.col("node_id") % 2 == 0, "supplier")
+        .otherwise("part")
+        .alias("node_type"),
+        F.expr("node_id DIV 2").cast("long").alias("entity_key"),
+        F.col("rank_units").cast("long").alias("rank_units"),
+    )
+
+
+graph_pagerank_weighted.__doc__ = graph_pagerank_weighted.__doc__.format(
+    cap=_PRW_WCAP
+)
+
+
+# --------------------------------------------------------------------------
 # Personalized PageRank (random walk with restart) over the same fixture
 # --------------------------------------------------------------------------
 

@@ -322,3 +322,88 @@ def test_modularity_partition_invariants(spark, sf_dir):
     assert sum(r["intra_edges"] for r in out) <= m2 // 2
     q = sum(r["modq_micro"] for r in out) / 1e6
     assert -0.5 <= q < 1.0, q
+
+
+# --------------------------------------------------------------------------
+# Weighted PageRank (r12 capability): pure-Python arbitrary-precision
+# replay + both-engine agreement on a corpus that exercises the weight
+# clip, + fixture multiplicity tripwire (the graph_hits discipline).
+# --------------------------------------------------------------------------
+
+
+def _prw_replay(pairs_mult, iters=3, cap=1000):
+    """Exact-integer replay of the weighted-PageRank recurrence over
+    {(supp_node, part_node): multiplicity}."""
+    from collections import defaultdict
+
+    edges = []
+    for (s, p), w in pairs_mult.items():
+        w = min(w, cap)
+        edges.append((s, p, w))
+        edges.append((p, s, w))
+    wsum = defaultdict(int)
+    for u, _v, w in edges:
+        wsum[u] += w
+    r = {n: 1_000_000 for n in wsum}
+    for _ in range(iters):
+        inflow = defaultdict(int)
+        for u, v, w in edges:
+            inflow[v] += (r[u] * w) // wsum[u]
+        r = {n: 150000 + (850 * inflow[n]) // 1000 for n in r}
+    return r
+
+
+def test_pagerank_weighted_matches_replay_and_oracle(spark, tmp_path):
+    """graph_pagerank_weighted on a handcrafted multigraph — including
+    one pair ABOVE the 1000 clip so LEAST binds in all three
+    implementations — must match the pure-Python replay and the DuckDB
+    oracle exactly."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.graph import (
+        _prw_oracle,
+        graph_pagerank_weighted,
+    )
+
+    mult = {
+        (1, 10): 3,   # supplier 1 ships part 10 three times
+        (1, 11): 1,
+        (2, 10): 1005,  # above the clip: LEAST(., 1000) must bind
+        (2, 12): 7,
+        (3, 12): 2,
+    }
+    rows = [
+        (s, p)
+        for (s, p), w in mult.items()
+        for _ in range(min(w, 1010))
+    ]
+    spark.createDataFrame(
+        rows, "l_suppkey long, l_partkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["node_id"]: r["rank_units"]
+        for r in graph_pagerank_weighted(spark, str(tmp_path)).collect()
+    }
+    want = _prw_replay(
+        {(s * 2, p * 2 + 1): w for (s, p), w in mult.items()}
+    )
+    assert got == want, (got, want)
+    con = duckdb.connect()
+    con.sql("CREATE TABLE lineitem (l_suppkey BIGINT, l_partkey BIGINT)")
+    con.executemany("INSERT INTO lineitem VALUES (?, ?)", rows)
+    oracle = {r[0]: r[3] for r in con.sql(_prw_oracle()).fetchall()}
+    assert oracle == want, (oracle, want)
+
+
+def test_pagerank_weighted_clip_headroom_holds_on_fixture(sf_dir):
+    """The w ≤ 1000 clip is part of the defined semantics but should
+    never BIND on the shipped fixture — assert max co-supply
+    multiplicity sits an order of magnitude inside it."""
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'lineitem.parquet')}'"
+    )
+    (mx,) = con.sql(
+        "SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM lineitem"
+        " GROUP BY l_suppkey, l_partkey)"
+    ).fetchone()
+    assert mx < 100, mx
