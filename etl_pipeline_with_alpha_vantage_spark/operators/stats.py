@@ -2073,8 +2073,10 @@ _KW_H_EXPR = (
     " * 1000000) AS BIGINT) END"
 )
 
-_KW_ORACLE = f"""
-WITH base AS (
+# The rank machinery (pooled distinct values -> doubled average ranks ->
+# per-group doubled rank sums) is shared verbatim between the KW omnibus
+# and its Dunn post-hoc, in both engines.
+_KW_RANK_CTES = """base AS (
     SELECT event_type AS grp,
            CAST(round(value * 100) AS BIGINT) AS cents
     FROM events
@@ -2101,7 +2103,10 @@ per_g AS (
            CAST(SUM(gv.n_gv * r.rank2) AS BIGINT) AS r2_g
     FROM gv JOIN ranked r ON r.cents = gv.cents
     GROUP BY gv.grp
-),
+)"""
+
+_KW_ORACLE = f"""
+WITH {_KW_RANK_CTES},
 tot0 AS (
     SELECT CAST(SUM(n_g) AS BIGINT) AS n_total,
            CAST(COUNT(*) AS BIGINT) AS k_groups
@@ -2149,12 +2154,12 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kruskal_wallis(base)
 
 
-def kruskal_wallis(base: DataFrame) -> DataFrame:
-    """KW core over any (grp, cents) frame; see stats_kruskal_wallis.
-    Replay-proven at 2M rows by tests/test_scale_smoke.py: a fully
-    separated block design has closed-form doubled ranks and tie term,
-    and the statistic matches a python double-for-double replay of the
-    identical micro-pinned expression."""
+def _kw_rank_frames(base: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared rank machinery for the KW omnibus and its Dunn post-hoc:
+    returns (vt, per_g) where vt = per-distinct-pooled-value tie counts
+    (cents, t) and per_g = per-group exact doubled rank sums
+    (grp, n_g, r2_g). See stats_kruskal_wallis for the exactness story.
+    """
     # Lazy checkpoint: the distinct-value reduction feeds the rank
     # device, the per-group rollup, AND the tie term — one fact scan,
     # not three; gv is bounded by k × distinct values, dust relative to
@@ -2200,6 +2205,9 @@ def kruskal_wallis(base: DataFrame) -> DataFrame:
             ).alias("rank2"),
         )
     )
+    # Lazy checkpoint: the k-row rank-sum table feeds multiple dust
+    # subtrees in both consumers (hsum + tot0 here; both pair sides +
+    # tot0 in the Dunn post-hoc).
     per_g = (
         gv.join(ranked.select("cents", "rank2"), "cents")
         .groupBy("grp")
@@ -2207,7 +2215,18 @@ def kruskal_wallis(base: DataFrame) -> DataFrame:
             F.sum("n_gv").cast("long").alias("n_g"),
             F.sum(F.col("n_gv") * F.col("rank2")).cast("long").alias("r2_g"),
         )
+        .localCheckpoint(eager=False)
     )
+    return vt, per_g
+
+
+def kruskal_wallis(base: DataFrame) -> DataFrame:
+    """KW core over any (grp, cents) frame; see stats_kruskal_wallis.
+    Replay-proven at 2M rows by tests/test_scale_smoke.py: a fully
+    separated block design has closed-form doubled ranks and tie term,
+    and the statistic matches a python double-for-double replay of the
+    identical micro-pinned expression."""
+    vt, per_g = _kw_rank_frames(base)
     tot0 = per_g.agg(
         F.sum("n_g").cast("long").alias("n_total"),
         F.count(F.lit(1)).cast("long").alias("k_groups"),
@@ -2228,6 +2247,132 @@ def kruskal_wallis(base: DataFrame) -> DataFrame:
     )
     return hsum.crossJoin(F.broadcast(ties)).select(  # bounded: 1-row global aggregate
         "n_total", "k_groups", "tie", F.expr(_KW_H_EXPR).alias("h_micro")
+    )
+
+
+# --------------------------------------------------------------------------
+# Dunn post-hoc: pairwise rank-mean z after a significant Kruskal–Wallis
+# --------------------------------------------------------------------------
+
+# All-pooled-tied makes the tie-corrected variance exactly zero (the
+# same pole as the KW H correction), and n_total <= 1 divides by zero in
+# the tie term — identical guard text as _KW_H_EXPR's, evaluated on the
+# same double expressions as the divisors.
+_DUNN_BAD = (
+    "n_total <= 1 OR CAST(tie AS DOUBLE)"
+    " >= CAST(n_total AS DOUBLE) * n_total * n_total - n_total"
+)
+
+# Mean-rank difference in milli-rank units: mean rank = r2_g/(2 n_g) on
+# doubles cast from exact bigints, fixed pair orientation grp_a < grp_b
+# (the Games–Howell discipline), so the one subtraction is
+# deterministic in both engines.
+_DUNN_MEANDIFF = (
+    "CAST(round(1000.0 * (CAST(r2_a AS DOUBLE) / (2.0 * n_a)"
+    " - CAST(r2_b AS DOUBLE) / (2.0 * n_b))) AS BIGINT)"
+)
+
+# Dunn z = (R̄_a − R̄_b) / sqrt[(N(N+1)/12 − Σ(t³−t)/(12(N−1)))·(1/n_a
+# + 1/n_b)] (Dunn 1964, tie-corrected), micro-pinned. Every factor is a
+# double cast from an exact bigint; sqrt is IEEE correctly-rounded, so
+# the single expression agrees bit-for-bit across engines. N³ would
+# pass 2^53 at ~2M pooled rows, hence the guard compares in double like
+# the KW correction does.
+_DUNN_Z = (
+    f"CASE WHEN {_DUNN_BAD} THEN NULL"
+    " ELSE CAST(round((CAST(r2_a AS DOUBLE) / (2.0 * n_a)"
+    " - CAST(r2_b AS DOUBLE) / (2.0 * n_b))"
+    " / sqrt((CAST(n_total AS DOUBLE) * (n_total + 1.0) / 12.0"
+    " - CAST(tie AS DOUBLE) / (12.0 * (n_total - 1.0)))"
+    " * (1.0 / n_a + 1.0 / n_b)) * 1000000) AS BIGINT) END"
+)
+
+_DUNN_ORACLE = f"""
+WITH {_KW_RANK_CTES},
+tot0 AS (
+    SELECT CAST(SUM(n_g) AS BIGINT) AS n_total FROM per_g
+),
+ties AS (
+    SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie FROM vt
+),
+pairs AS (
+    SELECT a.grp AS grp_a, b.grp AS grp_b,
+           a.n_g AS n_a, a.r2_g AS r2_a,
+           b.n_g AS n_b, b.r2_g AS r2_b
+    FROM per_g a JOIN per_g b ON a.grp < b.grp
+)
+SELECT grp_a, grp_b, n_a, n_b,
+       {_DUNN_MEANDIFF} AS rankdiff_milli,
+       {_DUNN_Z} AS z_micro
+FROM pairs CROSS JOIN tot0 CROSS JOIN ties
+ORDER BY grp_a, grp_b
+"""
+
+
+@query("stats_dunn_test", oracle=_DUNN_ORACLE)
+def stats_dunn_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn post-hoc: after stats_kruskal_wallis's omnibus H says SOME
+    event-type distributions differ, this answers WHICH pairs do —
+    pairwise mean-rank z statistics with the pooled tie-corrected
+    variance (Dunn 1964), the standard nonparametric post-hoc. Mirrors
+    stats_games_howell's role exactly one column over in the test
+    matrix: Welch omnibus → Games–Howell pairs (means), KW omnibus →
+    Dunn pairs (ranks). Compare |z| against the Bonferroni-adjusted
+    normal quantile for k(k−1)/2 comparisons downstream.
+
+    Exactness: ranks come from the SAME shared machinery as the
+    omnibus (_kw_rank_frames / _KW_RANK_CTES — doubled average ranks
+    and per-group rank sums as exact bigints), and each pair statistic
+    is a single deterministic double expression on one pair's exact
+    (n_g, r2_g) plus the global (N, Σ(t³−t)) bigints, oriented
+    grp_a < grp_b. The all-tied pole NULLs via the identical guard
+    text as the omnibus correction.
+
+    Scale shape: one fact-scan shuffle to the (grp, value) distinct
+    table, the bucketed two-pass rank device over that dust, then a
+    broadcast self-join of the k-row rank-sum table — C(k,2) result
+    rows of pure dust; the 1-row N and tie aggregates broadcast.
+    """
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return dunn_test(base)
+
+
+def dunn_test(base: DataFrame) -> DataFrame:
+    """Dunn core over any (grp, cents) frame; see stats_dunn_test."""
+    vt, per_g = _kw_rank_frames(base)
+    tot0 = per_g.agg(F.sum("n_g").cast("long").alias("n_total"))
+    ties = vt.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie")
+    )
+    a = per_g.select(
+        F.col("grp").alias("grp_a"),
+        F.col("n_g").alias("n_a"),
+        F.col("r2_g").alias("r2_a"),
+    )
+    b = per_g.select(
+        F.col("grp").alias("grp_b"),
+        F.col("n_g").alias("n_b"),
+        F.col("r2_g").alias("r2_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))  # bounded: k-row per-group rank-sum table (bounded group count)
+    return (
+        pairs.crossJoin(F.broadcast(tot0))  # bounded: 1-row global aggregate
+        .crossJoin(F.broadcast(ties))  # bounded: 1-row global aggregate
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_a",
+            "n_b",
+            F.expr(_DUNN_MEANDIFF).alias("rankdiff_milli"),
+            F.expr(_DUNN_Z).alias("z_micro"),
+        )
+        .orderBy("grp_a", "grp_b")
     )
 
 

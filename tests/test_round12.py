@@ -407,3 +407,96 @@ def test_pagerank_weighted_clip_headroom_holds_on_fixture(sf_dir):
         " GROUP BY l_suppkey, l_partkey)"
     ).fetchone()
     assert mx < 100, mx
+
+
+# --------------------------------------------------------------------------
+# Dunn post-hoc (r12 capability): double-for-double replay on a
+# handcrafted tied frame + the all-tied degenerate pole in BOTH engines.
+# --------------------------------------------------------------------------
+
+
+def _dunn_replay(groups):
+    """Double-for-double replay of the Dunn pair statistics over
+    {grp: [cents, ...]} — exact integer doubled ranks, then the same
+    pinned expressions the kernels evaluate."""
+    import math
+    from collections import Counter
+
+    pooled = Counter(c for vs in groups.values() for c in vs)
+    # doubled average rank of each distinct value
+    rank2, before = {}, 0
+    for c in sorted(pooled):
+        t = pooled[c]
+        rank2[c] = 2 * before + t + 1
+        before += t
+    n_tot = sum(pooled.values())
+    tie = sum(t * t * t - t for t in pooled.values())
+    per_g = {
+        g: (len(vs), sum(rank2[c] for c in vs))
+        for g, vs in groups.items()
+    }
+    out = {}
+    for ga in sorted(per_g):
+        for gb in sorted(per_g):
+            if ga >= gb:
+                continue
+            n_a, r2_a = per_g[ga]
+            n_b, r2_b = per_g[gb]
+            diff = r2_a / (2.0 * n_a) - r2_b / (2.0 * n_b)
+            if n_tot <= 1 or float(tie) >= float(n_tot) * n_tot * n_tot - n_tot:
+                z = None
+            else:
+                sig2 = (
+                    float(n_tot) * (n_tot + 1.0) / 12.0
+                    - float(tie) / (12.0 * (n_tot - 1.0))
+                ) * (1.0 / n_a + 1.0 / n_b)
+                z = int(round(diff / math.sqrt(sig2) * 1_000_000))
+            out[(ga, gb)] = (n_a, n_b, int(round(1000.0 * diff)), z)
+    return out
+
+
+def test_dunn_matches_replay_with_ties(spark):
+    """Handcrafted 3-group frame with cross-group ties: the kernel must
+    match the pure-Python replay of the pinned expressions exactly."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        dunn_test,
+    )
+
+    groups = {
+        "a": [100, 100, 250, 300, 300, 300],
+        "b": [100, 250, 250, 400],
+        "c": [300, 400, 400, 500, 500],
+    }
+    rows = [(g, c) for g, vs in groups.items() for c in vs]
+    base = spark.createDataFrame(rows, "grp string, cents long")
+    got = {
+        (r["grp_a"], r["grp_b"]): (
+            r["n_a"], r["n_b"], r["rankdiff_milli"], r["z_micro"]
+        )
+        for r in dunn_test(base).collect()
+    }
+    assert got == _dunn_replay(groups), got
+
+
+def test_dunn_all_tied_pole_nulls_in_both_engines(spark):
+    """All pooled values identical → tie-corrected variance exactly 0 →
+    z must be NULL (not Inf/overflow) in Spark AND DuckDB."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        _DUNN_ORACLE,
+        dunn_test,
+    )
+
+    rows = [("a", 7), ("a", 7), ("b", 7), ("b", 7), ("b", 7)]
+    base = spark.createDataFrame(rows, "grp string, cents long")
+    out = dunn_test(base).collect()
+    assert len(out) == 1
+    assert out[0]["z_micro"] is None
+    assert out[0]["rankdiff_milli"] == 0
+    con = duckdb.connect()
+    con.sql("CREATE TABLE events (event_type VARCHAR, value DOUBLE)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?)",
+        [(g, c / 100.0) for g, c in rows],
+    )
+    oracle = con.sql(_DUNN_ORACLE).fetchall()
+    assert len(oracle) == 1 and oracle[0][5] is None
