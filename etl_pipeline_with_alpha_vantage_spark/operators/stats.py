@@ -2797,3 +2797,182 @@ def trend_mann_kendall_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     ).createOrReplaceTempView("monthly")
     return spark.sql(_SMK_READOUT_SQL)
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation — Pearson on exact doubled average ranks
+# --------------------------------------------------------------------------
+
+_SP_BUCKET = 1000  # rank-device segment width over distinct values
+
+
+def _spearman_exprs(wide: str) -> tuple[str, str]:
+    """The (da/db guard, rho) expression pair over the 1-row exact sums
+    (n, sx, sy, sxx, syy, sxy), parametrized ONLY by the wide-integer
+    type name — DECIMAL(38,0) on Spark, HUGEINT in DuckDB — so the
+    arithmetic text is otherwise shared verbatim. Every product is
+    exact wide-integer (num ≈ 4N⁴ stays under 1e38 to N≈2.2e9 rows —
+    documented pole, tripwired on the fixture); the ONE cast to double
+    per factor is correctly rounded in both engines, and the final
+    divide/sqrt is a single deterministic IEEE expression."""
+    n = f"CAST(n AS {wide})"
+    num = f"CAST({n} * sxy - sx * sy AS DOUBLE)"
+    da = f"CAST({n} * sxx - sx * sx AS DOUBLE)"
+    db = f"CAST({n} * syy - sy * sy AS DOUBLE)"
+    bad = f"{da} <= 0.0 OR {db} <= 0.0"
+    rho = (
+        f"CASE WHEN {bad} THEN NULL"
+        f" ELSE CAST(round({num} / sqrt({da} * {db}) * 1000000)"
+        f" AS BIGINT) END"
+    )
+    return bad, rho
+
+
+_SP_ORACLE = f"""
+WITH base AS (
+    SELECT CAST(l_quantity AS BIGINT) AS xv,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS yv
+    FROM lineitem
+),
+vx AS (
+    SELECT xv AS v, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY 1
+),
+rx AS (
+    SELECT v,
+           2 * COALESCE(SUM(t) OVER (
+               ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + t + 1 AS rank2
+    FROM vx
+),
+vy AS (
+    SELECT yv AS v, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY 1
+),
+ry AS (
+    SELECT v,
+           2 * COALESCE(SUM(t) OVER (
+               ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + t + 1 AS rank2
+    FROM vy
+),
+j AS (
+    SELECT rx.rank2 AS a, ry.rank2 AS b
+    FROM base
+    JOIN rx ON rx.v = base.xv
+    JOIN ry ON ry.v = base.yv
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(a AS HUGEINT)) AS sx,
+           SUM(CAST(b AS HUGEINT)) AS sy,
+           SUM(CAST(a AS HUGEINT) * a) AS sxx,
+           SUM(CAST(b AS HUGEINT) * b) AS syy,
+           SUM(CAST(a AS HUGEINT) * b) AS sxy
+    FROM j
+),
+dx AS (SELECT CAST(COUNT(*) AS BIGINT) AS distinct_x FROM vx),
+dy AS (SELECT CAST(COUNT(*) AS BIGINT) AS distinct_y FROM vy)
+SELECT n, distinct_x, distinct_y,
+       {_spearman_exprs('HUGEINT')[1]} AS rho_micro
+FROM s CROSS JOIN dx CROSS JOIN dy
+"""
+
+
+def _rank2_of(vals: DataFrame) -> DataFrame:
+    """Doubled-average-rank table over a single-column (v) observation
+    frame: returns (v, rank2) with rank2 = 2·r̄ kept exact-integer
+    through ties — the KW bucketed two-pass prefix device over the
+    distinct-value dust (no global sort of the fact)."""
+    vt = vals.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    bucketed = vt.withColumn(
+        "bucket", (F.col("v") / _SP_BUCKET).cast("long")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn("local_prev", F.sum("t").over(w_local))
+    bucket_tots = bucketed.groupBy("bucket").agg(
+        F.sum("t").alias("bucket_t")
+    )
+    w_buckets = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior = bucket_tots.select(
+        "bucket", F.sum("bucket_t").over(w_buckets).alias("prior_t")
+    )
+    return (
+        local.join(prior, "bucket")
+        .select(
+            "v",
+            "t",
+            (
+                2
+                * (
+                    F.coalesce("local_prev", F.lit(0))
+                    + F.coalesce("prior_t", F.lit(0))
+                )
+                + F.col("t")
+                + 1
+            ).alias("rank2"),
+        )
+    )
+
+
+@query("stats_spearman_rank", oracle=_SP_ORACLE)
+def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between lineitem quantity and extended
+    price — the monotone-association twin of agg_regression's Pearson:
+    rank both variables with exact doubled average ranks (ties →
+    half-ranks stay integer), then Pearson on the ranks; constant
+    factors cancel, so 2r̄ works directly. The standard robust
+    screen for nonlinear-but-monotone feature relationships.
+
+    Cross-engine exactness: ranks come from the KW bucketed two-pass
+    device (exact bigints through ties); the five moment sums run in
+    wide exact integers (DECIMAL(38,0) on Spark, HUGEINT in DuckDB —
+    SUM over int64 would wrap at ~1e9 rows since Σrank2² ≈ 4N³), and
+    rho is one deterministic double expression on those exact values
+    (see _spearman_exprs). Degenerate all-tied variables NULL via the
+    same-expression guard.
+
+    Scale shape: each variable collapses to its distinct-value dust
+    (one partial-aggregated shuffle each), the rank prefix runs over
+    that dust, and the fact joins each rank table by value (shuffle
+    joins — the price rank table is O(distinct) = O(SF), never
+    broadcast per the round-11 rule; AQE may still elect broadcast at
+    small SF). One final 1-row aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("long").alias("xv"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("yv"),
+    ).localCheckpoint(eager=False)
+    rx = _rank2_of(base.select(F.col("xv").alias("v")))
+    ry = _rank2_of(base.select(F.col("yv").alias("v")))
+    j = (
+        base.join(rx.select(F.col("v").alias("xv"), F.col("rank2").alias("a")), "xv")
+        .join(ry.select(F.col("v").alias("yv"), F.col("rank2").alias("b")), "yv")
+    )
+    wide = "DECIMAL(38,0)"
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr(f"CAST(a AS {wide})")).alias("sx"),
+        F.sum(F.expr(f"CAST(b AS {wide})")).alias("sy"),
+        F.sum(F.expr(f"CAST(a AS {wide}) * a")).alias("sxx"),
+        F.sum(F.expr(f"CAST(b AS {wide}) * b")).alias("syy"),
+        F.sum(F.expr(f"CAST(a AS {wide}) * b")).alias("sxy"),
+    )
+    dx = rx.agg(F.count(F.lit(1)).cast("long").alias("distinct_x"))
+    dy = ry.agg(F.count(F.lit(1)).cast("long").alias("distinct_y"))
+    return (
+        s.crossJoin(F.broadcast(dx))  # bounded: 1-row global aggregate
+        .crossJoin(F.broadcast(dy))  # bounded: 1-row global aggregate
+        .select(
+            "n",
+            "distinct_x",
+            "distinct_y",
+            F.expr(_spearman_exprs(wide)[1]).alias("rho_micro"),
+        )
+    )

@@ -500,3 +500,108 @@ def test_dunn_all_tied_pole_nulls_in_both_engines(spark):
     )
     oracle = con.sql(_DUNN_ORACLE).fetchall()
     assert len(oracle) == 1 and oracle[0][5] is None
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation (r12 capability): closed-form poles, a
+# tied-frame replay against scipy-free exact math, and both engines.
+# --------------------------------------------------------------------------
+
+
+def _spearman_replay(xy):
+    """Exact replay: doubled average ranks, wide-int sums, the pinned
+    double expression."""
+    import math
+    from collections import Counter
+
+    def rank2(vals):
+        pooled = Counter(vals)
+        r, before = {}, 0
+        for v in sorted(pooled):
+            t = pooled[v]
+            r[v] = 2 * before + t + 1
+            before += t
+        return r
+
+    rx = rank2([x for x, _ in xy])
+    ry = rank2([y for _, y in xy])
+    n = len(xy)
+    a = [rx[x] for x, _ in xy]
+    b = [ry[y] for _, y in xy]
+    sx, sy = sum(a), sum(b)
+    sxx = sum(v * v for v in a)
+    syy = sum(v * v for v in b)
+    sxy = sum(u * v for u, v in zip(a, b))
+    da = float(n * sxx - sx * sx)
+    db = float(n * syy - sy * sy)
+    if da <= 0.0 or db <= 0.0:
+        return n, None
+    num = float(n * sxy - sx * sy)
+    return n, int(round(num / math.sqrt(da * db) * 1_000_000))
+
+
+def _spearman_run(spark, rows):
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        stats_spearman_rank,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "l_quantity long, l_extendedprice double"
+        ).coalesce(1).write.parquet(os.path.join(d, "lineitem.parquet"))
+        return stats_spearman_rank(spark, d).collect()[0]
+
+
+def test_spearman_poles_and_tied_replay(spark):
+    """Perfect monotone → exactly 1e6; anti-monotone → exactly −1e6;
+    a tied mixed frame matches the exact replay; all-tied x → NULL."""
+    mono = [(i, 10.0 * i) for i in range(1, 8)]
+    r = _spearman_run(spark, mono)
+    assert (r["n"], r["rho_micro"]) == (7, 1_000_000)
+
+    anti = [(i, -3.0 * i) for i in range(1, 6)]
+    assert _spearman_run(spark, anti)["rho_micro"] == -1_000_000
+
+    tied = [(1, 5.0), (1, 7.0), (2, 5.0), (2, 9.0), (3, 9.0), (3, 2.0)]
+    want_n, want_rho = _spearman_replay(
+        [(x, int(round(y * 100))) for x, y in tied]
+    )
+    got = _spearman_run(spark, tied)
+    assert (got["n"], got["rho_micro"]) == (want_n, want_rho)
+
+    flat = [(4, float(i)) for i in range(5)]
+    assert _spearman_run(spark, flat)["rho_micro"] is None
+
+
+def test_spearman_oracle_agrees_on_tied_frame():
+    """The DuckDB oracle replays the same tied frame bit-for-bit."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        _SP_ORACLE,
+    )
+
+    tied = [(1, 5.0), (1, 7.0), (2, 5.0), (2, 9.0), (3, 9.0), (3, 2.0)]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE lineitem (l_quantity BIGINT, l_extendedprice DOUBLE)"
+    )
+    con.executemany("INSERT INTO lineitem VALUES (?, ?)", tied)
+    n, rho = con.sql(_SP_ORACLE).fetchall()[0][0], con.sql(
+        _SP_ORACLE
+    ).fetchall()[0][3]
+    want_n, want_rho = _spearman_replay(
+        [(x, int(round(y * 100))) for x, y in tied]
+    )
+    assert (n, rho) == (want_n, want_rho)
+
+
+def test_spearman_wide_pole_headroom_on_fixture(sf_dir):
+    """The wide-integer pole is ~4N⁴ < 1e38 (N ≈ 2.2e9 rows); assert
+    the fixture sits orders of magnitude inside it."""
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'lineitem.parquet')}'"
+    )
+    (n,) = con.sql("SELECT COUNT(*) FROM lineitem").fetchone()
+    assert 4 * n**4 < 1e38 / 1e6, n
