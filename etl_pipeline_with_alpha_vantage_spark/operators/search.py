@@ -586,6 +586,153 @@ eval_retrieval_ndcg.__doc__ = eval_retrieval_ndcg.__doc__.format(
 
 
 # --------------------------------------------------------------------------
+# Retrieval evaluation: AP@k + MRR of the BM25 ranking (binary relevance)
+# --------------------------------------------------------------------------
+
+_MAP_K = 20
+
+_MAP_ORACLE = f"""
+WITH {_BM25_SCORE_CTES},
+rel AS (
+    SELECT doc_id, CAST(COUNT(DISTINCT tok) AS BIGINT) AS rel
+    FROM postings GROUP BY doc_id
+),
+ranked AS (
+    SELECT doc_id, CAST(rn AS BIGINT) AS pos
+    FROM (SELECT doc_id, row_number() OVER (
+              ORDER BY bm25_micro DESC, doc_id) AS rn
+          FROM bm25)
+    WHERE rn <= {_MAP_K}
+),
+hits AS (
+    SELECT r.pos,
+           CASE WHEN COALESCE(g.rel, 0) >= 1 THEN 1 ELSE 0 END AS hit
+    FROM ranked r LEFT JOIN rel g USING (doc_id)
+),
+cum AS (
+    SELECT pos, hit,
+           CAST(SUM(hit) OVER (ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_hits
+    FROM hits
+),
+terms AS (
+    SELECT CAST(SUM(CASE WHEN hit = 1
+                         THEN (1000000 * cum_hits) // pos
+                         ELSE 0 END) AS BIGINT) AS ap_num,
+           CAST(SUM(hit) AS BIGINT) AS hits_at_k,
+           CAST(MIN(CASE WHEN hit = 1 THEN pos END) AS BIGINT)
+               AS first_rel_pos
+    FROM cum
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant FROM rel WHERE rel >= 1
+)
+SELECT n_relevant, hits_at_k, first_rel_pos,
+       CASE WHEN first_rel_pos IS NULL THEN NULL
+            ELSE CAST(1000000 // first_rel_pos AS BIGINT) END AS mrr_micro,
+       CASE WHEN LEAST(n_relevant, {_MAP_K}) = 0 THEN NULL
+            ELSE CAST(ap_num // LEAST(n_relevant, {_MAP_K}) AS BIGINT) END
+           AS ap_micro
+FROM terms CROSS JOIN tot
+"""
+
+
+@query("eval_retrieval_map", oracle=_MAP_ORACLE)
+def eval_retrieval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision @ {k} and reciprocal rank of the deployed BM25
+    ranking against BINARY relevance (any query term present) — the
+    two order-sensitive IR metrics eval_retrieval_ndcg's graded gain
+    doesn't cover (AP integrates precision exactly at the recall
+    points; RR is the navigational first-hit metric). Together the
+    three give the standard offline retrieval report.
+
+    Cross-engine exactness is all-integer: each relevant position
+    contributes (1e6·cum_hits) DIV pos — truncating integer division,
+    order-insensitive integer sum — and AP divides by min(R, {k}) with
+    one more exact DIV; RR is 1e6 DIV first_rel_pos. Zero-relevant
+    corpora NULL both metrics in both engines.
+
+    Scale shape: shares the _bm25_scores stage (term-pruned postings,
+    partial-aggregated); the ranking is TakeOrderedAndProject top-{k};
+    every metric computation runs on ≤{k}-row dust plus a 1-row
+    relevant-count aggregate. At 100 TB, per-query grouping keys the
+    same dataflow by query_id and nothing else changes."""
+    scores = _bm25_scores(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    rel = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok").isin(_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tok").cast("long").alias("rel"))
+        .localCheckpoint(eager=False)
+    )
+    top = scores.orderBy(F.col("bm25_micro").desc(), "doc_id").limit(
+        _MAP_K
+    )
+    ranked = top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_micro").desc(), "doc_id"))
+        .cast("long")
+        .alias("pos"),
+    )
+    hits = ranked.join(rel, "doc_id", "left").select(
+        "pos",
+        F.when(F.coalesce("rel", F.lit(0)) >= 1, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("hit"),
+    )
+    cum = hits.withColumn(
+        "cum_hits",
+        F.sum("hit")
+        .over(
+            Window.orderBy("pos").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long"),
+    )
+    terms = cum.agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN hit = 1 THEN (1000000 * cum_hits) DIV pos"
+                " ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("ap_num"),
+        F.sum("hit").cast("long").alias("hits_at_k"),
+        F.min(F.when(F.col("hit") == 1, F.col("pos")))
+        .cast("long")
+        .alias("first_rel_pos"),
+    )
+    tot = rel.filter(F.col("rel") >= 1).agg(
+        F.count(F.lit(1)).cast("long").alias("n_relevant")
+    )
+    return terms.crossJoin(F.broadcast(tot)).select(  # bounded: 1-row global aggregate
+        "n_relevant",
+        "hits_at_k",
+        "first_rel_pos",
+        F.expr(
+            "CASE WHEN first_rel_pos IS NULL THEN NULL"
+            " ELSE CAST(1000000 DIV first_rel_pos AS BIGINT) END"
+        ).alias("mrr_micro"),
+        F.expr(
+            f"CASE WHEN LEAST(n_relevant, {_MAP_K}) = 0 THEN NULL"
+            f" ELSE CAST(ap_num DIV LEAST(n_relevant, {_MAP_K})"
+            f" AS BIGINT) END"
+        ).alias("ap_micro"),
+    )
+
+
+eval_retrieval_map.__doc__ = eval_retrieval_map.__doc__.format(k=_MAP_K)
+
+
+# --------------------------------------------------------------------------
 # Positional phrase search ("data window" adjacency over positional postings)
 # --------------------------------------------------------------------------
 

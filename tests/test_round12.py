@@ -605,3 +605,63 @@ def test_spearman_wide_pole_headroom_on_fixture(sf_dir):
     )
     (n,) = con.sql("SELECT COUNT(*) FROM lineitem").fetchone()
     assert 4 * n**4 < 1e38 / 1e6, n
+
+
+# --------------------------------------------------------------------------
+# AP@k / MRR (r12 capability): pure-Python metric replay from the
+# engine-independent ranking + structural invariants.
+# --------------------------------------------------------------------------
+
+
+def test_retrieval_map_matches_python_metric_replay(spark, sf_dir):
+    """Fetch the BM25 top-k ranking and binary relevance via DuckDB
+    (engine-independent), replay AP@k/MRR with exact integer
+    arithmetic in Python, and compare against the Spark kernel."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.search import (
+        _BM25_SCORE_CTES,
+        _MAP_K,
+        eval_retrieval_map,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet')}'"
+    )
+    ranked = con.sql(
+        f"""
+        WITH {_BM25_SCORE_CTES},
+        rel AS (SELECT doc_id, COUNT(DISTINCT tok) AS rel
+                FROM postings GROUP BY doc_id)
+        SELECT CASE WHEN COALESCE(g.rel, 0) >= 1 THEN 1 ELSE 0 END
+        FROM (SELECT doc_id, row_number() OVER (
+                  ORDER BY bm25_micro DESC, doc_id) AS rn FROM bm25) r
+        LEFT JOIN rel g USING (doc_id)
+        WHERE rn <= {_MAP_K} ORDER BY rn
+        """
+    ).fetchall()
+    (n_rel,) = con.sql(
+        f"""WITH {_BM25_SCORE_CTES},
+        rel AS (SELECT doc_id, COUNT(DISTINCT tok) AS rel
+                FROM postings GROUP BY doc_id)
+        SELECT COUNT(*) FROM rel WHERE rel >= 1"""
+    ).fetchone()
+    hits = [h for (h,) in ranked]
+    ap_num, cum, first = 0, 0, None
+    for pos, h in enumerate(hits, start=1):
+        if h:
+            cum += 1
+            ap_num += (1_000_000 * cum) // pos
+            if first is None:
+                first = pos
+    denom = min(n_rel, _MAP_K)
+    want = {
+        "n_relevant": n_rel,
+        "hits_at_k": sum(hits),
+        "first_rel_pos": first,
+        "mrr_micro": None if first is None else 1_000_000 // first,
+        "ap_micro": None if denom == 0 else ap_num // denom,
+    }
+    got = eval_retrieval_map(spark, sf_dir).collect()[0].asDict()
+    assert got == want, (got, want)
+    assert got["ap_micro"] is None or 0 <= got["ap_micro"] <= 1_000_000
