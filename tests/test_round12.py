@@ -665,3 +665,79 @@ def test_retrieval_map_matches_python_metric_replay(spark, sf_dir):
     got = eval_retrieval_map(spark, sf_dir).collect()[0].asDict()
     assert got == want, (got, want)
     assert got["ap_micro"] is None or 0 <= got["ap_micro"] <= 1_000_000
+
+
+# --------------------------------------------------------------------------
+# Landmark closeness (r12 capability): pure-Python BFS replay on a
+# handcrafted graph with a disconnected component, in both engines.
+# --------------------------------------------------------------------------
+
+
+def _closeness_replay(pairs, lm_supps, hops):
+    """Exact BFS-by-landmark replay over {(supp, part)} edges."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for s, p in pairs:
+        adj[s * 2].add(p * 2 + 1)
+        adj[p * 2 + 1].add(s * 2)
+    out = defaultdict(lambda: [0, 0])  # node -> [n_reached, harm]
+    for node in adj:
+        out[node]
+    for lsupp in lm_supps:
+        lm = lsupp * 2
+        if lm not in adj:
+            continue
+        dist = {lm: 0}
+        q = deque([lm])
+        while q:
+            u = q.popleft()
+            if dist[u] >= hops:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, d in dist.items():
+            if d > 0:
+                out[v][0] += 1
+                out[v][1] += 1_000_000 // d
+    # nodes never reached by ANY landmark and not landmarks themselves
+    # are absent from the kernel output
+    return {
+        n: tuple(v)
+        for n, v in out.items()
+        if v[0] > 0 or n in {s * 2 for s in lm_supps}
+    }
+
+
+def test_closeness_matches_bfs_replay(spark, tmp_path):
+    """Handcrafted graph: chain off landmark 1, a hub shared by
+    landmarks 2 and 3, and a DISCONNECTED pair (supp 9, part 90) that
+    must be absent from the output; 3-hop truncation exercised."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.graph import (
+        _LM_HOPS,
+        _LM_SUPPS,
+        graph_closeness_landmark,
+    )
+
+    pairs = [
+        (1, 10),                           # landmark 1 -> part 10
+        (5, 10), (5, 11),                  # chain: 1-10-5-11
+        (6, 11), (6, 12),                  # deeper: 4 hops to part 12
+        (2, 20), (3, 20),                  # landmarks 2,3 share part 20
+        (4, 21),                           # landmark 4 isolated-ish
+        (9, 90),                           # disconnected from landmarks
+    ]
+    pairs = sorted(set(pairs))
+    spark.createDataFrame(
+        pairs, "l_suppkey long, l_partkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["node_id"]: (r["n_reached"], r["harm_micro"])
+        for r in graph_closeness_landmark(spark, str(tmp_path)).collect()
+    }
+    want = _closeness_replay(pairs, _LM_SUPPS, _LM_HOPS)
+    assert got == want, (got, want)
+    assert 180 not in got and 181 not in got  # 9*2=18? guard below
+    assert 18 not in got and 90 * 2 + 1 not in got
