@@ -119,6 +119,10 @@ _NESTED_LOOP_OK = {
     "privacy_t_closeness",  # bounded band-grid + 1-row totals broadcasts
     "graph_clustering_global",  # two 1-row count broadcasts (edges, tri)
     "graph_hits",  # 1-row global-max broadcast per rescale
+    "graph_modularity",  # 1-row (m2, total-degree) broadcast
+    "stats_dunn_test",  # k-row pair orient + 1-row N/tie broadcasts
+    "stats_spearman_rank",  # two 1-row distinct-count broadcasts
+    "eval_retrieval_map",  # BM25 corpus-stats + 1-row relevant-count
 }
 
 
