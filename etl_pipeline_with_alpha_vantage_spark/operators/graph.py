@@ -1337,6 +1337,220 @@ graph_closeness_landmark.__doc__ = graph_closeness_landmark.__doc__.format(
 
 
 # --------------------------------------------------------------------------
+# Sampled betweenness centrality — truncated Brandes from the landmarks
+# --------------------------------------------------------------------------
+
+
+def _betweenness_oracle() -> str:
+    """Chained-CTE replay: forward labeled BFS carrying exact σ path
+    counts, then the backward Brandes accumulation level-by-level."""
+    fwd = []
+    for k in range(1, _LM_HOPS + 1):
+        fwd.append(
+            f"""c{k} AS (
+    SELECT e.dst AS node, f.lm, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+    FROM v{k - 1} f JOIN e0 e ON e.src = f.node
+    WHERE f.dist = {k - 1}
+    GROUP BY e.dst, f.lm
+),
+v{k} AS (
+    SELECT node, lm, dist, sigma FROM v{k - 1}
+    UNION ALL
+    SELECT c.node, c.lm, {k}, c.sigma FROM c{k} c
+    WHERE NOT EXISTS (SELECT 1 FROM v{k - 1} x
+                      WHERE x.node = c.node AND x.lm = c.lm)
+)"""
+        )
+    vh = f"v{_LM_HOPS}"
+    bwd = [
+        f"""d{_LM_HOPS} AS (
+    SELECT node, lm, CAST(0 AS BIGINT) AS delta
+    FROM {vh} WHERE dist = {_LM_HOPS}
+)"""
+    ]
+    for k in range(_LM_HOPS - 1, 0, -1):
+        bwd.append(
+            f"""d{k} AS (
+    SELECT p.node, p.lm,
+           CAST(COALESCE(SUM(
+               (p.sigma * (1000000 + s.delta)) // w.sigma
+           ), 0) AS BIGINT) AS delta
+    FROM (SELECT * FROM {vh} WHERE dist = {k}) p
+    LEFT JOIN e0 e ON e.src = p.node
+    LEFT JOIN (SELECT * FROM {vh} WHERE dist = {k + 1}) w
+           ON w.node = e.dst AND w.lm = p.lm
+    LEFT JOIN d{k + 1} s ON s.node = w.node AND s.lm = w.lm
+    GROUP BY p.node, p.lm
+)"""
+        )
+    out_union = "\n    UNION ALL\n".join(
+        f"    SELECT node, lm, delta FROM d{k}"
+        for k in range(1, _LM_HOPS + 1)
+    )
+    lm_nodes = ", ".join(str(s * 2) for s in _LM_SUPPS)
+    chained = ",\n".join(fwd + bwd)
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT l_suppkey AS suppkey, l_partkey AS partkey FROM lineitem
+),
+e0 AS (
+    SELECT suppkey * 2 AS src, partkey * 2 + 1 AS dst FROM pairs
+    UNION ALL
+    SELECT partkey * 2 + 1 AS src, suppkey * 2 AS dst FROM pairs
+),
+v0 AS (
+    SELECT DISTINCT src AS node, src AS lm, 0 AS dist,
+           CAST(1 AS BIGINT) AS sigma
+    FROM e0 WHERE src IN ({lm_nodes})
+),
+{chained},
+contrib AS (
+{out_union}
+)
+SELECT node AS node_id,
+       CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
+       CAST(node // 2 AS BIGINT) AS entity_key,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(SUM(delta) AS BIGINT) AS bc_micro
+FROM contrib
+GROUP BY node
+"""
+
+
+@query("graph_betweenness_sampled", oracle=_betweenness_oracle())
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled betweenness centrality: Brandes' algorithm (2001) run
+    from the {nl} fixed landmark suppliers, truncated at {h} hops —
+    the broker/bottleneck centrality that completes the family
+    (PageRank = flow importance, HITS = mutual endorsement, closeness
+    = reachability, THIS = who sits on the shortest paths). Sampling
+    sources and bounding depth is the standard production estimator
+    (Bader et al. 2007 / Riondato–Kornaropoulos); at full source
+    coverage it IS Brandes.
+
+    All-integer Brandes: the forward labeled BFS carries EXACT int64
+    shortest-path counts σ (σ(v) = Σ σ(pred) over the previous layer —
+    order-insensitive integer sums; first-visit layer = min distance),
+    and the backward pass accumulates dependency level-by-level in
+    micro-units: δ(v) = Σ over layer-(d+1) successors w of
+    σ_v·(1e6 + δ_w) DIV σ_w — truncating integer division (defined
+    semantics), each level a pure integer aggregation, so the whole
+    recurrence is bit-identical on any partitioning and the chained-
+    CTE oracle replays it. σ ≤ deg_maxᵈ⁻¹ and each backward product
+    ≤ σ_v·1e6·(1+deg_max) — int64-safe while deg_max ≲ 1e4 at {h}
+    hops (fixture tripwired an order of magnitude inside).
+
+    Scale shape: forward = the closeness kernel's O(V·L) labeled BFS
+    plus one integer sum per fresh node; backward = per level one
+    3-way keyed join (layer-d nodes ⋈ edges ⋈ layer-(d+1) deltas, all
+    shuffled on node id) and a partial-aggregated groupBy. The source
+    count L is the sampling knob; nothing enumerates paths.
+    """
+    edges = _cosupply_edges(spark, sf_dir).select("src", "dst")
+    lm_nodes = [s * 2 for s in _LM_SUPPS]
+    visited = (
+        edges.filter(F.col("src").isin(lm_nodes))
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.col("node").alias("lm"),
+            F.lit(0).alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node", "lm", "sigma")
+    for depth in range(1, _LM_HOPS + 1):
+        reached = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node"), F.col("lm"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+        )
+        fresh = (
+            reached.join(
+                visited.select("node", "lm"), ["node", "lm"], "left_anti"
+            )
+            .withColumn("dist", F.lit(depth))
+            .select("node", "lm", "dist", "sigma")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh.select("node", "lm", "sigma")
+    # Backward Brandes accumulation, deepest layer first. The deepest
+    # layer's delta is zero by construction.
+    layer = {
+        d: visited.filter(F.col("dist") == d).select("node", "lm", "sigma")
+        for d in range(1, _LM_HOPS + 1)
+    }
+    delta = layer[_LM_HOPS].select(
+        "node", "lm", F.lit(0).cast("long").alias("delta")
+    )
+    contribs = [delta]
+    for d in range(_LM_HOPS - 1, 0, -1):
+        p = layer[d].select(
+            F.col("node").alias("v"),
+            "lm",
+            F.col("sigma").alias("sigma_v"),
+        )
+        w = (
+            layer[d + 1]
+            .join(delta, ["node", "lm"])
+            .select(
+                F.col("node").alias("wnode"),
+                "lm",
+                F.col("sigma").alias("sigma_w"),
+                F.col("delta").alias("delta_w"),
+            )
+        )
+        terms = (
+            p.join(edges, p["v"] == edges["src"], "left")
+            .join(
+                w,
+                (F.col("dst") == w["wnode"]) & (p["lm"] == w["lm"]),
+                "left",
+            )
+            .select(
+                "v",
+                p["lm"].alias("lm"),
+                F.expr(
+                    "(sigma_v * (1000000 + delta_w)) DIV sigma_w"
+                ).alias("term"),
+            )
+        )
+        delta = (
+            terms.groupBy(F.col("v").alias("node"), "lm")
+            .agg(
+                F.coalesce(F.sum("term"), F.lit(0))
+                .cast("long")
+                .alias("delta")
+            )
+            .localCheckpoint(eager=True)
+        )
+        contribs.append(delta)
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    return allc.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("delta").cast("long").alias("bc_micro"),
+    ).select(
+        F.col("node").alias("node_id"),
+        F.when(F.col("node") % 2 == 0, "supplier")
+        .otherwise("part")
+        .alias("node_type"),
+        F.expr("node DIV 2").cast("long").alias("entity_key"),
+        "n_sources",
+        "bc_micro",
+    )
+
+
+graph_betweenness_sampled.__doc__ = graph_betweenness_sampled.__doc__.format(
+    nl=len(_LM_SUPPS), h=_LM_HOPS
+)
+
+
+# --------------------------------------------------------------------------
 # Link prediction: resource-allocation index over the bipartite graph
 # --------------------------------------------------------------------------
 

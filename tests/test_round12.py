@@ -741,3 +741,109 @@ def test_closeness_matches_bfs_replay(spark, tmp_path):
     assert got == want, (got, want)
     assert 180 not in got and 181 not in got  # 9*2=18? guard below
     assert 18 not in got and 90 * 2 + 1 not in got
+
+
+# --------------------------------------------------------------------------
+# Sampled betweenness (r12 capability): pure-Python truncated-Brandes
+# replay with the identical integer semantics + closed-form bridge pole.
+# --------------------------------------------------------------------------
+
+
+def _brandes_replay(pairs, lm_supps, hops):
+    """Exact integer replay: layered BFS with sigma sums, then the
+    backward micro-pinned accumulation (sigma_v*(1e6+delta_w)) //
+    sigma_w, per landmark; returns {node: (n_sources, bc_micro)}."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, p in pairs:
+        adj[s * 2].add(p * 2 + 1)
+        adj[p * 2 + 1].add(s * 2)
+    acc = defaultdict(lambda: [0, 0])
+    for lsupp in lm_supps:
+        lm = lsupp * 2
+        if lm not in adj:
+            continue
+        dist, sigma = {lm: 0}, {lm: 1}
+        layers = {0: [lm]}
+        for d in range(1, hops + 1):
+            cand = defaultdict(int)
+            for u in layers.get(d - 1, []):
+                for v in adj[u]:
+                    cand[v] += sigma[u]
+            fresh = [v for v in cand if v not in dist]
+            for v in fresh:
+                dist[v], sigma[v] = d, cand[v]
+            layers[d] = fresh
+        delta = {v: 0 for v in layers.get(hops, [])}
+        for d in range(hops - 1, 0, -1):
+            nxt = {}
+            for v in layers.get(d, []):
+                tot = 0
+                for w in adj[v]:
+                    if dist.get(w) == d + 1:
+                        tot += (sigma[v] * (1_000_000 + delta[w])) // sigma[w]
+                nxt[v] = tot
+            for v in layers.get(d, []):
+                acc[v][0] += 1
+                acc[v][1] += nxt[v]
+            delta = nxt
+        for v in layers.get(hops, []):
+            acc[v][0] += 1
+    return {n: tuple(x) for n, x in acc.items()}
+
+
+def test_betweenness_bridge_pole_and_replay(spark, tmp_path):
+    """A pure path 1-10-5-11 from landmark supplier 1 gives the
+    closed-form Brandes deltas (2e6 on the first hop, 1e6 on the
+    bridge); a denser handcrafted graph with converging shortest paths
+    must match the integer replay exactly."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.graph import (
+        _LM_HOPS,
+        _LM_SUPPS,
+        graph_betweenness_sampled,
+    )
+
+    pairs = [
+        (1, 10), (5, 10), (5, 11),        # path: 2 -> 21 -> 10 -> 23
+        (2, 20), (3, 20), (6, 20),        # lms 2,3 converge on part 20
+        (6, 21), (7, 21),                 # and fan out through supp 6
+        (4, 22), (7, 22),
+        (9, 90),                          # disconnected
+    ]
+    pairs = sorted(set(pairs))
+    spark.createDataFrame(
+        pairs, "l_suppkey long, l_partkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["node_id"]: (r["n_sources"], r["bc_micro"])
+        for r in graph_betweenness_sampled(spark, str(tmp_path)).collect()
+    }
+    want = _brandes_replay(pairs, _LM_SUPPS, _LM_HOPS)
+    assert got == want, (got, want)
+    # closed-form check on the path arm: part 10 (node 21) relays
+    # landmark 1's paths to both supp 5 and (via supp 5) part 11.
+    assert got[21][1] >= 2_000_000
+
+
+def test_betweenness_sigma_pole_headroom_on_fixture(sf_dir):
+    """Backward products are bounded by deg_max^(H-1)·1e6·(1+deg_max);
+    with H=3 that wraps int64 near deg_max ≈ 2e4. Assert the fixture's
+    max degree sits an order of magnitude inside."""
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'lineitem.parquet')}'"
+    )
+    (dmax,) = con.sql(
+        """
+        WITH sp AS (SELECT DISTINCT l_suppkey s, l_partkey p FROM lineitem),
+        deg AS (
+            SELECT s AS n, COUNT(*) c FROM sp GROUP BY s
+            UNION ALL
+            SELECT p AS n, COUNT(*) c FROM sp GROUP BY p
+        )
+        SELECT MAX(c) FROM deg
+        """
+    ).fetchone()
+    assert dmax < 2_000, dmax
