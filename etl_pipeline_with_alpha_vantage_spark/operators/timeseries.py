@@ -2955,3 +2955,189 @@ def holt_backtest(daily: DataFrame) -> DataFrame:
             F.col("holt_abs_err_milli") < F.col("naive_abs_err_milli")
         ).alias("holt_beats_naive"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# MAD outlier screen — exact-median robust outliers per event type
+# --------------------------------------------------------------------------
+
+# Hampel rule threshold: |x − med| > 3·1.4826·MAD. Evaluated as ONE
+# shared double comparison on the exact doubled deviations (dev2 =
+# |2x − m2|, mad4 = 4·MAD): dev2 > 3·1.4826·(mad4/2). When mad4 = 0
+# (≥ half the group sits exactly at the median) every nonzero
+# deviation flags — the textbook MAD degeneracy, kept as defined
+# semantics (identical in both engines).
+_MAD_FLAG = (
+    "CAST(dev2 AS DOUBLE) > 3.0 * 1.4826 * (CAST(mad4 AS DOUBLE) / 2.0)"
+)
+
+# Doubled middle-order-statistic selector (the trend_theil_sen device):
+# ranks r1 = (n+1) DIV 2 and r2 = (n+2) DIV 2 hit exactly the one (odd
+# n, twice) or two (even n) middle ranks; a distinct value whose rank
+# interval (cum_before, cum_before + t] covers a middle rank
+# contributes once per covered rank, so the doubled median is an exact
+# integer Σ v·covered — no float averaging anywhere.
+def _mad_mid2(v: str) -> str:
+    return (
+        f"SUM({v} * ((CASE WHEN (n + 1) // 2 > cum_before"
+        f" AND (n + 1) // 2 <= cum_before + t THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN (n + 2) // 2 > cum_before"
+        f" AND (n + 2) // 2 <= cum_before + t THEN 1 ELSE 0 END)))"
+    )
+
+
+_MAD_ORACLE = f"""
+WITH base AS (
+    SELECT event_type AS grp,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+gv AS (
+    SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS t
+    FROM base GROUP BY 1, 2
+),
+tot AS (
+    SELECT grp, CAST(SUM(t) AS BIGINT) AS n FROM gv GROUP BY grp
+),
+cum AS (
+    SELECT gv.grp, gv.cents, gv.t, tot.n,
+           COALESCE(SUM(gv.t) OVER (
+               PARTITION BY gv.grp ORDER BY gv.cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+    FROM gv JOIN tot ON tot.grp = gv.grp
+),
+med AS (
+    SELECT grp, CAST({_mad_mid2('cents')} AS BIGINT) AS m2
+    FROM cum GROUP BY grp
+),
+dv AS (
+    SELECT gv.grp, ABS(2 * gv.cents - med.m2) AS dev2,
+           CAST(SUM(gv.t) AS BIGINT) AS t
+    FROM gv JOIN med ON med.grp = gv.grp
+    GROUP BY 1, 2
+),
+dcum AS (
+    SELECT dv.grp, dv.dev2, dv.t, tot.n,
+           COALESCE(SUM(dv.t) OVER (
+               PARTITION BY dv.grp ORDER BY dv.dev2
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+    FROM dv JOIN tot ON tot.grp = dv.grp
+),
+mad AS (
+    SELECT grp, CAST({_mad_mid2('dev2')} AS BIGINT) AS mad4
+    FROM dcum GROUP BY grp
+),
+flags AS (
+    SELECT dv.grp,
+           CAST(SUM(CASE WHEN {_MAD_FLAG} THEN dv.t ELSE 0 END)
+               AS BIGINT) AS n_outliers
+    FROM dv JOIN mad ON mad.grp = dv.grp
+    GROUP BY dv.grp
+)
+SELECT t.grp, t.n, med.m2 AS med2_cents, mad.mad4 AS mad4_cents,
+       f.n_outliers,
+       CAST((1000000 * f.n_outliers) // t.n AS BIGINT) AS outlier_ppm
+FROM tot t
+JOIN med ON med.grp = t.grp
+JOIN mad ON mad.grp = t.grp
+JOIN flags f ON f.grp = t.grp
+ORDER BY t.grp
+"""
+
+
+@query("anomaly_mad_outliers", oracle=_MAD_ORACLE)
+def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per event type — the
+    ROBUST complement to anomaly_rolling_zscore: mean/stddev break
+    down exactly when outliers are present (masking), while the
+    median/MAD pair has a 50% breakdown point (Hampel identifier;
+    Leys et al. 2013 is the standard methods citation). Emits, per
+    group, the exact doubled median, exact 4·MAD, and the Hampel
+    outlier count at the conventional 3·1.4826·MAD fence.
+
+    Cross-engine exactness: both medians come from the doubled
+    middle-order-statistic device (trend_theil_sen's discipline — the
+    (n+1) DIV 2 / (n+2) DIV 2 ranks hit the exact middle(s); no float
+    averaging), deviations are exact integers |2x − m2|, and the one
+    double comparison against the 1.4826 consistency constant is a
+    single shared expression. mad4 = 0 degeneracy keeps the textbook
+    behavior (every nonzero deviation flags) identically in both
+    engines.
+
+    Scale shape: the fact collapses once to per-(group, value) counts
+    (one partial-aggregated shuffle); every window runs PARTITIONED BY
+    GROUP over that distinct-value dust (no global single-partition
+    sort), and the deviation re-aggregation stays on dust because
+    distinct deviations ≤ distinct values. At 100 TB the device is the
+    standard two-pass exact-median-at-scale plan, sharded by group.
+    """
+    ev = table(spark, sf_dir, "events")
+    gv = (
+        ev.select(
+            F.col("event_type").alias("grp"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("grp", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .localCheckpoint(eager=False)
+    )
+    tot = gv.groupBy("grp").agg(F.sum("t").cast("long").alias("n"))
+
+    def mid2(frame: DataFrame, vcol: str) -> DataFrame:
+        cum = (
+            frame.join(tot, "grp")
+            .withColumn(
+                "cum_before",
+                F.coalesce(
+                    F.sum("t").over(
+                        Window.partitionBy("grp")
+                        .orderBy(vcol)
+                        .rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+        )
+        return cum.groupBy("grp").agg(
+            F.expr(_mad_mid2(vcol).replace("//", "DIV"))
+            .cast("long")
+            .alias("m2_" + vcol)
+        )
+
+    med = mid2(gv, "cents").withColumnRenamed("m2_cents", "m2")
+    dv = (
+        gv.join(med, "grp")
+        .groupBy(
+            "grp", F.abs(2 * F.col("cents") - F.col("m2")).alias("dev2")
+        )
+        .agg(F.sum("t").cast("long").alias("t"))
+        .localCheckpoint(eager=False)
+    )
+    mad = mid2(dv, "dev2").withColumnRenamed("m2_dev2", "mad4")
+    flags = (
+        dv.join(mad, "grp")
+        .groupBy("grp")
+        .agg(
+            F.sum(F.expr(f"CASE WHEN {_MAD_FLAG} THEN t ELSE 0 END"))
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        tot.join(med, "grp")
+        .join(mad, "grp")
+        .join(flags, "grp")
+        .select(
+            "grp",
+            "n",
+            F.col("m2").alias("med2_cents"),
+            F.col("mad4").alias("mad4_cents"),
+            "n_outliers",
+            F.expr("CAST((1000000 * n_outliers) DIV n AS BIGINT)").alias(
+                "outlier_ppm"
+            ),
+        )
+        .orderBy("grp")
+    )

@@ -847,3 +847,68 @@ def test_betweenness_sigma_pole_headroom_on_fixture(sf_dir):
         """
     ).fetchone()
     assert dmax < 2_000, dmax
+
+
+# --------------------------------------------------------------------------
+# MAD outliers (r12 capability): exact-median replay with odd/even/
+# degenerate groups, in both engines.
+# --------------------------------------------------------------------------
+
+
+def _mad_replay(groups):
+    """Exact replay over {grp: [cents...]}: doubled medians, Hampel
+    fence, degenerate mad4=0 behavior."""
+    out = {}
+    for g, vs in groups.items():
+        s = sorted(vs)
+        n = len(s)
+        r1, r2 = (n + 1) // 2, (n + 2) // 2
+        m2 = s[r1 - 1] + s[r2 - 1]
+        dev2 = sorted(abs(2 * x - m2) for x in vs)
+        mad4 = dev2[r1 - 1] + dev2[r2 - 1]
+        n_out = sum(
+            1 for d in dev2 if float(d) > 3.0 * 1.4826 * (mad4 / 2.0)
+        )
+        out[g] = (n, m2, mad4, n_out, (1_000_000 * n_out) // n)
+    return out
+
+
+def test_mad_outliers_matches_replay(spark, tmp_path):
+    """Odd group with one wild outlier, even group, and an all-equal
+    degenerate group (mad4 = 0: every nonzero deviation flags) — the
+    kernel and the DuckDB oracle must both match the exact replay."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.timeseries import (
+        _MAD_ORACLE,
+        anomaly_mad_outliers,
+    )
+
+    groups = {
+        "odd": [100, 200, 300, 400, 90000],      # median 300, one wild
+        "even": [100, 200, 300, 1000],           # half-integer median
+        "flat": [500, 500, 500, 500, 501],       # mad4 = 0 degeneracy
+    }
+    import datetime
+
+    ts0 = datetime.datetime(2024, 1, 1)
+    rows = [(g, c / 100.0, ts0) for g, vs in groups.items() for c in vs]
+    spark.createDataFrame(
+        rows, "event_type string, value double, ts timestamp"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    rows = [(g, v) for g, v, _ in rows]
+    got = {
+        r["grp"]: (
+            r["n"], r["med2_cents"], r["mad4_cents"],
+            r["n_outliers"], r["outlier_ppm"],
+        )
+        for r in anomaly_mad_outliers(spark, str(tmp_path)).collect()
+    }
+    want = _mad_replay(groups)
+    assert got == want, (got, want)
+    assert got["flat"][3] == 1  # the 501 flags under the degeneracy
+    con = duckdb.connect()
+    con.sql("CREATE TABLE events (event_type VARCHAR, value DOUBLE)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    oracle = {
+        r[0]: tuple(r[1:]) for r in con.sql(_MAD_ORACLE).fetchall()
+    }
+    assert oracle == want, (oracle, want)
