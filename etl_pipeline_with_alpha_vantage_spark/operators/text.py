@@ -1769,3 +1769,144 @@ def eval_model_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction — stopword-delimited phrases, degree/freq scores
+# --------------------------------------------------------------------------
+
+_RAKE_TOP = 20
+
+
+_RAKE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, i AS pos, toks[i] AS tok,
+           CASE WHEN toks[i] IN ({_STOP_SQL}) THEN 1 ELSE 0 END AS is_stop
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+         unnest(generate_series(1, len(toks))) AS t(i)
+),
+marked AS (
+    SELECT doc_id, pos, tok, is_stop,
+           SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS phrase_id
+    FROM toks
+),
+cand AS (
+    SELECT doc_id, phrase_id, pos, tok FROM marked WHERE is_stop = 0
+),
+plen AS (
+    SELECT doc_id, phrase_id, pos, tok,
+           COUNT(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+    FROM cand
+),
+words AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(plen) AS BIGINT) AS deg
+    FROM plen GROUP BY tok
+),
+wscore AS (
+    SELECT tok, CAST((1000000 * deg) // freq AS BIGINT) AS score_micro
+    FROM words
+),
+phr AS (
+    SELECT c.doc_id, c.phrase_id,
+           string_agg(c.tok, ' ' ORDER BY c.pos) AS phrase,
+           CAST(SUM(w.score_micro) AS BIGINT) AS score_micro
+    FROM cand c JOIN wscore w ON w.tok = c.tok
+    GROUP BY c.doc_id, c.phrase_id
+)
+SELECT phrase,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MAX(score_micro) AS BIGINT) AS score_micro
+FROM phr
+GROUP BY phrase
+ORDER BY score_micro DESC, phrase
+LIMIT {_RAKE_TOP}
+"""
+
+
+@query("text_keyword_rake", oracle=_RAKE_ORACLE)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus: split
+    each document into candidate phrases at stopwords, score every
+    content word by co-occurrence degree / frequency (deg(w) = Σ length
+    of each phrase w occurs in, freq(w) = occurrence count), and rank
+    candidate phrases by the sum of their member-word scores — the
+    unsupervised keyword baseline every document-understanding pipeline
+    starts from (the stoplist is the {ns}-word corpus list shared with
+    text_quality).
+
+    Cross-engine exactness: phrase segmentation is a running stopword
+    count (window cumsum per document — pure integers), word scores are
+    (1e6·deg) DIV freq (truncating, defined semantics), and a phrase's
+    score depends only on its token multiset, so identical phrase texts
+    agree everywhere and MAX over instances is exact; top-{k} ties
+    break on the phrase text.
+
+    Scale shape: one posexplode map pass; both windows (phrase-id
+    cumsum, phrase length) partition by doc_id — never global; the
+    word-score table is O(vocab), joined back by token (shuffle join,
+    AQE decides strategy — never force-broadcast a corpus-scaled
+    frame); per-phrase collect_list is bounded by document length. The
+    final ranking is a TakeOrderedAndProject top-{k}.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    marked = toks.withColumn(
+        "is_stop", F.col("tok").isin(*_STOPWORDS).cast("int")
+    ).withColumn(
+        "phrase_id",
+        F.sum("is_stop").over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    cand = marked.filter(F.col("is_stop") == 0).select(
+        "doc_id", "phrase_id", "pos", "tok"
+    )
+    plen = cand.withColumn(
+        "plen",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "phrase_id")),
+    )
+    words = plen.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    wscore = words.select(
+        "tok",
+        F.expr("CAST((1000000 * deg) DIV freq AS BIGINT)").alias(
+            "wscore_micro"
+        ),
+    )
+    phr = (
+        cand.join(wscore, "tok")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("wscore_micro").cast("long").alias("score_micro"),
+        )
+    )
+    return (
+        phr.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("score_micro").cast("long").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(_RAKE_TOP)
+    )
+
+
+text_keyword_rake.__doc__ = text_keyword_rake.__doc__.format(
+    ns=len(_STOPWORDS), k=_RAKE_TOP
+)

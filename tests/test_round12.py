@@ -912,3 +912,71 @@ def test_mad_outliers_matches_replay(spark, tmp_path):
         r[0]: tuple(r[1:]) for r in con.sql(_MAD_ORACLE).fetchall()
     }
     assert oracle == want, (oracle, want)
+
+
+# --------------------------------------------------------------------------
+# RAKE (r12 capability): textbook-style replay on a handcrafted corpus.
+# --------------------------------------------------------------------------
+
+
+def test_rake_matches_handcrafted_replay(spark, tmp_path):
+    """Two documents sharing a 2-word phrase: degree/frequency scores
+    and phrase ranks computed by hand with the same integer semantics
+    must match the kernel and the oracle."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.text import (
+        _RAKE_ORACLE,
+        _STOPWORDS,
+        text_keyword_rake,
+    )
+    from collections import Counter, defaultdict
+
+    docs = [
+        (1, "deep learning of the neural network"),
+        (2, "neural network training in deep water"),
+        (3, "the of and"),  # all stopwords: no candidates at all
+    ]
+
+    def replay(docs):
+        freq, deg = Counter(), Counter()
+        phrases = []
+        for _id, text in docs:
+            cur = []
+            for tok in text.split(" ") + [None]:
+                if tok is None or tok in _STOPWORDS:
+                    if cur:
+                        phrases.append(tuple(cur))
+                        for w in cur:
+                            freq[w] += 1
+                            deg[w] += len(cur)
+                        cur = []
+                else:
+                    cur.append(tok)
+        wscore = {w: (1_000_000 * deg[w]) // freq[w] for w in freq}
+        out = defaultdict(lambda: [0, 0])
+        for p in phrases:
+            out[" ".join(p)][0] += 1
+            out[" ".join(p)][1] = sum(wscore[w] for w in p)
+        return {p: tuple(v) for p, v in out.items()}
+
+    want = replay(docs)
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["phrase"]: (r["n_occurrences"], r["score_micro"])
+        for r in text_keyword_rake(spark, str(tmp_path)).collect()
+    }
+    assert got == want, (got, want)
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    oracle = {
+        r[0]: (r[1], r[2]) for r in con.sql(_RAKE_ORACLE).fetchall()
+    }
+    assert oracle == want, (oracle, want)
+    # doc 2's longer candidate is its own phrase — the classic RAKE
+    # behavior — and outranks the 2-word phrase via the degree bonus
+    assert got["neural network"][0] == 1
+    assert (
+        got["neural network training"][1] > got["neural network"][1]
+    )
