@@ -425,6 +425,101 @@ def encode_categoricals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Smoothed target encoding (empirical-Bayes category → rate feature)
+# --------------------------------------------------------------------------
+
+_TENC_M = 50  # pseudo-observation count pulled toward the global rate
+
+# enc = (n_pos + m·prior) / (n + m) with prior = global positive rate —
+# one shared double expression on exact bigint counts, micro-pinned.
+# The division by (n + m) can never degenerate (m > 0).
+_TENC_EXPR = (
+    f"CAST(round((CAST(n_pos AS DOUBLE)"
+    f" + {_TENC_M} * (CAST(g_pos AS DOUBLE) / g_n))"
+    f" / (n + {_TENC_M}) * 1000000) AS BIGINT)"
+)
+
+_TENC_ORACLE = f"""
+WITH base AS (
+    SELECT p.p_brand AS brand,
+           CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+per_cat AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos
+    FROM base GROUP BY brand
+),
+gtot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS g_n,
+           CAST(SUM(n_pos) AS BIGINT) AS g_pos
+    FROM per_cat
+)
+SELECT brand, n, n_pos, {_TENC_EXPR} AS enc_micro
+FROM per_cat CROSS JOIN gtot
+ORDER BY brand
+"""
+
+
+@query("encode_target_smoothed", oracle=_TENC_ORACLE)
+def encode_target_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed (empirical-Bayes) target encoding of part brand against
+    the return-flag target — the high-cardinality categorical feature
+    device gradient-boosting pipelines use where one-hot explodes
+    (Micci-Barreca 2001): each category's rate shrinks toward the
+    global prior by m = {m} pseudo-observations, so rare brands don't
+    memorize noise. Complements encode_categoricals' id assignment
+    with a VALUE encoding.
+
+    Cross-engine exactness: counts are exact bigints off one
+    partial-aggregated shuffle; the encoding is a single shared double
+    expression on those counts (prior folded in-expression, no
+    pre-rounded intermediate), micro-pinned once. No degenerate pole —
+    the smoothing mass keeps every denominator positive.
+
+    Scale shape: fact ⋈ part on partkey (both shuffle-partitioned on
+    the key; at 100 TB this is the standard co-partitioned dimension
+    join), then one groupBy to category dust and a 1-row global
+    broadcast. Cardinality bounds every post-shuffle stage at
+    |categories|."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_returnflag") == "R").cast("int").alias("pos"),
+    )
+    part = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"),
+    )
+    per_cat = (
+        li.join(part, "l_partkey")
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+    )
+    glob = per_cat.agg(
+        F.sum("n").cast("long").alias("g_n"),
+        F.sum("n_pos").cast("long").alias("g_pos"),
+    )
+    return (
+        per_cat.crossJoin(F.broadcast(glob))  # bounded: 1-row global aggregate
+        .select(
+            "brand",
+            "n",
+            "n_pos",
+            F.expr(_TENC_EXPR).alias("enc_micro"),
+        )
+        .orderBy("brand")
+    )
+
+
+encode_target_smoothed.__doc__ = encode_target_smoothed.__doc__.format(
+    m=_TENC_M
+)
+
+
+# --------------------------------------------------------------------------
 # X17f — repetition ratio (Gopher-style top-bigram fraction)
 # --------------------------------------------------------------------------
 

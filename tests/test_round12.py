@@ -980,3 +980,47 @@ def test_rake_matches_handcrafted_replay(spark, tmp_path):
     assert (
         got["neural network training"][1] > got["neural network"][1]
     )
+
+
+# --------------------------------------------------------------------------
+# Smoothed target encoding (r12 capability): exact replay + shrinkage.
+# --------------------------------------------------------------------------
+
+
+def test_target_encoding_replay_and_shrinkage(spark, tmp_path):
+    """A frequent all-positive brand, a rare all-positive brand, and a
+    balanced brand: encodings match the exact replay, and the RARE
+    brand shrinks much closer to the prior than the frequent one."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.text import (
+        _TENC_M,
+        encode_target_smoothed,
+    )
+
+    li = (
+        [(1, "R")] * 200            # brand A: frequent, all positive
+        + [(2, "R")] * 2            # brand B: rare, all positive
+        + [(3, "R")] * 50 + [(3, "N")] * 50  # brand C: balanced
+    )
+    rows = [(i, pk, fl) for i, (pk, fl) in enumerate(li)]
+    spark.createDataFrame(
+        rows, "l_linenumber long, l_partkey long, l_returnflag string"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "p_partkey long, p_brand string"
+    ).coalesce(1).write.parquet(str(tmp_path / "part.parquet"))
+
+    n = {"A": (200, 200), "B": (2, 2), "C": (100, 50)}
+    g_n = sum(v[0] for v in n.values())
+    g_pos = sum(v[1] for v in n.values())
+    prior = g_pos / g_n
+    want = {
+        b: int(round((pos + _TENC_M * prior) / (cnt + _TENC_M) * 1e6))
+        for b, (cnt, pos) in n.items()
+    }
+    got = {
+        r["brand"]: r["enc_micro"]
+        for r in encode_target_smoothed(spark, str(tmp_path)).collect()
+    }
+    assert got == want, (got, want)
+    prior_micro = int(round(prior * 1e6))
+    assert abs(got["B"] - prior_micro) < abs(got["A"] - prior_micro) / 3
