@@ -2976,3 +2976,186 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_spearman_exprs(wide)[1]).alias("rho_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Friedman test — rank test for complete randomized blocks
+# --------------------------------------------------------------------------
+
+# Tie-corrected Friedman statistic (Conover's general form) on DOUBLED
+# ranks: with R2_j = 2·R_j and r2 = 2·r, χ² = (k−1)·Σ_j(R2_j −
+# b(k+1))² / (Σ r2² − b·k·(k+1)²) — the /4 factors cancel, so both
+# pieces are exact bigints and the one division is a single shared
+# double expression. All cells tied in every block makes the
+# denominator exactly zero → NULL (not Inf) in both engines; b = 0
+# (no complete blocks) guards the same way.
+_FR_CHI2 = (
+    "CASE WHEN b = 0 OR s2 <= 0 THEN NULL"
+    " ELSE CAST(round((k - 1) * CAST(s1 AS DOUBLE) / s2 * 1000000)"
+    " AS BIGINT) END"
+)
+
+_FR_ORACLE = f"""
+WITH cell AS (
+    SELECT c.c_nationkey AS block, o.o_orderpriority AS treat,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS v
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+),
+kk AS (
+    SELECT CAST(COUNT(DISTINCT treat) AS BIGINT) AS k FROM cell
+),
+complete AS (
+    SELECT block FROM cell CROSS JOIN kk
+    GROUP BY block, k HAVING COUNT(*) = MAX(k)
+),
+cc AS (
+    SELECT cell.* FROM cell JOIN complete USING (block)
+),
+gv AS (
+    SELECT block, v, CAST(COUNT(*) AS BIGINT) AS t
+    FROM cc GROUP BY 1, 2
+),
+ranked AS (
+    SELECT block, v,
+           2 * COALESCE(SUM(t) OVER (
+               PARTITION BY block ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + t + 1 AS rank2
+    FROM gv
+),
+rc AS (
+    SELECT cc.block, cc.treat, r.rank2
+    FROM cc JOIN ranked r ON r.block = cc.block AND r.v = cc.v
+),
+bb AS (
+    SELECT CAST(COUNT(DISTINCT block) AS BIGINT) AS b FROM rc
+),
+rj AS (
+    SELECT treat, CAST(SUM(rank2) AS BIGINT) AS r2_j
+    FROM rc GROUP BY treat
+),
+s1t AS (
+    SELECT CAST(SUM((r2_j - b * (k + 1)) * (r2_j - b * (k + 1)))
+               AS BIGINT) AS s1
+    FROM rj CROSS JOIN bb CROSS JOIN kk
+),
+s2t AS (
+    SELECT CAST(SUM(rank2 * rank2) - MAX(b) * MAX(k) * (MAX(k) + 1)
+               * (MAX(k) + 1) AS BIGINT) AS s2
+    FROM rc CROSS JOIN bb CROSS JOIN kk
+)
+SELECT b, k, s1, s2, {_FR_CHI2} AS chi2_micro
+FROM bb CROSS JOIN kk CROSS JOIN s1t CROSS JOIN s2t
+"""
+
+
+@query("stats_friedman_test", oracle=_FR_ORACLE)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test across order priorities BLOCKED by customer nation
+    — the repeated-measures member completing the rank-test matrix:
+    ab_mann_whitney (2 independent samples), stats_kruskal_wallis (k
+    independent), stats_dunn_test (its post-hoc), THIS (k related
+    samples, one observation per block×treatment cell). Cells are
+    exact per-(nation, priority) revenue sums; blocks missing any
+    treatment drop whole (the complete-block requirement, identically
+    in both engines).
+
+    Cross-engine exactness: within-block doubled average ranks (the
+    shared rank device partitioned by block — ties stay integer), and
+    Conover's tie-corrected statistic assembled so the doubled-rank
+    /4 factors cancel: χ² = (k−1)·Σ(R2_j − b(k+1))² / (Σr2² −
+    bk(k+1)²), exact bigints into one shared double expression.
+    All-tied blocks zero the denominator → NULL, never Inf.
+
+    Scale shape: one fact ⋈ customer co-partitioned join, one
+    partial-aggregated shuffle to the b×k cell table — everything
+    after runs on ≤ b×k rows of dust with block-partitioned windows
+    (never global). At 100 TB, b scales to any block cardinality; the
+    per-block work stays k-bounded."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("treat"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("block"),
+    )
+    cell = (
+        orders.join(cust, "o_custkey")
+        .groupBy("block", "treat")
+        .agg(F.sum("cents").cast("long").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    kk = cell.agg(
+        F.count_distinct("treat").cast("long").alias("k")
+    )
+    complete = (
+        cell.crossJoin(F.broadcast(kk))  # bounded: 1-row global aggregate
+        .groupBy("block", "k")
+        .agg(F.count(F.lit(1)).alias("nt"), F.max("k").alias("kmax"))
+        .filter(F.col("nt") == F.col("kmax"))
+        .select("block")
+    )
+    cc = cell.join(complete, "block").localCheckpoint(eager=False)
+    gv = cc.groupBy("block", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    ranked = gv.select(
+        "block",
+        "v",
+        (
+            2
+            * F.coalesce(
+                F.sum("t").over(
+                    Window.partitionBy("block")
+                    .orderBy("v")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            + F.col("t")
+            + 1
+        ).alias("rank2"),
+    )
+    rc = cc.join(ranked, ["block", "v"]).select(
+        "block", "treat", "rank2"
+    ).localCheckpoint(eager=False)
+    bb = rc.agg(F.count_distinct("block").cast("long").alias("b"))
+    rj = rc.groupBy("treat").agg(
+        F.sum("rank2").cast("long").alias("r2_j")
+    )
+    s1t = (
+        rj.crossJoin(F.broadcast(bb))  # bounded: 1-row global aggregate
+        .crossJoin(F.broadcast(kk))  # bounded: 1-row global aggregate
+        .agg(
+            F.sum(
+                F.expr(
+                    "(r2_j - b * (k + 1)) * (r2_j - b * (k + 1))"
+                )
+            )
+            .cast("long")
+            .alias("s1")
+        )
+    )
+    s2t = (
+        rc.crossJoin(F.broadcast(bb))  # bounded: 1-row global aggregate
+        .crossJoin(F.broadcast(kk))  # bounded: 1-row global aggregate
+        .agg(
+            (
+                F.sum(F.col("rank2") * F.col("rank2"))
+                - F.max("b") * F.max("k") * (F.max("k") + 1)
+                * (F.max("k") + 1)
+            )
+            .cast("long")
+            .alias("s2")
+        )
+    )
+    return (
+        bb.crossJoin(F.broadcast(kk))  # bounded: 1-row global aggregate
+        .crossJoin(F.broadcast(s1t))  # bounded: 1-row global aggregate
+        .crossJoin(F.broadcast(s2t))  # bounded: 1-row global aggregate
+        .select("b", "k", "s1", "s2", F.expr(_FR_CHI2).alias("chi2_micro"))
+    )

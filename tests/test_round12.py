@@ -1024,3 +1024,89 @@ def test_target_encoding_replay_and_shrinkage(spark, tmp_path):
     assert got == want, (got, want)
     prior_micro = int(round(prior * 1e6))
     assert abs(got["B"] - prior_micro) < abs(got["A"] - prior_micro) / 3
+
+
+# --------------------------------------------------------------------------
+# Friedman test (r12 capability): textbook replay with ties and an
+# incomplete block that must drop, in both engines.
+# --------------------------------------------------------------------------
+
+
+def _friedman_replay(blocks):
+    """Exact replay over {block: {treat: cents}} complete blocks."""
+    treats = sorted({t for d in blocks.values() for t in d})
+    k = len(treats)
+    complete = {b: d for b, d in blocks.items() if len(d) == k}
+    b = len(complete)
+    r2 = {t: 0 for t in treats}
+    s2sum = 0
+    for d in complete.values():
+        vals = sorted(d.values())
+        # doubled average rank per distinct value within the block
+        rank2, before = {}, 0
+        from collections import Counter
+
+        cnt = Counter(vals)
+        for v in sorted(cnt):
+            rank2[v] = 2 * before + cnt[v] + 1
+            before += cnt[v]
+        for t, v in d.items():
+            r2[t] += rank2[v]
+            s2sum += rank2[v] * rank2[v]
+    s1 = sum((r2[t] - b * (k + 1)) ** 2 for t in treats)
+    s2 = s2sum - b * k * (k + 1) * (k + 1)
+    chi2 = (
+        None
+        if b == 0 or s2 <= 0
+        else int(round((k - 1) * float(s1) / s2 * 1_000_000))
+    )
+    return b, k, s1, s2, chi2
+
+
+def test_friedman_matches_replay_with_ties_and_incomplete_block(
+    spark, tmp_path
+):
+    """3 treatments; block 1 strictly ordered, block 2 with a within-
+    block tie, block 3 reversed, block 4 INCOMPLETE (must drop). The
+    kernel and the oracle must both match the exact replay."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        _FR_ORACLE,
+        stats_friedman_test,
+    )
+
+    blocks = {
+        0: {"A": 100, "B": 200, "C": 300},
+        1: {"A": 500, "B": 500, "C": 700},   # tie within block
+        2: {"A": 900, "B": 800, "C": 100},
+        3: {"A": 400, "B": 600},             # incomplete: drops
+    }
+    orders, custs = [], []
+    okey = 0
+    for blk, d in blocks.items():
+        custs.append((blk * 10, blk))
+        for t, cents in d.items():
+            orders.append((okey, blk * 10, t, cents / 100.0))
+            okey += 1
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderpriority string,"
+        " o_totalprice double",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        custs, "c_custkey long, c_nationkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    want = _friedman_replay(blocks)
+    r = stats_friedman_test(spark, str(tmp_path)).collect()[0]
+    got = (r["b"], r["k"], r["s1"], r["s2"], r["chi2_micro"])
+    assert got == want, (got, want)
+    assert got[0] == 3  # the incomplete block dropped
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE orders (o_orderkey BIGINT, o_custkey BIGINT,"
+        " o_orderpriority VARCHAR, o_totalprice DOUBLE)"
+    )
+    con.sql("CREATE TABLE customer (c_custkey BIGINT, c_nationkey BIGINT)")
+    con.executemany("INSERT INTO orders VALUES (?, ?, ?, ?)", orders)
+    con.executemany("INSERT INTO customer VALUES (?, ?)", custs)
+    o = con.sql(_FR_ORACLE).fetchall()[0]
+    assert tuple(o) == want, (o, want)
