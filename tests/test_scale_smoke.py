@@ -1999,3 +1999,69 @@ def test_welch_heteroscedastic_closed_form_at_volume(spark):
     df2 = (float(k) * k - 1) / (3.0 * (float(usum) / 1_000_000_000_000.0))
     assert row["f_micro"] == f
     assert row["df2"] == df2
+
+
+def test_dunn_block_design_replay_at_volume(spark):
+    """Dunn post-hoc at 2M rows on the KW smoke's fully separated block
+    design: per-group doubled rank sums and the tie term are closed
+    form, and every pairwise z matches a double-for-double replay of
+    the kernel's pinned expression."""
+    import math
+
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        dunn_test,
+    )
+
+    k, per = 5, 400_000
+    n = k * per
+    base = spark.range(n).select(
+        F.concat(F.lit("g"), (F.col("id") % k).cast("string")).alias("grp"),
+        (F.col("id") % k).cast("long").alias("cents"),
+    )
+    out = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in dunn_test(base).collect()
+    }
+    assert len(out) == k * (k - 1) // 2
+    tie = k * (per**3 - per)
+    sig_base = float(n) * (n + 1.0) / 12.0 - float(tie) / (12.0 * (n - 1.0))
+    for ga in range(k):
+        for gb in range(ga + 1, k):
+            r = out[(f"g{ga}", f"g{gb}")]
+            r2 = lambda g: per * (2 * (g * per) + per + 1)
+            diff = r2(ga) / (2.0 * per) - r2(gb) / (2.0 * per)
+            z = diff / math.sqrt(sig_base * (1.0 / per + 1.0 / per))
+            assert r["n_a"] == per and r["n_b"] == per
+            assert r["z_micro"] == int(
+                math.floor(z * 1_000_000 + 0.5)
+                if z >= 0
+                else -math.floor(-z * 1_000_000 + 0.5)
+            ), (r, z)
+
+
+def test_spearman_monotone_exact_at_volume(spark, tmp_path_factory):
+    """Spearman at 2M rows: a strictly monotone pair must give rho
+    EXACTLY 1e6 (the closed-form pole survives the wide-integer sums
+    at volume: Σrank2² ≈ 4N³/3 ≈ 1.1e19 wraps int64 — the
+    DECIMAL(38,0) path is what this exercises)."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        stats_spearman_rank,
+    )
+
+    n = 2_000_000
+    d = tmp_path_factory.mktemp("spearman_vol")
+    spark.range(n).select(
+        (F.col("id") + 1).alias("l_quantity"),
+        ((F.col("id") + 1) * 3 / 100.0).alias("l_extendedprice"),
+    ).write.parquet(str(d / "lineitem.parquet"))
+    r = stats_spearman_rank(spark, str(d)).collect()[0]
+    assert r["n"] == n
+    assert r["distinct_x"] == n and r["distinct_y"] == n
+    # int64 would have wrapped: sum of rank2^2 over distinct ranks
+    assert sum_rank2_sq_lower_bound(n) > 2**63
+    assert r["rho_micro"] == 1_000_000
+
+
+def sum_rank2_sq_lower_bound(n):
+    # Σ (2i-1)² for i=1..n = n(2n-1)(2n+1)/3 — the no-ties Σrank2²
+    return n * (2 * n - 1) * (2 * n + 1) // 3
