@@ -123,6 +123,8 @@ _NESTED_LOOP_OK = {
     "stats_dunn_test",  # k-row pair orient + 1-row N/tie broadcasts
     "stats_spearman_rank",  # two 1-row distinct-count broadcasts
     "eval_retrieval_map",  # BM25 corpus-stats + 1-row relevant-count
+    "encode_target_smoothed",  # 1-row global prior broadcast
+    "stats_friedman_test",  # 1-row b/k/S1/S2 aggregate broadcasts
 }
 
 
