@@ -3159,3 +3159,164 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(s2t))  # bounded: 1-row global aggregate
         .select("b", "k", "s1", "s2", F.expr(_FR_CHI2).alias("chi2_micro"))
     )
+
+
+# --------------------------------------------------------------------------
+# Page's trend test — ordered alternative in the complete-block design
+# --------------------------------------------------------------------------
+
+# z on DOUBLED ranks: L2 = Σ_j c_j·R2_j (exact bigint), E[L2] =
+# b·k(k+1)²/2 (exact — k(k+1) is even), Var(L2) = b·k²(k+1)²(k−1)/36;
+# one shared double expression. Degenerate designs (k ≤ 1 or b = 0)
+# NULL. Mid-rank ties keep the conventional no-tie moments — the
+# standard Page approximation — identically in both engines.
+_PAGE_Z = (
+    "CASE WHEN b = 0 OR k <= 1 THEN NULL"
+    " ELSE CAST(round((l2 - CAST(b AS DOUBLE) * k * (k + 1) * (k + 1)"
+    " / 2.0) / sqrt(CAST(b AS DOUBLE) * k * k * (k + 1) * (k + 1)"
+    " * (k - 1) / 36.0) * 1000000) AS BIGINT) END"
+)
+
+_PAGE_ORACLE = f"""
+WITH cell AS (
+    SELECT c.c_nationkey AS block, o.o_orderpriority AS treat,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS v
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+),
+kk AS (
+    SELECT CAST(COUNT(DISTINCT treat) AS BIGINT) AS k FROM cell
+),
+complete AS (
+    SELECT block FROM cell CROSS JOIN kk
+    GROUP BY block, k HAVING COUNT(*) = MAX(k)
+),
+cc AS (
+    SELECT cell.* FROM cell JOIN complete USING (block)
+),
+gv AS (
+    SELECT block, v, CAST(COUNT(*) AS BIGINT) AS t
+    FROM cc GROUP BY 1, 2
+),
+ranked AS (
+    SELECT block, v,
+           2 * COALESCE(SUM(t) OVER (
+               PARTITION BY block ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + t + 1 AS rank2
+    FROM gv
+),
+rc AS (
+    SELECT cc.block, cc.treat, r.rank2
+    FROM cc JOIN ranked r ON r.block = cc.block AND r.v = cc.v
+),
+pos AS (
+    SELECT treat,
+           CAST(dense_rank() OVER (ORDER BY treat) AS BIGINT) AS c_j
+    FROM (SELECT DISTINCT treat FROM rc)
+),
+bb AS (
+    SELECT CAST(COUNT(DISTINCT block) AS BIGINT) AS b FROM rc
+),
+lsum AS (
+    SELECT CAST(SUM(p.c_j * rc.rank2) AS BIGINT) AS l2
+    FROM rc JOIN pos p ON p.treat = rc.treat
+)
+SELECT b, k, l2, {_PAGE_Z} AS z_micro
+FROM bb CROSS JOIN kk CROSS JOIN lsum
+"""
+
+
+@query("stats_page_trend", oracle=_PAGE_ORACLE)
+def stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test (Page 1963) across the ORDERED priority levels
+    blocked by customer nation — the ordered-alternative companion to
+    stats_friedman_test: Friedman asks "do treatments differ at all?";
+    Page asks "do they trend MONOTONICALLY in the hypothesized order?"
+    (here, the priority levels' lexicographic order 1-URGENT…5-LOW),
+    with far more power against monotone dose-response shapes. L =
+    Σ_j position_j·R_j over within-block ranks.
+
+    Cross-engine exactness: the identical block-rank machinery as
+    Friedman (doubled average ranks per block — exact integers through
+    ties); L2 = Σ c_j·R2_j is an exact bigint; the z statistic is one
+    shared double expression on (L2, b, k) with the closed-form no-tie
+    moments E[L2] = b·k(k+1)²/2 and Var(L2) = b·k²(k+1)²(k−1)/36
+    (mid-rank ties keep these conventional moments — the standard Page
+    approximation — identically in both engines). Degenerate designs
+    NULL.
+
+    Scale shape: identical to stats_friedman_test — one co-partitioned
+    fact ⋈ customer join, one shuffle to the b×k cell dust,
+    block-partitioned windows, then k-row and 1-row aggregates only.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("treat"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("block"),
+    )
+    cell = (
+        orders.join(cust, "o_custkey")
+        .groupBy("block", "treat")
+        .agg(F.sum("cents").cast("long").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    kk = cell.agg(F.count_distinct("treat").cast("long").alias("k"))
+    complete = (
+        cell.crossJoin(F.broadcast(kk))  # bounded: 1-row global aggregate
+        .groupBy("block", "k")
+        .agg(F.count(F.lit(1)).alias("nt"), F.max("k").alias("kmax"))
+        .filter(F.col("nt") == F.col("kmax"))
+        .select("block")
+    )
+    cc = cell.join(complete, "block").localCheckpoint(eager=False)
+    gv = cc.groupBy("block", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    ranked = gv.select(
+        "block",
+        "v",
+        (
+            2
+            * F.coalesce(
+                F.sum("t").over(
+                    Window.partitionBy("block")
+                    .orderBy("v")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            + F.col("t")
+            + 1
+        ).alias("rank2"),
+    )
+    rc = cc.join(ranked, ["block", "v"]).select(
+        "block", "treat", "rank2"
+    ).localCheckpoint(eager=False)
+    pos = (
+        rc.select("treat")
+        .distinct()
+        .withColumn(
+            "c_j",
+            F.dense_rank().over(Window.orderBy("treat")).cast("long"),
+        )
+    )
+    bb = rc.agg(F.count_distinct("block").cast("long").alias("b"))
+    lsum = (
+        rc.join(F.broadcast(pos), "treat")  # bounded: k-row treatment-position table
+        .agg(
+            F.sum(F.col("c_j") * F.col("rank2"))
+            .cast("long")
+            .alias("l2")
+        )
+    )
+    return (
+        bb.crossJoin(F.broadcast(kk))  # bounded: 1-row global aggregate
+        .crossJoin(F.broadcast(lsum))  # bounded: 1-row global aggregate
+        .select("b", "k", "l2", F.expr(_PAGE_Z).alias("z_micro"))
+    )

@@ -125,6 +125,7 @@ _NESTED_LOOP_OK = {
     "eval_retrieval_map",  # BM25 corpus-stats + 1-row relevant-count
     "encode_target_smoothed",  # 1-row global prior broadcast
     "stats_friedman_test",  # 1-row b/k/S1/S2 aggregate broadcasts
+    "stats_page_trend",  # 1-row b/k/L aggregate broadcasts
 }
 
 

@@ -1110,3 +1110,104 @@ def test_friedman_matches_replay_with_ties_and_incomplete_block(
     con.executemany("INSERT INTO customer VALUES (?, ?)", custs)
     o = con.sql(_FR_ORACLE).fetchall()[0]
     assert tuple(o) == want, (o, want)
+
+
+# --------------------------------------------------------------------------
+# Page's trend test (r12 capability): closed-form monotone pole + mixed
+# design replay, in both engines.
+# --------------------------------------------------------------------------
+
+
+def _page_replay(blocks):
+    """Exact replay over {block: {treat: cents}} complete blocks."""
+    import math
+    from collections import Counter
+
+    treats = sorted({t for d in blocks.values() for t in d})
+    k = len(treats)
+    complete = [d for d in blocks.values() if len(d) == k]
+    b = len(complete)
+    c = {t: i + 1 for i, t in enumerate(treats)}
+    l2 = 0
+    for d in complete:
+        cnt = Counter(d.values())
+        rank2, before = {}, 0
+        for v in sorted(cnt):
+            rank2[v] = 2 * before + cnt[v] + 1
+            before += cnt[v]
+        for t, v in d.items():
+            l2 += c[t] * rank2[v]
+    if b == 0 or k <= 1:
+        return b, k, l2, None
+    e2 = float(b) * k * (k + 1) * (k + 1) / 2.0
+    var2 = float(b) * k * k * (k + 1) * (k + 1) * (k - 1) / 36.0
+    z = (l2 - e2) / math.sqrt(var2)
+    return b, k, l2, int(
+        math.floor(z * 1_000_000 + 0.5)
+        if z >= 0
+        else -math.floor(-z * 1_000_000 + 0.5)
+    )
+
+
+def test_page_trend_monotone_pole_and_replay(spark, tmp_path):
+    """Two perfectly increasing blocks (k=3): L2 = 2b·Σj² = 56, E = 48,
+    sd = 4 → z exactly +2e6; a third reversed block pulls z down —
+    both cases via the exact replay against kernel and oracle."""
+    from etl_pipeline_with_alpha_vantage_spark.operators.stats import (
+        _PAGE_ORACLE,
+        stats_page_trend,
+    )
+
+    def run(blocks):
+        import shutil
+
+        d = tmp_path / f"pg{len(blocks)}"
+        orders, custs = [], []
+        okey = 0
+        for blk, dd in blocks.items():
+            custs.append((blk * 10, blk))
+            for t, cents in dd.items():
+                orders.append((okey, blk * 10, t, cents / 100.0))
+                okey += 1
+        d.mkdir(exist_ok=True)
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderpriority string,"
+            " o_totalprice double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(d / "orders.parquet")
+        )
+        spark.createDataFrame(
+            custs, "c_custkey long, c_nationkey long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(d / "customer.parquet")
+        )
+        r = stats_page_trend(spark, str(d)).collect()[0]
+        con = duckdb.connect()
+        con.sql(
+            "CREATE TABLE orders (o_orderkey BIGINT, o_custkey BIGINT,"
+            " o_orderpriority VARCHAR, o_totalprice DOUBLE)"
+        )
+        con.sql(
+            "CREATE TABLE customer (c_custkey BIGINT, c_nationkey BIGINT)"
+        )
+        con.executemany("INSERT INTO orders VALUES (?, ?, ?, ?)", orders)
+        con.executemany("INSERT INTO customer VALUES (?, ?)", custs)
+        o = con.sql(_PAGE_ORACLE).fetchall()[0]
+        return (r["b"], r["k"], r["l2"], r["z_micro"]), tuple(o)
+
+    inc = {
+        0: {"A": 100, "B": 200, "C": 300},
+        1: {"A": 10, "B": 20, "C": 30},
+    }
+    got, oracle = run(inc)
+    want = _page_replay(inc)
+    assert got == want == oracle, (got, want, oracle)
+    assert got[3] == 2_000_000  # closed-form monotone pole
+
+    mixed = dict(inc)
+    mixed[2] = {"A": 900, "B": 500, "C": 100}  # reversed block
+    got2, oracle2 = run(mixed)
+    want2 = _page_replay(mixed)
+    assert got2 == want2 == oracle2, (got2, want2, oracle2)
+    assert got2[3] < got[3]
