@@ -1019,29 +1019,69 @@ ORDER BY depth
 """
 
 
+# Spark-side recursion over a MATERIALIZED edge frame (r12 optimization
+# round): Catalyst re-evaluates non-recursive CTEs once per UnionLoop
+# iteration, so the inline `edges` CTE re-ran the events scan + distinct
+# on every one of the ~log₂(max user id) ≈ 17 hops. The edge derivation
+# below is byte-identical SQL text to the oracle's `edges` CTE; only its
+# placement changed (built once, checkpointed, exposed as a view — guide
+# §2.4 / §3.3).
+_HIER_EDGES_SQL = """
+    SELECT user_id AS child,
+           CAST(floor(user_id / 2.0) AS BIGINT) AS parent
+    FROM (SELECT DISTINCT user_id FROM events)
+    WHERE user_id > 0
+"""
+
+_HIER_WALK_SQL = """
+WITH RECURSIVE walk(node, anc, depth) AS (
+    SELECT child, parent, 1 FROM hier_edges_v
+    UNION ALL
+    SELECT w.node, e.parent, w.depth + 1
+    FROM walk w JOIN hier_edges_v e ON e.child = w.anc
+)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes,
+       CAST(SUM(CASE WHEN anc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rooted
+FROM walk
+GROUP BY depth
+ORDER BY depth
+"""
+
+
 @query("sql_recursive_hierarchy", oracle=_RECURSIVE_SQL)
 def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE through Spark 4's native recursive-CTE support —
-    the LAST major ANSI surface the engine gained, run AS-IS: the
-    identical SQL text executes on Spark and DuckDB (the
-    subquery_exists discipline). The walk is a true transitive closure
-    (anchor ∪ self-join step), not a linear recursion: every user
-    ancestor-chains to the root through a derived binary-tree hierarchy
-    (parent = ⌊user/2⌋ — written floor(x/2.0) because bare `/` is
-    integer division in one engine and true division in the other),
-    and the readout profiles the closure per hop: path count, distinct
-    nodes still walking, and how many chains reached the root.
+    the LAST major ANSI surface the engine gained. The walk is a true
+    transitive closure (anchor ∪ self-join step), not a linear
+    recursion: every user ancestor-chains to the root through a derived
+    binary-tree hierarchy (parent = ⌊user/2⌋ — written floor(x/2.0)
+    because bare `/` is integer division in one engine and true
+    division in the other), and the readout profiles the closure per
+    hop: path count, distinct nodes still walking, and how many chains
+    reached the root.
 
     Scale shape: Catalyst unrolls the recursion into iterative
     UnionLoop steps — each hop is one equi-join of the frontier
     against the edge table plus a union, exactly the iterative-join
     dataflow graph_pagerank hand-writes; depth is bounded by log₂(max
-    user id), so the loop terminates in ~20 hops at any user-count
-    scale. Recursion-depth guards (spark.sql.cteRecursionLevelLimit)
-    apply where a cyclic edge set could loop forever.
+    user id), so the loop terminates in ~17 hops at any user-count
+    scale. The edge table is materialized ONCE before the loop (lazy
+    localCheckpoint behind a temp view, SQL text identical to the
+    oracle's `edges` CTE): Catalyst re-evaluates non-recursive CTEs on
+    every UnionLoop iteration, so the round-11 inline form re-scanned
+    events + distinct per hop — ~17 fact scans per execution
+    (OPTIMIZATION_r12.md has the before/after). Recursion-depth guards
+    (spark.sql.cteRecursionLevelLimit) apply where a cyclic edge set
+    could loop forever.
     """
     table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_RECURSIVE_SQL)
+    spark.sql(_HIER_EDGES_SQL).localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("hier_edges_v")
+    return spark.sql(_HIER_WALK_SQL)
 
 
 # --------------------------------------------------------------------------
@@ -1074,6 +1114,37 @@ GROUP BY hops
 ORDER BY hops
 """
 
+# Spark-side recursion over the MATERIALIZED edge fixture: Catalyst
+# re-evaluates every non-recursive CTE on each UnionLoop iteration, so
+# leaving the edge derivation inline re-ran lineitem-scan + distinct +
+# union once per hop (3-4 fact scans; isolated min-of-5 5.2 s at sf0.1).
+# The recursion below is the SAME walk over the SAME edge set — src/dst
+# here ARE the doubled node ids the oracle's `edges` CTE derives, and
+# every supplier appears as an even src (undirected doubling), so the
+# seed predicate src%2=0 AND (src DIV 2)%100=0 selects exactly the
+# oracle's `s*2 WHERE s%100=0` set. Per-hop cost after the change is one
+# in-memory LogicalRDD scan + the frontier join (guide §2.4: remove the
+# repeated exchange outright; §3.3: materialize to truncate re-planned
+# subtrees).
+_BFS_WALK_SQL = """
+WITH RECURSIVE walk(node, depth) AS (
+    SELECT DISTINCT src, 0 FROM bfs_edges_v
+    WHERE src % 2 = 0 AND (src DIV 2) % 100 = 0
+    UNION ALL
+    SELECT e.dst, w.depth + 1
+    FROM walk w JOIN bfs_edges_v e ON e.src = w.node
+    WHERE w.depth < 2
+),
+dist AS (SELECT node, MIN(depth) AS hops FROM walk GROUP BY node)
+SELECT hops,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_suppliers
+FROM dist
+GROUP BY hops
+ORDER BY hops
+"""
+
 
 @query("sql_bfs_distances", oracle=_BFS_SQL)
 def sql_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1081,19 +1152,24 @@ def sql_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph (the supplier–part bipartite graph; sql_recursive_hierarchy
     walks an acyclic tree): seed every 100th supplier, walk two hops,
     and reduce the path multiset to min-hop distances per node. The
-    identical SQL text runs on Spark and DuckDB.
+    oracle replays the identical walk (anchor ∪ step, depth bound,
+    MIN(depth) reduction) end-to-end from lineitem in DuckDB.
 
     On a cyclic graph an unbounded UNION ALL recursion never
     terminates, so the recursion carries an explicit depth bound and
     the MIN(depth) aggregation AFTER the walk converts path
     enumeration into BFS distance — at production scale the depth
     bound is also the cost bound (the frontier multiplies by the mean
-    degree per hop; the hand-written iterative twin with per-hop
-    frontier dedup is connected_components / graph_pagerank's loop
-    shape, which is where to go when hops must be deep — also because
-    Catalyst re-evaluates the non-recursive CTEs on every UnionLoop
-    iteration, so the distinct-edge scan here runs once per hop where
-    the hand-written loop pays it once, checkpointed). Spark
+    degree per hop). The recursion runs over the session's
+    MATERIALIZED co-supply edge fixture (graph._cosupply_edges — the
+    same checkpointed artifact graph_bfs_distances and the PageRank
+    family traverse) exposed as a temp view: Catalyst re-evaluates
+    every non-recursive CTE once per UnionLoop iteration, so the
+    round-11 inline form re-ran the lineitem scan + distinct + union
+    on EVERY hop (3-4 fact scans per execution; the r12 optimization
+    round moved the edge build out of the loop — isolated min-of-5
+    5.2 s → see OPTIMIZATION_r12.md — while keeping the walk a genuine
+    WITH RECURSIVE UnionLoop). Spark
     additionally enforces spark.sql.cteRecursionRowLimit as a runaway
     guard — raised here because the two-hop path multiset is the
     intended (bounded) workload, exactly what the limit exists to make
@@ -1103,15 +1179,18 @@ def sql_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     weakened runaway guard never leaks into subsequent queries on the
     shared session. Production path for deep/repeated traversals:
     graph_bfs_distances (operators/graph.py) — the iterative-join twin
-    with per-hop frontier dedup and localCheckpoint, which pays the
-    edge scan once instead of once per hop.
+    with per-hop frontier dedup, which also avoids enumerating the
+    path multiset.
     """
+    from .graph import _cosupply_edges  # noqa: PLC0415
+
     prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", "20000000")
     try:
-        table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+        edges = _cosupply_edges(spark, sf_dir).select("src", "dst")
+        edges.createOrReplaceTempView("bfs_edges_v")
         # Eager: the recursion must run while the raised limit is live.
-        return spark.sql(_BFS_SQL).localCheckpoint(eager=True)
+        return spark.sql(_BFS_WALK_SQL).localCheckpoint(eager=True)
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.cteRecursionRowLimit")
