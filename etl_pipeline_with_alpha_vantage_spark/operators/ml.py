@@ -187,7 +187,15 @@ def ml_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.round(F.col("g2") * 1.0 / F.col("n"))
                 / 1_000_000.0
             ).alias("w2"),
-        )
+        ).localCheckpoint(eager=True)
+        # ^ 1-row weight vector, checkpointed at the sweep boundary (the
+        # hits_sweeps discipline, r12 optimization round): weights_k is
+        # referenced TWICE in sweep k+1 (gradient crossJoin + update), so
+        # an unbroken lineage doubled the whole feats-aggregate subtree
+        # per sweep — the final plan held 48 scans of the feats RDD / 30
+        # BroadcastExchanges (2^sweeps blow-up), re-running the full
+        # feature pass ~12× per execution. Truncating makes the plan the
+        # documented one: _GD_ITERS feature passes + 1 readout, linear.
     final = feats.crossJoin(F.broadcast(weights))  # bounded: 1-row weight vector
     p = 1.0 / (
         1.0
