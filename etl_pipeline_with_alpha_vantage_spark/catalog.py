@@ -259,7 +259,23 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register all tables as temp views so ``spark.sql`` queries work."""
+    """Register all tables as temp views so ``spark.sql`` queries work.
+
+    Memoized per session on the identity of the ten memoized table
+    DataFrames (r12 optimization round — guide §5, driver work): every
+    SQL-surface query calls this, and ten createOrReplaceTempView py4j
+    round trips cost ~0.1-0.3 s per query execution. The id-tuple key
+    makes a switched ``sf_dir`` (or a rewritten fixture file, which
+    misses the ``table()`` memo and yields a new DataFrame) re-register
+    automatically; every in-repo registration of a canonical name binds
+    the same ``table()`` frame, so a memo hit can never serve a stale
+    binding."""
     ensure_query_confs(spark)
-    for name in TABLES:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    dfs = [(name, table(spark, sf_dir, name)) for name in TABLES]
+    cache = _session_cache(spark)
+    ident = tuple(id(df) for _, df in dfs)
+    if cache.get("_views_registered") == ident:
+        return
+    for name, df in dfs:
+        df.createOrReplaceTempView(name)
+    cache["_views_registered"] = ident

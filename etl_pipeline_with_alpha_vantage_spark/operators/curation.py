@@ -1102,53 +1102,81 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained-CTE oracle replays the traversal verbatim.
 
     Scale shape: the running min-distance column is maintained
-    INCREMENTALLY — each round joins the corpus long-form against ONE
-    new center (a dims-sized broadcast), takes LEAST with the previous
-    round's column, and localCheckpoints; the pick itself is a global
-    top-1 (TakeOrderedAndProject) whose result is a bounded 1-row
-    collect. Total cost is k corpus passes with O(1) driver state —
-    never a k×corpus or corpus² materialization.
+    INCREMENTALLY — each round crossJoins the array-shaped corpus with
+    ONE broadcast center row, computes the exact integer distance via
+    zip_with/aggregate (no per-dimension explode, no shuffle), takes
+    LEAST with the previous round's column, and localCheckpoints; the
+    pick rides the SAME checkpoint job as an Observation (struct-max =
+    argmax with lowest-id tie-break), so each round is exactly ONE
+    corpus pass with O(1) driver state — never a k×corpus or corpus²
+    materialization, and no separate top-1 pass.
     """
     emb = table(spark, sf_dir, "embeddings")
-    pts = (
-        emb.select("vec_id", F.posexplode("embedding").alias("pos0", "x"))
-        .select(
-            "vec_id",
-            (F.col("pos0") + 1).cast("long").alias("dim"),
-            F.round(F.col("x").cast("double") * 1_000_000)
-            .cast("long")
-            .alias("e"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    # Vectors stay ARRAY-shaped (r12 optimization round): the previous
+    # long form (posexplode to (vec_id, dim, e) then a per-round
+    # join-on-dim + groupBy(vec_id)) multiplied the corpus ×dims and
+    # paid a 128k-row shuffle per round; zip_with + aggregate computes
+    # the identical exact-integer squared distance inside one
+    # WholeStageCodegen pass with ZERO shuffles per round (same-window
+    # A/B ~2.9 s → ~2.5 s here, and ×dims fewer shuffled bytes at any
+    # scale). Micro-int rounding expression is byte-for-byte the same
+    # arithmetic as before, so every distance is bit-identical.
+    pts = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("ev"),
+    ).localCheckpoint(eager=True)
 
     def dist_to(center_id: int) -> DataFrame:
         center = pts.filter(F.col("vec_id") == center_id).select(
-            "dim", F.col("e").alias("ce")
+            F.col("ev").alias("cev")
         )
-        return (
-            pts.join(F.broadcast(center), "dim")  # bounded: per-dimension constants (d-bounded)
-            .groupBy("vec_id")
-            .agg(
-                F.sum(
-                    (F.col("e") - F.col("ce")) * (F.col("e") - F.col("ce"))
-                )
-                .cast("long")
-                .alias("dd")
-            )
+        return pts.crossJoin(F.broadcast(center)).select(  # bounded: 1-row center vector
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(ev, cev, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (a, v) -> a + v)"
+            ).alias("dd"),
         )
 
+    def ckpt_with_pick(df: DataFrame):
+        """Eager-checkpoint the running min-distance column and ride the
+        SAME job with an Observation computing the next pick — argmax on
+        dd with ties to the LOWEST vec_id, encoded as a lexicographic
+        struct MAX (dd, -vec_id), exactly the orderBy(dd DESC, vec_id)
+        LIMIT 1 the r11 form collected in a SEPARATE TakeOrdered pass
+        over the corpus. One corpus pass per round instead of two (r12
+        optimization round: isolated min 4.2 s → see OPTIMIZATION_r12.md);
+        the driver still receives only one bounded scalar per round."""
+        from pyspark.sql import Observation  # noqa: PLC0415
+
+        obs = Observation()
+        out = df.observe(
+            obs,
+            F.max(
+                F.struct(
+                    F.col("dd").alias("dd"),
+                    (-F.col("vec_id")).alias("neg_id"),
+                )
+            ).alias("pick"),
+        ).localCheckpoint(eager=True)
+        pick = obs.get["pick"]
+        return out, int(-pick["neg_id"]), int(pick["dd"])
+
     picks = [(1, _KC_SEED, 0)]
-    dcur = dist_to(_KC_SEED).localCheckpoint(eager=True)
+    dcur, far_id, far_dd = ckpt_with_pick(dist_to(_KC_SEED))
     for step in range(2, _KC_K + 1):
-        far = dcur.orderBy(F.col("dd").desc(), "vec_id").limit(1).collect()[0]
-        picks.append((step, int(far["vec_id"]), int(far["dd"])))
-        nd = dist_to(int(far["vec_id"])).withColumnRenamed("dd", "nd")
-        dcur = (
-            dcur.join(nd, "vec_id")
-            .select("vec_id", F.least("dd", "nd").alias("dd"))
-            .localCheckpoint(eager=True)
+        picks.append((step, far_id, far_dd))
+        nd = dist_to(far_id).withColumnRenamed("dd", "nd")
+        nxt = dcur.join(nd, "vec_id").select(
+            "vec_id", F.least("dd", "nd").alias("dd")
         )
+        if step == _KC_K:
+            # Last pick recorded; the residual column is never read.
+            break
+        dcur, far_id, far_dd = ckpt_with_pick(nxt)
     return spark.createDataFrame(
         picks, "step long, vec_id long, radius_sq long"
     ).orderBy("step")

@@ -339,14 +339,25 @@ WHERE table_name IN ('region','nation','customer','supplier','part',
 @query("catalog_columns", oracle=_CATALOG_ORACLE)
 def catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 (etl.py:163-172): table/column inventory through the engine's
-    catalog — views registered, then spark.catalog.listColumns. Matches
-    DuckDB's information_schema over the same pre-registered views."""
+    catalog — views registered, then one SHOW COLUMNS catalog command
+    per table. Matches DuckDB's information_schema over the same
+    pre-registered views.
+
+    r12 optimization round (guide §5: the driver should do almost no
+    work): python Catalog.listColumns resolves the full table and
+    builds Column objects per call (~170 ms × 10 tables measured);
+    SHOW COLUMNS returns the identical name list ~7× cheaper, and the
+    ten commands are issued from a small thread pool (guide §2.6 —
+    py4j round trips overlap; commands execute eagerly at spark.sql).
+    """
     register_views(spark, sf_dir)
-    rows = [
-        (t, c.name)
-        for t in TABLES
-        for c in spark.catalog.listColumns(t)
-    ]
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    def cols(t: str) -> list:
+        return [(t, r[0]) for r in spark.sql(f"SHOW COLUMNS IN {t}").collect()]
+
+    with ThreadPoolExecutor(max_workers=len(TABLES)) as ex:
+        rows = [r for sub in ex.map(cols, TABLES) for r in sub]
     return spark.createDataFrame(rows, "table_name string, column_name string")
 
 
