@@ -46,13 +46,28 @@ _QUERY_CONFS: dict[str, str] = {
 
 
 def ensure_query_confs(spark: SparkSession) -> None:
-    """Assert parity-critical runtime confs on a possibly-foreign session."""
+    """Assert parity-critical runtime confs on a possibly-foreign session.
+
+    Memoized per session (r12 optimization round): every registered
+    query's wrapper calls this at build time, and each conf.get is a
+    py4j round trip — three per query × hundreds of query builds per
+    bench/verify session is seconds of pure driver RPC. Nothing in the
+    engine mutates these three confs after assertion (the one scoped
+    conf raise, cteRecursionRowLimit, is not among them), so asserting
+    once per session is equivalent. Sessions whose attribute store is
+    frozen fall back to asserting every call, the previous behavior."""
+    cache = _session_cache(spark)
+    if cache.get("_query_confs_asserted"):
+        return
     for k, v in _QUERY_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
         except Exception:
             pass  # conf unknown/static in this Spark build; fallbacks below
+    if cache is not getattr(spark, _CACHE_ATTR, None):
+        return  # frozen session: cache was a throwaway dict, stay unmemoized
+    cache["_query_confs_asserted"] = True
 
 
 # Loaded-DataFrame memo, stored ON the SparkSession object itself (a

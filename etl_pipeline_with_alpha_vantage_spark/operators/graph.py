@@ -1173,7 +1173,13 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = visited.select("node")
     for depth in range(1, _BFS_HOPS + 1):
         reached = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+            # shuffle_hash: see the landmark-BFS loop — edges keep the
+            # fixture's hash(src) partitioning, the frontier is the
+            # only side that moves per hop.
+            frontier.join(
+                edges.hint("shuffle_hash"),
+                frontier["node"] == edges["src"],
+            )
             .select(F.col("dst").alias("node"))
             .distinct()
         )
@@ -1285,7 +1291,13 @@ def _landmark_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = visited.select("node", "lm", "sigma")
     for depth in range(1, _LM_HOPS + 1):
         reached = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+            # shuffle_hash: edges ride the fixture's hash(src)
+            # partitioning — no per-hop edge exchange or SMJ sort
+            # (r12 optimization round, same A/B as the backward pass).
+            frontier.join(
+                edges.hint("shuffle_hash"),
+                frontier["node"] == edges["src"],
+            )
             .groupBy(F.col("dst").alias("node"), F.col("lm"))
             .agg(F.sum("sigma").cast("long").alias("sigma"))
         )
@@ -1505,7 +1517,11 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         terms = (
-            p.join(edges, p["v"] == edges["src"], "left")
+            # shuffle_hash: edges already ride the fixture's hash(src)
+            # partitioning, so the hash join plans with no edge exchange
+            # and no per-level SMJ sort of the O(|E|) side (the
+            # pagerank/wedge rationale; r12 A/B in OPTIMIZATION_r12.md).
+            p.join(edges.hint("shuffle_hash"), p["v"] == edges["src"], "left")
             .join(
                 w,
                 (F.col("dst") == w["wnode"]) & (p["lm"] == w["lm"]),
@@ -1585,8 +1601,9 @@ def hits_sweeps(sp: DataFrame, iters: int = _HITS_ITERS) -> DataFrame:
     of magnitude inside that pole, the _WELCH_A_PIN discipline).
     Scale shape: the shared
     checkpointed (supp, part) fixture (zero extra fact scans), two
-    keyed aggregations per sweep riding its partitioning, and a 1-row
-    max broadcast per rescale (bounded dust). Each raw score table is
+    keyed aggregations per sweep riding its partitioning, and per
+    rescale one exact-max Observation riding the sweep's checkpoint
+    job (a bounded 1-row driver scalar, re-injected as a literal). Each raw score table is
     localCheckpoint'd per sweep (the graph_kcore_peel round-boundary
     discipline): the max-rescale reads its input TWICE (values + the
     1-row max), so an unbroken lineage DOUBLES the subtree per stage —
@@ -1595,38 +1612,43 @@ def hits_sweeps(sp: DataFrame, iters: int = _HITS_ITERS) -> DataFrame:
     keeps the plan linear, and the materialized per-side score tables
     are exactly the state any iterative engine holds between sweeps
     anyway."""
+    from pyspark.sql import Observation  # noqa: PLC0415
+
     h = sp.select("supp").distinct().withColumn(
         "h", F.lit(_HITS_SCALE).cast("long")
     )
     a = None
+    # Each rescale's exact MAX rides the per-sweep checkpoint job as an
+    # Observation and is injected as a LITERAL into the next expression
+    # (r12 optimization round): the previous crossJoin(broadcast(1-row
+    # max)) shape paid a broadcast exchange + a second read of the raw
+    # table per rescale — 4 per execution; the observed max is the same
+    # deterministic exact integer (the oracle's MAX subquery), measured
+    # ~2.6 s → ~2.2 s warm at sf0.1.
     for _ in range(iters):
+        a_obs = Observation()
         a_raw = (
             sp.join(h, "supp")
             .groupBy("part")
             .agg(F.sum("h").cast("long").alias("raw"))
+            .observe(a_obs, F.max("raw").alias("mx"))
             .localCheckpoint(eager=True)
         )
-        a_max = a_raw.agg(F.max("raw").alias("mx"))
-        a = (
-            a_raw.crossJoin(F.broadcast(a_max))  # bounded: 1-row global max
-            .select(
-                "part",
-                F.expr(f"(raw * {_HITS_SCALE}) DIV mx").alias("a"),
-            )
+        a_mx = int(a_obs.get["mx"])
+        a = a_raw.select(
+            "part", F.expr(f"(raw * {_HITS_SCALE}) DIV {a_mx}").alias("a")
         )
+        h_obs = Observation()
         h_raw = (
             sp.join(a, "part")
             .groupBy("supp")
             .agg(F.sum("a").cast("long").alias("raw"))
+            .observe(h_obs, F.max("raw").alias("mx"))
             .localCheckpoint(eager=True)
         )
-        h_max = h_raw.agg(F.max("raw").alias("mx"))
-        h = (
-            h_raw.crossJoin(F.broadcast(h_max))  # bounded: 1-row global max
-            .select(
-                "supp",
-                F.expr(f"(raw * {_HITS_SCALE}) DIV mx").alias("h"),
-            )
+        h_mx = int(h_obs.get["mx"])
+        h = h_raw.select(
+            "supp", F.expr(f"(raw * {_HITS_SCALE}) DIV {h_mx}").alias("h")
         )
     hubs = h.select(
         F.lit("supplier").alias("node_type"),
