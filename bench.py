@@ -278,6 +278,14 @@ def main() -> None:
             # result line. A bench session has no interactive observer;
             # drop the bars entirely.
             "spark.ui.showConsoleProgress": "false",
+            # Same reasoning, one step further: nobody attaches to the
+            # web UI of a headless bench session, but with it enabled
+            # the driver serves every job/stage/task/SQL event into the
+            # live status store while ~650 timed executions run (guide
+            # §5: driver metadata). Session-scoped to the bench; the
+            # library default (session.py) keeps the UI on with bounded
+            # retention for interactive debugging.
+            "spark.ui.enabled": "false",
         },
     )
 

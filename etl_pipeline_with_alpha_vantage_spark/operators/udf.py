@@ -366,16 +366,31 @@ def udtf_lateral_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="trigram: string")
-    class Trigrams:
-        def eval(self, text: str):
-            toks = text.split(" ")
-            for j in range(len(toks) - 2):
-                yield (" ".join(toks[j : j + 3]),)
+    from ..catalog import _session_cache
 
-    spark.udtf.register("trigrams_udtf", Trigrams)
     docs = table(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("udtf_docs_v")
+    # Memoize the function registration and the view binding per session
+    # (same id-keyed discipline as register_views — r12 optimization
+    # round, guide §5 driver work): re-registering the UDTF pickles the
+    # class and round-trips py4j on EVERY build, and the catalog WARNs
+    # `trigrams_udtf replaced a previously registered function` each
+    # time. The view key is the memoized table frame's identity, so a
+    # switched sf_dir or rewritten fixture re-binds automatically.
+    cache = _session_cache(spark)
+    if "_udtf_trigrams" not in cache:
+
+        @udtf(returnType="trigram: string")
+        class Trigrams:
+            def eval(self, text: str):
+                toks = text.split(" ")
+                for j in range(len(toks) - 2):
+                    yield (" ".join(toks[j : j + 3]),)
+
+        spark.udtf.register("trigrams_udtf", Trigrams)
+        cache["_udtf_trigrams"] = True
+    if cache.get("_udtf_docs_v") != id(docs):
+        docs.createOrReplaceTempView("udtf_docs_v")
+        cache["_udtf_docs_v"] = id(docs)
     return spark.sql(
         """
         SELECT source,

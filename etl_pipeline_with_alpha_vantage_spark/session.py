@@ -55,6 +55,27 @@ _DEFAULTS: dict[str, str] = {
     # pinned here so a misconfigured environment can't silently regress).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # PySpark's per-call error-context capture (default on) wraps every
+    # DataFrame API call in a Python stack walk plus THREE extra py4j
+    # round trips (conf.get + PySparkCurrentOrigin.set/clear). Measured
+    # on this engine's 213-query build pass (in-process ABAB, same
+    # session): 43-44.5 s with it on vs 27-29 s off — ~37% of all
+    # DataFrame-construction time for an error-message nicety (the
+    # user-code file:line in error contexts). A query engine issuing
+    # millions of API calls should not pay it; exceptions still carry
+    # the full JVM-side context. Guide §5: the driver does almost no
+    # data work — this keeps it from doing busywork either.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
+    # Status-store retention: the live UI/status listeners keep per-job,
+    # per-stage and per-SQL-execution state for 1000 entries each by
+    # default. A bench/ETL session that executes hundreds of queries
+    # accumulates tens of MB of driver metadata and constant listener
+    # churn (guide §5 driver metadata, §7.1 the store feeds the UI).
+    # Bounded retention keeps the driver heap flat; raise it when
+    # interactively debugging a specific job.
+    "spark.ui.retainedJobs": "200",
+    "spark.ui.retainedStages": "200",
+    "spark.sql.ui.retainedExecutions": "64",
 }
 
 
