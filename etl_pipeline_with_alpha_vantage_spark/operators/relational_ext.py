@@ -1036,7 +1036,11 @@ ORDER BY depth
 # on every one of the ~log₂(max user id) ≈ 17 hops. The edge derivation
 # below is byte-identical SQL text to the oracle's `edges` CTE; only its
 # placement changed (built once, checkpointed, exposed as a view — guide
-# §2.4 / §3.3).
+# §2.4 / §3.3). SHUFFLE_HASH(e) in the walk (§3.1): the edge table here
+# is the DISTINCT-user dust dimension (safe hash build at any scale),
+# and AQE cannot re-plan inside a UnionLoop step, so unhinted the ~17
+# hops each sort-merge-joined (measured min-of-3 at sf0.1: plain 1.74 s,
+# SHUFFLE_HASH(e) 1.40 s).
 _HIER_EDGES_SQL = """
     SELECT user_id AS child,
            CAST(floor(user_id / 2.0) AS BIGINT) AS parent
@@ -1048,7 +1052,7 @@ _HIER_WALK_SQL = """
 WITH RECURSIVE walk(node, anc, depth) AS (
     SELECT child, parent, 1 FROM hier_edges_v
     UNION ALL
-    SELECT w.node, e.parent, w.depth + 1
+    SELECT /*+ SHUFFLE_HASH(e) */ w.node, e.parent, w.depth + 1
     FROM walk w JOIN hier_edges_v e ON e.child = w.anc
 )
 SELECT depth,
@@ -1136,13 +1140,20 @@ ORDER BY hops
 # oracle's `s*2 WHERE s%100=0` set. Per-hop cost after the change is one
 # in-memory LogicalRDD scan + the frontier join (guide §2.4: remove the
 # repeated exchange outright; §3.3: materialize to truncate re-planned
-# subtrees).
+# subtrees). The SHUFFLE_HASH(w) hint (§3.1) makes each hop a shuffled
+# hash join building on the FRONTIER — AQE does not re-plan inside a
+# UnionLoop step, so the unhinted loop sort-merge-joined, re-sorting the
+# 2.2M-row edge side on every hop (measured min-of-3 at sf0.1: plain
+# 2.65 s, SHUFFLE_HASH(w) 1.68 s; BROADCAST(w) reads 1.14 s but the
+# frontier is O(E) worst-case on a cyclic graph — rejected under the
+# round-11 de-hint rule). Building on w keeps the fact-scale edge side
+# streaming, never a hash build.
 _BFS_WALK_SQL = """
 WITH RECURSIVE walk(node, depth) AS (
     SELECT DISTINCT src, 0 FROM bfs_edges_v
     WHERE src % 2 = 0 AND (src DIV 2) % 100 = 0
     UNION ALL
-    SELECT e.dst, w.depth + 1
+    SELECT /*+ SHUFFLE_HASH(w) */ e.dst, w.depth + 1
     FROM walk w JOIN bfs_edges_v e ON e.src = w.node
     WHERE w.depth < 2
 ),
