@@ -254,16 +254,20 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double("embedding").alias("emb")
     )
-    emb = with_norm(emb).withColumn("tables", lsh_tables_udf()("emb"))
-    exploded = emb.select(
-        "vec_id", "emb", "norm", F.posexplode("tables").alias("t", "bucket")
-    )
-    q = exploded.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qemb"),
-        F.col("norm").alias("qnorm"),
-        F.col("t").alias("qt"),
-        F.col("bucket").alias("qbucket"),
+    emb = with_norm(emb)
+    # Signatures materialize ONCE per execution into a dust-sized
+    # (vec_id, t, bucket) table (corpus × n_tables int rows, lazy
+    # localCheckpoint): the bucket table is referenced by both join
+    # sides and the UDF column flowed through three more vector
+    # subtrees, which Catalyst duplicated into EIGHT ArrowEvalPython
+    # nodes — eight full signature passes per execution (guide §4.4
+    # duplication; §5 lineage). Materializing the IDs pays the UDF
+    # exactly once and keeps every vector-fetch subtree UDF-free;
+    # isolated min 1.45 s → see OPTIMIZATION_r12.md.
+    buckets = (
+        emb.withColumn("tables", lsh_tables_udf()("emb"))
+        .select("vec_id", F.posexplode("tables").alias("t", "bucket"))
+        .localCheckpoint(eager=False)
     )
     # Stage 1 — candidate IDs only: the bucket join emits bare
     # (query_id, neighbor_id) pairs and dedups them in a narrow
@@ -271,10 +275,13 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SortAggregate; scoring before dedup would pay the cosine once per
     # band hit, up to n_tables× per pair).
     cand_ids = (
-        exploded.select("vec_id", "t", "bucket")
-        .join(
+        buckets.join(
             F.broadcast(  # bounded: query key set (N_QUERIES x n_tables)
-                q.select("query_id", "qt", "qbucket")
+                buckets.filter(F.col("vec_id") < N_QUERIES).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("t").alias("qt"),
+                    F.col("bucket").alias("qbucket"),
+                )
             ),
             (F.col("t") == F.col("qt"))
             & (F.col("bucket") == F.col("qbucket"))
@@ -531,7 +538,18 @@ def _ivf_cells(spark: SparkSession, sf_dir: str):
     codebook is a broadcast K×dim matrix inside the assign UDF."""
     raw = table(spark, sf_dir, "embeddings")
     head, cents = _ivf_codebook(spark, sf_dir, raw)
-    corpus = _units(raw).withColumn("cell", _assign_udf(cents)("unit"))
+    # Lazy localCheckpoint: every consumer references the assigned
+    # corpus at least twice (corpus side + query side), and Catalyst
+    # duplicated the two chained Arrow UDFs into 6-10 ArrowEvalPython
+    # corpus passes per execution (guide §4.4/§5). Materializing
+    # (vec_id, unit, cell) once per execution IS the IVF index a real
+    # deployment persists — normalized vectors + cell assignment —
+    # so downstream probes are index reads, not re-quantization.
+    corpus = (
+        _units(raw)
+        .withColumn("cell", _assign_udf(cents)("unit"))
+        .localCheckpoint(eager=False)
+    )
     return corpus, head, cents
 
 
@@ -1007,6 +1025,12 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coincide when vec_ids are contiguous from 0 — the halved off-grid
     # twin (even ids only) caught exactly that hidden assumption.
     seed_ids = sorted(head)[:N_CENTROIDS]
+    # Lazy localCheckpoint — the blocked prune kernel references this
+    # assigned-corpus frame many times (per-block self-join sides,
+    # medoid pass, dup-count join), and Catalyst duplicated the two
+    # chained Arrow UDFs into TEN ArrowEvalPython corpus passes per
+    # execution (guide §4.4/§5). Materialized once, it is the same
+    # (vectors + cell) index artifact `_ivf_cells` persists.
     emb = (
         raw.select(
             "vec_id",
@@ -1021,6 +1045,7 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
         .drop("unit", "_ci")
+        .localCheckpoint(eager=False)
     )
     return semdedup_prune(emb, _SEMDEDUP_MAX_CELL_ROWS)
 
@@ -1797,8 +1822,16 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in range(_PQ_M)
     ]
 
-    codes = units(raw).select(
-        "vec_id", pq_encode_udf(cb)("unit").alias("codes")
+    # Lazy localCheckpoint: the (vec_id, codes) table IS the PQ index a
+    # real deployment persists (~M bytes/vector). Unmaterialized, the
+    # two chained Arrow UDFs (normalize + encode) re-evaluated once per
+    # downstream reference — 2 evals in the ADC plan, 6 in the rerank
+    # plan (guide §4.4/§5); materialized, every execution pays exactly
+    # one encode pass and the ADC scan reads codes only.
+    codes = (
+        units(raw)
+        .select("vec_id", pq_encode_udf(cb)("unit").alias("codes"))
+        .localCheckpoint(eager=False)
     )
 
     # LUT[q][m][c] = dot(query subvector, sub-centroid) — 5×4×16 doubles,
@@ -1930,7 +1963,13 @@ def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     raw = table(spark, sf_dir, "embeddings")
-    units = raw.select("vec_id", _unit_udf()("embedding").alias("unit"))
+    # One normalize pass (lazy localCheckpoint), referenced by both the
+    # query side and the neighbor side of the refine join — the
+    # persisted full-precision refine store of FAISS's IVFPQ+refine;
+    # unmaterialized it was two more ArrowEvalPython corpus passes.
+    units = raw.select(
+        "vec_id", _unit_udf()("embedding").alias("unit")
+    ).localCheckpoint(eager=False)
     q_units = units.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("unit").alias("qunit")
     )
@@ -2422,9 +2461,15 @@ def similarity_lsh_multiprobe_topk(
     emb = spread(table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double("embedding").alias("emb")
     )
-    emb = with_norm(emb).withColumn("tables", lsh_tables_udf()("emb"))
-    exploded = emb.select(
-        "vec_id", F.posexplode("tables").alias("t", "bucket")
+    emb = with_norm(emb)
+    # One materialized signature pass (lazy localCheckpoint of the dust
+    # (vec_id, t, bucket) table) — same fix as similarity_lsh_topk: the
+    # multi-referenced UDF subtree otherwise duplicates into 8
+    # ArrowEvalPython corpus passes per execution (guide §4.4/§5).
+    exploded = (
+        emb.withColumn("tables", lsh_tables_udf()("emb"))
+        .select("vec_id", F.posexplode("tables").alias("t", "bucket"))
+        .localCheckpoint(eager=False)
     )
     probes = F.array(
         F.col("bucket"),
