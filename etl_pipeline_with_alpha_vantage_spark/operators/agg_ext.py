@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import register_views, table
 from ..registry import query
 
 # acctbal cents ≤ ~10^8, custkey < 10^7 at demo scales → key < 2^63.
@@ -195,8 +195,9 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-semi and a left-anti hash join on o_custkey (asserted in
     tests/test_plan_quality.py); the identical ANSI text is the oracle.
     """
-    for name in ("customer", "orders"):
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    # Canonical views through the memoized registrar (an ad-hoc bind
+    # of a subset desyncs its ident memo — r12 optimization round).
+    register_views(spark, sf_dir)
     return spark.sql(_EXISTS_SQL)
 
 

@@ -628,9 +628,12 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     the file stats already exist in the table format's manifests, so
     only the final dust aggregation runs per query.
     """
-    from ..catalog import table  # noqa: PLC0415
+    from ..catalog import register_views  # noqa: PLC0415
 
-    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # Canonical names bind through the memoized registrar only: an
+    # ad-hoc createOrReplaceTempView of a subset desyncs its ident memo
+    # (r12 optimization round).
+    register_views(spark, sf_dir)
     return spark.sql(
         _zorder_sql("div", "datediff({col}, DATE '1970-01-01')")
     )
@@ -707,9 +710,10 @@ def lakehouse_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     dust aggregate. At 100 TB the inventory comes from manifests, so
     planning cost is O(files), independent of data bytes.
     """
-    from ..catalog import table  # noqa: PLC0415
+    from ..catalog import register_views  # noqa: PLC0415
 
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    # Memoized registrar, not an ad-hoc bind (see lakehouse_zorder note).
+    register_views(spark, sf_dir)
     return spark.sql(_compact_sql("div"))
 
 

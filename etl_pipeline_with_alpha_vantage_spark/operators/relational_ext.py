@@ -1092,7 +1092,9 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (spark.sql.cteRecursionLevelLimit) apply where a cyclic edge set
     could loop forever.
     """
-    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    # Canonical "events" binds through the memoized registrar (an
+    # ad-hoc bind of a subset desyncs its ident memo — r12 round).
+    register_views(spark, sf_dir)
     spark.sql(_HIER_EDGES_SQL).localCheckpoint(
         eager=False
     ).createOrReplaceTempView("hier_edges_v")

@@ -1222,19 +1222,23 @@ def _mk_monthly_view(spark: SparkSession, sf_dir: str) -> None:
     THREE trend queries (MK, Theil–Sen, seasonal MK) re-ran it on every
     build. The checkpointed 400-row artifact is the shared fixture; a
     switched sf_dir re-materializes and re-binds the view."""
-    from ..catalog import _session_cache  # noqa: PLC0415
+    from ..catalog import _session_cache, register_views  # noqa: PLC0415
 
     cache = _session_cache(spark)
     key = ("mk_monthly", sf_dir)
     monthly = cache.get(key)
     if monthly is None:
-        for t in ("orders", "customer"):
-            table(spark, sf_dir, t).createOrReplaceTempView(t)
+        # All ten canonical views through the memoized registrar — an
+        # ad-hoc bind of a subset would silently desync its ident memo.
+        register_views(spark, sf_dir)
         monthly = spark.sql(_MK_MONTHLY_SQL).localCheckpoint(eager=True)
         cache[key] = monthly
-    if cache.get("_mk_monthly_view") != id(monthly):
-        monthly.createOrReplaceTempView("monthly")
-        cache["_mk_monthly_view"] = id(monthly)
+    # ALWAYS re-bind: `monthly` is a shared name the fuzz suites also
+    # bind to synthetic series (test_ks_fuzz, test_round10_fuzz), so an
+    # id-keyed binding memo here served a foreign table after a fuzz
+    # test ran. One createOrReplaceTempView RPC per build is dust; the
+    # expensive part (the checkpoint job) stays memoized above.
+    monthly.createOrReplaceTempView("monthly")
 
 
 @query("trend_mann_kendall", oracle=_MK_ORACLE)

@@ -1211,3 +1211,35 @@ def test_page_trend_monotone_pole_and_replay(spark, tmp_path):
     want2 = _page_replay(mixed)
     assert got2 == want2 == oracle2, (got2, want2, oracle2)
     assert got2[3] < got[3]
+
+
+# --------------------------------------------------------------------------
+# r12 optimization round: the memoized Mann-Kendall monthly fixture must
+# survive (a) a foreign rebind of the shared "monthly" view name (the fuzz
+# suites bind synthetic series to it) and (b) sf_dir switches in-session.
+# --------------------------------------------------------------------------
+
+
+def test_mk_monthly_fixture_rebinds_after_foreign_view(spark, sf_dir):
+    from etl_pipeline_with_alpha_vantage_spark.registry import QUERIES
+
+    before = QUERIES["trend_mann_kendall"](spark, sf_dir).collect()
+    assert before, "trend query returned no rows"
+    # A foreign test (or user) binds its own table over the shared name.
+    spark.range(3).selectExpr(
+        "0 AS nation", "CAST(id AS BIGINT) + 202201 AS ym",
+        "id * 100 AS rev_cents"
+    ).createOrReplaceTempView("monthly")
+    after = QUERIES["trend_mann_kendall"](spark, sf_dir).collect()
+    assert after == before, "memoized fixture served the foreign view"
+
+
+def test_mk_monthly_fixture_tracks_sf_dir_switch(spark, sf_dir):
+    from etl_pipeline_with_alpha_vantage_spark.registry import QUERIES
+
+    q = QUERIES["trend_mann_kendall_seasonal"]
+    a1 = q(spark, sf_dir).collect()
+    b = q(spark, "/root/testdata/sf0.01").collect()
+    a2 = q(spark, sf_dir).collect()
+    assert a1 == a2, "fixture did not re-bind on return to first sf_dir"
+    assert a1 != b, "two scale factors produced identical seasonal stats"
