@@ -326,7 +326,23 @@ def main() -> None:
     # Best of 3 runs per query: machine-load noise on shared hardware is
     # ±20% run-to-run and whole-bench load spikes of >2× have been
     # observed; min-of-3 reports the plan's cost, not the noise.
+    #
+    # Memo accounting (r13, from the r12 verdict): several operator
+    # families amortize a derived artifact across calls in one session
+    # (co-supply edge fixtures, LPA labels, the monthly trend aggregate,
+    # landmark BFS state, the PCA Gram, the IVF codebook, learned BPE
+    # merges). min-of-3 used to discard the one run that paid each
+    # build, so those jobs appeared in NO recorded timing. Every
+    # derived memo is now cleared before each query's timing loop: run
+    # 1 recomputes the artifacts from the parquet inputs and is
+    # recorded in the "cold" map; the comparable per-query number
+    # (`queries`, min-of-3) keeps its historical warm-plan methodology.
+    from etl_pipeline_with_alpha_vantage_spark.catalog import (
+        clear_derived_memos,
+    )
+
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for qi, name in enumerate(names):
         if qi and qi % 25 == 0:
             # verify_bare's ContextCleaner nudge: drop dangling
@@ -335,14 +351,19 @@ def main() -> None:
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
         fn = registry.QUERIES[name]
+        clear_derived_memos(spark)
         best = float("inf")
-        for _ in range(3):
+        for ri in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if ri == 0:
+                cold[name] = round(dt, 3)
+            best = min(best, dt)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    cold_total = round(sum(cold.values()), 3)
     # Stop the JVM BEFORE printing: GC/alloc warnings from the child
     # process share this stdout and have been observed interleaving with
     # (even clobbering) the JSON line if anything still runs after it.
@@ -359,6 +380,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # First-run-after-memo-reset per query: includes every derived
+        # artifact build (edge fixtures, codebooks, trend aggregates)
+        # the warm min amortizes. ADDITIVE column — `queries` keeps the
+        # historical min-of-3 methodology.
+        "cold": cold,
+        "cold_total": cold_total,
         "sf": float(sf),
         # Comparison floor: BENCH_r03.json, the first round run on
         # PySpark 4.1.2 (+25-40% env offset vs 4.0 under identical
@@ -386,6 +413,7 @@ def main() -> None:
                 "baseline": "r3-pyspark-4.1.2",
                 "n_queries": len(timings),
                 "queries": slowest,
+                "cold_total": cold_total,
                 "detail": detail_name,
             }
         )

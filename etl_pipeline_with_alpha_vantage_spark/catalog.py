@@ -119,6 +119,73 @@ def _session_cache(spark: SparkSession) -> dict:
     return cache
 
 
+# --- Derived-artifact memo accounting (r13 optimization round) -----------
+#
+# Session-cache entries fall into two classes:
+#   * driver METADATA memos (loaded table frames, view registration,
+#     conf assertions) — avoiding repeated py4j RPCs, no data computed;
+#   * DERIVED artifacts — checkpointed DataFrames computed FROM the
+#     warehouse tables (co-supply edge lists, LPA labels, the monthly
+#     trend aggregate, the PCA Gram matrix, ...), where the memo
+#     amortizes a real Spark job across calls in one session.
+# The r12 verdict's finding: bench.py's min-of-3 discarded the one run
+# that paid each derived build, so the amortized jobs appeared in no
+# recorded timing. Every derived memo therefore registers itself here,
+# and bench.py calls clear_derived_memos() before each query's timing
+# loop — the first (reported "cold") run recomputes every derived
+# artifact from the parquet inputs and is recorded separately from the
+# warm min. Module-level caches of computed artifacts (IVF codebook,
+# learned BPE merges) register their dicts the same way. Caches of
+# *written input fixtures* (lakehouse/source temp tables) stay exempt:
+# they are test-harness inputs the query reads, not work the query's
+# plan performs, and re-writing temp files inside a timing loop would
+# measure the sink, not the plan.
+
+_DERIVED_MEMO_NAMES: set[str] = set()
+_DERIVED_MODULE_CACHES: list[dict] = []
+
+
+def derived_memo_key(name: str, sf_dir: str, tables: tuple = ()) -> tuple:
+    """Session-cache key for a derived-artifact memo.
+
+    Registers ``name`` for :func:`clear_derived_memos` and folds the
+    file identity of the source tables into the key, so an in-place
+    fixture rewrite misses the cache (the ``table()`` / IVF-codebook
+    discipline — r12 ADVICE flagged the mk_monthly memo for keying on
+    sf_dir alone)."""
+    _DERIVED_MEMO_NAMES.add(name)
+    ident = []
+    for t in tables:
+        try:
+            ident.append(_file_ident(os.path.join(sf_dir, f"{t}.parquet")))
+        except OSError:
+            ident.append((t, "absent"))
+    return (name, sf_dir, tuple(ident))
+
+
+def register_derived_cache(d: dict) -> dict:
+    """Mark a module-level dict as caching computed artifacts so
+    :func:`clear_derived_memos` empties it too."""
+    _DERIVED_MODULE_CACHES.append(d)
+    return d
+
+
+def clear_derived_memos(spark: SparkSession) -> None:
+    """Drop every derived-artifact memo (session-cache entries named in
+    ``_DERIVED_MEMO_NAMES`` plus registered module caches) so the next
+    query execution recomputes them from the parquet inputs. Metadata
+    memos (table frames, views, confs) are untouched."""
+    cache = _session_cache(spark)
+    for k in [
+        k
+        for k in cache
+        if isinstance(k, tuple) and k and k[0] in _DERIVED_MEMO_NAMES
+    ]:
+        del cache[k]
+    for d in _DERIVED_MODULE_CACHES:
+        d.clear()
+
+
 def _file_ident(path: str) -> tuple:
     """Identity of a parquet file-or-directory: (path, mtime_ns, size) of
     the path plus — for directories — every descendant, recursively, so

@@ -42,10 +42,10 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying it in the ONE checkpointed artifact means repeated calls
     (bench min-of-n, parity sweeps) never stack per-call checkpoint
     copies in the driver's storage memory."""
-    from ..catalog import _session_cache  # noqa: PLC0415
+    from ..catalog import _session_cache, derived_memo_key  # noqa: PLC0415
 
     cache = _session_cache(spark)
-    key = ("cosupply_edges", sf_dir)
+    key = derived_memo_key("cosupply_edges", sf_dir, ("lineitem",))
     cached = cache.get(key)
     if cached is not None:
         return cached
@@ -217,10 +217,10 @@ def _cosupply_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair and wsum = src's total outgoing weight. Same checkpoint-once
     discipline as _cosupply_edges — the weighted family's shared
     fixture (one fact scan per session/sf_dir)."""
-    from ..catalog import _session_cache  # noqa: PLC0415
+    from ..catalog import _session_cache, derived_memo_key  # noqa: PLC0415
 
     cache = _session_cache(spark)
-    key = ("cosupply_edges_weighted", sf_dir)
+    key = derived_memo_key("cosupply_edges_weighted", sf_dir, ("lineitem",))
     cached = cache.get(key)
     if cached is not None:
         return cached
@@ -621,10 +621,10 @@ def _dedup_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index → Jaccard-thresholded pairs, checkpointed (the edge
     list feeds many self-join roles) and memoized on the session so the
     two queries share one materialization per (session, sf_dir)."""
-    from ..catalog import _session_cache  # noqa: PLC0415
+    from ..catalog import _session_cache, derived_memo_key  # noqa: PLC0415
 
     cache = _session_cache(spark)
-    key = ("dedup_pair_edges", sf_dir)
+    key = derived_memo_key("dedup_pair_edges", sf_dir, ("documents",))
     cached = cache.get(key)
     if cached is not None:
         return cached
@@ -874,10 +874,10 @@ def _lpa_final_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (session, sf_dir) and lazily checkpointed: node-dust relative
     to the fact table, so materializing it once is the 2×-win side of
     the checkpoint-dust/recompute-corpus discipline."""
-    from ..catalog import _session_cache  # noqa: PLC0415
+    from ..catalog import _session_cache, derived_memo_key  # noqa: PLC0415
 
     cache = _session_cache(spark)
-    key = ("lpa_labels", sf_dir)
+    key = derived_memo_key("lpa_labels", sf_dir, ("lineitem",))
     cached = cache.get(key)
     if cached is not None:
         return cached
@@ -1267,10 +1267,10 @@ def _landmark_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_betweenness_sampled (forward pass) — the _cosupply_edges
     checkpoint-once discipline, so bench/parity reruns pay the BFS
     once per session/sf_dir."""
-    from ..catalog import _session_cache  # noqa: PLC0415
+    from ..catalog import _session_cache, derived_memo_key  # noqa: PLC0415
 
     cache = _session_cache(spark)
-    key = ("landmark_bfs", sf_dir)
+    key = derived_memo_key("landmark_bfs", sf_dir, ("lineitem",))
     cached = cache.get(key)
     if cached is not None:
         return cached
@@ -1737,10 +1737,10 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _supplier_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..catalog import _session_cache  # noqa: PLC0415
+    from ..catalog import _session_cache, derived_memo_key  # noqa: PLC0415
 
     cache = _session_cache(spark)
-    key = ("supplier_part_pairs", sf_dir)
+    key = derived_memo_key("supplier_part_pairs", sf_dir, ("lineitem",))
     cached = cache.get(key)
     if cached is not None:
         return cached

@@ -1222,10 +1222,14 @@ def _mk_monthly_view(spark: SparkSession, sf_dir: str) -> None:
     THREE trend queries (MK, Theil–Sen, seasonal MK) re-ran it on every
     build. The checkpointed 400-row artifact is the shared fixture; a
     switched sf_dir re-materializes and re-binds the view."""
-    from ..catalog import _session_cache, register_views  # noqa: PLC0415
+    from ..catalog import (  # noqa: PLC0415
+        _session_cache,
+        derived_memo_key,
+        register_views,
+    )
 
     cache = _session_cache(spark)
-    key = ("mk_monthly", sf_dir)
+    key = derived_memo_key("mk_monthly", sf_dir, ("orders", "customer"))
     monthly = cache.get(key)
     if monthly is None:
         # All ten canonical views through the memoized registrar — an

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import register_derived_cache, table
 from ..registry import query
 
 _BPE_MERGES = 3
@@ -234,7 +234,7 @@ bpe_train_merges.__doc__ = bpe_train_merges.__doc__.format(k=_BPE_MERGES)
 # the encoder memoizes them on (sf_dir, mtime_ns, size) — the IVF-codebook
 # cache-key device (similarity.py): a same-second in-place rewrite still
 # changes size or mtime_ns, so a stale merge table is never served.
-_MERGES_CACHE: dict[tuple[str, int, int], list[str]] = {}
+_MERGES_CACHE: dict[tuple[str, int, int], list[str]] = register_derived_cache({})
 
 
 def _learned_pairs_cached(spark: SparkSession, sf_dir: str) -> list[str]:

@@ -388,9 +388,12 @@ def udtf_lateral_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         spark.udtf.register("trigrams_udtf", Trigrams)
         cache["_udtf_trigrams"] = True
-    if cache.get("_udtf_docs_v") != id(docs):
-        docs.createOrReplaceTempView("udtf_docs_v")
-        cache["_udtf_docs_v"] = id(docs)
+    # ALWAYS re-bind the view (one cheap RPC — the `monthly` lesson from
+    # _mk_monthly_view): an id-keyed binding memo does not self-heal if a
+    # foreign caller rebinds the shared name between builds. The
+    # expensive part (pickling + registering the UDTF class) stays
+    # memoized above.
+    docs.createOrReplaceTempView("udtf_docs_v")
     return spark.sql(
         """
         SELECT source,

@@ -65,6 +65,9 @@ _DEFAULTS: dict[str, str] = {
     # millions of API calls should not pay it; exceptions still carry
     # the full JVM-side context. Guide §5: the driver does almost no
     # data work — this keeps it from doing busywork either.
+    # Interactive users who want PySpark's file:line error decoration
+    # back can opt out via SPARK_GRAFT_DEBUG_CONTEXT=1 (r12 ADVICE) —
+    # see the env override just below this dict.
     "spark.python.sql.dataFrameDebugging.enabled": "false",
     # Status-store retention: the live UI/status listeners keep per-job,
     # per-stage and per-SQL-execution state for 1000 entries each by
@@ -77,6 +80,9 @@ _DEFAULTS: dict[str, str] = {
     "spark.ui.retainedStages": "200",
     "spark.sql.ui.retainedExecutions": "64",
 }
+
+if os.environ.get("SPARK_GRAFT_DEBUG_CONTEXT") == "1":
+    _DEFAULTS["spark.python.sql.dataFrameDebugging.enabled"] = "true"
 
 
 def get_spark(

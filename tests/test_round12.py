@@ -1221,8 +1221,10 @@ def test_page_trend_monotone_pole_and_replay(spark, tmp_path):
 
 
 def test_mk_monthly_fixture_rebinds_after_foreign_view(spark, sf_dir):
+    from etl_pipeline_with_alpha_vantage_spark import registry
     from etl_pipeline_with_alpha_vantage_spark.registry import QUERIES
 
+    registry.load_all()
     before = QUERIES["trend_mann_kendall"](spark, sf_dir).collect()
     assert before, "trend query returned no rows"
     # A foreign test (or user) binds its own table over the shared name.
@@ -1235,11 +1237,22 @@ def test_mk_monthly_fixture_rebinds_after_foreign_view(spark, sf_dir):
 
 
 def test_mk_monthly_fixture_tracks_sf_dir_switch(spark, sf_dir):
+    import os
+
+    import pytest
+
+    from etl_pipeline_with_alpha_vantage_spark import registry
     from etl_pipeline_with_alpha_vantage_spark.registry import QUERIES
 
+    registry.load_all()
+    other = "/root/testdata/sf0.01"
+    if os.path.normpath(other) == os.path.normpath(sf_dir):
+        other = "/root/testdata/sf0.001"
+    if not os.path.isdir(other):
+        pytest.skip(f"alternate scale dir {other} not present")
     q = QUERIES["trend_mann_kendall_seasonal"]
     a1 = q(spark, sf_dir).collect()
-    b = q(spark, "/root/testdata/sf0.01").collect()
+    b = q(spark, other).collect()
     a2 = q(spark, sf_dir).collect()
     assert a1 == a2, "fixture did not re-bind on return to first sf_dir"
     assert a1 != b, "two scale factors produced identical seasonal stats"

@@ -61,6 +61,43 @@ OVERRIDES: dict[str, float] = {
 }
 
 
+# Queries whose committed floors were recorded with a session-amortized
+# derived artifact already built (co-supply edge fixtures, LPA labels,
+# landmark BFS state, the monthly trend aggregate, the PCA Gram, the IVF
+# codebook, learned BPE merges). Since r13 bench.py clears these memos
+# before each query's timing loop and reports the first run in a
+# separate "cold" column; the floors below remain valid for the warm
+# min-of-3 `queries` numbers, but a cold reading must not be compared
+# against them. Derived mechanically from the derived_memo_key /
+# register_derived_cache call graph (see OPTIMIZATION_r13.md).
+AMORTIZED = [
+    "bpe_apply_encode",
+    "dedup_semantic_ivf",
+    "embedding_pca_power",
+    "graph_assortativity",
+    "graph_betweenness_sampled",
+    "graph_bfs_distances",
+    "graph_closeness_landmark",
+    "graph_clustering_global",
+    "graph_hits",
+    "graph_jaccard_minhash",
+    "graph_jaccard_neighbors",
+    "graph_kcore_peel",
+    "graph_label_propagation",
+    "graph_linkpred_ra",
+    "graph_modularity",
+    "graph_pagerank",
+    "graph_pagerank_personalized",
+    "graph_pagerank_weighted",
+    "graph_triangles",
+    "similarity_ivf_topk",
+    "sql_bfs_distances",
+    "trend_mann_kendall",
+    "trend_mann_kendall_seasonal",
+    "trend_theil_sen",
+]
+
+
 def _generations() -> list[dict[str, float]]:
     gens: list[dict[str, float]] = []
     r3 = json.load(open(os.path.join(REPO, "BENCH_r03.json")))
@@ -114,6 +151,7 @@ def main(out_path: str | None = None) -> int:
             "with tools/bench_guard.py; >2x a floor = investigate."
         ),
         "overrides": sorted(OVERRIDES),
+        "amortized": AMORTIZED,
         "floors": dict(sorted(floors.items())),
     }
     path = out_path or os.path.join(REPO, "BENCH_FLOOR.json")
