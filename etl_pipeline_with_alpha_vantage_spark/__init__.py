@@ -17,3 +17,14 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# Driver-overhead: cache py4j reflection results (classes/packages/
+# static methods — never field values) so each F.* call costs its one
+# invocation RPC instead of three. Installed at package import so the
+# cache is active for ANY session the query API touches, including the
+# harness's bare sessions that never call session.get_spark(). See
+# _py4j_cache for the safety argument; no-op under Spark Connect.
+from . import _py4j_cache as _p4c  # noqa: E402
+
+_p4c.install()
+del _p4c

@@ -237,11 +237,50 @@ def _base60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _member_hash(h, m: int, a: int, b: int):
-    """Multiply-add member hash of a 60-bit base (column expression)."""
-    hi = F.shiftrightunsigned(h, 30)
-    lo = h.bitwiseAND(F.lit(_LO30))
-    return hi * F.lit(a) + lo * F.lit(b) + F.lit(m * _MEMBER_C)
+def _member_hash_sql(h: str, m: int, a: int, b: int) -> str:
+    """Multiply-add member hash of a 60-bit base, as SQL text over an
+    expression string ``h``: hi·A_m + lo·B_m + m·C with hi/lo the 30-bit
+    halves. Generated as text and parsed server-side in ONE py4j round
+    trip — the Column-API construction cost ~10 RPCs per member, ~400
+    per 32-member query build (r13, guide §5 driver overhead)."""
+    return (
+        f"shiftrightunsigned({h}, 30) * {a} + ({h} & {_LO30}) * {b}"
+        f" + {m * _MEMBER_C}"
+    )
+
+
+# Word-trigram shingle array over a `toks` array<string> column —
+# SQL-text twin of the zip_with-over-three-slices expression the
+# docstring of minhash_signatures motivates.
+_TRI_SQL = (
+    "zip_with(slice(toks, 1, size(toks) - 2), "
+    "zip_with(slice(toks, 2, size(toks) - 2), "
+    "slice(toks, 3, size(toks) - 2), (b, c) -> concat(b, ' ', c)), "
+    "(a, bc) -> concat(a, ' ', bc))"
+)
+
+# 60-bit portable hash of every shingle (array form) — _base60 as SQL.
+_GHASH_SQL = (
+    "transform(grams, g -> "
+    "CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT))"
+)
+
+
+def _sig_sql(n_hashes: int = N_HASHES) -> str:
+    """The n-member MinHash fold as ONE SQL expression string: aggregate
+    over ghashes with an n-wide least() accumulator (see
+    minhash_signatures' docstring for why this shape). Byte-identical
+    semantics to the Column-API construction it replaces."""
+    coeffs = _member_coeffs(n_hashes)
+    init = ", ".join(f"{1 << 62}L" for _ in coeffs)
+    members = ", ".join(
+        _member_hash_sql("h", m, a, b) for m, (a, b) in enumerate(coeffs)
+    )
+    return (
+        f"aggregate(ghashes, array({init}), "
+        f"(acc, h) -> zip_with(acc, array({members}), "
+        "(x, y) -> least(x, y)))"
+    )
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
@@ -260,36 +299,18 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     n array_min(transform(ghashes, ...)) expressions, which inline the
     md5 transform n times and re-hash every shingle per member.
     """
+    # Entire pipeline as generated SQL text (r13): the Column-API
+    # construction of the trigram zip_with + 32-member aggregate fold
+    # cost ~450 py4j round trips per build; the identical expressions
+    # parse server-side in three.
     toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
         F.size("toks") >= 3
     )
-    n2 = F.size("toks") - 2
-    tri = F.zip_with(
-        F.slice("toks", 1, n2),
-        F.zip_with(
-            F.slice("toks", 2, n2),
-            F.slice("toks", 3, n2),
-            lambda b, c: F.concat(b, F.lit(" "), c),
-        ),
-        lambda a, bc: F.concat(a, F.lit(" "), bc),
+    grams = toks.select(
+        "doc_id", F.expr(f"array_distinct({_TRI_SQL})").alias("grams")
     )
-    grams = toks.select("doc_id", F.array_distinct(tri).alias("grams"))
-    ghashed = grams.select(
-        "doc_id",
-        F.transform(F.col("grams"), _base60).alias("ghashes"),
-    )
-    coeffs = list(enumerate(_member_coeffs(n_hashes)))
-    init = F.array(*[F.lit(1 << 62).cast("long") for _ in coeffs])
-    sig = F.aggregate(
-        "ghashes",
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(*[_member_hash(h, m, a, b) for m, (a, b) in coeffs]),
-            lambda x, y: F.least(x, y),
-        ),
-    )
-    return ghashed.select("doc_id", sig.alias("sig"))
+    ghashed = grams.select("doc_id", F.expr(_GHASH_SQL).alias("ghashes"))
+    return ghashed.select("doc_id", F.expr(_sig_sql(n_hashes)).alias("sig"))
 
 
 def _minhash_oracle() -> str:
@@ -357,11 +378,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs)
     n_bands = N_HASHES // BAND_SIZE
-    band_keys = F.array(
-        *[
-            F.slice("sig", b * BAND_SIZE + 1, BAND_SIZE)
+    band_keys = F.expr(
+        "array("
+        + ", ".join(
+            f"slice(sig, {b * BAND_SIZE + 1}, {BAND_SIZE})"
             for b in range(n_bands)
-        ]
+        )
+        + ")"
     )
     banded = sigs.select(
         "doc_id",
@@ -1403,18 +1426,8 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
         F.size("toks") >= 3
     )
-    n2 = F.size("toks") - 2
-    tri = F.zip_with(
-        F.slice("toks", 1, n2),
-        F.zip_with(
-            F.slice("toks", 2, n2),
-            F.slice("toks", 3, n2),
-            lambda b, c: F.concat(b, F.lit(" "), c),
-        ),
-        lambda a, bc: F.concat(a, F.lit(" "), bc),
-    )
     gram_arrays = toks.select(
-        "doc_id", F.array_distinct(tri).alias("grams")
+        "doc_id", F.expr(f"array_distinct({_TRI_SQL})").alias("grams")
     )
     ga = gram_arrays.alias("ga")
     gb = gram_arrays.alias("gb")

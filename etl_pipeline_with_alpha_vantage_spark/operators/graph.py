@@ -2218,7 +2218,7 @@ def jaccard_minhash_scored(
     from .dedup import (  # noqa: PLC0415
         _base60,
         _member_coeffs,
-        _member_hash,
+        _member_hash_sql,
         BAND_SIZE,
         N_HASHES,
     )
@@ -2269,27 +2269,29 @@ def jaccard_minhash_scored(
     # an r12 A/B (isolated min-of-6 at sf0.1) measured the lazy
     # localCheckpoint variant as a slight LOSS (3.23 s → 3.50 s) — the
     # block materialization costs more than the recompute it saves.
+    # Member mins + band structs as generated SQL text (r13 §5 driver
+    # overhead): ~420 Column-API round trips per build → 33 F.expr
+    # parses; identical expressions.
     sig = hsp.groupBy("supp").agg(
         F.count(F.lit(1)).cast("long").alias("nh"),
         *[
-            F.min(_member_hash(F.col("h"), m, am, bm)).alias(f"mh{m}")
+            F.expr(f"min({_member_hash_sql('h', m, am, bm)}) AS mh{m}")
             for m, (am, bm) in coeffs
         ],
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh{m}").cast("string")
-                        for m in range(i * BAND_SIZE, (i + 1) * BAND_SIZE)
-                    ],
-                ).alias("band_sig"),
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            "named_struct('band_idx', {i}, 'band_sig', concat_ws(',', {cols}))".format(
+                i=i,
+                cols=", ".join(
+                    f"CAST(mh{m} AS STRING)"
+                    for m in range(i * BAND_SIZE, (i + 1) * BAND_SIZE)
+                ),
             )
             for i in range(n_bands)
-        ]
+        )
+        + ")"
     )
     bands = sig.select("supp", F.explode(band_structs).alias("bs")).select(
         "supp", "bs.band_idx", "bs.band_sig"
@@ -2317,7 +2319,9 @@ def jaccard_minhash_scored(
     sigarr = sig.select(
         "supp",
         "nh",
-        F.array(*[F.col(f"mh{m}") for m in range(N_HASHES)]).alias("sig"),
+        F.expr(
+            "array(" + ", ".join(f"mh{m}" for m in range(N_HASHES)) + ")"
+        ).alias("sig"),
     )
     sa = sigarr.select(
         F.col("supp").alias("supp_a"),

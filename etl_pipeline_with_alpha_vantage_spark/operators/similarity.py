@@ -1791,8 +1791,6 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity_pq_rerank_topk (ADC shortlist -> exact re-rank)."""
     import numpy as np
 
-    from functools import reduce as _reduce
-
     raw = table(spark, sf_dir, "embeddings")
 
     def units(df):
@@ -1837,22 +1835,44 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # LUT[q][m][c] = dot(query subvector, sub-centroid) — 5×4×16 doubles,
-    # compiled into the plan as a literal nested array.
-    lut_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(
-                        *[
-                            F.lit(float(head[q][m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM] @ cb[m][c]))
-                            for c in range(_PQ_K)
-                        ]
+    # compiled into the plan as a literal nested array. Generated as ONE
+    # SQL text (r13, guide §5 driver overhead): the nested-F.lit
+    # construction cost ~1000 py4j round trips per build; repr() emits
+    # the shortest decimal that round-trips to the identical double and
+    # the D suffix pins the SQL literal to DOUBLE, so the parsed plan is
+    # bit-identical to the Column version.
+    lut_sql = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array("
+                + ", ".join(
+                    repr(
+                        float(
+                            head[q][m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
+                            @ cb[m][c]
+                        )
                     )
-                    for m in range(_PQ_M)
-                ]
+                    + "D"
+                    for c in range(_PQ_K)
+                )
+                + ")"
+                for m in range(_PQ_M)
             )
+            + ")"
             for q in qids
-        ]
+        )
+        + ")"
+    )
+    adc_sql = (
+        "round("
+        + " + ".join(
+            f"element_at(element_at(element_at({lut_sql}, qidx + 1), "
+            f"{m + 1}), CAST(element_at(codes, {m + 1}) + 1 AS INT))"
+            for m in range(_PQ_M)
+        )
+        + ", 6)"
     )
     queries = spark.createDataFrame(
         [(q, i) for i, q in enumerate(qids)], "query_id long, qidx int"
@@ -1863,25 +1883,7 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                _reduce(
-                    lambda a, b: a + b,
-                    [
-                        F.element_at(
-                            F.element_at(
-                                F.element_at(
-                                    lut_lit,
-                                    F.col("qidx") + 1,
-                                ),
-                                m + 1,
-                            ),
-                            (F.element_at("codes", m + 1) + 1).cast("int"),
-                        )
-                        for m in range(_PQ_M)
-                    ],
-                ),
-                6,
-            ).alias("adc_score"),
+            F.expr(adc_sql).alias("adc_score"),
         )
     )
     return scored

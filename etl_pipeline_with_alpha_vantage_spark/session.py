@@ -13,6 +13,15 @@ import os
 
 from pyspark.sql import SparkSession
 
+from . import _py4j_cache
+
+# Cache py4j reflection results (classes/packages/static methods) —
+# every F.* call otherwise pays 2 reflection RPCs on top of its 1
+# invocation RPC; see _py4j_cache's module docstring for the safety
+# argument. Installed at import so every session in this process
+# benefits, including foreign-built ones passed into the query API.
+_py4j_cache.install()
+
 _DEFAULTS: dict[str, str] = {
     # In local mode the driver JVM IS every executor: 32 task threads,
     # all shuffle/aggregate execution memory, every broadcast build, and
