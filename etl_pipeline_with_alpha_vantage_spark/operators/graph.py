@@ -59,6 +59,16 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges = und.join(deg, "src").localCheckpoint(eager=True)
+    try:
+        # The checkpointed partition count is AQE's size-coalesced
+        # answer (~bytes / advisoryPartitionSizeInBytes), i.e. a
+        # scale-adaptive signal consumers can size dependent shuffles
+        # from (sql_bfs_distances' recursive walk does — r13, guide
+        # §2.2). Probed once per materialization; the RDD handle
+        # already exists, so this is metadata, not a job.
+        edges._sg_nparts = edges.rdd.getNumPartitions()
+    except Exception:
+        pass
     cache[key] = edges
     return edges
 

@@ -1095,10 +1095,34 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Canonical "events" binds through the memoized registrar (an
     # ad-hoc bind of a subset desyncs its ident memo — r12 round).
     register_views(spark, sf_dir)
-    spark.sql(_HIER_EDGES_SQL).localCheckpoint(
-        eager=False
-    ).createOrReplaceTempView("hier_edges_v")
-    return spark.sql(_HIER_WALK_SQL)
+    # Eager now (r13): the edge table must be materialized anyway
+    # before the first hop, and eagerness exposes its AQE-coalesced
+    # partition count — the scale-adaptive width for the walk's ~17
+    # per-hop shuffles (VERDICT #4: AQE cannot re-plan inside a
+    # UnionLoop step, so unscoped they'd stay at the static session
+    # width — 32 micro-partitions of dust at test SFs). The walk only
+    # ever shrinks (frontier ⊆ users), so the edge width needs no
+    # expansion factor. Scoped set/restore, the cteRecursionRowLimit
+    # discipline; the walk executes eagerly (a ≤⌈log₂ users⌉-row
+    # aggregate — checkpointing dust) so the conf is live exactly for
+    # its jobs.
+    hier_edges = spark.sql(_HIER_EDGES_SQL).localCheckpoint(eager=True)
+    hier_edges.createOrReplaceTempView("hier_edges_v")
+    try:
+        walk_n = max(2, hier_edges.rdd.getNumPartitions())
+    except Exception:
+        walk_n = None
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions", None)
+    if walk_n is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(walk_n))
+    try:
+        return spark.sql(_HIER_WALK_SQL).localCheckpoint(eager=True)
+    finally:
+        if walk_n is not None:
+            if prev_sp is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 # --------------------------------------------------------------------------
@@ -1208,10 +1232,24 @@ def sql_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .graph import _cosupply_edges  # noqa: PLC0415
 
+    edges_ck = _cosupply_edges(spark, sf_dir)
+    # Scale-adaptive walk shuffle width (r13, VERDICT #4): AQE cannot
+    # re-plan inside a UnionLoop step, so every hop's join and the
+    # min-hop aggregation shuffle into the STATIC session width — 32
+    # micro-partitions of dust at test SFs (the checkpointed edge
+    # fixture itself coalesces to 1 partition ≈ 64 MB advisory), pure
+    # per-task scheduling overhead ×2 exchanges ×3 hops. Derive the
+    # walk's width from the edge fixture's own AQE-coalesced partition
+    # count (∝ edge bytes — grows with the graph, never with the host),
+    # with ×4 headroom for the path-multiset expansion of the 2-hop
+    # walk. Scoped exactly like the recursion row limit below.
+    walk_n = max(2, 4 * (getattr(edges_ck, "_sg_nparts", None) or 8))
     prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", "20000000")
+    spark.conf.set("spark.sql.shuffle.partitions", str(walk_n))
     try:
-        edges = _cosupply_edges(spark, sf_dir).select("src", "dst")
+        edges = edges_ck.select("src", "dst")
         edges.createOrReplaceTempView("bfs_edges_v")
         # Eager: the recursion must run while the raised limit is live.
         return spark.sql(_BFS_WALK_SQL).localCheckpoint(eager=True)
@@ -1220,6 +1258,10 @@ def sql_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.cteRecursionRowLimit")
         else:
             spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
+        if prev_sp is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 # --------------------------------------------------------------------------
