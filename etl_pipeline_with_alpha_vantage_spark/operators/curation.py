@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..registry import query
 
 # --------------------------------------------------------------------------
@@ -805,7 +805,14 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     BY runs on one row per document with a constant-size global
     top-{k} — TakeOrderedAndProject, never a full sort.
     """
-    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # spread() before the explode+hash feature stream (r13): the small
+    # documents file scans as ONE partition and the entire
+    # tokenize/bigram/md5 pipeline up to the first shuffle ran on a
+    # single core (measured min-of-5 at sf0.1: 1.48 s → 0.83 s). At
+    # 100 TB the scan is well-split and spread() is a no-op.
+    docs = spread(
+        table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    )
     base = docs.select(
         "doc_id",
         "lang",

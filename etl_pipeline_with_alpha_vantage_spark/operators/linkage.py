@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..registry import query
 
 # Fellegi–Sunter agreement/disagreement weights (scaled log-likelihood
@@ -152,6 +152,17 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored pairs on dirty_key. No Python touches a row.
     """
     cust = table(spark, sf_dir, "customer")
+    # spread() the STREAMED (dirty) side before the comparator stage
+    # (r13; the VERDICT-flagged "+15%" turned out to be window drift,
+    # but decomposing the 2s reading found this): the small customer
+    # file scans as ONE partition, the clean side AQE-broadcasts, and a
+    # broadcast join preserves the streamed side's partitioning — so
+    # all ~830k blocked pairs ran their bounded levenshtein on a single
+    # core. One narrow dust repartition parallelizes the comparator
+    # stage (measured min-of-5 at sf0.1: 2.03 s → 0.55 s, rows
+    # identical); at 100 TB the scan is already well-split and spread()
+    # is a no-op by construction.
+    dirty_src = spread(cust)
     band = F.floor(F.col("c_acctbal") / 1000.0).cast("long")
     typo = F.concat(
         F.expr("substr(c_name, 1, cast(c_custkey % length(c_name) as int))"),
@@ -160,7 +171,7 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "1000)"
         ),
     )
-    dirty = cust.select(
+    dirty = dirty_src.select(
         F.col("c_custkey").alias("dirty_key"),
         F.when(F.col("c_custkey") % 13 == 0, F.reverse("c_name"))
         .otherwise(typo)
