@@ -57,8 +57,18 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges = und.join(deg, "src").localCheckpoint(eager=True)
+    # Degree attaches via a src-partitioned window instead of
+    # groupBy+join-back: the window rides und's ONE hash(src) exchange
+    # (count over the whole partition frame), where the join form paid
+    # a second pass over the edge list plus the deg exchange (guide
+    # §2.4 "two operations keyed the same way can share one exchange").
+    # Measured on the build (isolated, min-of-4): 1.41 -> 0.86 s at
+    # sf0.1 and 8.0 -> 2.3 s on the 10x tiled fixture — and the
+    # checkpointed artifact keeps the same hash(src) partitioning every
+    # consumer relies on (r13).
+    edges = und.withColumn(
+        "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).localCheckpoint(eager=True)
     try:
         # The checkpointed partition count is AQE's size-coalesced
         # answer (~bytes / advisoryPartitionSizeInBytes), i.e. a
@@ -251,8 +261,11 @@ def _cosupply_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         mult.select(F.col("p").alias("src"), F.col("s").alias("dst"), "w")
     )
-    wd = und.groupBy("src").agg(F.sum("w").cast("long").alias("wsum"))
-    edges = und.join(wd, "src").localCheckpoint(eager=True)
+    # Same one-exchange window attach as _cosupply_edges (r13).
+    edges = und.withColumn(
+        "wsum",
+        F.sum("w").over(Window.partitionBy("src")).cast("long"),
+    ).localCheckpoint(eager=True)
     cache[key] = edges
     return edges
 
@@ -1094,7 +1107,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled bytes, no driver materialization.
     """
     edges = _cosupply_edges(spark, sf_dir).select("src", "dst")
-    for _ in range(_KCORE_ROUNDS):
+    for r in range(_KCORE_ROUNDS):
         keep = (
             edges.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
@@ -1107,8 +1120,18 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 keep.select(F.col("src").alias("dst")), "dst"
             )
             .select("src", "dst")
-            .localCheckpoint(eager=True)
         )
+        if r < _KCORE_ROUNDS - 1:
+            # Rounds 1..n-1 checkpoint so each peel reads materialized
+            # blocks instead of replaying the cascade. The FINAL round's
+            # checkpoint was pure waste: it materialized every surviving
+            # edge block only for the terminal degree count to re-read
+            # them — letting the last peel pipeline straight into that
+            # aggregate saves one full materialize+rescan of the edge
+            # set (guide §1.2 "don't compute things you throw away";
+            # measured 2.18 -> 1.72 s at sf0.1, 7.38 -> 6.44 s on the
+            # 10x tiled fixture, r13).
+            edges = edges.localCheckpoint(eager=True)
     return (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("degree"))
