@@ -1219,9 +1219,17 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh = (
             reached.join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(depth))
-            .localCheckpoint(eager=True)
         )
-        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        # Mid-walk hops checkpoint (fresh feeds the next hop's frontier
+        # AND anti-join; visited feeds every later anti-join). On the
+        # FINAL hop both frames have exactly one consumer — the terminal
+        # layer-count aggregate — so their eager materialize+rescan was
+        # pure waste (the kcore final-round lesson, r13; guide §1.2).
+        if depth < _BFS_HOPS:
+            fresh = fresh.localCheckpoint(eager=True)
+        visited = visited.unionByName(fresh)
+        if depth < _BFS_HOPS:
+            visited = visited.localCheckpoint(eager=True)
         frontier = fresh.select("node")
     return (
         visited.groupBy("hops")
