@@ -546,19 +546,23 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("dist")
             )
         )
-        m = (
-            d.groupBy("vec_id")
-            .agg(F.min("dist").alias("md"))
-            .withColumnRenamed("vec_id", "m_vec")
-        )
+        # Argmin as ONE struct-min aggregation: min(struct(dist, cid))
+        # is lexicographic — smallest distance, ties to the smallest
+        # cid — exactly the previous min-dist + join-back + min-cid
+        # semantics, without the self-join's second pass over the
+        # distance table and its extra exchange (guide §2.4; the
+        # kcenter Observation-argmax lesson). Per iteration this drops
+        # one exchange and one join; same-window ABAB min-of-5:
+        # 1.89 -> 1.37 s at sf0.1, 4.60 -> 4.14 s at the 10x fixture
+        # (r13).
         return (
-            d.join(
-                m,
-                (F.col("vec_id") == F.col("m_vec"))
-                & (F.col("dist") == F.col("md")),
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("mn"))
+            .select(
+                "vec_id",
+                F.col("mn.cid").alias("cid"),
+                F.col("mn.dist").alias("md"),
             )
-            .groupBy("vec_id")
-            .agg(F.min("cid").alias("cid"), F.min("md").alias("md"))
         )
 
     for _ in range(_KM_ITERS):
