@@ -1126,16 +1126,23 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
         .agg(F.countDistinct("tok").alias("v"))
     )
-    scored = (
-        # bc/uc are corpus-VOCABULARY-scaled (bigram/unigram count
-        # tables) — unhinted: AQE broadcasts them while small and
-        # shuffle-joins a 100 TB corpus's billion-row bigram table
-        # instead of OOMing the driver (round 11; the graph-kernel rule).
-        bg.join(bc, ["w1", "w2"])
-        .join(uc, "w1")
+    # Score per DISTINCT bigram first (bc ⋈ uc ⋈ v is all
+    # vocabulary-dust), then attach to the fact-sized bigram stream
+    # with ONE join: the previous shape probed the fact stream through
+    # two joins (bc, then uc) and evaluated ln() once per bigram
+    # OCCURRENCE instead of once per distinct bigram (guide §2.3
+    # "aggregate before you shuffle" applied to the lookup side; r13,
+    # same-window min-of-5: 1.71 -> 1.56 s at sf0.1, 5.25 -> 4.38 s at
+    # the 10x fixture). bc/uc stay unhinted: AQE broadcasts the scored
+    # dust while small and shuffle-joins a 100 TB corpus's billion-row
+    # bigram table instead of OOMing the driver (round 11; the
+    # graph-kernel rule).
+    nll_tab = (
+        bc.join(uc, "w1")
         .crossJoin(F.broadcast(v))  # bounded: 1-row global count_distinct
         .select(
-            "doc_id",
+            "w1",
+            "w2",
             F.round(
                 F.log(
                     (F.col("c1") + F.col("v")).cast("double")
@@ -1147,6 +1154,7 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nll_units"),
         )
     )
+    scored = bg.join(nll_tab, ["w1", "w2"]).select("doc_id", "nll_units")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         (F.sum("nll_units").cast("double") / F.count(F.lit(1)) / 1_000_000.0)
