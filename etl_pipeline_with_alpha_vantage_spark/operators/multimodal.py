@@ -220,24 +220,92 @@ def _decode_blob(blob: bytes) -> tuple[int, int, int, float, int]:
 
 
 def decode_features(blobs: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over a binary column.
+    """Arrow-NATIVE feature extraction over a binary column (r13 §4.2/4.3
+    migration — previously ``mapInPandas`` with a per-row Python loop).
 
-    ``mapInPandas`` receives whole Arrow batches (not rows), the shape a
-    vectorized decoder wants; output schema is declared, so downstream
-    Catalyst plans don't change when the real decoder lands.
-    Input: columns (doc_id: long, blob: binary).
+    ``mapInArrow`` hands whole record batches across the boundary with no
+    pandas materialization, and an Arrow binary column is one contiguous
+    data buffer plus an offsets array — so the fake-codec path (every
+    non-BMP/PPM blob) vectorizes completely: per-row byte sums come from
+    one int64 cumsum over the shared data buffer sliced at the offsets,
+    and width/height/frames are numpy modular arithmetic on the lengths.
+    Results are byte-identical to the row loop: the sums are exact
+    integers and mean = int64/int64 is the same IEEE division
+    ``_fake_decode`` performs (fuzz-pinned by
+    tests/test_multimodal_codecs.py::test_arrow_decoder_matches_row_functions).
+    Rows that sniff as real containers (``BM``/``P6`` magic) still route
+    through the unchanged strict parsers — the per-row cost that matters
+    only on actual media rows.
+    Input: columns (doc_id: long, blob: binary); output: DECODE_SCHEMA.
     """
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [_decode_blob(b) for b in pdf["blob"]]
-            out = pd.DataFrame(
-                rows, columns=["width", "height", "n_bytes", "mean_byte", "n_frames"]
-            )
-            out.insert(0, "doc_id", pdf["doc_id"].values)
-            yield out
+    def extract(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        import numpy as np  # noqa: PLC0415
+        import pyarrow as pa  # noqa: PLC0415
 
-    return blobs.mapInPandas(extract, DECODE_SCHEMA)
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("doc_id"))
+            arr = batch.column(batch.schema.get_field_index("blob"))
+            n = len(arr)
+            off_dt = (
+                np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+            )
+            offs = np.frombuffer(arr.buffers()[1], dtype=off_dt)[
+                arr.offset : arr.offset + n + 1
+            ].astype(np.int64)
+            dbuf = arr.buffers()[2]
+            data = (
+                np.frombuffer(dbuf, dtype=np.uint8)
+                if dbuf is not None
+                else np.zeros(0, dtype=np.uint8)
+            )
+            lens = offs[1:] - offs[:-1]
+            cs = np.zeros(len(data) + 1, dtype=np.int64)
+            np.cumsum(data, dtype=np.int64, out=cs[1:])
+            sums = cs[offs[1:]] - cs[offs[:-1]]
+            width = (lens % 640 + 1).astype(np.int32)
+            height = (lens % 480 + 1).astype(np.int32)
+            mean = np.where(lens > 0, sums / np.maximum(lens, 1), 0.0)
+            frames = (lens % 24 + 1).astype(np.int32)
+            # Real-container rows: 2-byte magic sniff on the raw buffer,
+            # strict row parse; failed parses keep the fake values the
+            # vector pass already produced (== _decode_blob's fallback).
+            has2 = lens >= 2
+            b0 = np.zeros(n, dtype=np.uint8)
+            b1 = np.zeros(n, dtype=np.uint8)
+            idx0 = offs[:-1][has2]
+            b0[has2] = data[idx0]
+            b1[has2] = data[idx0 + 1]
+            magic = ((b0 == 0x42) & (b1 == 0x4D)) | (
+                (b0 == 0x50) & (b1 == 0x36)
+            )  # "BM" | "P6"
+            for i in np.nonzero(magic)[0]:
+                blob = data[offs[i] : offs[i + 1]].tobytes()
+                dec = _decode_bmp(blob) or _decode_ppm(blob)
+                if dec is not None:
+                    width[i], height[i] = dec[0], dec[1]
+                    mean[i] = dec[3]
+                    frames[i] = dec[4]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(width, type=pa.int32()),
+                    pa.array(height, type=pa.int32()),
+                    pa.array(lens, type=pa.int64()),
+                    pa.array(mean, type=pa.float64()),
+                    pa.array(frames, type=pa.int32()),
+                ],
+                names=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_bytes",
+                    "mean_byte",
+                    "n_frames",
+                ],
+            )
+
+    return blobs.mapInArrow(extract, DECODE_SCHEMA)
 
 
 _DECODE_ORACLE = """

@@ -89,3 +89,59 @@ def test_sniff_routes_real_formats():
     assert _decode_blob(bmp) == (2, 2, len(bmp), 2.5, 1)
     ppm = b"P6\n1 1\n255\n\x09\x09\x09"
     assert _decode_blob(ppm) == (1, 1, len(ppm), 9.0, 1)
+
+
+def test_arrow_decoder_matches_row_functions():
+    """The r13 mapInArrow migration must be BYTE-exact against the row
+    functions for every dispatch path: fake (arbitrary bytes), empty
+    blob, valid BMP/PPM, near-miss magic, truncated BMP. Runs the
+    extract generator directly on a hand-built Arrow batch (no Spark
+    session needed) over a deterministic fuzz corpus."""
+    import random
+
+    import pyarrow as pa
+
+    from etl_pipeline_with_alpha_vantage_spark.operators import (
+        multimodal as mm,
+    )
+
+    rng = random.Random(42)
+    blobs: list[bytes] = [
+        b"",
+        b"BMW dealers report record sales",
+        b"P6 is a chess term",
+        mm.encode_bmp(3, 2, bytes([10, 20, 30, 40, 50, 60])),
+        mm.encode_bmp(1, 1, bytes([255])),
+        mm.encode_bmp(4, 4, bytes(range(16)))[:-8],  # truncated -> fake
+        b"P6\n2 2\n255\n" + bytes(range(12)),
+        b"P6\n# c\n1 1\n255\n\x07\x07\x07",
+    ]
+    for _ in range(200):
+        blobs.append(bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64))))
+
+    batch = pa.record_batch(
+        [pa.array(list(range(len(blobs))), type=pa.int64()),
+         pa.array(blobs, type=pa.binary())],
+        names=["doc_id", "blob"],
+    )
+    # grab the generator the DataFrame API would ship
+    captured = {}
+
+    class _FakeDF:
+        def mapInArrow(self, fn, schema):
+            captured["fn"] = fn
+            return None
+
+    mm.decode_features(_FakeDF())
+    (out,) = list(captured["fn"](iter([batch])))
+    got = list(zip(
+        out.column("width").to_pylist(),
+        out.column("height").to_pylist(),
+        out.column("n_bytes").to_pylist(),
+        out.column("mean_byte").to_pylist(),
+        out.column("n_frames").to_pylist(),
+    ))
+    want = [tuple(mm._decode_blob(b)) for b in blobs]
+    assert out.column("doc_id").to_pylist() == list(range(len(blobs)))
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g == w, f"row {i}: arrow {g} != row-fn {w} (blob={blobs[i]!r})"
