@@ -909,23 +909,37 @@ def _lpa_final_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node_id", F.col("node_id").alias("label")
     )
     for _ in range(_LPA_ITERS):
-        # ONE keyed exchange per sweep: deterministic mode(label, true)
-        # (Spark 4 — ties break to the LOWEST value, exactly the
-        # "most frequent, tie to smallest" recurrence) is a
-        # TypedImperativeAggregate with map-side partials, so the sweep
-        # is join-on-src → single hash-agg on dst. The previous shape
-        # (groupBy(dst,label) count → window argmax on dst) paid a
-        # second exchange because (dst,label) partitioning doesn't
-        # co-locate dst for the window.
-        labels = (
+        # Per sweep: join-on-src → codegen count on (dst, label) →
+        # struct-max argmax on dst. max(struct(c, -label)) picks the
+        # most frequent label with ties to the SMALLEST label — exactly
+        # the deterministic recurrence. This r13 shape replaced
+        # mode(label, true) (a TypedImperativeAggregate holding a
+        # per-node label→count map, no codegen): the count+struct-max
+        # pair is two exchanges but both are codegen hash aggregates
+        # with map-side partials that collapse the per-edge stream to
+        # (node, label) dust before the second exchange — same-window
+        # min-of-4: 5.40 → 3.70 s on the 10x tiled fixture, flat
+        # (1.71/1.77 s) at sf0.1 where the memo makes it cold-only.
+        # (The even older groupBy+WINDOW argmax was slower than both —
+        # a window pays a sort, struct-max doesn't.)
+        cnt = (
             edges.join(
                 labels.withColumnRenamed("node_id", "src").hint(
                     "shuffle_hash"
                 ),
                 "src",
             )
-            .groupBy(F.col("dst").alias("node_id"))
-            .agg(F.expr("mode(label, true)").alias("label"))
+            .groupBy(F.col("dst").alias("node_id"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.groupBy("node_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("mx")
+            )
+            .select("node_id", (-F.col("mx.nl")).alias("label"))
         )
     labels = labels.localCheckpoint(eager=False)
     cache[key] = labels
