@@ -303,14 +303,46 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     # construction of the trigram zip_with + 32-member aggregate fold
     # cost ~450 py4j round trips per build; the identical expressions
     # parse server-side in three.
+    return _sigs_from_grams(_gram_arrays(docs), n_hashes)
+
+
+def _gram_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, grams: array<string>) — the distinct word-trigram
+    shingle arrays every minhash tier starts from. Split out (r13) so
+    dedup_minhash_verify can share ONE tokenize+shingle subtree between
+    its candidate pipeline and its exact re-score."""
     toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
         F.size("toks") >= 3
     )
-    grams = toks.select(
+    return toks.select(
         "doc_id", F.expr(f"array_distinct({_TRI_SQL})").alias("grams")
     )
+
+
+def _sigs_from_grams(
+    grams: DataFrame, n_hashes: int = N_HASHES
+) -> DataFrame:
     ghashed = grams.select("doc_id", F.expr(_GHASH_SQL).alias("ghashes"))
     return ghashed.select("doc_id", F.expr(_sig_sql(n_hashes)).alias("sig"))
+
+
+def _minhash_banded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig, band_idx, band_hash) — the LSH band explode shared
+    by dedup_minhash_lsh and dedup_minhash_verify (r13)."""
+    n_bands = N_HASHES // BAND_SIZE
+    band_keys = F.expr(
+        "array("
+        + ", ".join(
+            f"slice(sig, {b * BAND_SIZE + 1}, {BAND_SIZE})"
+            for b in range(n_bands)
+        )
+        + ")"
+    )
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(band_keys).alias("band_idx", "band_hash"),
+    )
 
 
 def _minhash_oracle() -> str:
@@ -376,22 +408,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature tier fully oracle-checkable, unusual for LSH dedup.
     """
     docs = spread(table(spark, sf_dir, "documents"))
-    sigs = minhash_signatures(docs)
-    n_bands = N_HASHES // BAND_SIZE
-    band_keys = F.expr(
-        "array("
-        + ", ".join(
-            f"slice(sig, {b * BAND_SIZE + 1}, {BAND_SIZE})"
-            for b in range(n_bands)
-        )
-        + ")"
-    )
-    banded = sigs.select(
-        "doc_id",
-        "sig",
-        F.posexplode(band_keys).alias("band_idx", "band_hash"),
-    )
-    return lsh_candidate_pairs(banded)
+    return lsh_candidate_pairs(_minhash_banded(minhash_signatures(docs)))
 
 
 def lsh_candidate_pairs(banded: DataFrame, candidate_observation=None):
@@ -1419,16 +1436,21 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle ARRAYS (no inverted-index second pass) and intersects
     row-locally — O(candidates × doc_len), embarrassingly parallel.
     """
-    cand = dedup_minhash_lsh(spark, sf_dir).select(
-        "doc_a", "doc_b", F.round("jaccard_est", 6).alias("jaccard_est")
-    )
+    # ONE shared tokenize+shingle subtree (r13, guide §1.2): the
+    # previous form called dedup_minhash_lsh() for candidates and
+    # re-derived the gram arrays from a second spread(documents) scan —
+    # two independent corpus pipelines in one query. Building candidates
+    # and the exact re-score from the SAME grams frame lets AQE reuse
+    # the spread exchange and the shingle work (same-window ABBA
+    # min-of-4 at sf0.1: 2.22/1.86 s current vs 1.42 s shared; flat at
+    # the 10x fixture; a lazy checkpoint of grams was measured and
+    # declined — no further gain). At 100 TB this is one corpus
+    # tokenize pass instead of two.
     docs = spread(table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
-        F.size("toks") >= 3
-    )
-    gram_arrays = toks.select(
-        "doc_id", F.expr(f"array_distinct({_TRI_SQL})").alias("grams")
-    )
+    gram_arrays = _gram_arrays(docs)
+    cand = lsh_candidate_pairs(
+        _minhash_banded(_sigs_from_grams(gram_arrays))
+    ).select("doc_a", "doc_b", F.round("jaccard_est", 6).alias("jaccard_est"))
     ga = gram_arrays.alias("ga")
     gb = gram_arrays.alias("gb")
     joined = (
